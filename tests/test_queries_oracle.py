@@ -1,0 +1,43 @@
+"""Every registered query hash-matches its DuckDB oracle (driver t2 twin).
+
+Runs at sf0.001 for speed; ``tools/check_oracle.py --sf .../sf0.01``
+is the full-size local gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from updatable_persistent_map_reduce_spark.operators import all_queries
+from updatable_persistent_map_reduce_spark.testing import check_query, duck_con
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, con, sf_dir):
+    problems = check_query(spark, con, QUERIES[name], sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"group_key", "cnt"}
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30

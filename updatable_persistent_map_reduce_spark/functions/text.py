@@ -1,0 +1,68 @@
+"""Text column expressions — tokenization, shingles, fingerprints.
+
+All JVM-side Catalyst expressions (split/transform/aggregate), no
+Python UDFs: at 100 TB the tokenizer runs inside whole-stage codegen
+on every executor core, and Arrow never enters the picture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared by word-count / text-stats / dedup ops.
+# \\s+ matches the oracle's regexp_split_to_array(text, '\\s+').
+TOKEN_SPLIT_RE = r"\s+"
+
+# BPE-ish word/punct splitter: runs of letters, runs of digits, or a
+# single non-space symbol — approximates subword pre-tokenization.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_M64 = 18446744073709551616  # 2**64 — fingerprint fold modulus
+
+
+def tokens_expr(col: Column, lowercase: bool = True) -> Column:
+    """array<string> of whitespace tokens (empties removed)."""
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(base, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def shingles_expr(tokens: Column, k: int = 3) -> Column:
+    """array<string> of word k-shingles from a token array.
+
+    ``sequence`` + ``transform`` + ``slice`` keeps this a pure Catalyst
+    expression; a doc with < k tokens yields its single joined shingle.
+    """
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(tokens, i, k), " ")
+    )
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """64-bit rolling (polynomial) hash of a string — document
+    fingerprinting primitive. h <- (h*1000003 + codepoint) mod 2^64,
+    expressed with DECIMAL(38) intermediate so it is exactly
+    reproducible in ANSI SQL (no native u64 in either engine).
+    """
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("decimal(38,0)"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: (acc * F.lit(1000003) + c) % F.lit(_M64).cast("decimal(38,0)"),
+    )
+    return h.cast("decimal(20,0)")
+
+
+def fingerprint_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`fingerprint_expr`."""
+    return (
+        "CAST(list_reduce("
+        f"list_prepend(CAST(0 AS DECIMAL(38,0)), "
+        f"list_transform(list_filter(string_split({col_sql}, ''), c -> c <> ''), "
+        "c -> CAST(ascii(c) AS DECIMAL(38,0)))), "
+        f"(acc, c) -> (acc * 1000003 + c) % CAST({_M64} AS DECIMAL(38,0))"
+        ") AS DECIMAL(20,0))"
+    )

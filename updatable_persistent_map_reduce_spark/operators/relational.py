@@ -1,0 +1,501 @@
+"""Tier C — the relational surface (absent from the reference, which has
+no join/filter/sort/window code anywhere in its 597 LoC; full API =
+MapReduce/MapReduceTask.cs:8-14 + Executer.cs:31,370). Implemented as
+thin declarative plans over Spark SQL so Catalyst supplies pushdown,
+pruning, join selection and AQE for free.
+
+Scale notes, applied uniformly:
+- dim-table joins (`nation`, `region`, `supplier`, `part`) are
+  explicitly ``F.broadcast`` — at 100 TB the fact side never shuffles
+  for those joins;
+- fact-fact joins (orders x customer, lineitem x orders) are plain
+  equi-joins: Catalyst picks SMJ/shuffled-hash and AQE splits skewed
+  partitions;
+- aggregates run partial->final (map-side combine) natively;
+- every filter/projection is expressed on base columns first so it
+  reaches the parquet scan (PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import Catalog
+from . import register
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    doc="Pruned parquet scan: 3-column ReadSchema, no shuffle.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_filter_pred",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority "
+        "FROM orders WHERE (o_orderstatus = 'O' AND o_totalprice < 50000.0) "
+        "OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice >= 150000.0) "
+        "OR o_orderpriority LIKE '5%'"
+    ),
+    doc="Predicate surface: =, <, AND/OR, IN, LIKE — pushed to the scan.",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    pred = (
+        ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000.0))
+        | (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") >= 150000.0)
+        )
+        | F.col("o_orderpriority").like("5%")
+    )
+    return o.filter(pred).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "q_project_expr",
+    oracle=(
+        "SELECT c_custkey, upper(c_mktsegment) AS seg, "
+        "round(c_acctbal * 2, 2) AS doubled_bal, "
+        "c_name || '/' || CAST(c_nationkey AS VARCHAR) AS tagged_name "
+        "FROM customer"
+    ),
+    doc="Projection with computed expressions (string/arith/concat).",
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 2, 2).alias("doubled_bal"),
+        F.concat_ws("/", "c_name", F.col("c_nationkey").cast("string")).alias(
+            "tagged_name"
+        ),
+    )
+
+
+@register(
+    "q_join_inner",
+    oracle=(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="Fact-fact equi join (orders x customer) + aggregate; Catalyst/AQE "
+    "picks broadcast vs SMJ from stats.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(
+        cat.customer, cat.orders.o_custkey == cat.customer.c_custkey, "inner"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=(
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_items, "
+        "round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    ),
+    doc="Star join through broadcast dims: the 100 TB fact table never "
+    "shuffles for supplier/nation/region.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q_join_left",
+    oracle=(
+        "WITH per_cust AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey) "
+        "SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM per_cust GROUP BY n_orders"
+    ),
+    doc="Left outer join preserving order-less customers (count(col) skips nulls).",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat.customer.join(
+            cat.orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle=(
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_active "
+        "FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+        "GROUP BY c_nationkey"
+    ),
+    doc="Left-semi join (EXISTS): customers with >=1 order.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    active = cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+    return active.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "q_join_anti",
+    oracle=(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive "
+        "FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    inactive = cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_inactive")
+    )
+
+
+@register(
+    "q_join_range",
+    oracle=(
+        "WITH bands AS (SELECT CAST(i AS BIGINT) AS band_id, i * 200.0 AS lo, "
+        "(i + 1) * 200.0 AS hi FROM range(10) t(i)) "
+        "SELECT band_id, CAST(count(*) AS BIGINT) AS n_parts, "
+        "round(CAST(sum(p_retailprice) AS DOUBLE), 2) AS band_value "
+        "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi "
+        "GROUP BY band_id"
+    ),
+    doc="Non-equi (theta/range) join: part prices against a tiny banding "
+    "dim — BroadcastNestedLoopJoin with the 10-row side broadcast; the "
+    "scale path for band joins is a computed band key (equi-join) which "
+    "this plan's GROUP BY collapses to anyway.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bands = (
+        spark.range(10)
+        .select(F.col("id").alias("band_id"))
+        .select(
+            "band_id",
+            (F.col("band_id") * 200.0).alias("lo"),
+            ((F.col("band_id") + 1) * 200.0).alias("hi"),
+        )
+    )
+    j = cat.part.join(
+        F.broadcast(bands),
+        (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("band_value"),
+    )
+
+
+@register(
+    "q_agg_multi",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, "
+        "round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price, "
+        "round(CAST(min(l_discount) AS DOUBLE), 2) AS min_disc, "
+        "round(CAST(max(l_tax) AS DOUBLE), 2) AS max_tax, "
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, "
+        "CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    doc="Multi-aggregate incl. count distinct (expand + two-phase agg).",
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_tax"), 2).alias("max_tax"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    doc="ROLLUP grouping sets (status, priority) with subtotals + grand total.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    doc="CUBE over two low-cardinality dims.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketch — approximate by design, rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "cardinality (no exact-distinct shuffle explosion).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle=(
+        "SELECT * FROM ("
+        "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn "
+        "FROM orders) WHERE rn <= 3"
+    ),
+    doc="Ranking window: top-3 orders by price per status (deterministic "
+    "tie-break on key).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_frame",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value, "
+        "round(CAST(COALESCE(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+        "0.0) AS DOUBLE), 2) AS prev_value "
+        "FROM events WHERE user_id < 50"
+    ),
+    doc="Analytic frame: running sum + lag over event time per user.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias(
+            "prev_value"
+        ),
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+    ),
+    doc="Top-k: TakeOrderedAndProject (per-partition top-k + driver merge, "
+    "no global sort shuffle).",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+_HIGH_BAL = (
+    "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0"
+)
+_BUILDING = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@register(
+    "q_union_all",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING}) UNION ALL SELECT c_custkey FROM ({_HIGH_BAL})",
+    doc="UNION ALL (no dedup shuffle).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    return a.unionAll(b)
+
+
+@register(
+    "q_intersect",
+    oracle=f"{_BUILDING} INTERSECT {_HIGH_BAL}",
+    doc="INTERSECT (distinct semantics, left-semi under the hood).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "q_except",
+    oracle=f"{_BUILDING} EXCEPT {_HIGH_BAL}",
+    doc="EXCEPT (distinct semantics, left-anti under the hood).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    return a.exceptAll(b.intersect(a))
+
+
+@register(
+    "q_scalar_funcs",
+    oracle=(
+        "SELECT event_id, upper(event_type) AS etype, "
+        "CAST(year(ts) AS INTEGER) AS yr, "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, "
+        "round(abs(value - 100.0), 2) AS dist100, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k "
+        "FROM events WHERE user_id < 100"
+    ),
+    doc="Scalar function surface: string/date/math/JSON extraction.",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 100)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype"),
+        F.year("ts").cast("int").alias("yr"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.round(F.abs(F.col("value") - 100.0), 2).alias("dist100"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register(
+    "q_array_map_funcs",
+    oracle=(
+        "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
+        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, "
+        "round(CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) "
+        "AS DOUBLE), 4) AS vec_sum, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos "
+        "FROM embeddings WHERE vec_id < 100"
+    ),
+    doc="Array higher-order functions: size, index, aggregate (fold), filter.",
+)
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb.getItem(0).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.aggregate(
+                emb, F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "q_udf_surface",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) "
+        "AS BIGINT) AS n_tokens "
+        "FROM documents"
+    ),
+    doc="Python escape hatch (the reference's Map/Reduce ARE user code, "
+    "MapReduceTask.cs:8-10): vectorized Arrow pandas_udf, never "
+    "row-at-a-time Python in the hot path.",
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.split().map(len).astype("int64")
+
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))

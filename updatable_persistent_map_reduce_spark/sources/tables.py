@@ -1,0 +1,86 @@
+"""Table catalog over the driver's parquet star schema (TESTDATA.md).
+
+The reference ingests batches of typed documents
+(``MapReduce/Executer.cs:31`` — ``Execute(ICollection<TMapInput>)``);
+here the source abstraction is a columnar scan: ``spark.read.parquet``
+with Catalyst predicate pushdown + column pruning reaching the footer.
+JSON/CSV ingestion (the reference's at-rest format is JSON,
+``MapReduce/Executer.cs:181``) is exposed through the same catalog.
+
+Scale note: at 100 TB each table is a directory of many parquet files
+(ideally partitioned / Z-ordered by its join or time key); nothing here
+assumes a single file — paths are passed straight to the DataFrame
+reader, which parallelizes splits by ``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-joinable (a few MB even at
+# large sf; nation/region are constant-size).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as long nanoseconds and truncate to a
+        # microsecond timestamp (matches DuckDB's ns->us cast semantics).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+class Catalog:
+    """Lazy table accessor bound to one scale-factor directory.
+
+    ``cat.lineitem`` (or ``cat["lineitem"]``) returns the DataFrame;
+    ``register_views`` publishes every table as a temp view so SQL-form
+    operators can refer to them by name.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        # The driver may hand us a session without our factory's conf;
+        # timestamp semantics (year/date_trunc vs the naive-UTC oracle)
+        # depend on the session timezone, so pin it here.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self[name]
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        for name in TABLE_NAMES:
+            self[name].createOrReplaceTempView(name)

@@ -1,0 +1,89 @@
+"""Shared test/verification helpers: DuckDB oracle comparison.
+
+Used by ``tests/`` and ``tools/check_oracle.py`` to replicate the
+driver's t2 gate locally: row count + column names + order-insensitive
+value comparison between a Spark result and its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+
+from .sources import TABLE_NAMES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(v):
+    """Make a cell comparable across engines."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    """Return a list of problems (empty = match)."""
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(
+            f"columns: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+        )
+        return problems
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+
+    def row_key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+    s = sorted(
+        (tuple(normalize(r[i]) for i in order) for r in spark_rows), key=row_key
+    )
+    d = sorted(
+        (tuple(normalize(r[i]) for i in dorder) for r in duck_rows), key=row_key
+    )
+    if s != d:
+        for i, (a, b) in enumerate(zip(s, d)):
+            if a != b:
+                problems.append(f"first diff at sorted row {i}: spark={a} duck={b}")
+                break
+        else:
+            problems.append("value mismatch")
+    return problems
+
+
+def check_query(spark, con, query, sf_dir: str) -> list[str]:
+    """Run one registered Query against both engines; [] = pass."""
+    sdf = query.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    if query.oracle is None:
+        return []  # rows-only: just confirms it runs
+    res = con.execute(query.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    return compare(spark_rows, spark_cols, duck_rows, duck_cols)
