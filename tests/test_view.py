@@ -1,0 +1,228 @@
+"""Tier A behavioral parity: MapReduceView vs the reference's semantics.
+
+Replays the reference's self-checking smoke scenario verbatim
+(MapReduce/Program.cs:26-44: 397 CA + 256 TX people, then people-30
+moves CA->TX; totals conserved) plus the edge cases the reference's
+code implies but never runs, plus a randomized incremental==full
+property test (the defining invariant of the engine).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark.plans import MapReduceView
+
+
+def people_view(spark, tmp_path, **kw):
+    return MapReduceView(
+        spark,
+        str(tmp_path / "people_by_state"),
+        id_col="id",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=8,
+        n_doc_spans=8,
+        **kw,
+    )
+
+
+def people_df(spark, rows):
+    return spark.createDataFrame(rows, "id string, state string")
+
+
+@pytest.fixture()
+def scenario_view(spark, tmp_path):
+    """Batch 1 of the reference scenario applied."""
+    v = people_view(spark, tmp_path)
+    batch1 = [(f"people-{i}", "CA") for i in range(1, 398)] + [
+        (f"people-{i}", "TX") for i in range(398, 654)
+    ]
+    v.execute(people_df(spark, batch1))
+    return v
+
+
+def counts(view):
+    return {r["state"]: r["cnt"] for r in view.final_df().collect()}
+
+
+def test_reference_scenario(spark, scenario_view):
+    v = scenario_view
+    assert counts(v) == {"CA": 397, "TX": 256}
+
+    # Batch 2: people-30 moves CA -> TX (Program.cs:35-39)
+    v.execute(people_df(spark, [("people-30", "TX")]))
+    after = counts(v)
+    assert after == {"CA": 396, "TX": 257}
+    assert sum(after.values()) == 653  # grand total conserved (Program.cs:43)
+
+
+def test_point_lookup_and_unknown_key(spark, scenario_view):
+    v = scenario_view
+    [row] = v.query("CA").collect()
+    assert row["cnt"] == 397
+    assert v.query("NV").count() == 0  # unknown key => empty (Executer.cs:373)
+
+
+def test_case_insensitive_upsert(spark, scenario_view):
+    v = scenario_view
+    # Reference matches doc ids case-insensitively (Executer.cs:245-247)
+    v.execute(people_df(spark, [("PEOPLE-30", "TX")]))
+    after = counts(v)
+    assert after == {"CA": 396, "TX": 257}
+
+
+def test_same_key_update_is_idempotent(spark, scenario_view):
+    v = scenario_view
+    v.execute(people_df(spark, [("people-10", "CA")]))
+    assert counts(v) == {"CA": 397, "TX": 256}
+
+
+def test_empty_batch(spark, scenario_view):
+    v = scenario_view
+    v.execute(people_df(spark, []))
+    assert counts(v) == {"CA": 397, "TX": 256}
+
+
+def test_group_disappears_when_last_doc_moves(spark, tmp_path):
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA"), ("b", "TX")]))
+    v.execute(people_df(spark, [("b", "CA")]))
+    assert counts(v) == {"CA": 2}
+    assert v.query("TX").count() == 0
+
+
+def test_multi_emit_flatmap(spark, tmp_path):
+    """Map may emit 0..N rows per doc (MapReduceTask.cs:8 contract)."""
+
+    def explode_tags(df):
+        return df.select(
+            "id", F.explode(F.split(F.col("tags"), ",")).alias("tag")
+        )
+
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "by_tag"),
+        id_col="id",
+        map_fn=explode_tags,
+        group_cols=["tag"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    df = spark.createDataFrame(
+        [("d1", "red,blue"), ("d2", "red")], "id string, tags string"
+    )
+    v.execute(df)
+    assert {r["tag"]: r["cnt"] for r in v.final_df().collect()} == {
+        "red": 2,
+        "blue": 1,
+    }
+    # update d1: now only green — red drops to 1, blue disappears
+    v.execute(
+        spark.createDataFrame([("d1", "green")], "id string, tags string")
+    )
+    assert {r["tag"]: r["cnt"] for r in v.final_df().collect()} == {
+        "red": 1,
+        "green": 1,
+    }
+
+
+def test_zero_emission_update_deletes(spark, tmp_path):
+    """A doc whose new version maps to nothing is removed everywhere
+    (the reference deletes old map output before mapping new,
+    Executer.cs:91)."""
+
+    def keep_positive(df):
+        return df.filter(F.col("val") > 0).select(
+            "id", F.col("grp"), F.col("val")
+        )
+
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "pos"),
+        id_col="id",
+        map_fn=keep_positive,
+        group_cols=["grp"],
+        agg_exprs=[F.sum("val").alias("total")],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id string, grp string, val long")
+    v.execute(mk([("x", "g1", 5), ("y", "g1", 3)]))
+    assert v.query("g1").collect()[0]["total"] == 8
+    v.execute(mk([("x", "g1", -1)]))  # x now filtered out entirely
+    assert v.query("g1").collect()[0]["total"] == 3
+
+
+def test_custom_reduce_fn(spark, tmp_path):
+    """Non-algebraic user Reduce via applyInPandas (the reference's
+    Reduce is arbitrary user code, MapReduceTask.cs:10)."""
+
+    def median_reduce(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "kspan": [pdf["kspan"].iloc[0]],
+                "grp": [pdf["grp"].iloc[0]],
+                "median_val": [float(pdf["val"].median())],
+            }
+        )
+
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "median"),
+        id_col="id",
+        group_cols=["grp"],
+        reduce_fn=median_reduce,
+        reduce_schema="grp string, median_val double",
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id string, grp string, val long")
+    v.execute(mk([("a", "g", 1), ("b", "g", 9), ("c", "g", 5)]))
+    assert v.query("g").collect()[0]["median_val"] == 5.0
+    v.execute(mk([("b", "g", 3)]))
+    assert v.query("g").collect()[0]["median_val"] == 3.0
+
+
+def test_incremental_equals_full_property(spark, tmp_path):
+    """Defining property: any sequence of upsert batches ==
+    one-shot aggregation over the latest version of every doc."""
+    rng = random.Random(42)
+    states = ["CA", "TX", "NY", "WA"]
+    latest: dict[str, str] = {}
+    v = people_view(spark, tmp_path)
+    for _ in range(5):
+        batch = {}
+        for _ in range(rng.randint(1, 40)):
+            doc = f"p-{rng.randint(1, 60)}"
+            batch[doc] = rng.choice(states)
+        latest.update(batch)
+        v.execute(people_df(spark, sorted(batch.items())))
+        expected = {}
+        for s in latest.values():
+            expected[s] = expected.get(s, 0) + 1
+        assert counts(v) == expected
+
+
+def test_restart_durability(spark, tmp_path):
+    """State survives across engine instances (the reference's whole
+    point: filesystem persistence across process lifetimes)."""
+    v1 = people_view(spark, tmp_path)
+    v1.execute(people_df(spark, [("a", "CA"), ("b", "TX")]))
+    v2 = people_view(spark, tmp_path)  # fresh instance, same store
+    assert counts(v2) == {"CA": 1, "TX": 1}
+    v2.execute(people_df(spark, [("a", "TX")]))
+    assert counts(v2) == {"TX": 2}
+
+
+def test_drop_key(spark, scenario_view):
+    v = scenario_view
+    v.drop_key("CA")
+    assert v.query("CA").count() == 0
+    assert counts(v) == {"TX": 256}

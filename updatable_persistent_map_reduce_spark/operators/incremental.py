@@ -1,1 +1,160 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier A — engine-backed queries: the MapReduceView incremental store
+exercised end-to-end and checked against a latest-wins SQL oracle.
+
+Each query builds a fresh persistent view store in a temp dir, feeds
+it multiple upsert batches (the reference's repeated ``Execute`` call
+pattern, MapReduce/Program.cs:31,35), and returns the *materialized*
+result — so the driver's oracle comparison validates the whole
+incremental-maintenance path (latest-wins replace, key migration,
+dirty-span recompute, persisted finals), not just a one-shot plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans import MapReduceView
+from ..sources import Catalog
+from . import register
+
+
+def _latest_event_per_user(df: DataFrame) -> DataFrame:
+    """In-batch user map: keep each user's latest event (max event_id).
+    Cross-batch, MapReduceView replace semantics make the overall
+    result 'latest event per user over all batches'."""
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+
+
+def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapReduceView:
+    """Replay events as ``n_batches`` ordered upsert batches into a
+    fresh store (doc = user, group key = event_type of latest event)."""
+    ev = Catalog(spark, sf_dir).events
+    store = tempfile.mkdtemp(prefix="upmr_events_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        map_fn=_latest_event_per_user,
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("value_sum"),
+        ],
+        n_key_spans=16,
+        n_doc_spans=16,
+    )
+    bounds = [
+        r[0]
+        for r in ev.selectExpr("max(event_id)").collect()
+    ]
+    hi = bounds[0] + 1
+    step = max(1, hi // n_batches + 1)
+    for b in range(n_batches):
+        lo_b, hi_b = b * step, (b + 1) * step
+        batch = ev.filter(
+            (F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b)
+        ).select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        view.execute(batch)
+    return view
+
+
+_LATEST_CTE = (
+    "WITH latest AS (SELECT user_id, event_type, value FROM "
+    "(SELECT user_id, event_type, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1)"
+)
+
+
+@register(
+    "q_upsert_recount",
+    oracle=(
+        f"{_LATEST_CTE} "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="THE raison d'être (Executer.cs:87-110 + 240-261): events replayed "
+    "as 4 upsert batches per user; every re-submission replaces the user's "
+    "previous contribution; materialized groups equal latest-wins oracle.",
+)
+def q_upsert_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _events_view(spark, sf_dir)
+    return view.final_df().select(
+        F.col("event_type").alias("group_key"),
+        F.col("cnt"),
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+@register(
+    "q_key_migration",
+    oracle=(
+        "SELECT CAST(CASE WHEN c_custkey % 10 = 0 "
+        "THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS INTEGER) AS group_key, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM customer GROUP BY 1"
+    ),
+    doc="Group-key change on update (Program.cs:35-44): every 10th customer "
+    "is re-submitted with a new nation; old group shrinks, new grows, grand "
+    "total conserved.",
+)
+def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    store = tempfile.mkdtemp(prefix="upmr_migrate_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        group_cols=["group_key"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=16,
+        n_doc_spans=16,
+    )
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_nationkey").cast("int").alias("group_key"),
+    )
+    view.execute(base)
+    migrated = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("group_key"),
+    )
+    view.execute(migrated)
+    return view.final_df().select("group_key", "cnt")
+
+
+@register(
+    "q_store_point_lookup",
+    oracle=(
+        f"{_LATEST_CTE} "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM latest WHERE event_type = 'purchase' GROUP BY event_type"
+    ),
+    doc="Query(key) against the persisted store (Executer.cs:370-376): "
+    "partition-pruned point lookup of one materialized group, zero "
+    "recomputation at read time.",
+)
+def q_store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _events_view(spark, sf_dir)
+    return view.query("purchase").select(
+        F.col("event_type").alias("group_key"), F.col("cnt")
+    )
