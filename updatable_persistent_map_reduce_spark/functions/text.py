@@ -48,10 +48,11 @@ def fingerprint_expr(col: Column) -> Column:
     """
     chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
     codes = F.transform(chars, lambda c: F.ascii(c).cast("decimal(38,0)"))
+    m64 = F.lit(str(_M64)).cast("decimal(38,0)")  # 2**64 overflows a long lit
     h = F.aggregate(
         codes,
         F.lit(0).cast("decimal(38,0)"),
-        lambda acc, c: (acc * F.lit(1000003) + c) % F.lit(_M64).cast("decimal(38,0)"),
+        lambda acc, c: (acc * F.lit(1000003) + c) % m64,
     )
     return h.cast("decimal(20,0)")
 

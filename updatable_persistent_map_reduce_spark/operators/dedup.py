@@ -1,1 +1,296 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier B — deduplication operators over the ``documents`` corpus.
+
+Five dedup families, as a 100 TB training-data pipeline needs them
+(north star in BASELINE.json; entirely ABSENT from the reference,
+whose only distinct-like op is the doc-id HashSet at
+MapReduce/Executer.cs:89):
+
+- exact (content hash)            q_dedup_exact       [oracle]
+- MinHash + LSH banding           q_dedup_near        [rows-only: probabilistic recall]
+- SimHash fingerprint grouping    q_dedup_simhash     [oracle]
+- n-gram Jaccard (brute force)    q_dedup_ngram       [oracle]
+- embedding cosine near-dup       q_dedup_embed       [oracle]
+
+Scale design: the oracle-able brute-force variants (`q_dedup_ngram`,
+`q_dedup_embed`) are the *correctness baseline* — O(n²) candidate
+generation with one side broadcast. The scale path is `q_dedup_near`:
+shingle → k minhashes → band buckets → equi-join on (band, signature)
+— the only shuffle is by band key, candidates are verified with exact
+Jaccard, and cost is O(n · near-dup density), not O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr, shingles_expr
+from ..sources import Catalog
+from . import register
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+@register(
+    "q_dedup_exact",
+    oracle=(
+        "SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_copies FROM ("
+        "SELECT doc_id, sha256(text) AS content_hash FROM documents) "
+        "GROUP BY content_hash"
+    ),
+    doc="Exact dedup by content hash: sha256(text) -> keep lowest doc_id. "
+    "At scale: a single hash-shuffle groupBy, no text comparison.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared portable token hash: 32-bit polynomial over codepoints,
+# expressible identically in Spark (Catalyst fold) and DuckDB SQL.
+
+_M32 = 4294967296
+
+
+def _tokhash_expr(tok: F.Column, seed: int = 0) -> F.Column:
+    codes = F.transform(
+        F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(seed).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(_M32),
+    )
+
+
+def _tokhash_sql(tok_sql: str, seed: int = 0) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+        f"list_transform(list_filter(string_split({tok_sql}, ''), c -> c <> ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_M32})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path) — rows-only: banding recall is
+# probabilistic, so there is no exact SQL oracle; candidates are
+# verified with exact Jaccard before being reported.
+
+N_PERM = 16
+N_BANDS = 8  # 2 rows per band
+JACCARD_T = 0.5
+
+
+@register(
+    "q_dedup_near",
+    oracle=None,
+    doc="MinHash-LSH near-dup detection: 3-shingles -> 16 permutation "
+    "minhashes (xxhash64 seeded per-perm) -> 8 bands of 2 -> candidate "
+    "pairs via equi-join on (band, band_signature) -> exact-Jaccard "
+    "verification >= 0.5. The shuffle key is the band signature, so "
+    "cost scales with near-dup density, not corpus².",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    sh = F.array_distinct(shingles_expr(toks, 3))
+    docs = d.select("doc_id", sh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    # 16 minhashes: min over shingles of xxhash64(perm_seed, shingle)
+    minhashes = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s, p=p: F.xxhash64(F.lit(p), s)
+                )
+            )
+            for p in range(N_PERM)
+        ]
+    )
+    sigs = docs.select("doc_id", "shingles", minhashes.alias("mh"))
+    rows_per_band = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("mh").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "shingles", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 16-bit fingerprint from portable token hashes: fully
+# deterministic in both engines, so oracle-checked.
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok "
+        "FROM documents), "
+        "th AS (SELECT doc_id, " + _tokhash_sql("tok") + " AS h FROM tok), "
+        "bits AS (SELECT doc_id, "
+        + ", ".join(
+            f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(SIMHASH_BITS)
+        )
+        + " FROM th GROUP BY doc_id) "
+        "SELECT doc_id, CAST("
+        + " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(SIMHASH_BITS)
+        )
+        + " AS BIGINT) AS simhash FROM bits"
+    ),
+    doc="SimHash document fingerprint: per-token 32-bit portable hash, "
+    "bitwise +/- vote, sign -> 16-bit fingerprint. Near-dups share "
+    "fingerprints (group or hamming-join downstream). One explode + one "
+    "groupBy at scale.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    )
+    th = tok.select("doc_id", _tokhash_expr(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard brute force — the exact correctness baseline.
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, "
+        "greatest(len(toks) - 1, 1) + 1), i -> "
+        "array_to_string(toks[i:i+1], ' '))) AS shingles FROM ("
+        "SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '') AS toks FROM documents WHERE doc_id < 300)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "round(CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) "
+        "AS DOUBLE) / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) "
+        "AS DOUBLE), 4) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) "
+        "AS DOUBLE) / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) "
+        "AS DOUBLE) >= 0.3"
+    ),
+    doc="Exact word-2gram Jaccard over a doc subset: brute-force O(n²) "
+    "with one side broadcast — the correctness baseline that q_dedup_near "
+    "approximates at scale.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 300)
+    toks = tokens_expr(F.col("text"))
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles_expr(toks, 2)).alias("shingles")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+    ).filter((inter / union) >= 0.3)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+@register(
+    "q_dedup_embed",
+    oracle=(
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
+    ),
+    doc="Embedding-cosine near-dup pairs (threshold 0.9): native "
+    "zip_with/aggregate dot product inside codegen; brute-force baseline "
+    "for the LSH-bucketed scale path (q_sim_search_lsh).",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_expr
+
+    e = Catalog(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cos_sim")
+    ).filter(cos >= 0.9)

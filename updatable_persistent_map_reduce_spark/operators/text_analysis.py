@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier B — text analysis over the ``documents`` corpus.
+
+Language ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), document fingerprinting (rolling hash),
+and per-(lang, source) corpus stats. Everything is a JVM-side Catalyst
+expression — tokenizers and hashes run inside whole-stage codegen, so
+at 100 TB these are single-scan map jobs (plus one partial/final agg
+where grouped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    fingerprint_expr,
+    fingerprint_sql,
+    tokens_expr,
+)
+from ..sources import Catalog
+from . import register
+
+# ---------------------------------------------------------------------------
+# corpus stats
+
+
+@register(
+    "q_text_stats",
+    oracle=(
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(avg(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> ''))) AS DOUBLE), 4) AS avg_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang, source"
+    ),
+    doc="Corpus rollup per (lang, source): doc counts, mean token length, "
+    "char volume — the word-count shape (Tier A's flagship) over text.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    ntok = F.size(tokens_expr(F.col("text")))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+
+
+@register(
+    "q_token_count",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '')) AS INTEGER) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens "
+        "FROM documents"
+    ),
+    doc="Token counting: whitespace tokens + BPE-ish pre-tokenization "
+    "(letter runs / digit runs / single symbols) via regexp_extract_all.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(tokens_expr(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id — stopword-hit heuristic, deterministic in both engines.
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "los", "que", "y", "en"],
+    "fr": ["le", "la", "les", "des", "et", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+        "FROM documents), s AS (SELECT doc_id, "
+        + ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in _STOPWORDS)
+        + " FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und' "
+        "WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en' "
+        "WHEN h_es >= h_fr AND h_es >= h_de THEN 'es' "
+        "WHEN h_fr >= h_de THEN 'fr' ELSE 'de' END AS pred_lang FROM s"
+    ),
+    doc="Language ID by stopword-hit argmax (fixed priority tie-break): "
+    "an n-gram/heuristic classifier shape — pure codegen, single scan.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    scored = d.select("doc_id", toks.alias("toks"))
+    def _hits(toks_col, words):
+        # single-arg lambda required: higher-order filter() treats a
+        # second parameter (even a defaulted one) as the element index
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks_col, lambda t: F.array_contains(sw, t)))
+
+    for lang, words in _STOPWORDS.items():
+        scored = scored.withColumn(f"h_{lang}", _hits(F.col("toks"), words))
+    pred = (
+        F.when(
+            (F.col("h_en") == 0)
+            & (F.col("h_es") == 0)
+            & (F.col("h_fr") == 0)
+            & (F.col("h_de") == 0),
+            F.lit("und"),
+        )
+        .when(
+            (F.col("h_en") >= F.col("h_es"))
+            & (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_de")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("h_es") >= F.col("h_fr")) & (F.col("h_es") >= F.col("h_de")),
+            F.lit("es"),
+        )
+        .when(F.col("h_fr") >= F.col("h_de"), F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+
+@register(
+    "q_quality_score",
+    oracle=(
+        "WITH t AS (SELECT doc_id, n_chars, "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ntok, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct, "
+        + _hits_sql("en").replace(
+            "toks", "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+        )
+        + " AS nstop FROM documents) "
+        "SELECT doc_id, CAST(ntok AS INTEGER) AS n_tokens, "
+        "round(CAST(npunct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
+        "round(CAST(nstop AS DOUBLE) / greatest(ntok, 1), 4) AS stop_ratio, "
+        "CASE WHEN ntok >= 20 AND ntok <= 1000 "
+        "AND CAST(npunct AS DOUBLE) / greatest(n_chars, 1) < 0.1 "
+        "AND CAST(nstop AS DOUBLE) / greatest(ntok, 1) >= 0.01 "
+        "THEN TRUE ELSE FALSE END AS is_quality FROM t"
+    ),
+    doc="Heuristic quality score: length band, punctuation density, "
+    "stopword ratio -> boolean gate (the C4-style cleaning shape).",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("ntok"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "npunct"
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("nstop"),
+    )
+    punct_ratio = F.col("npunct").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    stop_ratio = F.col("nstop").cast("double") / F.greatest(F.col("ntok"), F.lit(1))
+    return base.select(
+        "doc_id",
+        F.col("ntok").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        (
+            (F.col("ntok") >= 20)
+            & (F.col("ntok") <= 1000)
+            & (punct_ratio < 0.1)
+            & (stop_ratio >= 0.01)
+        ).alias("is_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=(
+        "SELECT doc_id, " + fingerprint_sql("text") + " AS fingerprint "
+        "FROM documents"
+    ),
+    doc="64-bit rolling polynomial fingerprint of the raw text "
+    "(functions/text.py): exact-dup detection key and shard-stable doc "
+    "identity; DECIMAL(38) fold keeps it engine-portable.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))

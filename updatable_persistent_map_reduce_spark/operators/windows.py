@@ -1,1 +1,76 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier B — event-time windowed aggregation over ``events``.
+
+Batch-checkable twins of the streaming operators in
+``streaming/stream_view.py``: tumbling windows (oracle via
+``date_trunc``) and session windows (oracle via gap-break islands).
+The reference has no time semantics at all — its closest analog is
+the repeated-Execute micro-batch call pattern (MapReduce/
+Program.cs:31,35) these windows generalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import Catalog
+from . import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, "
+        "event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM events GROUP BY 1, 2"
+    ),
+    doc="1-hour tumbling event-time windows per event type "
+    "(F.window == date_trunc for aligned tumbling windows); the "
+    "streaming twin adds a watermark and update-mode state.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "value_sum"
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events), "
+        "b AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS brk FROM o), "
+        "s AS (SELECT user_id, ts, "
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b) "
+        "SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM s GROUP BY user_id, sid"
+    ),
+    doc="30-minute-gap session windows per user (F.session_window in "
+    "batch mode == gap-break island detection; [start, start+gap) "
+    "half-open, so a gap of exactly 30min starts a new session).",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
