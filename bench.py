@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Per-query time = plan construction + full execution (collect),
+measured after the session is warm (a trivial job runs first so JVM/
+session startup isn't attributed to the first query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+from updatable_persistent_map_reduce_spark.operators import all_queries  # noqa: E402
+from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + one representative per operator family,
+# weighted toward the scale-relevant paths (joins, aggs, dedup,
+# similarity, text, windows, incremental engine).
+HEADLINE = [
+    "q_group_count",
+    "q_rereduce",
+    "q_agg_multi",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_sort_limit",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_search",
+    "q_text_stats",
+    "q_token_count",
+    "q_stream_tumbling",
+    "q_mm_features",
+    "q_upsert_recount",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("upmr-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up session
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name].fn(spark, sf_dir)
+        n = df.count() if name in ("q_mm_features", "q_token_count") else len(
+            df.collect()
+        )
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Streaming twin: the reference's repeated-Execute pattern as
+Structured Streaming micro-batches (trigger(availableNow) replay)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark.streaming import (
+    StreamingMapReduceView,
+    streaming_tumbling_counts,
+)
+
+
+def _write_batch(spark, path, rows, schema, n=1):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(0.05)  # distinct mtimes so file-order == producer order
+
+
+def test_streaming_upsert_scenario(spark, tmp_path):
+    """The reference smoke scenario (Program.cs:26-44) delivered as a
+    stream: batch files dropped into a dir, processed as micro-batches,
+    same persistent store + invariants."""
+    inp = str(tmp_path / "inbox")
+    os.makedirs(inp)
+    schema = "doc_id string, seq long, state string"
+    _write_batch(
+        spark,
+        inp,
+        [(f"people-{i}", 1, "CA") for i in range(1, 398)]
+        + [(f"people-{i}", 1, "TX") for i in range(398, 654)],
+        schema,
+    )
+    _write_batch(spark, inp, [("people-30", 2, "TX")], schema)
+
+    sv = StreamingMapReduceView(
+        spark,
+        str(tmp_path / "store"),
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        seq_col="seq",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    sv.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv.final_df().collect()}
+    assert counts == {"CA": 396, "TX": 257}
+    assert sum(counts.values()) == 653
+
+    # late producer batch arrives -> incremental catch-up run
+    _write_batch(spark, inp, [("people-31", 3, "TX")], schema)
+    sv.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv.final_df().collect()}
+    assert counts == {"CA": 395, "TX": 258}
+    [row] = sv.query("TX").collect()
+    assert row["cnt"] == 258
+
+
+def test_streaming_tumbling_watermark(spark, tmp_path):
+    """Native watermarked update-mode window agg over a file stream
+    equals the batch tumbling aggregation of the same data."""
+    inp = str(tmp_path / "events_in")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    rows = [
+        (i, f"2026-01-01 {h:02d}:{m:02d}:00", t, float(i))
+        for i, (h, m, t) in enumerate(
+            [
+                (0, 5, "click"),
+                (0, 30, "click"),
+                (0, 45, "view"),
+                (1, 10, "click"),
+                (2, 0, "view"),
+                (2, 59, "view"),
+            ]
+        )
+    ]
+    df_rows = [(i, ts, t, v) for (i, ts, t, v) in rows]
+    src = spark.createDataFrame(df_rows, "event_id long, ts string, event_type string, value double")
+    src = src.withColumn("ts", F.to_timestamp("ts"))
+    src.coalesce(1).write.mode("append").parquet(inp)
+
+    streaming_tumbling_counts(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        ts_col="ts",
+        key_cols=("event_type",),
+        window="1 hour",
+        watermark="1 hour",
+        sink_table="t_tumbling",
+    )
+    got = {
+        (str(r["win_start"]), r["event_type"]): r["cnt"]
+        for r in spark.sql("select * from t_tumbling").collect()
+    }
+    expected = {
+        ("2026-01-01 00:00:00", "click"): 2,
+        ("2026-01-01 00:00:00", "view"): 1,
+        ("2026-01-01 01:00:00", "click"): 1,
+        ("2026-01-01 02:00:00", "view"): 2,
+    }
+    assert got == expected

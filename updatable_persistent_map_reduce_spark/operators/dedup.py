@@ -122,9 +122,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = docs.select("doc_id", "shingles", minhashes.alias("mh"))
     rows_per_band = N_PERM // N_BANDS
+    # Bands WITHOUT the shingle payload: the 8x banding explode and the
+    # bucket shuffle move only (doc_id, band, sig) — shingle arrays are
+    # joined back onto the (sparse) candidate pairs afterwards.
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -142,23 +144,46 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "shingles", "bs.band", "bs.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select("doc_id", "bs.band", "bs.sig")
+    # Pair generation by bucket grouping (one shuffle, no self-join):
+    # collect each bucket's member list, emit ordered pairs. Degenerate
+    # buckets are capped — a bucket with > MAX_BUCKET members is a
+    # near-constant signature and would explode quadratically at scale.
+    MAX_BUCKET = 1000
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+        .filter(
+            (F.size("members") > 1) & (F.size("members") <= MAX_BUCKET)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + 2,
+                                F.size(F.col("members")),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs.select(F.col("doc_id"), F.col("shingles"))
+    cand = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

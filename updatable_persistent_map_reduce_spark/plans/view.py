@@ -164,17 +164,23 @@ class MapReduceView:
     def _staged_overwrite(
         self, df: DataFrame, path: str, partition_col: str
     ) -> None:
-        """Copy-on-write: stage ``df`` (which may read from ``path``)
-        to a sibling dir, then dynamically overwrite only the
-        partitions present in the staged data."""
+        """Copy-on-write partition replace: stage ``df`` (which may
+        read from ``path``) to a sibling dir with one Spark write job,
+        then swap the staged partition directories into place with
+        filesystem renames — no second write job, and the swap is the
+        cheap metadata operation a Delta/Iceberg commit would be on a
+        real deployment."""
         staging = path + ".staging"
         df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        staged = self.spark.read.parquet(staging)
-        if self._exists(path):
-            staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        else:
+        if not self._exists(path):
             shutil.move(staging, path)
             return
+        for entry in os.listdir(staging):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            target = os.path.join(path, entry)
+            shutil.rmtree(target, ignore_errors=True)
+            shutil.move(os.path.join(staging, entry), target)
         shutil.rmtree(staging, ignore_errors=True)
 
     def _cow_update(
@@ -222,6 +228,7 @@ class MapReduceView:
             batch_df.select(self._uid(F.col(self.id_col)).alias("uid"))
             .distinct()
         )
+        ids.cache()
 
         mapped = self.map_fn(batch_df)
         missing = {self.id_col, *self.group_cols} - set(mapped.columns)
@@ -229,6 +236,10 @@ class MapReduceView:
             raise ValueError(f"map output missing columns: {sorted(missing)}")
         mapped = mapped.withColumn("uid", self._uid(F.col(self.id_col)))
         mapped = mapped.withColumn("kspan", self._kspan())
+        # The mapped batch feeds four downstream plans (span discovery,
+        # map_results content, doc_index content); batches are bounded,
+        # so caching beats recomputing the user map each time.
+        mapped.cache()
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
         # New keys' spans come from the mapped batch; old locations of
@@ -253,9 +264,11 @@ class MapReduceView:
             }
         dirty_kspans = sorted(new_kspans | old_kspans)
         if not dirty_kspans:
-            # Batch mapped to nothing and replaced nothing: still must
-            # clear index entries? No index entries exist for these ids
-            # (old_kspans empty) — nothing to do.
+            # Batch mapped to nothing and replaced nothing: no index
+            # entries exist for these ids (old_kspans empty) — nothing
+            # to do.
+            mapped.unpersist()
+            ids.unpersist()
             self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
             return
 
@@ -323,6 +336,8 @@ class MapReduceView:
             idx_content = new_idx
         self._cow_update(idx_content, self._idx_path, "dspan", dirty_dspans)
 
+        mapped.unpersist()
+        ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
 
     # ----- read path (Query — reference Executer.cs:370-376) --------------
