@@ -21,6 +21,7 @@ Jaccard, and cost is O(n · near-dup density), not O(n²).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,30 +94,67 @@ N_BANDS = 8  # 2 rows per band
 JACCARD_T = 0.5
 
 
+def _shingle_hashes_udf():
+    """Arrow-vectorized 3-shingle hasher: text -> array<long> of crc32
+    hashes of the doc's distinct word 3-shingles.
+
+    Measured tradeoff (sf0.1, 5000 docs): the pure-Catalyst shingle
+    pipeline (split/transform/slice/array_join/array_distinct) runs
+    *interpreted* — higher-order array expressions are outside
+    whole-stage codegen — and costs ~10s materialized; this pandas UDF
+    does the same work in ~1.4s with warm workers. Downstream set math
+    (minhash, Jaccard intersect/union) then runs on long arrays, which
+    are cheaper to shuffle, cache, and compare than shingle strings.
+    """
+    import zlib
+
+    @F.pandas_udf("array<long>")
+    def shingle_hashes(texts: pd.Series) -> pd.Series:
+        def f(t):
+            toks = t.lower().split()
+            if len(toks) <= 3:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            return [zlib.crc32(s.encode()) for s in sh]
+
+        return texts.map(f)
+
+    return shingle_hashes
+
+
 @register(
     "q_dedup_near",
     oracle=None,
-    doc="MinHash-LSH near-dup detection: 3-shingles -> 16 permutation "
-    "minhashes (xxhash64 seeded per-perm) -> 8 bands of 2 -> candidate "
-    "pairs via equi-join on (band, band_signature) -> exact-Jaccard "
-    "verification >= 0.5. The shuffle key is the band signature, so "
-    "cost scales with near-dup density, not corpus².",
+    doc="MinHash-LSH near-dup detection: hashed 3-shingles -> 16 "
+    "permutation minhashes (xxhash64 seeded per-perm) -> 8 bands of 2 -> "
+    "candidate pairs via bucket grouping on (band, band_signature) -> "
+    "exact-Jaccard verification >= 0.5 on the shingle-hash sets. The "
+    "shuffle key is the band signature, so cost scales with near-dup "
+    "density, not corpus².",
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    toks = tokens_expr(F.col("text"))
-    sh = F.array_distinct(shingles_expr(toks, 3))
-    docs = d.select("doc_id", sh.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
-    # 16 minhashes: min over shingles of xxhash64(perm_seed, shingle)
+    docs = d.select(
+        "doc_id", _shingle_hashes_udf()("text").alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    # Three plans consume the shingle sets (signature build, both sides
+    # of the verify join-back); persist so shingling runs once. At
+    # 100 TB this would be a checkpointed staging table rather than
+    # executor memory, but the shape is the same — materialize once,
+    # never recompute per consumer.
+    docs.persist()
+    # 16 minhashes: min over shingles of xxhash64(perm_seed, shingle).
+    # The seed must be captured with a closure factory: a two-parameter
+    # lambda (``lambda s, p=p``) matches transform's (element, index)
+    # signature, which silently rebinds the "seed" to the array index —
+    # every permutation collapses to the same position-dependent hash.
+    def _perm_hash(p: int):
+        return lambda s: F.xxhash64(F.lit(p), s)
+
     minhashes = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, p=p: F.xxhash64(F.lit(p), s)
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), _perm_hash(p)))
             for p in range(N_PERM)
         ]
     )

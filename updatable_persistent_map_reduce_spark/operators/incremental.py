@@ -37,9 +37,21 @@ def _latest_event_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+_VIEW_CACHE: dict[tuple[int, str, int], MapReduceView] = {}
+
+
 def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapReduceView:
     """Replay events as ``n_batches`` ordered upsert batches into a
-    fresh store (doc = user, group key = event_type of latest event)."""
+    fresh store (doc = user, group key = event_type of latest event).
+
+    The built store is cached per (session, sf_dir): a persisted view
+    is built once and then *queried* — rebuilding it for every read
+    would defeat the materialization (the reference likewise keeps one
+    store across Execute/Query calls, MapReduce/Program.cs:26-58)."""
+    cache_key = (id(spark), sf_dir, n_batches)
+    cached = _VIEW_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     ev = Catalog(spark, sf_dir).events
     store = tempfile.mkdtemp(prefix="upmr_events_")
     view = MapReduceView(
@@ -73,6 +85,7 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapRed
             "value",
         )
         view.execute(batch)
+    _VIEW_CACHE[cache_key] = view
     return view
 
 

@@ -163,25 +163,45 @@ class MapReduceView:
 
     def _staged_overwrite(
         self, df: DataFrame, path: str, partition_col: str
-    ) -> None:
+    ) -> set[int]:
         """Copy-on-write partition replace: stage ``df`` (which may
         read from ``path``) to a sibling dir with one Spark write job,
         then swap the staged partition directories into place with
         filesystem renames — no second write job, and the swap is the
         cheap metadata operation a Delta/Iceberg commit would be on a
-        real deployment."""
+        real deployment. Returns the spans present in the staged data
+        (read off the staging directory listing — no extra job).
+
+        The pre-write ``repartition(partition_col)`` makes each span a
+        single task writing a single file instead of every shuffle task
+        writing a sliver of every span (task_count × span_count tiny
+        files — a metadata storm on any object store). At 100 TB scale
+        combine with ``spark.sql.files.maxRecordsPerFile`` (and more
+        spans) to keep file sizes bounded."""
         staging = path + ".staging"
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(staging)
+        prefix = f"{partition_col}="
+        spans = {
+            int(entry[len(prefix):])
+            for entry in os.listdir(staging)
+            if entry.startswith(prefix)
+        }
         if not self._exists(path):
-            shutil.move(staging, path)
-            return
+            if spans:
+                shutil.move(staging, path)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+            return spans
         for entry in os.listdir(staging):
-            if not entry.startswith(f"{partition_col}="):
+            if not entry.startswith(prefix):
                 continue
             target = os.path.join(path, entry)
             shutil.rmtree(target, ignore_errors=True)
             shutil.move(os.path.join(staging, entry), target)
         shutil.rmtree(staging, ignore_errors=True)
+        return spans
 
     def _cow_update(
         self,
@@ -195,12 +215,7 @@ class MapReduceView:
         ``df``, explicit removal for dirty spans that became empty
         (dynamic overwrite can't express an empty partition).
         Returns the set of spans actually written."""
-        content_spans = {
-            r[partition_col]
-            for r in df.select(partition_col).distinct().collect()
-        }
-        if content_spans:
-            self._staged_overwrite(df, path, partition_col)
+        content_spans = self._staged_overwrite(df, path, partition_col)
         for span in dirty_spans - content_spans:
             shutil.rmtree(
                 os.path.join(path, f"{partition_col}={span}"), ignore_errors=True
@@ -242,26 +257,33 @@ class MapReduceView:
         mapped.cache()
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
-        # New keys' spans come from the mapped batch; old locations of
-        # replaced docs come from the pruned doc_index lookup (the
+        # One tagged-union job discovers everything the batch dirties:
+        # new keys' spans from the mapped batch, the batch's doc-spans,
+        # and replaced docs' old key-spans from the doc_index (the
         # reference's delete-and-reschedule, Executer.cs:240-261, minus
-        # its full-corpus scan).
-        new_kspans = {r.kspan for r in mapped.select("kspan").distinct().collect()}
-        old_kspans: set[int] = set()
+        # its full-corpus scan). The index lookup joins on
+        # (dspan, uid) against the broadcast batch ids, so the
+        # partition column is a join key and dynamic partition pruning
+        # skips untouched dspan directories — no driver round-trip to
+        # pre-collect the span list.
+        ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
+        tagged = mapped.select(
+            F.lit("k").alias("t"), F.col("kspan").alias("v")
+        ).unionByName(
+            ids_d.select(F.lit("d").alias("t"), F.col("dspan").alias("v"))
+        )
         idx = self._read(self._idx_path)
-        dirty_dspans: set[int] = {
-            r.dspan
-            for r in ids.select(
-                self._dspan(F.col("uid")).alias("dspan")
-            ).distinct().collect()
-        }
         if idx is not None:
-            old_locs = idx.filter(F.col("dspan").isin(dirty_dspans)).join(
-                F.broadcast(ids), "uid", "inner"
+            old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
+            tagged = tagged.unionByName(
+                old_locs.select(F.lit("o").alias("t"), F.col("kspan").alias("v"))
             )
-            old_kspans = {
-                r.kspan for r in old_locs.select("kspan").distinct().collect()
-            }
+        new_kspans: set[int] = set()
+        dirty_dspans: set[int] = set()
+        old_kspans: set[int] = set()
+        buckets = {"k": new_kspans, "d": dirty_dspans, "o": old_kspans}
+        for r in tagged.distinct().collect():
+            buckets[r.t].add(r.v)
         dirty_kspans = sorted(new_kspans | old_kspans)
         if not dirty_kspans:
             # Batch mapped to nothing and replaced nothing: no index
