@@ -499,3 +499,51 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# semi-structured source formats — the reference persists JSON
+# (MapReduce/Executer.cs:181); ingestion here is schema-first (no
+# inference pass) so pushdown and pruning still apply.
+
+
+_NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@register(
+    "q_scan_json",
+    oracle=(
+        "SELECT n_nationkey, upper(n_name) AS nation, n_regionkey "
+        "FROM nation WHERE n_regionkey <> 2"
+    ),
+    doc="JSON-lines ingest with explicit schema (the reference's at-rest "
+    "format, Executer.cs:181): same plan surface as parquet — filter + "
+    "projection over spark.read.schema(...).json.",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import mirror_table, read_json
+
+    path = mirror_table(spark, sf_dir, "nation", "json")
+    df = read_json(spark, path, _NATION_SCHEMA)
+    return df.filter(F.col("n_regionkey") != 2).select(
+        "n_nationkey", F.upper("n_name").alias("nation"), "n_regionkey"
+    )
+
+
+@register(
+    "q_scan_csv",
+    oracle=(
+        "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+    doc="CSV ingest with explicit schema + header: aggregation over a "
+    "text-format scan, identical downstream plan to the parquet path.",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import mirror_table, read_csv
+
+    path = mirror_table(spark, sf_dir, "nation", "csv")
+    df = read_csv(spark, path, _NATION_SCHEMA)
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations")
+    )
