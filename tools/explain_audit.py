@@ -1,0 +1,81 @@
+"""Physical-plan audit: assert each headline query compiles to the
+plan shape we want at scale.
+
+For every audited query this checks the formatted physical plan for
+the markers that matter at 100 TB — filters reaching the parquet scan,
+pruned read schemas, broadcast joins where a side is dimension-sized,
+partial+final hash aggregation, top-k as TakeOrderedAndProject — and
+fails loudly when a plan regresses to a shape that would not survive a
+1000-executor deployment (row-at-a-time Python in a hot path, full
+scans feeding a projection, sort-based top-k).
+
+Usage: python tools/explain_audit.py [-v] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from updatable_persistent_map_reduce_spark.operators import all_queries  # noqa: E402
+from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> (must-contain markers, must-NOT-contain markers)
+EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    # pruned scan: only the 3 projected columns reach the reader
+    "q_scan_parquet": (["ReadSchema: struct<l_orderkey", "l_quantity"], ["l_comment"]),
+    # predicates pushed into the parquet scan
+    "q_filter_pred": (["PushedFilters: ["], []),
+    "q_project_expr": (["Project"], ["Exchange"]),  # pure map task, no shuffle
+    # dim side broadcast, no sort-merge
+    "q_join_broadcast": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "q_join_inner": (["Join"], ["CartesianProduct"]),
+    "q_join_semi": (["LeftSemi"], ["CartesianProduct"]),
+    "q_join_anti": (["LeftAnti"], ["CartesianProduct"]),
+    # partial (map-side) + final aggregation — Spark's 2-level reduce tree
+    "q_group_count": (["HashAggregate"], []),
+    "q_rereduce": (["HashAggregate"], []),
+    "q_agg_multi": (["HashAggregate"], []),
+    # top-k must not be a global sort
+    "q_sort_limit": (["TakeOrderedAndProject"], []),
+    # token counting is pure JVM expression work — no Python at all
+    "q_token_count": (["Scan parquet"], ["Python", "Exchange"]),
+    "q_dedup_exact": (["HashAggregate"], ["Python"]),
+    # ANN brute force: broadcast of the query set over one corpus scan
+    "q_sim_search": (["Broadcast"], ["SortMergeJoin"]),
+}
+
+
+def main() -> int:
+    verbose = "-v" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(
+        EXPECTATIONS
+    )
+    spark = get_spark("upmr-explain-audit")
+    qs = all_queries()
+    failures = 0
+    for name in names:
+        want, avoid = EXPECTATIONS.get(name, ([], []))
+        df = qs[name].fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        missing = [m for m in want if m not in plan]
+        present = [m for m in avoid if m in plan]
+        ok = not missing and not present
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}"
+              + (f"  missing={missing} forbidden={present}" if not ok else ""))
+        if verbose or not ok:
+            print(plan)
+        failures += 0 if ok else 1
+    print(f"\n{len(names) - failures}/{len(names)} plans match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
