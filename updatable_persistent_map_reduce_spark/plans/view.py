@@ -75,6 +75,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -269,8 +270,6 @@ class MapReduceView:
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
         tagged = mapped.select(
             F.lit("k").alias("t"), F.col("kspan").alias("v")
-        ).unionByName(
-            ids_d.select(F.lit("d").alias("t"), F.col("dspan").alias("v"))
         )
         idx = self._read(self._idx_path)
         if idx is not None:
@@ -279,9 +278,8 @@ class MapReduceView:
                 old_locs.select(F.lit("o").alias("t"), F.col("kspan").alias("v"))
             )
         new_kspans: set[int] = set()
-        dirty_dspans: set[int] = set()
         old_kspans: set[int] = set()
-        buckets = {"k": new_kspans, "d": dirty_dspans, "o": old_kspans}
+        buckets = {"k": new_kspans, "o": old_kspans}
         for r in tagged.distinct().collect():
             buckets[r.t].add(r.v)
         dirty_kspans = sorted(new_kspans | old_kspans)
@@ -293,6 +291,38 @@ class MapReduceView:
             ids.unpersist()
             self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
             return
+
+        # --- append the batch's doc locations to doc_index, on a
+        # parallel thread: it is independent of the map_results/finals
+        # chain, and Spark's scheduler runs jobs from separate driver
+        # threads concurrently, so the index write overlaps the
+        # copy-on-write below instead of serializing after it.
+        # The index is append-only (LSM-style): stale entries for a doc
+        # that moved key-spans are not rewritten out, they just make a
+        # later lookup report extra old key-spans — which only
+        # over-dirties (recompute reads map_results, the source of
+        # truth), never corrupts. A real deployment compacts
+        # opportunistically (see compact_index).
+        new_idx = (
+            mapped.select(
+                "uid",
+                F.col("kspan"),
+                self._dspan(F.col("uid")).alias("dspan"),
+            )
+            .distinct()
+        )
+        idx_err: list[BaseException] = []
+
+        def _append_idx() -> None:
+            try:
+                new_idx.repartition(F.col("dspan")).write.mode(
+                    "append"
+                ).partitionBy("dspan").parquet(self._idx_path)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                idx_err.append(e)
+
+        idx_thread = threading.Thread(target=_append_idx, daemon=True)
+        idx_thread.start()
 
         # --- copy-on-write map_results for dirty key-spans
         # (reference: PersistMap + delete of replaced docs,
@@ -340,27 +370,31 @@ class MapReduceView:
                 )
             self._staged_overwrite(finals, self._final_path, "kspan")
 
-        # --- refresh doc_index for the batch's doc spans
-        new_idx = (
-            mapped.select(
-                "uid",
-                F.col("kspan"),
-                self._dspan(F.col("uid")).alias("dspan"),
-            )
-            .distinct()
-        )
-        if idx is not None:
-            idx_survivors = idx.filter(
-                F.col("dspan").isin(dirty_dspans)
-            ).join(F.broadcast(ids), "uid", "left_anti")
-            idx_content = idx_survivors.select(new_idx.columns).unionByName(new_idx)
-        else:
-            idx_content = new_idx
-        self._cow_update(idx_content, self._idx_path, "dspan", dirty_dspans)
+        idx_thread.join()
+        if idx_err:
+            raise idx_err[0]
 
         mapped.unpersist()
         ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
+
+    def compact_index(self) -> None:
+        """Rewrite doc_index from the map_results source of truth,
+        dropping stale append-only entries (docs that moved key-spans).
+        Run opportunistically — correctness never requires it; stale
+        entries only over-dirty recomputation."""
+        live = self._read(self._map_path)
+        if live is None:
+            return
+        fresh = live.select(
+            "uid", "kspan", self._dspan(F.col("uid")).alias("dspan")
+        ).distinct()
+        staging = self._idx_path + ".compact"
+        fresh.repartition(F.col("dspan")).write.mode("overwrite").partitionBy(
+            "dspan"
+        ).parquet(staging)
+        shutil.rmtree(self._idx_path, ignore_errors=True)
+        shutil.move(staging, self._idx_path)
 
     # ----- read path (Query — reference Executer.cs:370-376) --------------
 
