@@ -357,3 +357,86 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cos_sim")
     ).filter(cos >= 0.9)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over similarity edges.
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=(
+        "WITH RECURSIVE pairs AS ("
+        "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9), "
+        "edges AS (SELECT va AS src, vb AS dst FROM pairs "
+        "UNION ALL SELECT vb, va FROM pairs), "
+        "reach(v, lbl) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v) "
+        "SELECT v AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY v"
+    ),
+    doc="Near-duplicate clustering: connected components over the "
+    "cos>=0.9 similarity graph via iterative min-label propagation "
+    "(label(v) <- min over v and neighbors, localCheckpoint per round, "
+    "stop on fixpoint) — every doc gets the min vec_id of its component "
+    "as cluster representative; singletons are their own cluster. The "
+    "iterative-join shape is the standard distributed CC (GraphX/"
+    "GraphFrames); the DuckDB oracle is a recursive CTE over the same "
+    "edge set.",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_expr
+
+    e = Catalog(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .filter(cosine_expr(F.col("ea"), F.col("eb")) >= 0.9)
+        .select("va", "vb")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    edges = edges.localCheckpoint()  # edge set reused every iteration
+
+    labels = e.select("vec_id", F.col("vec_id").alias("lbl"))
+    # Min-label propagation to fixpoint. Near-dup components are
+    # shallow (diameter is small), so few rounds; localCheckpoint
+    # truncates the growing lineage each round — without it the plan
+    # doubles per iteration. At 100 TB, swap in the large-star/
+    # small-star variant (alternating halving) to bound rounds by
+    # log(diameter) and hash-partition edges/labels on the join key so
+    # every round reuses one co-partitioned shuffle.
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vec_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.vec_id == neighbor_min.src, "left"
+            )
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "vec_id")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))
