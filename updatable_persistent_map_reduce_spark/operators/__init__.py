@@ -49,5 +49,6 @@ def all_queries() -> dict[str, Query]:
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import incremental  # noqa: F401
+    from . import pipeline  # noqa: F401
 
     return dict(REGISTRY)
