@@ -226,3 +226,20 @@ def test_drop_key(spark, scenario_view):
     v.drop_key("CA")
     assert v.query("CA").count() == 0
     assert counts(v) == {"TX": 256}
+
+
+def test_compact_index_preserves_results(spark, tmp_path):
+    """Stale append-only index entries accumulate across key
+    migrations; compaction rewrites the index from map_results without
+    changing any observable result, and later upserts still work."""
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA"), ("b", "CA"), ("c", "TX")]))
+    v.execute(people_df(spark, [("a", "TX")]))  # a: CA -> TX (stale entry)
+    v.execute(people_df(spark, [("a", "WA")]))  # a: TX -> WA (more stale)
+    before = counts(v)
+    assert before == {"CA": 1, "TX": 1, "WA": 1}
+    v.compact_index()
+    assert counts(v) == before
+    # post-compaction upserts still replace correctly
+    v.execute(people_df(spark, [("a", "CA")]))
+    assert counts(v) == {"CA": 2, "TX": 1}
