@@ -547,3 +547,97 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join — the time-series operator Spark lacks natively, composed
+# from an equi-join on the entity key + a per-left-row latest-wins
+# window. DuckDB's native ASOF JOIN is the oracle's semantics, spelled
+# portably with row_number.
+
+
+@register(
+    "q_join_asof",
+    oracle=(
+        "SELECT purchase_id, user_id, click_id, round(click_value, 4) AS click_value "
+        "FROM ("
+        "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, "
+        "c.value AS click_value, "
+        "row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON c.user_id = p.user_id AND c.ts <= p.ts) WHERE rn = 1"
+    ),
+    doc="As-of join: each purchase event matched to the same user's "
+    "latest click at-or-before it (DuckDB ASOF JOIN semantics). Spark "
+    "shape: equi-join on the entity key with the inequality as a join "
+    "residual, then a latest-wins window per left row. At scale the "
+    "shuffle key is the entity key, so skewed entities split under AQE; "
+    "for dense per-entity histories, range-bucket the time axis so the "
+    "join residual prunes to adjacent buckets instead of the whole "
+    "history.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = p.join(
+        c, (F.col("c_user") == F.col("user_id")) & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.round("click_value", 4).alias("click_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles — distribution statistics for corpus curation
+# (e.g. length cutoffs are chosen from these).
+
+
+@register(
+    "q_agg_quantile",
+    oracle=(
+        "SELECT lang, "
+        "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25, "
+        "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50, "
+        "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75, "
+        "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95 "
+        "FROM documents GROUP BY lang"
+    ),
+    doc="Exact interpolated quantiles of doc length per language "
+    "(percentile <-> quantile_cont are the same linear interpolation). "
+    "At 100 TB swap to approx_percentile (t-digest sketch, mergeable "
+    "partial aggregation) — declared separately so the hash-checked "
+    "query stays deterministic.",
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pct = F.expr(
+        "percentile(CAST(n_chars AS DOUBLE), array(0.25, 0.5, 0.75, 0.95))"
+    )
+    return d.groupBy("lang").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+        F.round(F.element_at(pct, 4), 4).alias("p95"),
+    )
