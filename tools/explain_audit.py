@@ -47,6 +47,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_dedup_exact": (["HashAggregate"], ["Python"]),
     # ANN brute force: broadcast of the query set over one corpus scan
     "q_sim_search": (["Broadcast"], ["SortMergeJoin"]),
+    # bucketed co-located join: the shuffle was paid at write time —
+    # no hash-partitioning exchange for the join OR the aggregation
+    "q_join_bucketed": (["SortMergeJoin"], ["hashpartitioning"]),
+    # as-of join must be an equi-join + window, not a cartesian/NLJ
+    "q_join_asof": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # deterministic sample is a pure scan predicate, no shuffle
+    "q_sample_hash": (["Scan parquet"], ["Exchange"]),
+    # decontamination broadcasts the (small) eval shingle set
+    "q_decontaminate": (["Broadcast"], ["CartesianProduct"]),
 }
 
 
