@@ -109,3 +109,59 @@ def test_streaming_tumbling_watermark(spark, tmp_path):
         ("2026-01-01 02:00:00", "view"): 2,
     }
     assert got == expected
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user gap
+    sessionization; an event > gap after the previous closes the open
+    session; open sessions persist in state across micro-batches."""
+    from datetime import datetime, timedelta
+
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_sessionize,
+    )
+
+    inp = str(tmp_path / "sess_inbox")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + timedelta(seconds=sec)  # noqa: E731
+    # user 1: events at 0s, 10s (session A), then 4000s, 4005s
+    # (session B -> closes A), then 9000s (closes B, opens C).
+    # user 2: one event only — never closed, stays in state.
+    _write_batch(
+        spark,
+        inp,
+        [
+            (1, s(0), 1, 1.0),
+            (2, s(10), 1, 2.0),
+            (3, s(4000), 1, 3.0),
+        ],
+        schema,
+    )
+    _write_batch(
+        spark,
+        inp,
+        [
+            (4, s(4005), 1, 4.0),
+            (5, s(9000), 1, 5.0),
+            (6, s(0), 2, 9.0),
+        ],
+        schema,
+    )
+    streaming_sessionize(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "sess_ckpt"),
+        gap_seconds=1800,
+        sink_table="closed_sessions_t",
+    )
+    rows = {
+        (r.user_id, r.n_events, r.total_value, r.session_start, r.session_end)
+        for r in spark.table("closed_sessions_t").collect()
+    }
+    assert rows == {
+        (1, 2, 3.0, s(0), s(10)),      # session A: events 1,2
+        (1, 2, 7.0, s(4000), s(4005)), # session B: events 3,4
+    }

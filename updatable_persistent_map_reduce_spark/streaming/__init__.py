@@ -1,1 +1,5 @@
-from .stream_view import StreamingMapReduceView, streaming_tumbling_counts  # noqa: F401
+from .stream_view import (  # noqa: F401
+    StreamingMapReduceView,
+    streaming_sessionize,
+    streaming_tumbling_counts,
+)

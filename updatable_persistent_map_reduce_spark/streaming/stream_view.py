@@ -172,3 +172,103 @@ def streaming_tumbling_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    gap_seconds: int = 1800,
+    sink_table: str = "closed_sessions",
+) -> None:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    Spark's built-in aggregates can't express (the built-in
+    ``session_window`` covers gap sessions; this demonstrates the
+    *arbitrary*-state API: explicit per-key state schema, user
+    open/close logic, incremental emission of closed sessions only).
+
+    State per user = (session_start_us, last_ts_us, n_events,
+    total_value). An event more than ``gap_seconds`` after the previous
+    one closes the open session (emitted downstream) and opens a new
+    one; the open session rides in the state store across micro-batches
+    exactly as the reference's persisted partial aggregates ride across
+    ``Execute`` calls (MapReduce/Executer.cs:192-203).
+
+    Scale notes: state is partitioned by the group key across
+    executors (RocksDB-backed at deployment scale); with event-time
+    watermarks one would use ``GroupStateTimeout.EventTimeTimeout`` to
+    also close sessions by timeout rather than only on a successor
+    event — kept ``NoTimeout`` here so availableNow replays are
+    deterministic for tests.
+    """
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events int, total_value double"
+    )
+    state_schema = "start long, last long, n int, total double"
+
+    def sessionize(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed: list[tuple] = []
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(events["ts"], events["value"]):
+            ts_us = int(ts.value // 1_000)  # pandas ns -> us
+            if last is not None and ts_us - last > gap_us:
+                closed.append((user_id, start, last, n, total))
+                start, n, total = ts_us, 0, 0.0
+            if start is None:
+                start = ts_us
+            last = ts_us
+            n += 1
+            total += float(value)
+        state.update((start, last, n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+                "session_start": pd.to_datetime(
+                    [c[1] for c in closed], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [c[2] for c in closed], unit="us"
+                ),
+                "n_events": pd.Series([c[3] for c in closed], dtype="int32"),
+                "total_value": pd.Series(
+                    [c[4] for c in closed], dtype="float64"
+                ),
+            }
+        )
+
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
