@@ -98,3 +98,132 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_byte int, checksum16 int"
         ),
     )
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'resize to fit 224x224' kernel: computes the
+    aspect-preserving target dimensions and a stride-sampled byte
+    checksum standing in for the resampled pixel buffer. Production
+    swaps the checksum line for PIL ``img.resize((tw, th))`` — same
+    Arrow batch shape, same signature."""
+    for pdf in batches:
+        w = pdf["width"].astype("float64")
+        h = pdf["height"].astype("float64")
+        scale = (224.0 / w).combine(224.0 / h, min).clip(upper=1.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "target_w": (w * scale).astype("int64").clip(lower=1).astype("int32"),
+                "target_h": (h * scale).astype("int64").clip(lower=1).astype("int32"),
+                "scale": scale.round(6),
+                "resampled_sum": pdf["payload"].map(
+                    lambda b: sum(b[::8]) % 65536
+                ).astype("int32"),
+            }
+        )
+
+
+@register(
+    "q_mm_resize",
+    oracle=(
+        "WITH m AS (SELECT doc_id, "
+        "CAST((doc_id * 37) % 640 + 1 AS DOUBLE) AS w, "
+        "CAST((doc_id * 13) % 480 + 1 AS DOUBLE) AS h, "
+        "text AS payload FROM documents), "
+        "s AS (SELECT doc_id, w, h, payload, "
+        "least(least(224.0 / w, 224.0 / h), 1.0) AS scale FROM m) "
+        "SELECT doc_id, "
+        "CAST(greatest(CAST(floor(w * scale) AS BIGINT), 1) AS INTEGER) AS target_w, "
+        "CAST(greatest(CAST(floor(h * scale) AS BIGINT), 1) AS INTEGER) AS target_h, "
+        "round(scale, 6) AS scale, "
+        "CAST(list_reduce(list_prepend(0, list_transform("
+        "range(1, length(payload) + 1, 8), i -> ascii(substr(payload, "
+        "CAST(i AS INTEGER), 1)))), (a, c) -> a + c) % 65536 AS INTEGER) "
+        "AS resampled_sum FROM s"
+    ),
+    doc="Multimodal resize plumbing: aspect-preserving fit to 224x224 "
+    "computed in an Arrow-batched kernel over (payload, metadata); the "
+    "stride-8 byte checksum stands in for the resampled buffer "
+    "(decode_image stub documents the production swap). Pure "
+    "per-partition map, no shuffle.",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    with_payload = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        ((F.col("doc_id") * 37) % 640 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 13) % 480 + 1).cast("int").alias("height"),
+    )
+    return with_payload.mapInPandas(
+        _fake_resize_batch,
+        schema=(
+            "doc_id long, target_w int, target_h int, scale double, "
+            "resampled_sum int"
+        ),
+    )
+
+
+def _fake_frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake video frame sampler: one output row per
+    sampled frame (every 2 seconds of synthetic duration) — the 1->N
+    emission shape of real frame extraction (ffmpeg/torchvision swap
+    into this kernel)."""
+    rows_doc, rows_idx, rows_ts, rows_fp = [], [], [], []
+    for pdf in batches:
+        for doc_id, payload, duration in zip(
+            pdf["doc_id"], pdf["payload"], pdf["duration_s"]
+        ):
+            for k, t in enumerate(range(0, int(duration), 2)):
+                rows_doc.append(doc_id)
+                rows_idx.append(k)
+                rows_ts.append(float(t))
+                off = (k * 7) % max(len(payload), 1)
+                rows_fp.append(
+                    payload[off] if len(payload) else -1
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_doc, dtype="int64"),
+                "frame_idx": pd.Series(rows_idx, dtype="int32"),
+                "frame_ts_s": pd.Series(rows_ts, dtype="float64"),
+                "frame_fingerprint": pd.Series(rows_fp, dtype="int32"),
+            }
+        )
+        rows_doc, rows_idx, rows_ts, rows_fp = [], [], [], []
+
+
+@register(
+    "q_mm_frame_sample",
+    oracle=(
+        "WITH v AS (SELECT doc_id, text AS payload, "
+        "(doc_id % 19) + 2 AS duration_s FROM documents) "
+        "SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, "
+        "CAST(k * 2 AS DOUBLE) AS frame_ts_s, "
+        "CAST(ascii(substr(payload, CAST((k * 7) % length(payload) "
+        "AS INTEGER) + 1, 1)) AS INTEGER) AS frame_fingerprint "
+        "FROM (SELECT doc_id, payload, unnest(range(0, "
+        "CAST(ceil(duration_s / 2.0) AS BIGINT))) AS k FROM v)"
+    ),
+    doc="Multimodal frame sampling plumbing: 1->N emission per video "
+    "(a frame row every 2s of synthetic duration) from an Arrow-batched "
+    "kernel — the flat-map shape of real ffmpeg frame extraction. Frame "
+    "rows carry (index, timestamp, fingerprint); downstream dedup/"
+    "similarity treat them like any other corpus row.",
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    vids = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        ((F.col("doc_id") % 19) + 2).cast("long").alias("duration_s"),
+    )
+    return vids.mapInPandas(
+        _fake_frame_sample_batch,
+        schema=(
+            "doc_id long, frame_idx int, frame_ts_s double, "
+            "frame_fingerprint int"
+        ),
+    )
