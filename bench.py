@@ -50,7 +50,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("upmr-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up session
+    # Warm the session: JVM codegen paths AND the parquet reader stack
+    # (footer readers, committers, filesystem client) so one-time setup
+    # isn't attributed to whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     qs = all_queries()
     times: dict[str, float] = {}

@@ -1,0 +1,43 @@
+"""The reference's Program.cs smoke scenario through the
+reference-shaped API (MapReduceTask + Executer.create/execute/query),
+asserting the exact documented end state (Program.cs:26-49:
+CA 397 -> 396, TX 256 -> 257, total conserved at 653)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark import Executer, MapReduceTask
+
+
+def test_reference_program_through_api(spark, tmp_path):
+    task = MapReduceTask(
+        id_col="id",
+        group_cols=["state"],
+        map_fn=lambda df: df.select("id", "state", F.lit(1).alias("count")),
+        agg_exprs=[F.sum("count").alias("count")],
+        options={"n_key_spans": 8, "n_doc_spans": 8},
+    )
+    ex = Executer.create(spark, task, str(tmp_path / "people"))
+
+    batch1 = [(f"people-{i}", "CA") for i in range(1, 398)] + [
+        (f"people-{i}", "TX") for i in range(398, 654)
+    ]
+    ex.execute(spark.createDataFrame(batch1, "id string, state string"))
+    first = {
+        r.state: r["count"]
+        for r in ex.query("CA").unionByName(ex.query("TX")).collect()
+    }
+    assert first == {"CA": 397, "TX": 256}
+
+    # people-30 moves CA -> TX (Program.cs:35-39)
+    ex.execute(spark.createDataFrame([("people-30", "TX")], "id string, state string"))
+    second = {
+        r.state: r["count"]
+        for r in ex.query("CA").unionByName(ex.query("TX")).collect()
+    }
+    assert second == {"CA": 396, "TX": 257}
+    assert sum(first.values()) == sum(second.values()) == 653
+
+    # unknown key => empty, no error (Executer.cs:373-374)
+    assert ex.query("ZZ").count() == 0

@@ -719,3 +719,165 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / string agg / gap fill / salted skew join
+
+
+@register(
+    "q_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f, "
+        "CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o, "
+        "CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p, "
+        "round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS price_f "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc="Pivot (wide aggregation): order counts by priority x status. "
+    "Spark's pivot() with explicit value list compiles to conditional "
+    "aggregates in one pass — same single partial+final HashAggregate "
+    "as any groupBy at scale (never use pivot without the value list: "
+    "the value-discovery pre-query is an extra full scan).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("price"),
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+            F.col("F_price").alias("price_f"),
+        )
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle=(
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+    doc="Ordered string aggregation: nation names per region, "
+    "comma-joined in sorted order (deterministic across engines via the "
+    "explicit ORDER BY / sort_array).",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Catalog(spark, sf_dir).nation
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle=(
+        "WITH bounds AS (SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) lo, "
+        "CAST(max(date_trunc('day', ts)) AS TIMESTAMP) hi FROM events), "
+        "days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day "
+        "FROM bounds), "
+        "daily AS (SELECT date_trunc('day', ts) AS day, "
+        "round(sum(value), 2) AS purchase_value FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1) "
+        "SELECT days.day, "
+        "coalesce(daily.purchase_value, last_value(daily.purchase_value IGNORE NULLS) "
+        "OVER (ORDER BY days.day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") AS purchase_value "
+        "FROM days LEFT JOIN daily USING (day)"
+    ),
+    doc="Time-series gap fill + forward fill: dense daily spine via "
+    "sequence()/explode, left join of per-day purchase totals, missing "
+    "days carry the last observed value (last_value IGNORE NULLS "
+    "window). The resample-and-ffill primitive of feature pipelines; "
+    "at scale the spine generation is O(days) and the fill window "
+    "partitions by series key.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.select(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return days.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(
+            F.col("purchase_value"),
+            F.last("purchase_value", ignorenulls=True).over(w),
+        ).alias("purchase_value"),
+    )
+
+
+_N_SALTS = 8
+
+
+@register(
+    "q_join_salted",
+    oracle=(
+        "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(e.value * d.weight), 2) AS weighted_value "
+        "FROM events e JOIN ("
+        "SELECT 'click' AS event_type, 1.0 AS weight UNION ALL "
+        "SELECT 'view', 0.5 UNION ALL SELECT 'purchase', 10.0 UNION ALL "
+        "SELECT 'signup', 5.0 UNION ALL SELECT 'error', 0.0) d "
+        "USING (event_type) GROUP BY e.event_type"
+    ),
+    doc="Salted skew join: event_type has only 5 values, so a vanilla "
+    "shuffle join puts each key's millions of rows in ONE task. The "
+    "fact side gets a random salt (pmod(rand*N)); the dim side is "
+    "exploded N ways so every (key, salt) pair matches — N tasks per "
+    "hot key, result identical to the unsalted join (oracle-checked). "
+    "Complementary to AQE skew-split, which only kicks in above "
+    "partition-size thresholds and cannot split a single key's hash "
+    "bucket across its natural boundary.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int")
+    )
+    salted_dim = dim.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])).alias("salt")
+    )
+    # NOTE: joined WITHOUT broadcast on purpose — the salt exists to fix
+    # the shuffle-join case (a real dim this shape would just be
+    # broadcast; the pattern matters when both sides are too big).
+    joined = salted_fact.join(
+        salted_dim.hint("shuffle_hash"), ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+            "weighted_value"
+        ),
+    )
