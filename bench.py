@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
@@ -50,11 +52,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("upmr-bench")
-    # Warm the session: JVM codegen paths AND the parquet reader stack
-    # (footer readers, committers, filesystem client) so one-time setup
-    # isn't attributed to whichever query happens to run first.
+    # Warm the session: JVM codegen paths, the parquet reader stack
+    # (footer readers, committers, filesystem client), and the
+    # Python/Arrow worker pool — all one-time setup that should not be
+    # attributed to whichever query happens to run first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(10_000).select(F.sum(_warm("id"))).collect()
 
     qs = all_queries()
     times: dict[str, float] = {}
