@@ -881,3 +881,61 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text surface — the same engine driven by ANSI SQL strings over
+# the registered catalog views (spark.sql), proving API parity between
+# the DataFrame and SQL front ends (both compile to the same Catalyst
+# plans).
+
+_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       CAST(count(*) AS BIGINT)                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TPCH_Q3 = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < date '1998-03-15'
+  AND l_shipdate > date '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        Catalog(spark, sf_dir).register_views()
+        return spark.sql(sql)
+
+    return run
+
+
+register(
+    "q_sql_tpch_q1",
+    oracle=_TPCH_Q1,
+    doc="TPC-H Q1 (pricing summary) as a SQL string through spark.sql "
+    "over the registered catalog views — the text front end compiles "
+    "to the identical pushdown + partial/final agg plan as the "
+    "DataFrame API.",
+)(_sql_query(_TPCH_Q1))
+
+register(
+    "q_sql_tpch_q3",
+    oracle=_TPCH_Q3,
+    doc="TPC-H Q3 (shipping priority): 3-way join + agg + top-k "
+    "through the SQL front end; AQE picks the join strategy.",
+)(_sql_query(_TPCH_Q3))
