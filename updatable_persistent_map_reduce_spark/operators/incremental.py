@@ -64,8 +64,8 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapRed
             F.count(F.lit(1)).alias("cnt"),
             F.sum("value").alias("value_sum"),
         ],
-        n_key_spans=16,
-        n_doc_spans=16,
+        n_key_spans=8,
+        n_doc_spans=8,
     )
     bounds = [
         r[0]
@@ -139,8 +139,8 @@ def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         group_cols=["group_key"],
         agg_exprs=[F.count(F.lit(1)).alias("cnt")],
-        n_key_spans=16,
-        n_doc_spans=16,
+        n_key_spans=8,
+        n_doc_spans=8,
     )
     base = c.select(
         F.col("c_custkey").cast("string").alias("doc_id"),

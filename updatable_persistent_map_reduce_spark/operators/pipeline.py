@@ -131,3 +131,61 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.floor(cum_before / SHARD_BUDGET).cast("long").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus preparation — the stages composed into ONE plan.
+
+
+@register(
+    "q_corpus_prep",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, text, lang, n_chars, "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) "
+        "AS n_tokens FROM documents), "
+        "filtered AS (SELECT * FROM scored WHERE n_tokens >= 10 AND n_chars >= 50), "
+        "deduped AS (SELECT * FROM filtered QUALIFY row_number() OVER ("
+        "PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "packed AS (SELECT doc_id, lang, n_tokens, "
+        "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before "
+        "FROM deduped) "
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(floor(CAST(tok_before AS DOUBLE) / 5000) AS BIGINT) AS shard_id "
+        "FROM packed"
+    ),
+    doc="End-to-end corpus preparation in ONE declarative plan: quality "
+    "filter (min tokens + min chars) -> exact dedup keeping the lowest "
+    "doc_id per content hash -> token-budget shard assignment. One scan, "
+    "one dedup shuffle, one prefix-sum window; every stage's predicate "
+    "is visible to Catalyst, so filters run before the dedup shuffle "
+    "and column pruning reaches the parquet scan. The composability "
+    "proof that the operator families chain without materialization "
+    "barriers.",
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("n_chars") >= 50)
+    )
+    w_dedup = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text", "n_chars")
+    )
+    w_pack = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    tok_before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return deduped.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(tok_before / 5000).cast("long").alias("shard_id"),
+    )
