@@ -40,7 +40,11 @@ from . import register
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    ntok = F.size(tokens_expr(F.col("text")))
+    # Token COUNT needs no token array: counting maximal \S+ runs is
+    # identical to len(filter(split(\s+), != '')) and regexp_extract_all
+    # stays inside whole-stage codegen (the filter/split HOF pipeline is
+    # interpreted — measurably slower and jittery at scan width).
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(ntok), 4).alias("avg_tokens"),
