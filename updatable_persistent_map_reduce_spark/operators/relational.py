@@ -939,3 +939,29 @@ register(
     doc="TPC-H Q3 (shipping priority): 3-way join + agg + top-k "
     "through the SQL front end; AQE picks the join strategy.",
 )(_sql_query(_TPCH_Q3))
+
+
+@register(
+    "q_json_struct",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        ">= 50) AS BIGINT) AS n_high, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS k_sum FROM events GROUP BY event_type"
+    ),
+    doc="Schema-first JSON column parsing: from_json(props, schema) -> "
+    "typed struct, aggregated per event type. One parse per row into a "
+    "typed column (vs per-path re-parsing with get_json_object when "
+    "extracting many fields); at scale pair with a columnar shredding "
+    "pass that materializes hot JSON fields as real columns.",
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k bigint")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k") >= 50, 1)).alias("n_high"),
+        F.sum("p.k").alias("k_sum"),
+    )
