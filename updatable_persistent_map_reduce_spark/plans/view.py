@@ -162,16 +162,13 @@ class MapReduceView:
     def _read(self, path: str) -> DataFrame | None:
         return self.spark.read.parquet(path) if self._exists(path) else None
 
-    def _staged_overwrite(
+    def _stage_write(
         self, df: DataFrame, path: str, partition_col: str
-    ) -> set[int]:
-        """Copy-on-write partition replace: stage ``df`` (which may
-        read from ``path``) to a sibling dir with one Spark write job,
-        then swap the staged partition directories into place with
-        filesystem renames — no second write job, and the swap is the
-        cheap metadata operation a Delta/Iceberg commit would be on a
-        real deployment. Returns the spans present in the staged data
-        (read off the staging directory listing — no extra job).
+    ) -> tuple[str, set[int]]:
+        """Write ``df`` (which may read from ``path``) to a sibling
+        staging dir with one Spark write job; return the staging path
+        and the spans present in the staged data (read off the staging
+        directory listing — no extra job).
 
         The pre-write ``repartition(partition_col)`` makes each span a
         single task writing a single file instead of every shuffle task
@@ -189,12 +186,21 @@ class MapReduceView:
             for entry in os.listdir(staging)
             if entry.startswith(prefix)
         }
+        return staging, spans
+
+    def _swap_staged(
+        self, staging: str, path: str, partition_col: str, spans: set[int]
+    ) -> None:
+        """Swap staged partition directories into place with filesystem
+        renames — no second write job; the swap is the cheap metadata
+        operation a Delta/Iceberg commit would be on a real deployment."""
+        prefix = f"{partition_col}="
         if not self._exists(path):
             if spans:
                 shutil.move(staging, path)
             else:
                 shutil.rmtree(staging, ignore_errors=True)
-            return spans
+            return
         for entry in os.listdir(staging):
             if not entry.startswith(prefix):
                 continue
@@ -202,26 +208,15 @@ class MapReduceView:
             shutil.rmtree(target, ignore_errors=True)
             shutil.move(os.path.join(staging, entry), target)
         shutil.rmtree(staging, ignore_errors=True)
-        return spans
 
-    def _cow_update(
-        self,
-        df: DataFrame,
-        path: str,
-        partition_col: str,
-        dirty_spans: set[int],
+    def _staged_overwrite(
+        self, df: DataFrame, path: str, partition_col: str
     ) -> set[int]:
-        """Replace the ``dirty_spans`` partitions of ``path`` with
-        ``df``'s content: staged dynamic overwrite for spans present in
-        ``df``, explicit removal for dirty spans that became empty
-        (dynamic overwrite can't express an empty partition).
-        Returns the set of spans actually written."""
-        content_spans = self._staged_overwrite(df, path, partition_col)
-        for span in dirty_spans - content_spans:
-            shutil.rmtree(
-                os.path.join(path, f"{partition_col}={span}"), ignore_errors=True
-            )
-        return content_spans
+        """Copy-on-write partition replace: one staged write job, then
+        the rename swap. Returns the spans written."""
+        staging, spans = self._stage_write(df, path, partition_col)
+        self._swap_staged(staging, path, partition_col, spans)
+        return spans
 
     def _meta(self) -> dict:
         if os.path.exists(self._meta_path):
@@ -339,41 +334,67 @@ class MapReduceView:
             content = survivors.select(new_rows.columns).unionByName(new_rows)
         else:
             content = new_rows
-        # A dirty span whose content became empty (every doc
-        # deleted/moved out) loses both its map rows and its final rows
-        # (mirrors the reference's eager span invalidation,
-        # Executer.cs:132-150).
-        content_spans = self._cow_update(
-            content, self._map_path, "kspan", set(dirty_kspans)
-        )
-        for span in set(dirty_kspans) - content_spans:
-            shutil.rmtree(
-                os.path.join(self._final_path, f"kspan={span}"), ignore_errors=True
-            )
-        dirty_kspans = sorted(content_spans)  # ⊆ dirty by construction
+        # ``content`` is exactly what the dirty map_results spans will
+        # hold after the swap, so the finals re-aggregation reads it
+        # directly (cached) instead of re-reading the parquet it just
+        # wrote — and the two staging writes run on concurrent driver
+        # threads (Spark schedules jobs from separate threads in
+        # parallel), so the critical path is max(map write, finals
+        # write), not their sum.
+        content.cache()
 
         # --- re-aggregate only dirty key-spans
         # (reference: ExecuteReduce over scheduled spans,
         # Executer.cs:47-85 — Spark's partial+final HashAggregate IS
         # the two-level reduce tree)
-        if dirty_kspans:
-            updated = self.spark.read.parquet(self._map_path).filter(
-                F.col("kspan").isin(dirty_kspans)
+        if self.agg_exprs is not None:
+            finals = content.groupBy("kspan", *self.group_cols).agg(
+                *self.agg_exprs
             )
-            if self.agg_exprs is not None:
-                finals = updated.groupBy("kspan", *self.group_cols).agg(
-                    *self.agg_exprs
+        else:
+            finals = content.groupBy("kspan", *self.group_cols).applyInPandas(
+                self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+            )
+        fin_out: dict[str, object] = {}
+
+        def _stage_finals() -> None:
+            try:
+                fin_out["res"] = self._stage_write(
+                    finals, self._final_path, "kspan"
                 )
-            else:
-                finals = updated.groupBy("kspan", *self.group_cols).applyInPandas(
-                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
-                )
-            self._staged_overwrite(finals, self._final_path, "kspan")
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                fin_out["err"] = e
+
+        fin_thread = threading.Thread(target=_stage_finals, daemon=True)
+        fin_thread.start()
+
+        map_staging, content_spans = self._stage_write(
+            content, self._map_path, "kspan"
+        )
+        fin_thread.join()
+        if "err" in fin_out:
+            raise fin_out["err"]
+        fin_staging, fin_spans = fin_out["res"]
+
+        # Swap both tables' staged spans into place; a dirty span whose
+        # content became empty (every doc deleted/moved out) loses both
+        # its map rows and its final rows (mirrors the reference's
+        # eager span invalidation, Executer.cs:132-150).
+        self._swap_staged(map_staging, self._map_path, "kspan", content_spans)
+        for span in set(dirty_kspans) - content_spans:
+            shutil.rmtree(
+                os.path.join(self._map_path, f"kspan={span}"), ignore_errors=True
+            )
+            shutil.rmtree(
+                os.path.join(self._final_path, f"kspan={span}"), ignore_errors=True
+            )
+        self._swap_staged(fin_staging, self._final_path, "kspan", fin_spans)
 
         idx_thread.join()
         if idx_err:
             raise idx_err[0]
 
+        content.unpersist()
         mapped.unpersist()
         ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
