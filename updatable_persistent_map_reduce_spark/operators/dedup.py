@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr, shingles_expr
-from ..sources import Catalog
+from ..sources import Catalog, spread
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -134,7 +134,7 @@ def _shingle_hashes_udf():
     "density, not corpus².",
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    d = spread(Catalog(spark, sf_dir).documents)
     docs = d.select(
         "doc_id", _shingle_hashes_udf()("text").alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -349,7 +349,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_expr
 
-    e = Catalog(spark, sf_dir).embeddings
+    e = spread(Catalog(spark, sf_dir).embeddings)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
@@ -391,7 +391,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_expr
 
-    e = Catalog(spark, sf_dir).embeddings
+    e = spread(Catalog(spark, sf_dir).embeddings)
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     pairs = (

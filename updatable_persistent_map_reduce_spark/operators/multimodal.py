@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import Catalog
+from ..sources import Catalog, spread
 from . import register
 
 
@@ -81,10 +81,10 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     doc="Multimodal pipeline plumbing: binary payload column + typed "
     "metadata struct -> Arrow-batched mapInPandas 'decode' kernel "
     "(deterministic fake; see decode_image stub) -> per-item features. "
-    "No shuffle; pure per-partition map.",
+    "Pure per-partition map after a width-spread of the narrow test scan.",
 )
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    d = spread(Catalog(spark, sf_dir).documents)
     with_payload = d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
@@ -145,10 +145,10 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     "computed in an Arrow-batched kernel over (payload, metadata); the "
     "stride-8 byte checksum stands in for the resampled buffer "
     "(decode_image stub documents the production swap). Pure "
-    "per-partition map, no shuffle.",
+    "per-partition map after a width-spread of the narrow test scan.",
 )
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    d = spread(Catalog(spark, sf_dir).documents)
     with_payload = d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
@@ -214,7 +214,7 @@ def _fake_frame_sample_batch(
     "similarity treat them like any other corpus row.",
 )
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    d = spread(Catalog(spark, sf_dir).documents)
     vids = d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr, dot_expr
-from ..sources import Catalog
+from ..sources import Catalog, spread
 from . import register
 
 TOP_K = 10
@@ -46,7 +46,7 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
     "per-partition top-k via window. The ANN baseline.",
 )
 def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = Catalog(spark, sf_dir).embeddings
+    e = spread(Catalog(spark, sf_dir).embeddings)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -101,7 +101,7 @@ def _plane_coeff(t: int, p: int, d: int) -> float:
     "tune T up for recall, P up for selectivity.",
 )
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = Catalog(spark, sf_dir).embeddings
+    e = spread(Catalog(spark, sf_dir).embeddings)
     dim = 64
 
     def bucket_for_table(emb, t: int):

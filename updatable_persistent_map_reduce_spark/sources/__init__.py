@@ -1,1 +1,1 @@
-from .tables import TABLE_NAMES, Catalog, load_table  # noqa: F401
+from .tables import TABLE_NAMES, Catalog, load_table, spread  # noqa: F401

@@ -37,6 +37,23 @@ TABLE_NAMES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to cluster width with a round-robin
+    repartition; no-op when the plan is already at least
+    default-parallelism wide.
+
+    Catalyst/codegen stages don't need this — a single small file is
+    fine single-threaded — but Arrow-batched Python kernels and
+    interpreted higher-order array expressions are CPU-bound per row,
+    so a 1-file scan would pin them to one core. At 100 TB sources are
+    many-file and already wide, making this a no-op; the test fixtures
+    are single small parquet files, which is exactly the narrow case."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
