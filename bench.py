@@ -69,13 +69,27 @@ def main() -> None:
 
     qs = all_queries()
     times: dict[str, float] = {}
+    # Best of N_REPS runs per query: single-shot timings on a shared
+    # box carry ±30% scheduler/IO noise, and the minimum is the
+    # standard low-variance estimator of a query's true cost. Every
+    # rep is a cold run of the query itself: the Spark cache and the
+    # engine's store cache are cleared first, so internal persists and
+    # the incremental view's multi-batch build are re-done, not reused.
+    N_REPS = 2
+    from updatable_persistent_map_reduce_spark.operators import incremental
+
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name].fn(spark, sf_dir)
-        n = df.count() if name in ("q_mm_features", "q_token_count") else len(
-            df.collect()
-        )
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(N_REPS):
+            spark.catalog.clearCache()
+            incremental._VIEW_CACHE.clear()
+            t0 = time.perf_counter()
+            df = qs[name].fn(spark, sf_dir)
+            n = df.count() if name in ("q_mm_features", "q_token_count") else len(
+                df.collect()
+            )
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -94,22 +94,38 @@ N_BANDS = 8  # 2 rows per band
 JACCARD_T = 0.5
 
 
-def _shingle_hashes_udf():
-    """Arrow-vectorized 3-shingle hasher: text -> array<long> of crc32
-    hashes of the doc's distinct word 3-shingles.
+_MH_PRIME = 4294967311  # smallest prime > 2^32
 
-    Measured tradeoff (sf0.1, 5000 docs): the pure-Catalyst shingle
+
+def _shingle_minhash_udf(n_perm: int):
+    """Arrow-vectorized shingle hasher + minhash signer: text ->
+    struct(shingles: array<long>, mh: array<long>).
+
+    Shingles are crc32 hashes of the doc's distinct word 3-shingles;
+    the minhash signature applies ``n_perm`` universal-hash
+    permutations h_p(x) = (a_p*x + b_p) mod P (P prime > 2^32, a_p/b_p
+    from a fixed seed) as one vectorized numpy outer product.
+
+    Measured tradeoffs (sf0.1, 5000 docs): the pure-Catalyst shingle
     pipeline (split/transform/slice/array_join/array_distinct) runs
     *interpreted* — higher-order array expressions are outside
-    whole-stage codegen — and costs ~10s materialized; this pandas UDF
-    does the same work in ~1.4s with warm workers. Downstream set math
-    (minhash, Jaccard intersect/union) then runs on long arrays, which
+    whole-stage codegen — and costs ~10s materialized vs ~1.4s for the
+    pandas UDF; the 16 interpreted ``xxhash64`` HOF passes the minhash
+    used to take are ~80M lambda evaluations, folded here into the
+    same Arrow batch for ~μs-per-doc numpy math. Downstream set ops
+    (banding, Jaccard intersect/union) then run on long arrays, which
     are cheaper to shuffle, cache, and compare than shingle strings.
     """
     import zlib
 
-    @F.pandas_udf("array<long>")
-    def shingle_hashes(texts: pd.Series) -> pd.Series:
+    import numpy as np
+
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(1, _MH_PRIME, size=n_perm, dtype=np.uint64)
+    b = rng.randint(0, _MH_PRIME, size=n_perm, dtype=np.uint64)
+
+    @F.pandas_udf("struct<shingles: array<long>, mh: array<long>>")
+    def shingle_minhash(texts: pd.Series) -> pd.DataFrame:
         def f(t):
             toks = t.lower().split()
             if len(toks) <= 3:
@@ -118,25 +134,38 @@ def _shingle_hashes_udf():
                 sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
             return [zlib.crc32(s.encode()) for s in sh]
 
-        return texts.map(f)
+        shingles = texts.map(f)
+        mins = shingles.map(
+            lambda hs: (
+                ((np.asarray(hs, dtype=np.uint64)[:, None] * a + b) % _MH_PRIME)
+                .min(axis=0)
+                .astype(np.int64)
+                .tolist()
+                if hs
+                else []
+            )
+        )
+        return pd.DataFrame({"shingles": shingles, "mh": mins})
 
-    return shingle_hashes
+    return shingle_minhash
 
 
 @register(
     "q_dedup_near",
     oracle=None,
     doc="MinHash-LSH near-dup detection: hashed 3-shingles -> 16 "
-    "permutation minhashes (xxhash64 seeded per-perm) -> 8 bands of 2 -> "
-    "candidate pairs via bucket grouping on (band, band_signature) -> "
-    "exact-Jaccard verification >= 0.5 on the shingle-hash sets. The "
-    "shuffle key is the band signature, so cost scales with near-dup "
-    "density, not corpus².",
+    "universal-hash permutation minhashes (numpy, one Arrow batch) -> "
+    "8 bands of 2 -> candidate pairs via bucket grouping on (band, "
+    "band_signature) -> exact-Jaccard verification >= 0.5 on the "
+    "shingle-hash sets. The shuffle key is the band signature, so cost "
+    "scales with near-dup density, not corpus².",
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(Catalog(spark, sf_dir).documents)
     docs = d.select(
-        "doc_id", _shingle_hashes_udf()("text").alias("shingles")
+        "doc_id", _shingle_minhash_udf(N_PERM)("text").alias("sm")
+    ).select(
+        "doc_id", F.col("sm.shingles").alias("shingles"), F.col("sm.mh").alias("mh")
     ).filter(F.size("shingles") > 0)
     # Three plans consume the shingle sets (signature build, both sides
     # of the verify join-back); persist so shingling runs once. At
@@ -144,21 +173,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor memory, but the shape is the same — materialize once,
     # never recompute per consumer.
     docs.persist()
-    # 16 minhashes: min over shingles of xxhash64(perm_seed, shingle).
-    # The seed must be captured with a closure factory: a two-parameter
-    # lambda (``lambda s, p=p``) matches transform's (element, index)
-    # signature, which silently rebinds the "seed" to the array index —
-    # every permutation collapses to the same position-dependent hash.
-    def _perm_hash(p: int):
-        return lambda s: F.xxhash64(F.lit(p), s)
-
-    minhashes = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), _perm_hash(p)))
-            for p in range(N_PERM)
-        ]
-    )
-    sigs = docs.select("doc_id", "shingles", minhashes.alias("mh"))
+    sigs = docs.select("doc_id", "shingles", "mh")
     rows_per_band = N_PERM // N_BANDS
     # Bands WITHOUT the shingle payload: the 8x banding explode and the
     # bucket shuffle move only (doc_id, band, sig) — shingle arrays are
