@@ -14,8 +14,10 @@ from updatable_persistent_map_reduce_spark.streaming import (
 )
 
 
-def _write_batch(spark, path, rows, schema, n=1):
+def _write_batch(spark, path, rows, schema, n=1, cast_ts=False):
     df = spark.createDataFrame(rows, schema)
+    if cast_ts:
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     df.coalesce(1).write.mode("append").parquet(path)
     time.sleep(0.05)  # distinct mtimes so file-order == producer order
 
@@ -109,6 +111,54 @@ def test_streaming_tumbling_watermark(spark, tmp_path):
         ("2026-01-01 02:00:00", "view"): 2,
     }
     assert got == expected
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    sha2 content key): first-seen doc survives, duplicates within the
+    watermark horizon are dropped, distinct texts pass through —
+    including across micro-batches (state rides the checkpoint)."""
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_dedup,
+    )
+
+    inp = str(tmp_path / "dedup_inbox")
+    os.makedirs(inp)
+    schema = "doc_id long, ts timestamp, text string"
+    base = "2026-01-01 00:{m:02d}:00"
+    _write_batch(
+        spark,
+        inp,
+        [
+            (1, base.format(m=0), "alpha beta"),
+            (2, base.format(m=1), "alpha beta"),  # dup of 1, same batch
+            (3, base.format(m=2), "gamma delta"),
+        ],
+        "doc_id long, ts string, text string",
+        cast_ts=True,
+    )
+    _write_batch(
+        spark,
+        inp,
+        [
+            (4, base.format(m=3), "alpha beta"),  # dup of 1, next batch
+            (5, base.format(m=4), "epsilon"),
+        ],
+        "doc_id long, ts string, text string",
+        cast_ts=True,
+    )
+    streaming_dedup(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "dedup_ckpt"),
+        ts_col="ts",
+        text_col="text",
+        watermark="1 hour",
+        sink_table="deduped_t",
+    )
+    kept = {r.doc_id for r in spark.table("deduped_t").collect()}
+    assert kept == {1, 3, 5}
 
 
 def test_streaming_sessionize(spark, tmp_path):

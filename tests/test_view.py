@@ -210,6 +210,66 @@ def test_incremental_equals_full_property(spark, tmp_path):
         assert counts(v) == expected
 
 
+def test_incremental_equals_full_hypothesis(spark):
+    """Property-based twin of the above via hypothesis: random batch
+    sequences with case-variant doc ids (the reference matches ids
+    case-insensitively on upsert, Executer.cs:245-247), so replace
+    semantics and key migration are exercised under id-case noise."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    submission = st.tuples(
+        st.integers(1, 20),  # doc number
+        st.booleans(),  # uppercase the id?
+        st.sampled_from(["CA", "TX", "NY"]),
+    )
+    batches = st.lists(
+        st.lists(submission, min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(batches)
+    def run(seq):
+        store = tempfile.mkdtemp(prefix="upmr_hyp_")
+        v = MapReduceView(
+            spark,
+            store,
+            id_col="id",
+            group_cols=["state"],
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+            n_key_spans=4,
+            n_doc_spans=4,
+        )
+        latest: dict[str, str] = {}
+        for batch in seq:
+            # one submission per logical doc per batch (two case
+            # variants of one id in a single batch would be an
+            # ambiguous same-batch conflict; the reference's demo never
+            # does that either)
+            rows: dict[int, tuple[str, str]] = {}
+            for num, upper, state in batch:
+                doc = f"p-{num}".upper() if upper else f"p-{num}"
+                rows[num] = (doc, state)
+            for doc, state in rows.values():
+                latest[doc.upper()] = state  # case-insensitive identity
+            v.execute(people_df(spark, sorted(rows.values())))
+        expected: dict[str, int] = {}
+        for s in latest.values():
+            expected[s] = expected.get(s, 0) + 1
+        assert counts(v) == expected
+
+    run()
+
+
 def test_restart_durability(spark, tmp_path):
     """State survives across engine instances (the reference's whole
     point: filesystem persistence across process lifetimes)."""

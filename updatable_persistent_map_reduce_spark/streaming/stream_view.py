@@ -174,6 +174,47 @@ def streaming_tumbling_counts(
     q.awaitTermination()
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    sink_table: str = "deduped_stream",
+) -> None:
+    """Streaming exact dedup for a continuous ingest pipeline: keep the
+    first-seen document per content hash, with the dedup state bounded
+    by an event-time watermark (``dropDuplicatesWithinWatermark`` —
+    duplicates arriving within the watermark horizon of the original
+    are dropped; state for hashes older than the horizon is evicted, so
+    state size tracks the horizon's document rate, not corpus size).
+
+    This is the streaming twin of q_dedup_exact: the same
+    ``sha2(text, 256)`` content key, applied at ingest time so
+    duplicates never reach the corpus store. At 100 TB/day the content
+    hash is computed map-side (codegen), the only shuffle is by hash
+    key into the state store, and RocksDB holds the horizon's keys.
+    Exactly-once per micro-batch via the checkpoint, as everywhere."""
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    deduped = (
+        stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_sessionize(
     spark: SparkSession,
     *,
