@@ -16,6 +16,8 @@ for k-means cell ids, same join shape.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -88,6 +90,110 @@ def _plane_coeff(t: int, p: int, d: int) -> float:
     x = (x * 0x45D9F3B) & 0xFFFFFFFF
     x ^= x >> 16
     return (x / 2147483648.0) - 1.0
+
+
+N_CELLS = 16
+N_PROBE = 4
+KMEANS_ITERS = 2
+
+
+@register(
+    "q_sim_search_ivf",
+    oracle=None,
+    doc="IVF-bucketed ANN (the k-means twin of the LSH path): coarse "
+    "centroids from 2 distributed Lloyd iterations (assignment = "
+    "vectorized numpy argmax over a broadcast centroid matrix; update "
+    "= posexplode + groupBy(cell, dim) mean — pure DataFrame ops), "
+    "every vector inverted-listed under its nearest cell, queries "
+    "probe their 4 nearest cells and exact cosine re-ranks the probed "
+    "union. Per-query cost ~ corpus*(nprobe/cells) instead of a full "
+    "scan; centroids are KB-sized driver state, the inverted list is "
+    "the same (cell -> vectors) layout a 100 TB deployment would "
+    "persist bucketed-by-cell so probes are partition-pruned scans.",
+)
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(Catalog(spark, sf_dir).embeddings)
+    e = e.select("vec_id", "embedding").persist()
+
+    # --- deterministic init: first N_CELLS vectors by id are the seeds
+    seed_rows = (
+        e.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    )
+    centroids = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign_udf(cmat: np.ndarray):
+        bc = spark.sparkContext.broadcast(cmat)
+
+        @F.pandas_udf("int")
+        def assign(embs: pd.Series) -> pd.Series:
+            m = np.stack(embs.to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+        return assign
+
+    # --- Lloyd iterations: assign (numpy, Arrow-batched) then update
+    # (posexplode + mean per (cell, dim) — a single shuffle keyed by
+    # cell*dim, the canonical distributed k-means step).
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            "vec_id", "embedding", assign_udf(centroids)("embedding").alias("cell")
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        nxt = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.mu
+        for cell, dims in by_cell.items():
+            vec = np.array([dims[i] for i in range(len(dims))])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                nxt[cell] = vec / n
+        centroids = nxt
+
+    listed = e.select(
+        "vec_id", "embedding", assign_udf(centroids)("embedding").alias("cell")
+    )
+
+    # --- probe sets: per query, its N_PROBE nearest cells (numpy on
+    # the driver — queries and centroids are KB-sized).
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :N_PROBE]
+    probes = spark.createDataFrame(
+        [
+            (int(r.vec_id), r.embedding, int(c))
+            for r, row in zip(q_rows, probe)
+            for c in row
+        ],
+        "query_id long, qe array<float>, cell int",
+    )
+
+    cand = (
+        listed.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
 
 
 @register(
