@@ -270,6 +270,35 @@ def test_incremental_equals_full_hypothesis(spark):
     run()
 
 
+def test_insert_only_batch_appends(spark, tmp_path):
+    """A batch of brand-new docs must take the O(batch) append path:
+    files written by earlier batches stay byte-identical in place (no
+    copy-on-write span rewrite), yet aggregates include both batches."""
+    import os
+
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA"), ("b", "TX")]))
+    map_dir = str(tmp_path / "people_by_state" / "map_results")
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(map_dir):
+            for f in files:
+                if "_SUCCESS" in f:  # job marker, rewritten on append
+                    continue
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    v.execute(people_df(spark, [("c", "CA"), ("d", "NY")]))
+    after = snapshot()
+    missing = {p: t for p, t in before.items() if after.get(p) != t}
+    assert not missing, f"insert-only batch rewrote existing files: {missing}"
+    assert len(after) > len(before)
+    assert counts(v) == {"CA": 2, "TX": 1, "NY": 1}
+
+
 def test_restart_durability(spark, tmp_path):
     """State survives across engine instances (the reference's whole
     point: filesystem persistence across process lifetimes)."""

@@ -56,9 +56,13 @@ Incremental maintenance per ``execute(batch)``:
    the reference's Executer.cs:47-85 for free) and dynamically
    overwrite those spans of ``final_results``.
 
-Cost per batch is O(|batch| + dirty-span bytes), independent of corpus
-size — strictly better than the reference, which rescans all map
-results for invalidation on every batch.
+Cost per batch is O(|batch| + rewritten-span bytes + dirty-span
+aggregation), independent of corpus size — strictly better than the
+reference, which rescans all map results for invalidation on every
+batch. Spans holding a replaced doc are copy-on-write rewritten; spans
+dirtied only by brand-new docs take an O(batch) append (the doc_index
+is append-only, so "no index entry" proves "never written"), which is
+what insert-heavy ingest pays.
 
 Scale notes (100 TB): raise ``n_key_spans``/``n_doc_spans`` so a span
 ~= a few GB (they are the rewrite and re-aggregation granularity);
@@ -319,28 +323,52 @@ class MapReduceView:
         idx_thread = threading.Thread(target=_append_idx, daemon=True)
         idx_thread.start()
 
-        # --- copy-on-write map_results for dirty key-spans
+        # --- maintain map_results for dirty key-spans
         # (reference: PersistMap + delete of replaced docs,
         # Executer.cs:165-183, 258)
+        #
+        # Dirty spans split into two regimes:
+        #   rewrite spans = ``old_kspans`` — some incoming doc has a
+        #     prior version there (the append-only doc_index never
+        #     loses an entry, so a doc absent from ``old_kspans`` has
+        #     provably never been written); survivors must be filtered
+        #     out, so the span is copy-on-write rewritten.
+        #   append spans = dirty - rewrite — only brand-new rows land
+        #     there; the batch's rows are *appended*, O(batch) instead
+        #     of O(span). Insert-heavy ingest (the dominant 100 TB
+        #     regime) therefore never pays span-rewrite amplification.
         data_cols = [
             c for c in mapped.columns if c not in ("kspan",)
         ]
         new_rows = mapped.select(*data_cols, F.col("kspan"))
         existing = self._read(self._map_path)
         if existing is not None:
-            survivors = existing.filter(
+            rewrite_spans = sorted(old_kspans)
+            append_spans = sorted(new_kspans - old_kspans)
+            span_content = existing.filter(
                 F.col("kspan").isin(dirty_kspans)
-            ).join(F.broadcast(ids), "uid", "left_anti")
-            content = survivors.select(new_rows.columns).unionByName(new_rows)
+            )
+            if rewrite_spans:
+                span_content = span_content.join(
+                    F.broadcast(ids), "uid", "left_anti"
+                )
+            content = span_content.select(new_rows.columns).unionByName(new_rows)
         else:
+            # no physical store yet: stale old_kspans (possible only
+            # from a partially-built store) have no files to rewrite —
+            # everything is an append
+            rewrite_spans = []
+            append_spans = sorted(new_kspans)
             content = new_rows
         # ``content`` is exactly what the dirty map_results spans will
-        # hold after the swap, so the finals re-aggregation reads it
+        # hold afterwards, so the finals re-aggregation reads it
         # directly (cached) instead of re-reading the parquet it just
-        # wrote — and the two staging writes run on concurrent driver
+        # wrote. The map rewrite (a filter of the same cache), the
+        # append, and the finals staging all run on concurrent driver
         # threads (Spark schedules jobs from separate threads in
-        # parallel), so the critical path is max(map write, finals
-        # write), not their sum.
+        # parallel), so the critical path is the slowest write, not
+        # their sum. ``existing`` snapshotted its file listing at
+        # _read() time, so the concurrent append can't double-count.
         content.cache()
 
         # --- re-aggregate only dirty key-spans
@@ -356,6 +384,7 @@ class MapReduceView:
                 self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
             )
         fin_out: dict[str, object] = {}
+        app_err: list[BaseException] = []
 
         def _stage_finals() -> None:
             try:
@@ -365,23 +394,46 @@ class MapReduceView:
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 fin_out["err"] = e
 
+        def _append_new() -> None:
+            try:
+                new_rows.filter(
+                    F.col("kspan").isin(append_spans)
+                ).repartition(F.col("kspan")).write.mode("append").partitionBy(
+                    "kspan"
+                ).parquet(self._map_path)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                app_err.append(e)
+
         fin_thread = threading.Thread(target=_stage_finals, daemon=True)
         fin_thread.start()
+        app_thread = None
+        if append_spans:
+            app_thread = threading.Thread(target=_append_new, daemon=True)
+            app_thread.start()
 
-        map_staging, content_spans = self._stage_write(
-            content, self._map_path, "kspan"
-        )
+        map_staging, rewritten = None, set()
+        if rewrite_spans and existing is not None:
+            map_staging, rewritten = self._stage_write(
+                content.filter(F.col("kspan").isin(rewrite_spans)),
+                self._map_path,
+                "kspan",
+            )
         fin_thread.join()
+        if app_thread is not None:
+            app_thread.join()
         if "err" in fin_out:
             raise fin_out["err"]
+        if app_err:
+            raise app_err[0]
         fin_staging, fin_spans = fin_out["res"]
 
-        # Swap both tables' staged spans into place; a dirty span whose
-        # content became empty (every doc deleted/moved out) loses both
-        # its map rows and its final rows (mirrors the reference's
-        # eager span invalidation, Executer.cs:132-150).
-        self._swap_staged(map_staging, self._map_path, "kspan", content_spans)
-        for span in set(dirty_kspans) - content_spans:
+        # Swap staged spans into place; a rewrite span whose content
+        # became empty (every doc deleted/moved out) loses both its map
+        # rows and its final rows (mirrors the reference's eager span
+        # invalidation, Executer.cs:132-150).
+        if map_staging is not None:
+            self._swap_staged(map_staging, self._map_path, "kspan", rewritten)
+        for span in set(rewrite_spans) - rewritten - set(append_spans):
             shutil.rmtree(
                 os.path.join(self._map_path, f"kspan={span}"), ignore_errors=True
             )
