@@ -52,6 +52,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_join_bucketed": (["SortMergeJoin"], ["hashpartitioning"]),
     # as-of join must be an equi-join + window, not a cartesian/NLJ
     "q_join_asof": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # IVF probe: candidates come from a broadcast equi-join on the
+    # cell key, never a cartesian scan of corpus x queries
+    "q_sim_search_ivf": (["Broadcast"], ["CartesianProduct", "BroadcastNestedLoop"]),
     # deterministic sample is a pure scan predicate, no shuffle
     "q_sample_hash": (["Scan parquet"], ["Exchange"]),
     # decontamination broadcasts the (small) eval shingle set
