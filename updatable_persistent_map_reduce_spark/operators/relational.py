@@ -965,3 +965,74 @@ def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("p.k") >= 50, 1)).alias("n_high"),
         F.sum("p.k").alias("k_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping-sets / analytic-distribution completions
+
+
+_GROUPING_SETS_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+)
+
+register(
+    "q_agg_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (status-only, priority-only, grand "
+    "total) — the general form rollup/cube are sugar for; Catalyst "
+    "expands to one Expand + single-pass aggregation, not three scans.",
+)(_sql_query(_GROUPING_SETS_SQL))
+
+
+@register(
+    "q_window_ntile",
+    oracle=(
+        "SELECT c_custkey, c_nationkey, "
+        "CAST(ntile(4) OVER w AS INTEGER) AS quartile, "
+        "round(percent_rank() OVER w, 6) AS pct_rank, "
+        "round(cume_dist() OVER w, 6) AS cum_dist "
+        "FROM customer WINDOW w AS "
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"
+    ),
+    doc="Distribution analytics per partition: ntile quartiles, "
+    "percent_rank, cume_dist over account balance within each nation "
+    "— one shuffle on the partition key serves all three functions.",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = Catalog(spark, sf_dir).customer
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle=None,
+    doc="Sketch-path quantiles: approx_percentile (mergeable KLL-style "
+    "sketch, map-side partials) of doc length per language — the 100 TB "
+    "twin of q_agg_quantile's exact interpolation; rows-only because "
+    "the sketch's error bound is implementation-specific.",
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("lang", F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                F.col("n_chars").cast("double"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+                10_000,
+            ).alias("approx_quantiles")
+        )
+    )
