@@ -270,6 +270,80 @@ def test_incremental_equals_full_hypothesis(spark):
     run()
 
 
+def two_level_view(spark, path, **kw):
+    """Two-level tree with the reference's re-reducible contract:
+    map emits cnt=1 / val, aggs are sums (closed under re-application
+    to their own aliased output, MapReduceTask.cs:10)."""
+    return MapReduceView(
+        spark,
+        path,
+        id_col="id",
+        map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+        group_cols=["state"],
+        agg_exprs=[F.sum("cnt").alias("cnt")],
+        n_key_spans=4,
+        n_doc_spans=4,
+        two_level=True,
+        n_sub_buckets=8,
+        **kw,
+    )
+
+
+def test_two_level_reference_scenario(spark, tmp_path):
+    """The reference smoke scenario through the materialized reduce
+    tree (reduce_l1 partials), including key migration and an
+    insert-only follow-up batch."""
+    import os
+
+    v = two_level_view(spark, str(tmp_path / "tl"))
+    batch1 = [(f"people-{i}", "CA") for i in range(1, 398)] + [
+        (f"people-{i}", "TX") for i in range(398, 654)
+    ]
+    v.execute(people_df(spark, batch1))
+    assert counts(v) == {"CA": 397, "TX": 256}
+    assert os.path.isdir(str(tmp_path / "tl" / "reduce_l1"))
+
+    v.execute(people_df(spark, [("people-30", "TX")]))
+    after = counts(v)
+    assert after == {"CA": 396, "TX": 257}
+    assert sum(after.values()) == 653
+
+    # insert-only batch (append path + bucket-pruned partial recompute)
+    v.execute(people_df(spark, [("new-1", "NY"), ("new-2", "CA")]))
+    assert counts(v) == {"CA": 397, "TX": 257, "NY": 1}
+
+    # case-insensitive replace through the tree
+    v.execute(people_df(spark, [("NEW-1", "CA")]))
+    assert counts(v) == {"CA": 398, "TX": 257}
+
+
+def test_two_level_matches_single_level(spark, tmp_path):
+    """Same random batch sequence through both modes -> identical
+    materialized results (the tree is an execution detail, not a
+    semantic)."""
+    rng = random.Random(7)
+    states = ["CA", "TX", "NY", "WA"]
+    v1 = two_level_view(spark, str(tmp_path / "two"))
+    v2 = MapReduceView(
+        spark,
+        str(tmp_path / "one"),
+        id_col="id",
+        map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+        group_cols=["state"],
+        agg_exprs=[F.sum("cnt").alias("cnt")],
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    for _ in range(4):
+        batch = {}
+        for _ in range(rng.randint(1, 30)):
+            batch[f"p-{rng.randint(1, 40)}"] = rng.choice(states)
+        df = people_df(spark, sorted(batch.items()))
+        v1.execute(df)
+        v2.execute(df)
+    assert counts(v1) == counts(v2)
+
+
 def test_insert_only_batch_appends(spark, tmp_path):
     """A batch of brand-new docs must take the O(batch) append path:
     files written by earlier batches stay byte-identical in place (no

@@ -155,6 +155,72 @@ def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.final_df().select("group_key", "cnt")
 
 
+def _latest_event_rereducible(df: DataFrame) -> DataFrame:
+    """Like :func:`_latest_event_per_user` but emitting columns named
+    after the aggregate outputs (cnt=1, value_sum=value) so sum-based
+    aggs are closed under re-application — the reference's
+    re-reducible Reduce contract (MapReduceTask.cs:10)."""
+    return _latest_event_per_user(df).select(
+        "doc_id",
+        "event_type",
+        F.lit(1).alias("cnt"),
+        F.col("value").alias("value_sum"),
+    )
+
+
+@register(
+    "q_rereduce_tree",
+    oracle=(
+        f"{_LATEST_CTE} "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="The upsert replay through the *materialized* two-level reduce "
+    "tree (two_level=True: reduce_l1 per-(kspan, doc-bucket) partials, "
+    "the reference's ReduceResults/One, Executer.cs:80-81, with "
+    "per-bucket dirty granularity). Same latest-wins oracle as "
+    "q_upsert_recount — the tree is an execution detail, not a "
+    "semantic.",
+)
+def q_rereduce_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    store = tempfile.mkdtemp(prefix="upmr_tree_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        map_fn=_latest_event_rereducible,
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_sum").alias("value_sum"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+        two_level=True,
+        n_sub_buckets=16,
+    )
+    hi = ev.selectExpr("max(event_id)").collect()[0][0] + 1
+    step = max(1, hi // 2 + 1)
+    for b in range(2):
+        batch = ev.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        ).select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        view.execute(batch)
+    return view.final_df().select(
+        F.col("event_type").alias("group_key"),
+        F.col("cnt"),
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 @register(
     "q_store_point_lookup",
     oracle=(

@@ -41,6 +41,17 @@ Three parquet state tables under ``store_path``:
     Executer.cs:263-276), partitioned by key-span for pruned point
     lookups.
 
+``reduce_l1/kspan=K/`` *(two-level mode)*
+    Materialized per-(key-span, doc-bucket) partial aggregates — the
+    reference's level-one reduce results (``ReduceResults/One``,
+    Executer.cs:80-81,192-203) with per-bucket dirty granularity: a
+    batch recomputes partials only for buckets holding changed docs
+    (map files are bucket-clustered, so the recompute scan is
+    row-group pruned) and finals re-reduce the span's partials.
+    Requires ``agg_exprs`` closed under re-application to their own
+    output (the reference's re-reducible Reduce contract,
+    MapReduceTask.cs:10).
+
 Incremental maintenance per ``execute(batch)``:
 
 1. map the batch (user map = any DataFrame transform, 0..N output
@@ -123,11 +134,15 @@ class MapReduceView:
         reduce_schema: str | None = None,
         n_key_spans: int = 64,
         n_doc_spans: int = 64,
+        two_level: bool = False,
+        n_sub_buckets: int = 64,
     ):
         if (agg_exprs is None) == (reduce_fn is None):
             raise ValueError("exactly one of agg_exprs / reduce_fn required")
         if reduce_fn is not None and reduce_schema is None:
             raise ValueError("reduce_fn requires reduce_schema")
+        if two_level and agg_exprs is None:
+            raise ValueError("two_level requires agg_exprs")
         self.spark = spark
         self.store = store_path
         self.id_col = id_col
@@ -138,8 +153,21 @@ class MapReduceView:
         self.reduce_schema = reduce_schema
         self.n_key_spans = n_key_spans
         self.n_doc_spans = n_doc_spans
+        # Two-level mode materializes the reference's reduce tree
+        # (Executer.cs:62,80-83: doc-bucketed partials below the final):
+        # a ``reduce_l1`` table holds per-(kspan, doc-bucket) partial
+        # aggregates; a batch recomputes partials only for buckets
+        # holding changed docs and re-reduces the span's partials for
+        # finals, so finals cost is O(dirty-bucket bytes + partials)
+        # instead of O(dirty-span bytes). Contract (the reference's,
+        # MapReduceTask.cs:10): ``agg_exprs`` must be closed under
+        # re-application to their own aliased output (e.g.
+        # sum("cnt").alias("cnt"); count(*) is NOT — emit 1s and sum).
+        self.two_level = two_level
+        self.n_sub_buckets = n_sub_buckets
         self._map_path = os.path.join(store_path, "map_results")
         self._idx_path = os.path.join(store_path, "doc_index")
+        self._l1_path = os.path.join(store_path, "reduce_l1")
         self._final_path = os.path.join(store_path, "final_results")
         self._meta_path = os.path.join(store_path, "meta.json")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -158,6 +186,16 @@ class MapReduceView:
     def _uid(self, id_column: Column) -> Column:
         return F.upper(id_column.cast("string"))
 
+    def _bucket(self, uid_column: Column) -> Column:
+        # Fine-grained doc bucket inside a key-span (two-level mode):
+        # the reference's leaf bucket role (Executer.cs:295-303).
+        return (bucket_expr(uid_column) % F.lit(self.n_sub_buckets)).cast("int")
+
+    def _pair(self) -> Column:
+        # (kspan, bucket) encoded as one int for driver-side sets and
+        # `isin` pushdown.
+        return F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket")
+
     # ----- state io --------------------------------------------------------
 
     def _exists(self, path: str) -> bool:
@@ -167,7 +205,11 @@ class MapReduceView:
         return self.spark.read.parquet(path) if self._exists(path) else None
 
     def _stage_write(
-        self, df: DataFrame, path: str, partition_col: str
+        self,
+        df: DataFrame,
+        path: str,
+        partition_col: str,
+        sort_col: str | None = None,
     ) -> tuple[str, set[int]]:
         """Write ``df`` (which may read from ``path``) to a sibling
         staging dir with one Spark write job; return the staging path
@@ -181,9 +223,10 @@ class MapReduceView:
         combine with ``spark.sql.files.maxRecordsPerFile`` (and more
         spans) to keep file sizes bounded."""
         staging = path + ".staging"
-        df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(staging)
+        out = df.repartition(F.col(partition_col))
+        if sort_col is not None:
+            out = out.sortWithinPartitions(sort_col)
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
         prefix = f"{partition_col}="
         spans = {
             int(entry[len(prefix):])
@@ -251,6 +294,8 @@ class MapReduceView:
             raise ValueError(f"map output missing columns: {sorted(missing)}")
         mapped = mapped.withColumn("uid", self._uid(F.col(self.id_col)))
         mapped = mapped.withColumn("kspan", self._kspan())
+        if self.two_level:
+            mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
         # The mapped batch feeds four downstream plans (span discovery,
         # map_results content, doc_index content); batches are bounded,
         # so caching beats recomputing the user map each time.
@@ -267,20 +312,31 @@ class MapReduceView:
         # skips untouched dspan directories — no driver round-trip to
         # pre-collect the span list.
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
+        bucket_of = (
+            self._bucket(F.col("uid")) if self.two_level else F.lit(0)
+        )
         tagged = mapped.select(
-            F.lit("k").alias("t"), F.col("kspan").alias("v")
+            F.lit("k").alias("t"),
+            F.col("kspan").alias("v"),
+            bucket_of.alias("b"),
         )
         idx = self._read(self._idx_path)
         if idx is not None:
             old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
             tagged = tagged.unionByName(
-                old_locs.select(F.lit("o").alias("t"), F.col("kspan").alias("v"))
+                old_locs.select(
+                    F.lit("o").alias("t"),
+                    F.col("kspan").alias("v"),
+                    bucket_of.alias("b"),
+                )
             )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
+        dirty_pairs: set[int] = set()  # (kspan, bucket) encoded; two-level
         buckets = {"k": new_kspans, "o": old_kspans}
         for r in tagged.distinct().collect():
             buckets[r.t].add(r.v)
+            dirty_pairs.add(r.v * self.n_sub_buckets + r.b)
         dirty_kspans = sorted(new_kspans | old_kspans)
         if not dirty_kspans:
             # Batch mapped to nothing and replaced nothing: no index
@@ -361,21 +417,54 @@ class MapReduceView:
             append_spans = sorted(new_kspans)
             content = new_rows
         # ``content`` is exactly what the dirty map_results spans will
-        # hold afterwards, so the finals re-aggregation reads it
-        # directly (cached) instead of re-reading the parquet it just
-        # wrote. The map rewrite (a filter of the same cache), the
-        # append, and the finals staging all run on concurrent driver
-        # threads (Spark schedules jobs from separate threads in
-        # parallel), so the critical path is the slowest write, not
-        # their sum. ``existing`` snapshotted its file listing at
-        # _read() time, so the concurrent append can't double-count.
-        content.cache()
+        # hold afterwards, so downstream aggregation reads it directly
+        # instead of re-reading the parquet it just wrote. The map
+        # rewrite (a filter of the same cache), the append, and the
+        # finals/L1 staging all run on concurrent driver threads (Spark
+        # schedules jobs from separate threads in parallel), so the
+        # critical path is the slowest write, not their sum.
+        # ``existing`` snapshotted its file listing at _read() time, so
+        # the concurrent append can't double-count.
+        #
+        # Two-level append-only batches skip the cache: the only
+        # consumer is the bucket-filtered L1 recompute, and caching
+        # would force a full span scan that pushdown would otherwise
+        # prune to the dirty buckets' row groups.
+        if not self.two_level or rewrite_spans:
+            content.cache()
 
-        # --- re-aggregate only dirty key-spans
+        # --- re-aggregate only dirty state
         # (reference: ExecuteReduce over scheduled spans,
-        # Executer.cs:47-85 — Spark's partial+final HashAggregate IS
-        # the two-level reduce tree)
-        if self.agg_exprs is not None:
+        # Executer.cs:47-85). Single-level: Catalyst's partial+final
+        # HashAggregate is the reduce tree, re-run over dirty spans.
+        # Two-level: the tree is *materialized* — per-(kspan, bucket)
+        # partials recompute only for dirty buckets, and finals
+        # re-reduce the span's partials (the reference's
+        # BucketId/BatchSize grouping, Executer.cs:62, with strictly
+        # finer dirty granularity).
+        l1_content = None
+        if self.two_level:
+            l1_existing = self._read(self._l1_path)
+            pair_list = sorted(dirty_pairs)
+            recomputed = (
+                content.filter(self._pair().isin(pair_list))
+                .groupBy("kspan", "bucket", *self.group_cols)
+                .agg(*self.agg_exprs)
+            )
+            if l1_existing is not None:
+                l1_surv = l1_existing.filter(
+                    F.col("kspan").isin(dirty_kspans)
+                ).filter(~self._pair().isin(pair_list))
+                l1_content = l1_surv.select(recomputed.columns).unionByName(
+                    recomputed
+                )
+            else:
+                l1_content = recomputed
+            l1_content.cache()
+            finals = l1_content.groupBy("kspan", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+        elif self.agg_exprs is not None:
             finals = content.groupBy("kspan", *self.group_cols).agg(
                 *self.agg_exprs
             )
@@ -384,6 +473,7 @@ class MapReduceView:
                 self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
             )
         fin_out: dict[str, object] = {}
+        l1_out: dict[str, object] = {}
         app_err: list[BaseException] = []
 
         def _stage_finals() -> None:
@@ -396,20 +486,43 @@ class MapReduceView:
 
         def _append_new() -> None:
             try:
-                new_rows.filter(
+                out = new_rows.filter(
                     F.col("kspan").isin(append_spans)
-                ).repartition(F.col("kspan")).write.mode("append").partitionBy(
-                    "kspan"
-                ).parquet(self._map_path)
+                ).repartition(F.col("kspan"))
+                if self.two_level:
+                    # bucket-clustered files -> row-group stats prune
+                    # later dirty-bucket recomputes to the right groups
+                    out = out.sortWithinPartitions("bucket")
+                out.write.mode("append").partitionBy("kspan").parquet(
+                    self._map_path
+                )
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 app_err.append(e)
 
+        def _stage_l1() -> None:
+            try:
+                l1_out["res"] = self._stage_write(
+                    l1_content, self._l1_path, "kspan"
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                l1_out["err"] = e
+
+        # Phase 1 — every job that READS the live map_results snapshot
+        # (finals staging, L1 staging, map rewrite staging) runs
+        # concurrently; the live-table append is NOT among them. An
+        # append committing mid-flight can make a concurrent reader of
+        # ``existing`` observe the new files (the parquet relation's
+        # file listing is not a transactional snapshot under a
+        # same-path writer), double-counting the batch — two readers
+        # racing one append produced *divergent* finals vs L1 in
+        # stress runs. Writers to other paths can't perturb readers,
+        # so staging jobs may overlap freely.
         fin_thread = threading.Thread(target=_stage_finals, daemon=True)
         fin_thread.start()
-        app_thread = None
-        if append_spans:
-            app_thread = threading.Thread(target=_append_new, daemon=True)
-            app_thread.start()
+        l1_thread = None
+        if l1_content is not None:
+            l1_thread = threading.Thread(target=_stage_l1, daemon=True)
+            l1_thread.start()
 
         map_staging, rewritten = None, set()
         if rewrite_spans and existing is not None:
@@ -417,35 +530,52 @@ class MapReduceView:
                 content.filter(F.col("kspan").isin(rewrite_spans)),
                 self._map_path,
                 "kspan",
+                sort_col="bucket" if self.two_level else None,
             )
         fin_thread.join()
-        if app_thread is not None:
-            app_thread.join()
+        if l1_thread is not None:
+            l1_thread.join()
         if "err" in fin_out:
             raise fin_out["err"]
-        if app_err:
-            raise app_err[0]
+        if "err" in l1_out:
+            raise l1_out["err"]
         fin_staging, fin_spans = fin_out["res"]
 
+        # Phase 2 — with all snapshot readers drained, the append runs,
+        # overlapped with the directory swaps below (append spans are
+        # disjoint from rewrite spans, and the swaps touch other
+        # tables' directories).
+        app_thread = None
+        if append_spans:
+            app_thread = threading.Thread(target=_append_new, daemon=True)
+            app_thread.start()
+
         # Swap staged spans into place; a rewrite span whose content
-        # became empty (every doc deleted/moved out) loses both its map
-        # rows and its final rows (mirrors the reference's eager span
-        # invalidation, Executer.cs:132-150).
+        # became empty (every doc deleted/moved out) loses its map
+        # rows, partials, and final rows (mirrors the reference's eager
+        # span invalidation, Executer.cs:132-150).
         if map_staging is not None:
             self._swap_staged(map_staging, self._map_path, "kspan", rewritten)
         for span in set(rewrite_spans) - rewritten - set(append_spans):
-            shutil.rmtree(
-                os.path.join(self._map_path, f"kspan={span}"), ignore_errors=True
-            )
-            shutil.rmtree(
-                os.path.join(self._final_path, f"kspan={span}"), ignore_errors=True
-            )
+            for p in (self._map_path, self._l1_path, self._final_path):
+                shutil.rmtree(
+                    os.path.join(p, f"kspan={span}"), ignore_errors=True
+                )
+        if l1_thread is not None:
+            l1_staging, l1_spans = l1_out["res"]
+            self._swap_staged(l1_staging, self._l1_path, "kspan", l1_spans)
         self._swap_staged(fin_staging, self._final_path, "kspan", fin_spans)
 
+        if app_thread is not None:
+            app_thread.join()
+        if app_err:
+            raise app_err[0]
         idx_thread.join()
         if idx_err:
             raise idx_err[0]
 
+        if l1_content is not None:
+            l1_content.unpersist()
         content.unpersist()
         mapped.unpersist()
         ids.unpersist()
