@@ -406,3 +406,14 @@ def test_compact_index_preserves_results(spark, tmp_path):
     # post-compaction upserts still replace correctly
     v.execute(people_df(spark, [("a", "CA")]))
     assert counts(v) == {"CA": 2, "TX": 1}
+
+
+def test_stats_snapshot(spark, tmp_path):
+    v = two_level_view(spark, str(tmp_path / "stats"))
+    v.execute(people_df(spark, [("a", "CA"), ("b", "TX")]))
+    s = v.stats()
+    assert s["batch_seq"] == 1
+    for table in ("map_results", "doc_index", "reduce_l1", "final_results"):
+        assert s[table]["spans"] >= 1
+        assert s[table]["files"] >= 1
+        assert s[table]["bytes"] > 0

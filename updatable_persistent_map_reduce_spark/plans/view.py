@@ -581,6 +581,33 @@ class MapReduceView:
         ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
 
+    def stats(self) -> dict:
+        """Operational snapshot of the store: per-table file/byte
+        counts and span dirs — the numbers an operator watches to
+        decide span-count resizing or index compaction (no Spark job;
+        pure filesystem metadata)."""
+        out: dict = {"batch_seq": self._meta()["batch_seq"]}
+        for name, path in (
+            ("map_results", self._map_path),
+            ("doc_index", self._idx_path),
+            ("reduce_l1", self._l1_path),
+            ("final_results", self._final_path),
+        ):
+            if not os.path.exists(path):
+                continue
+            files = bytes_ = spans = 0
+            for entry in os.listdir(path):
+                sub = os.path.join(path, entry)
+                if not os.path.isdir(sub):
+                    continue
+                spans += 1
+                for f in os.listdir(sub):
+                    if f.endswith(".parquet"):
+                        files += 1
+                        bytes_ += os.path.getsize(os.path.join(sub, f))
+            out[name] = {"spans": spans, "files": files, "bytes": bytes_}
+        return out
+
     def compact_index(self) -> None:
         """Rewrite doc_index from the map_results source of truth,
         dropping stale append-only entries (docs that moved key-spans).

@@ -62,6 +62,8 @@ class StreamingMapReduceView:
         agg_exprs: Sequence[Column],
         n_key_spans: int = 64,
         n_doc_spans: int = 64,
+        two_level: bool = False,
+        n_sub_buckets: int = 64,
         max_files_per_trigger: int | None = None,
     ):
         self.spark = spark
@@ -102,6 +104,8 @@ class StreamingMapReduceView:
             agg_exprs=agg_exprs,
             n_key_spans=n_key_spans,
             n_doc_spans=n_doc_spans,
+            two_level=two_level,
+            n_sub_buckets=n_sub_buckets,
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
