@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import MapReduceView
@@ -24,15 +24,19 @@ from . import register
 def _latest_event_per_user(df: DataFrame) -> DataFrame:
     """In-batch user map: keep each user's latest event (max event_id).
     Cross-batch, MapReduceView replace semantics make the overall
-    result 'latest event per user over all batches'."""
-    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    result 'latest event per user over all batches'.
+
+    ``max_by`` rather than a row_number window: a hash aggregate with
+    map-side partials instead of a sort-based window shuffle — the
+    same latest-wins answer (event_id is unique), a strictly better
+    plan at scale."""
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        df.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_type", "value"), "event_id").alias("s"))
         .select(
             F.col("user_id").cast("string").alias("doc_id"),
-            F.col("event_type"),
-            F.col("value"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
         )
     )
 
