@@ -346,8 +346,10 @@ def test_two_level_matches_single_level(spark, tmp_path):
 
 def test_insert_only_batch_appends(spark, tmp_path):
     """A batch of brand-new docs must take the O(batch) append path:
-    files written by earlier batches stay byte-identical in place (no
-    copy-on-write span rewrite), yet aggregates include both batches."""
+    data files written by earlier batches stay byte-identical in place
+    (no copy-on-write span rewrite), yet aggregates include both
+    batches. (Manifest metadata rewrites per commit by design; the
+    invariant is about the immutable data files.)"""
     import os
 
     v = people_view(spark, tmp_path)
@@ -358,7 +360,7 @@ def test_insert_only_batch_appends(spark, tmp_path):
         out = {}
         for root, _, files in os.walk(map_dir):
             for f in files:
-                if "_SUCCESS" in f:  # job marker, rewritten on append
+                if not f.endswith(".parquet"):  # manifest/job metadata
                     continue
                 p = os.path.join(root, f)
                 out[p] = os.stat(p).st_mtime_ns

@@ -1,0 +1,254 @@
+"""ManifestTable — atomic-snapshot parquet tables for the view store.
+
+The reference's durability contract is "state survives process
+lifetimes" (its four filesystem trees, MapReduce/Executer.cs:165-203,
+are the only cross-process channel). Plain partition-directory
+overwrite cannot honor that contract under a crash: a kill between the
+per-span ``rmtree`` and ``move`` of a directory swap loses the span,
+and a parquet ``mode("append")`` into a live directory leaves torn
+files that later readers pick up.
+
+This module supplies the missing commit protocol — the same design a
+Delta/Iceberg table uses, reduced to what a single-writer engine
+needs:
+
+- **Data files are immutable.** Every write job lands whole files in a
+  fresh ``data-*/`` subdirectory; nothing ever modifies or deletes a
+  file that a committed snapshot references (until ``vacuum``).
+- **Membership is a JSON manifest** mapping span -> relative file
+  paths. Commits derive the next manifest in memory and publish it
+  with ``os.replace`` — atomic on POSIX — so a reader sees the old
+  complete snapshot or the new complete snapshot, never a mix, no
+  matter where a crash lands.
+- **Readers resolve the manifest to an explicit file list** and hand
+  it to ``spark.read.parquet(*files)``. Span pruning happens
+  driver-side against the manifest (strictly stronger than directory
+  partition pruning: no listing, no footer reads for skipped spans).
+  The span column is stored *in* the data files, so no partition
+  inference is needed.
+- **Crashed writes are invisible.** Files never referenced by a
+  manifest are orphans; ``vacuum()`` removes them opportunistically.
+- **Every committed manifest is archived** under ``_versions/`` —
+  snapshot time travel (``read(version=N)``) and an audit trail for
+  free; ``vacuum(keep_versions=...)`` bounds the archive.
+
+Scale notes (100 TB): the manifest holds one entry per data file, and
+the engine writes one file per dirty span per batch — manifest size
+tracks span count x batch count between compactions, not corpus size.
+On a real deployment this object would be a Delta/Iceberg commit log;
+the interface is deliberately shaped so swapping one in touches only
+this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "manifest.json"
+_VERSIONS = "_versions"
+
+
+class ManifestTable:
+    """A parquet table whose membership is an atomically-swapped
+    manifest: ``{"version": N, "spans": {"<span>": ["<relpath>", ...]}}``.
+
+    Single-writer (the engine serializes commits per table); any number
+    of concurrent readers, each seeing a consistent snapshot.
+    """
+
+    def __init__(self, path: str, span_col: str):
+        self.path = path
+        self.span_col = span_col
+        self._manifest_path = os.path.join(path, _MANIFEST)
+
+    # ----- manifest io -----------------------------------------------------
+
+    def _load(self, version: int | None = None) -> dict:
+        p = (
+            self._manifest_path
+            if version is None
+            else os.path.join(self.path, _VERSIONS, f"{version}.json")
+        )
+        if not os.path.exists(p):
+            if version is not None:
+                raise ValueError(f"no archived manifest version {version} at {p}")
+            return {"version": 0, "spans": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    @property
+    def version(self) -> int:
+        return self._load()["version"]
+
+    def spans(self, version: int | None = None) -> dict[int, list[str]]:
+        m = self._load(version)
+        return {int(s): list(files) for s, files in m["spans"].items()}
+
+    # ----- write path ------------------------------------------------------
+
+    def write_data(
+        self, df: DataFrame, sort_col: str | None = None
+    ) -> dict[int, list[str]]:
+        """Run one Spark write job landing ``df`` as immutable files in
+        a fresh ``data-*/`` subdir; return span -> relative file paths.
+
+        The job partitions by a duplicate of the span column so each
+        span becomes its own directory (giving the span->file mapping
+        from the directory listing, no extra job) while the span column
+        itself stays *in* the files as a data column for filter
+        pushdown on read. ``repartition(span)`` makes each span one
+        task writing one file — at 100 TB scale pair it with
+        ``spark.sql.files.maxRecordsPerFile`` (and more spans) to bound
+        file sizes. Files are unreferenced (invisible) until
+        :meth:`commit`."""
+        dirname = f"data-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.path, dirname)
+        out = df.withColumn("__span", F.col(self.span_col)).repartition(
+            F.col("__span")
+        )
+        if sort_col is not None:
+            out = out.sortWithinPartitions(sort_col)
+        out.write.mode("overwrite").partitionBy("__span").parquet(target)
+        mapping: dict[int, list[str]] = {}
+        prefix = "__span="
+        for entry in sorted(os.listdir(target)):
+            if not entry.startswith(prefix):
+                continue
+            span = int(entry[len(prefix):])
+            files = [
+                os.path.join(dirname, entry, f)
+                for f in sorted(os.listdir(os.path.join(target, entry)))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                mapping[span] = files
+        return mapping
+
+    def commit(
+        self,
+        *,
+        replace: dict[int, list[str]] | None = None,
+        append: dict[int, list[str]] | None = None,
+        drop: Iterable[int] = (),
+        replace_all: dict[int, list[str]] | None = None,
+    ) -> int:
+        """Publish the next snapshot: ``replace`` swaps a span's file
+        set, ``append`` extends it, ``drop`` removes the span,
+        ``replace_all`` substitutes the entire table. The previous
+        manifest is archived for time travel, then the new one is
+        published with one atomic ``os.replace``. Returns the new
+        version."""
+        m = self._load()
+        if replace_all is not None:
+            spans = {str(s): list(fs) for s, fs in replace_all.items()}
+        else:
+            spans = dict(m["spans"])
+            for s, fs in (replace or {}).items():
+                spans[str(s)] = list(fs)
+            for s, fs in (append or {}).items():
+                spans[str(s)] = spans.get(str(s), []) + list(fs)
+            for s in drop:
+                spans.pop(str(s), None)
+        spans = {s: fs for s, fs in spans.items() if fs}
+        new = {"version": m["version"] + 1, "spans": spans}
+        os.makedirs(self.path, exist_ok=True)
+        if os.path.exists(self._manifest_path):
+            vdir = os.path.join(self.path, _VERSIONS)
+            os.makedirs(vdir, exist_ok=True)
+            shutil.copyfile(
+                self._manifest_path,
+                os.path.join(vdir, f"{m['version']}.json"),
+            )
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new, f)
+        os.replace(tmp, self._manifest_path)
+        return new["version"]
+
+    # ----- read path -------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        spans: Iterable[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """DataFrame over the snapshot's files (optionally pruned to
+        ``spans`` driver-side, optionally an archived ``version``);
+        ``None`` if the selection is empty. The returned plan holds a
+        fixed file list, so concurrent commits/appends never change
+        what it reads."""
+        mapping = self.spans(version)
+        if spans is not None:
+            keep = set(spans)
+            mapping = {s: fs for s, fs in mapping.items() if s in keep}
+        files = [
+            os.path.join(self.path, f) for fs in mapping.values() for f in fs
+        ]
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    # ----- maintenance -----------------------------------------------------
+
+    def stats(self) -> dict:
+        m = self._load()
+        files = [f for fs in m["spans"].values() for f in fs]
+        return {
+            "version": m["version"],
+            "spans": len(m["spans"]),
+            "files": len(files),
+            "bytes": sum(
+                os.path.getsize(os.path.join(self.path, f))
+                for f in files
+                if os.path.exists(os.path.join(self.path, f))
+            ),
+        }
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Delete data files not referenced by the current snapshot
+        (crashed-write orphans, compacted/rewritten spans) and archived
+        manifests beyond ``keep_versions``. Returns the number of files
+        removed. Single-writer engines may run this any time; with
+        long-lived external readers, delay it past their lifetime (the
+        usual retention-window rule)."""
+        if not os.path.exists(self.path):
+            return 0
+        m = self._load()
+        live = {
+            os.path.normpath(f) for fs in m["spans"].values() for f in fs
+        }
+        removed = 0
+        for entry in os.listdir(self.path):
+            if not entry.startswith("data-"):
+                continue
+            droot = os.path.join(self.path, entry)
+            for root, _, names in os.walk(droot, topdown=False):
+                for name in names:
+                    rel = os.path.normpath(
+                        os.path.relpath(os.path.join(root, name), self.path)
+                    )
+                    if rel not in live:
+                        os.remove(os.path.join(root, name))
+                        if name.endswith(".parquet"):
+                            removed += 1
+                try:
+                    os.rmdir(root)  # only succeeds when emptied
+                except OSError:
+                    pass
+        vdir = os.path.join(self.path, _VERSIONS)
+        if os.path.isdir(vdir):
+            archived = sorted(
+                (int(f[:-5]) for f in os.listdir(vdir) if f.endswith(".json")),
+                reverse=True,
+            )
+            for v in archived[keep_versions:]:
+                os.remove(os.path.join(vdir, f"{v}.json"))
+        return removed

@@ -16,32 +16,39 @@ Spark. Reference behavior being reproduced (see SURVEY §1 invariants):
   computation at read time; unknown key => empty
   (Executer.cs:370-376).
 - Doc ids match case-insensitively on upsert (Executer.cs:245-247).
+- State survives process lifetimes (the reference's whole point: its
+  filesystem trees are the only cross-process channel). Here that
+  contract is *crash-safe*: every state table is a
+  :class:`~..plans.store.ManifestTable` (immutable data files +
+  atomically-swapped JSON manifest), a batch is bracketed by a
+  recovery journal, and reopening after a kill at any point yields a
+  store equivalent to "batch fully applied" or "batch not applied".
 
 Spark-first architecture
 ------------------------
-Three parquet state tables under ``store_path``:
+Four manifest tables under ``store_path``:
 
-``map_results/kspan=K/``
+``map_results/``  (span column ``kspan``)
     Persisted per-document map output (the reference's
     ``MapResults/<key>/<bucket>/<docId>`` tree, Executer.cs:165-183),
-    columnar and partitioned by **key-span** ``K = pmod(xxhash64(group
-    key), n_key_spans)`` so recomputation of a dirty span is a
-    partition-pruned scan.
+    columnar and clustered by **key-span** ``K = pmod(xxhash64(group
+    key), n_key_spans)`` so recomputation of a dirty span reads only
+    that span's files (pruned driver-side against the manifest).
 
-``doc_index/dspan=D/``
+``doc_index/``  (span column ``dspan``)
     ``(uid, kspan)`` locations of every live doc's map output,
-    partitioned by the stable case-insensitive **doc bucket** span
+    clustered by the stable case-insensitive **doc bucket** span
     (functions/bucket.py, the reference's Executer.cs:295-303 role).
     This replaces the reference's O(corpus) invalidation scan
     (``Directory.GetFiles(AllDirectories)``, Executer.cs:245) with a
-    pruned lookup: an incoming batch touches only its own doc spans.
+    manifest-pruned lookup: an incoming batch reads only its own doc
+    spans' files.
 
-``final_results/kspan=K/``
+``final_results/``  (span column ``kspan``)
     The materialized aggregate (the reference's ``FinalResults/<key>``,
-    Executer.cs:263-276), partitioned by key-span for pruned point
-    lookups.
+    Executer.cs:263-276); point lookups read one span's files.
 
-``reduce_l1/kspan=K/`` *(two-level mode)*
+``reduce_l1/``  (span column ``kspan``; two-level mode)
     Materialized per-(key-span, doc-bucket) partial aggregates — the
     reference's level-one reduce results (``ReduceResults/One``,
     Executer.cs:80-81,192-203) with per-bucket dirty granularity: a
@@ -58,38 +65,56 @@ Incremental maintenance per ``execute(batch)``:
    rows per doc — the reference's ``Map`` contract,
    MapReduceTask.cs:8);
 2. dirty key-spans = spans of the batch's new keys ∪ spans holding
-   replaced docs' old output (via the pruned doc_index lookup);
-3. copy-on-write those spans of ``map_results`` (survivors = existing
-   rows minus incoming doc ids, latest-wins) — Spark's dynamic
-   partition overwrite replaces exactly the dirty directories;
-4. re-aggregate *only* the dirty key-spans (partition-pruned scan +
+   replaced docs' old output (via the manifest-pruned doc_index
+   lookup);
+3. write replacement/append data files for the dirty spans of
+   ``map_results`` (survivors = existing rows minus incoming doc ids,
+   latest-wins) — files are invisible until the manifest commit;
+4. re-aggregate *only* the dirty key-spans (pruned file list +
    partial/final HashAggregate — Spark's native two-level reduce tree,
-   the reference's Executer.cs:47-85 for free) and dynamically
-   overwrite those spans of ``final_results``.
+   the reference's Executer.cs:47-85 for free);
+5. journal the dirty spans, then commit the tables in dependency
+   order (doc_index → map_results → reduce_l1 → final_results), each
+   an atomic manifest swap, and clear the journal.
+
+Crash recovery: the doc_index commit leads because a stale *extra*
+index entry only over-dirties a later batch (recompute reads
+map_results, the source of truth) — whereas a *missing* entry would
+leak stale rows, so map_results never commits before the index. A
+crash inside the map-commit → finals-commit window leaves the journal
+behind; reopening the view re-aggregates the journaled spans from
+committed map_results and re-publishes finals (and L1), converging the
+downstream tables. Data files written by a crashed batch are never
+referenced by any manifest — invisible, reclaimed by ``vacuum()``.
 
 Cost per batch is O(|batch| + rewritten-span bytes + dirty-span
 aggregation), independent of corpus size — strictly better than the
 reference, which rescans all map results for invalidation on every
 batch. Spans holding a replaced doc are copy-on-write rewritten; spans
 dirtied only by brand-new docs take an O(batch) append (the doc_index
-is append-only, so "no index entry" proves "never written"), which is
-what insert-heavy ingest pays.
+never loses an entry, so "no index entry" proves "never written"),
+which is what insert-heavy ingest pays. Because readers hold
+manifest-resolved file lists and appends only add unreferenced files,
+every write job of a batch runs concurrently — there is no
+reader/append ordering to respect (the old directory-swap protocol
+needed a two-phase schedule here).
 
 Scale notes (100 TB): raise ``n_key_spans``/``n_doc_spans`` so a span
 ~= a few GB (they are the rewrite and re-aggregation granularity);
 skewed group keys stay healthy because a span holds many keys and AQE
-splits oversized shuffle partitions during re-aggregation; the
-ping-pong staging write is two sequential executor-parallel jobs, no
-driver bottleneck. On a real deployment the three tables would be
-Delta/Iceberg tables (ACID partition replace); plain parquet dirs +
-dynamic partition overwrite give the same single-writer semantics here.
+splits oversized shuffle partitions during re-aggregation; all heavy
+writes are executor-parallel Spark jobs on concurrent driver threads,
+and commits are O(manifest) driver-side metadata swaps. On a real
+deployment the manifest tables would be Delta/Iceberg tables (same
+commit shape); see plans/store.py.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
-import shutil
 import threading
 from collections.abc import Callable, Sequence
 
@@ -97,6 +122,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bucket import bucket_expr
+from .store import ManifestTable
 
 MapFn = Callable[[DataFrame], DataFrame]
 
@@ -165,12 +191,21 @@ class MapReduceView:
         # sum("cnt").alias("cnt"); count(*) is NOT — emit 1s and sum).
         self.two_level = two_level
         self.n_sub_buckets = n_sub_buckets
-        self._map_path = os.path.join(store_path, "map_results")
-        self._idx_path = os.path.join(store_path, "doc_index")
-        self._l1_path = os.path.join(store_path, "reduce_l1")
-        self._final_path = os.path.join(store_path, "final_results")
+        self._map_t = ManifestTable(
+            os.path.join(store_path, "map_results"), "kspan"
+        )
+        self._idx_t = ManifestTable(
+            os.path.join(store_path, "doc_index"), "dspan"
+        )
+        self._l1_t = ManifestTable(
+            os.path.join(store_path, "reduce_l1"), "kspan"
+        )
+        self._fin_t = ManifestTable(
+            os.path.join(store_path, "final_results"), "kspan"
+        )
         self._meta_path = os.path.join(store_path, "meta.json")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._journal_path = os.path.join(store_path, "journal.json")
+        self._recover()
 
     # ----- span expressions ------------------------------------------------
 
@@ -191,79 +226,21 @@ class MapReduceView:
         # the reference's leaf bucket role (Executer.cs:295-303).
         return (bucket_expr(uid_column) % F.lit(self.n_sub_buckets)).cast("int")
 
-    def _pair(self) -> Column:
-        # (kspan, bucket) encoded as one int for driver-side sets and
-        # `isin` pushdown.
-        return F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket")
+    @staticmethod
+    def _pair_pred(pairs_by_span: dict[int, list[int]]) -> Column:
+        """Predicate selecting the dirty (kspan, bucket) pairs as an OR
+        of per-span conjunctions — both conjuncts are plain column
+        comparisons, so the filter pushes to parquet and row-group
+        stats (files are bucket-sorted) prune the scan."""
+        return functools.reduce(
+            operator.or_,
+            [
+                (F.col("kspan") == s) & F.col("bucket").isin(bs)
+                for s, bs in pairs_by_span.items()
+            ],
+        )
 
-    # ----- state io --------------------------------------------------------
-
-    def _exists(self, path: str) -> bool:
-        return os.path.exists(path)
-
-    def _read(self, path: str) -> DataFrame | None:
-        return self.spark.read.parquet(path) if self._exists(path) else None
-
-    def _stage_write(
-        self,
-        df: DataFrame,
-        path: str,
-        partition_col: str,
-        sort_col: str | None = None,
-    ) -> tuple[str, set[int]]:
-        """Write ``df`` (which may read from ``path``) to a sibling
-        staging dir with one Spark write job; return the staging path
-        and the spans present in the staged data (read off the staging
-        directory listing — no extra job).
-
-        The pre-write ``repartition(partition_col)`` makes each span a
-        single task writing a single file instead of every shuffle task
-        writing a sliver of every span (task_count × span_count tiny
-        files — a metadata storm on any object store). At 100 TB scale
-        combine with ``spark.sql.files.maxRecordsPerFile`` (and more
-        spans) to keep file sizes bounded."""
-        staging = path + ".staging"
-        out = df.repartition(F.col(partition_col))
-        if sort_col is not None:
-            out = out.sortWithinPartitions(sort_col)
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        prefix = f"{partition_col}="
-        spans = {
-            int(entry[len(prefix):])
-            for entry in os.listdir(staging)
-            if entry.startswith(prefix)
-        }
-        return staging, spans
-
-    def _swap_staged(
-        self, staging: str, path: str, partition_col: str, spans: set[int]
-    ) -> None:
-        """Swap staged partition directories into place with filesystem
-        renames — no second write job; the swap is the cheap metadata
-        operation a Delta/Iceberg commit would be on a real deployment."""
-        prefix = f"{partition_col}="
-        if not self._exists(path):
-            if spans:
-                shutil.move(staging, path)
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
-            return
-        for entry in os.listdir(staging):
-            if not entry.startswith(prefix):
-                continue
-            target = os.path.join(path, entry)
-            shutil.rmtree(target, ignore_errors=True)
-            shutil.move(os.path.join(staging, entry), target)
-        shutil.rmtree(staging, ignore_errors=True)
-
-    def _staged_overwrite(
-        self, df: DataFrame, path: str, partition_col: str
-    ) -> set[int]:
-        """Copy-on-write partition replace: one staged write job, then
-        the rename swap. Returns the spans written."""
-        staging, spans = self._stage_write(df, path, partition_col)
-        self._swap_staged(staging, path, partition_col, spans)
-        return spans
+    # ----- journal / meta --------------------------------------------------
 
     def _meta(self) -> dict:
         if os.path.exists(self._meta_path):
@@ -273,8 +250,61 @@ class MapReduceView:
 
     def _write_meta(self, meta: dict) -> None:
         os.makedirs(self.store, exist_ok=True)
-        with open(self._meta_path, "w") as f:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _write_journal(self, dirty_kspans: Sequence[int]) -> None:
+        os.makedirs(self.store, exist_ok=True)
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"kspans": sorted(dirty_kspans)}, f)
+        os.replace(tmp, self._journal_path)
+
+    def _recover(self) -> None:
+        """Converge downstream tables after a crashed ``execute``: the
+        journal names the key-spans whose finals (and L1) may be stale
+        relative to committed map_results; re-aggregate exactly those
+        spans from the source of truth and re-publish. Idempotent —
+        a crash *during* recovery just reruns it."""
+        if not os.path.exists(self._journal_path):
+            return
+        with open(self._journal_path) as f:
+            dirty = set(json.load(f)["kspans"])
+        content = self._map_t.read(self.spark, spans=dirty)
+        if content is None:
+            if self.two_level:
+                self._l1_t.commit(drop=dirty)
+            self._fin_t.commit(drop=dirty)
+        else:
+            if self.two_level:
+                l1 = content.groupBy(
+                    "kspan", "bucket", *self.group_cols
+                ).agg(*self.agg_exprs)
+                l1.cache()
+                l1_map = self._l1_t.write_data(l1)
+                self._l1_t.commit(
+                    replace=l1_map, drop=dirty - set(l1_map)
+                )
+                finals = l1.groupBy("kspan", *self.group_cols).agg(
+                    *self.agg_exprs
+                )
+            elif self.agg_exprs is not None:
+                finals = content.groupBy("kspan", *self.group_cols).agg(
+                    *self.agg_exprs
+                )
+            else:
+                finals = content.groupBy(
+                    "kspan", *self.group_cols
+                ).applyInPandas(
+                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+                )
+            fin_map = self._fin_t.write_data(finals)
+            self._fin_t.commit(replace=fin_map, drop=dirty - set(fin_map))
+            if self.two_level:
+                l1.unpersist()
+        os.remove(self._journal_path)
 
     # ----- write path (Execute — reference Executer.cs:31-45) -------------
 
@@ -296,22 +326,22 @@ class MapReduceView:
         mapped = mapped.withColumn("kspan", self._kspan())
         if self.two_level:
             mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
-        # The mapped batch feeds four downstream plans (span discovery,
-        # map_results content, doc_index content); batches are bounded,
-        # so caching beats recomputing the user map each time.
+        # The mapped batch feeds several downstream plans (span
+        # discovery, map_results content, doc_index content); batches
+        # are bounded, so caching beats recomputing the user map.
         mapped.cache()
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
-        # One tagged-union job discovers everything the batch dirties:
-        # new keys' spans from the mapped batch, the batch's doc-spans,
-        # and replaced docs' old key-spans from the doc_index (the
-        # reference's delete-and-reschedule, Executer.cs:240-261, minus
-        # its full-corpus scan). The index lookup joins on
-        # (dspan, uid) against the broadcast batch ids, so the
-        # partition column is a join key and dynamic partition pruning
-        # skips untouched dspan directories — no driver round-trip to
-        # pre-collect the span list.
+        # The batch's doc-spans first (a tiny distinct over the cached
+        # ids), so the doc_index lookup reads only those spans' files —
+        # the manifest-pruned equivalent of the reference's
+        # delete-and-reschedule (Executer.cs:240-261) without its
+        # full-corpus scan. Then one tagged-union job discovers
+        # everything the batch dirties: new keys' spans from the mapped
+        # batch, and replaced docs' old key-spans (and, two-level, doc
+        # buckets) from the index.
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
+        batch_dspans = {r.dspan for r in ids_d.select("dspan").distinct().collect()}
         bucket_of = (
             self._bucket(F.col("uid")) if self.two_level else F.lit(0)
         )
@@ -320,7 +350,7 @@ class MapReduceView:
             F.col("kspan").alias("v"),
             bucket_of.alias("b"),
         )
-        idx = self._read(self._idx_path)
+        idx = self._idx_t.read(self.spark, spans=batch_dspans)
         if idx is not None:
             old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
             tagged = tagged.unionByName(
@@ -332,12 +362,12 @@ class MapReduceView:
             )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
-        dirty_pairs: set[int] = set()  # (kspan, bucket) encoded; two-level
+        dirty_pairs: set[tuple[int, int]] = set()  # (kspan, bucket); two-level
         buckets = {"k": new_kspans, "o": old_kspans}
         for r in tagged.distinct().collect():
             buckets[r.t].add(r.v)
-            dirty_pairs.add(r.v * self.n_sub_buckets + r.b)
-        dirty_kspans = sorted(new_kspans | old_kspans)
+            dirty_pairs.add((r.v, r.b))
+        dirty_kspans = new_kspans | old_kspans
         if not dirty_kspans:
             # Batch mapped to nothing and replaced nothing: no index
             # entries exist for these ids (old_kspans empty) — nothing
@@ -347,84 +377,52 @@ class MapReduceView:
             self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
             return
 
-        # --- append the batch's doc locations to doc_index, on a
-        # parallel thread: it is independent of the map_results/finals
-        # chain, and Spark's scheduler runs jobs from separate driver
-        # threads concurrently, so the index write overlaps the
-        # copy-on-write below instead of serializing after it.
-        # The index is append-only (LSM-style): stale entries for a doc
-        # that moved key-spans are not rewritten out, they just make a
-        # later lookup report extra old key-spans — which only
-        # over-dirties (recompute reads map_results, the source of
-        # truth), never corrupts. A real deployment compacts
-        # opportunistically (see compact_index).
-        new_idx = (
-            mapped.select(
-                "uid",
-                F.col("kspan"),
-                self._dspan(F.col("uid")).alias("dspan"),
-            )
-            .distinct()
-        )
-        idx_err: list[BaseException] = []
+        # Journal before any write: a crash anywhere below leaves
+        # either a no-op recovery (nothing committed yet) or the
+        # converging recompute described in the module docstring.
+        self._write_journal(sorted(dirty_kspans))
 
-        def _append_idx() -> None:
-            try:
-                new_idx.repartition(F.col("dspan")).write.mode(
-                    "append"
-                ).partitionBy("dspan").parquet(self._idx_path)
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                idx_err.append(e)
-
-        idx_thread = threading.Thread(target=_append_idx, daemon=True)
-        idx_thread.start()
-
-        # --- maintain map_results for dirty key-spans
+        # --- classify dirty spans
         # (reference: PersistMap + delete of replaced docs,
         # Executer.cs:165-183, 258)
         #
-        # Dirty spans split into two regimes:
         #   rewrite spans = ``old_kspans`` — some incoming doc has a
-        #     prior version there (the append-only doc_index never
-        #     loses an entry, so a doc absent from ``old_kspans`` has
-        #     provably never been written); survivors must be filtered
-        #     out, so the span is copy-on-write rewritten.
+        #     prior version there (the doc_index never loses an entry,
+        #     so a doc absent from ``old_kspans`` has provably never
+        #     been written); survivors must be filtered out, so the
+        #     span's file set is replaced.
         #   append spans = dirty - rewrite — only brand-new rows land
-        #     there; the batch's rows are *appended*, O(batch) instead
-        #     of O(span). Insert-heavy ingest (the dominant 100 TB
-        #     regime) therefore never pays span-rewrite amplification.
-        data_cols = [
-            c for c in mapped.columns if c not in ("kspan",)
-        ]
+        #     there; the batch's rows are *appended* as new files,
+        #     O(batch) instead of O(span). Insert-heavy ingest (the
+        #     dominant 100 TB regime) never pays rewrite amplification.
+        data_cols = [c for c in mapped.columns if c != "kspan"]
         new_rows = mapped.select(*data_cols, F.col("kspan"))
-        existing = self._read(self._map_path)
+        existing = self._map_t.read(self.spark, spans=dirty_kspans)
         if existing is not None:
-            rewrite_spans = sorted(old_kspans)
-            append_spans = sorted(new_kspans - old_kspans)
-            span_content = existing.filter(
-                F.col("kspan").isin(dirty_kspans)
-            )
+            rewrite_spans = set(old_kspans)
+            append_spans = new_kspans - old_kspans
+            span_content = existing
             if rewrite_spans:
                 span_content = span_content.join(
                     F.broadcast(ids), "uid", "left_anti"
                 )
             content = span_content.select(new_rows.columns).unionByName(new_rows)
         else:
-            # no physical store yet: stale old_kspans (possible only
-            # from a partially-built store) have no files to rewrite —
-            # everything is an append
-            rewrite_spans = []
-            append_spans = sorted(new_kspans)
+            # no committed files in the dirty spans (fresh store, or
+            # stale index entries pointing at since-emptied spans):
+            # nothing to rewrite — everything is an append
+            rewrite_spans = set()
+            append_spans = set(dirty_kspans)
             content = new_rows
         # ``content`` is exactly what the dirty map_results spans will
-        # hold afterwards, so downstream aggregation reads it directly
-        # instead of re-reading the parquet it just wrote. The map
-        # rewrite (a filter of the same cache), the append, and the
-        # finals/L1 staging all run on concurrent driver threads (Spark
-        # schedules jobs from separate threads in parallel), so the
-        # critical path is the slowest write, not their sum.
-        # ``existing`` snapshotted its file listing at _read() time, so
-        # the concurrent append can't double-count.
+        # hold after commit, so downstream aggregation reads it
+        # directly instead of re-reading the parquet it just wrote.
+        # Every write job below runs on a concurrent driver thread
+        # (Spark schedules jobs from separate threads in parallel):
+        # readers hold manifest-resolved file lists and appends only
+        # create unreferenced files, so no ordering applies until the
+        # commits — the critical path is the slowest write, not the
+        # sum.
         #
         # Two-level append-only batches skip the cache: the only
         # consumer is the bucket-filtered L1 recompute, and caching
@@ -444,17 +442,18 @@ class MapReduceView:
         # finer dirty granularity).
         l1_content = None
         if self.two_level:
-            l1_existing = self._read(self._l1_path)
-            pair_list = sorted(dirty_pairs)
+            pairs_by_span: dict[int, list[int]] = {}
+            for s, b in sorted(dirty_pairs):
+                pairs_by_span.setdefault(s, []).append(b)
+            dirty_pred = self._pair_pred(pairs_by_span)
+            l1_existing = self._l1_t.read(self.spark, spans=dirty_kspans)
             recomputed = (
-                content.filter(self._pair().isin(pair_list))
+                content.filter(dirty_pred)
                 .groupBy("kspan", "bucket", *self.group_cols)
                 .agg(*self.agg_exprs)
             )
             if l1_existing is not None:
-                l1_surv = l1_existing.filter(
-                    F.col("kspan").isin(dirty_kspans)
-                ).filter(~self._pair().isin(pair_list))
+                l1_surv = l1_existing.filter(~dirty_pred)
                 l1_content = l1_surv.select(recomputed.columns).unionByName(
                     recomputed
                 )
@@ -472,205 +471,179 @@ class MapReduceView:
             finals = content.groupBy("kspan", *self.group_cols).applyInPandas(
                 self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
             )
-        fin_out: dict[str, object] = {}
-        l1_out: dict[str, object] = {}
-        app_err: list[BaseException] = []
 
-        def _stage_finals() -> None:
-            try:
-                fin_out["res"] = self._stage_write(
-                    finals, self._final_path, "kspan"
-                )
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                fin_out["err"] = e
-
-        def _append_new() -> None:
-            try:
-                out = new_rows.filter(
-                    F.col("kspan").isin(append_spans)
-                ).repartition(F.col("kspan"))
-                if self.two_level:
-                    # bucket-clustered files -> row-group stats prune
-                    # later dirty-bucket recomputes to the right groups
-                    out = out.sortWithinPartitions("bucket")
-                out.write.mode("append").partitionBy("kspan").parquet(
-                    self._map_path
-                )
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                app_err.append(e)
-
-        def _stage_l1() -> None:
-            try:
-                l1_out["res"] = self._stage_write(
-                    l1_content, self._l1_path, "kspan"
-                )
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                l1_out["err"] = e
-
-        # Phase 1 — every job that READS the live map_results snapshot
-        # (finals staging, L1 staging, map rewrite staging) runs
-        # concurrently; the live-table append is NOT among them. An
-        # append committing mid-flight can make a concurrent reader of
-        # ``existing`` observe the new files (the parquet relation's
-        # file listing is not a transactional snapshot under a
-        # same-path writer), double-counting the batch — two readers
-        # racing one append produced *divergent* finals vs L1 in
-        # stress runs. Writers to other paths can't perturb readers,
-        # so staging jobs may overlap freely.
-        fin_thread = threading.Thread(target=_stage_finals, daemon=True)
-        fin_thread.start()
-        l1_thread = None
-        if l1_content is not None:
-            l1_thread = threading.Thread(target=_stage_l1, daemon=True)
-            l1_thread.start()
-
-        map_staging, rewritten = None, set()
-        if rewrite_spans and existing is not None:
-            map_staging, rewritten = self._stage_write(
-                content.filter(F.col("kspan").isin(rewrite_spans)),
-                self._map_path,
-                "kspan",
-                sort_col="bucket" if self.two_level else None,
+        # --- write all data files concurrently (invisible until commit)
+        new_idx = (
+            mapped.select(
+                "uid",
+                F.col("kspan"),
+                self._dspan(F.col("uid")).alias("dspan"),
             )
-        fin_thread.join()
-        if l1_thread is not None:
-            l1_thread.join()
-        if "err" in fin_out:
-            raise fin_out["err"]
-        if "err" in l1_out:
-            raise l1_out["err"]
-        fin_staging, fin_spans = fin_out["res"]
+            .distinct()
+        )
+        results: dict[str, dict[int, list[str]]] = {}
+        errors: dict[str, BaseException] = {}
 
-        # Phase 2 — with all snapshot readers drained, the append runs,
-        # overlapped with the directory swaps below (append spans are
-        # disjoint from rewrite spans, and the swaps touch other
-        # tables' directories).
-        app_thread = None
+        def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
+            try:
+                results[name] = fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors[name] = e
+
+        jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
+            ("idx", lambda: self._idx_t.write_data(new_idx)),
+            ("fin", lambda: self._fin_t.write_data(finals)),
+        ]
         if append_spans:
-            app_thread = threading.Thread(target=_append_new, daemon=True)
-            app_thread.start()
-
-        # Swap staged spans into place; a rewrite span whose content
-        # became empty (every doc deleted/moved out) loses its map
-        # rows, partials, and final rows (mirrors the reference's eager
-        # span invalidation, Executer.cs:132-150).
-        if map_staging is not None:
-            self._swap_staged(map_staging, self._map_path, "kspan", rewritten)
-        for span in set(rewrite_spans) - rewritten - set(append_spans):
-            for p in (self._map_path, self._l1_path, self._final_path):
-                shutil.rmtree(
-                    os.path.join(p, f"kspan={span}"), ignore_errors=True
+            app_rows = new_rows.filter(F.col("kspan").isin(sorted(append_spans)))
+            jobs.append(
+                (
+                    "map_app",
+                    lambda: self._map_t.write_data(
+                        app_rows,
+                        sort_col="bucket" if self.two_level else None,
+                    ),
                 )
-        if l1_thread is not None:
-            l1_staging, l1_spans = l1_out["res"]
-            self._swap_staged(l1_staging, self._l1_path, "kspan", l1_spans)
-        self._swap_staged(fin_staging, self._final_path, "kspan", fin_spans)
+            )
+        if rewrite_spans:
+            rw_rows = content.filter(F.col("kspan").isin(sorted(rewrite_spans)))
+            jobs.append(
+                (
+                    "map_rw",
+                    lambda: self._map_t.write_data(
+                        rw_rows,
+                        sort_col="bucket" if self.two_level else None,
+                    ),
+                )
+            )
+        if l1_content is not None:
+            jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
+        threads = [
+            threading.Thread(target=_run, args=(n, fn), daemon=True)
+            for n, fn in jobs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise next(iter(errors.values()))
 
-        if app_thread is not None:
-            app_thread.join()
-        if app_err:
-            raise app_err[0]
-        idx_thread.join()
-        if idx_err:
-            raise idx_err[0]
+        # --- commit (atomic manifest swaps, dependency order; see
+        # module docstring for why the index leads)
+        self._idx_t.commit(append=results["idx"])
+        map_rw = results.get("map_rw", {})
+        map_app = results.get("map_app", {})
+        self._map_t.commit(
+            replace=map_rw,
+            append=map_app,
+            drop=rewrite_spans - set(map_rw) - set(map_app),
+        )
+        if l1_content is not None:
+            self._l1_t.commit(
+                replace=results["l1"], drop=dirty_kspans - set(results["l1"])
+            )
+        self._fin_t.commit(
+            replace=results["fin"], drop=dirty_kspans - set(results["fin"])
+        )
+        os.remove(self._journal_path)
 
         if l1_content is not None:
             l1_content.unpersist()
-        content.unpersist()
+        if not self.two_level or rewrite_spans:
+            content.unpersist()
         mapped.unpersist()
         ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
 
+    # ----- maintenance -----------------------------------------------------
+
     def stats(self) -> dict:
-        """Operational snapshot of the store: per-table file/byte
-        counts and span dirs — the numbers an operator watches to
-        decide span-count resizing or index compaction (no Spark job;
-        pure filesystem metadata)."""
+        """Operational snapshot of the store: per-table manifest
+        version and file/byte/span counts — the numbers an operator
+        watches to decide span-count resizing, index compaction, or
+        vacuum cadence (no Spark job; manifest + file metadata)."""
         out: dict = {"batch_seq": self._meta()["batch_seq"]}
-        for name, path in (
-            ("map_results", self._map_path),
-            ("doc_index", self._idx_path),
-            ("reduce_l1", self._l1_path),
-            ("final_results", self._final_path),
+        for name, table in (
+            ("map_results", self._map_t),
+            ("doc_index", self._idx_t),
+            ("reduce_l1", self._l1_t),
+            ("final_results", self._fin_t),
         ):
-            if not os.path.exists(path):
-                continue
-            files = bytes_ = spans = 0
-            for entry in os.listdir(path):
-                sub = os.path.join(path, entry)
-                if not os.path.isdir(sub):
-                    continue
-                spans += 1
-                for f in os.listdir(sub):
-                    if f.endswith(".parquet"):
-                        files += 1
-                        bytes_ += os.path.getsize(os.path.join(sub, f))
-            out[name] = {"spans": spans, "files": files, "bytes": bytes_}
+            s = table.stats()
+            if s["spans"]:
+                out[name] = s
         return out
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Reclaim unreferenced data files (crashed batches, replaced
+        spans) and bound the manifest archive across all four tables.
+        Returns files removed. Never required for correctness."""
+        return sum(
+            t.vacuum(keep_versions=keep_versions)
+            for t in (self._map_t, self._idx_t, self._l1_t, self._fin_t)
+        )
 
     def compact_index(self) -> None:
         """Rewrite doc_index from the map_results source of truth,
-        dropping stale append-only entries (docs that moved key-spans).
-        Run opportunistically — correctness never requires it; stale
+        dropping stale entries (docs that moved key-spans). Run
+        opportunistically — correctness never requires it; stale
         entries only over-dirty recomputation."""
-        live = self._read(self._map_path)
+        live = self._map_t.read(self.spark)
         if live is None:
             return
         fresh = live.select(
             "uid", "kspan", self._dspan(F.col("uid")).alias("dspan")
         ).distinct()
-        staging = self._idx_path + ".compact"
-        fresh.repartition(F.col("dspan")).write.mode("overwrite").partitionBy(
-            "dspan"
-        ).parquet(staging)
-        shutil.rmtree(self._idx_path, ignore_errors=True)
-        shutil.move(staging, self._idx_path)
+        mapping = self._idx_t.write_data(fresh)
+        self._idx_t.commit(replace_all=mapping)
+        self._idx_t.vacuum()
 
     # ----- read path (Query — reference Executer.cs:370-376) --------------
 
-    def final_df(self) -> DataFrame:
-        """The whole materialized view (all groups)."""
-        df = self._read(self._final_path)
+    def final_df(self, version: int | None = None) -> DataFrame:
+        """The whole materialized view (all groups). ``version`` reads
+        an archived snapshot (time travel) — every committed manifest
+        is retained until ``vacuum(keep_versions=...)`` trims it."""
+        df = self._fin_t.read(self.spark, version=version)
         if df is None:
             raise ValueError(f"view at {self.store} has no materialized state")
         return df.drop("kspan")
 
     def query(self, *key_values) -> DataFrame:
-        """Point lookup of one group's materialized row(s): a
-        partition-pruned read, no recomputation; empty for unknown keys
-        (Executer.cs:373-374 semantics)."""
-        df = self._read(self._final_path)
-        if df is None:
-            return self.spark.createDataFrame([], schema="key string")
+        """Point lookup of one group's materialized row(s): the key's
+        span is computed driver-side and only that span's files are
+        read (manifest pruning); no recomputation; empty for unknown
+        keys (Executer.cs:373-374 semantics)."""
         span = (
             self.spark.range(1)
             .select(self._kspan(*[F.lit(v) for v in key_values]).alias("s"))
             .first()
             .s
         )
-        out = df.filter(F.col("kspan") == span)
+        out = self._fin_t.read(self.spark, spans=[span])
+        if out is None:
+            empty_schema = ", ".join(f"`{c}` string" for c in self.group_cols)
+            return self.spark.createDataFrame([], schema=empty_schema)
         for col, val in zip(self.group_cols, key_values):
             out = out.filter(F.col(col) == val)
         return out.drop("kspan")
 
     def drop_key(self, *key_values) -> None:
         """Remove one group's materialized rows (the reference's dead
-        ``Storage.Delete``, Executer.cs:222-238, exposed for real)."""
-        df = self._read(self._final_path)
-        if df is None:
-            return
+        ``Storage.Delete``, Executer.cs:222-238, exposed for real) —
+        a single-span file rewrite + manifest commit."""
         span = (
             self.spark.range(1)
             .select(self._kspan(*[F.lit(v) for v in key_values]).alias("s"))
             .first()
             .s
         )
-        keep = df.filter(F.col("kspan") == span)
+        df = self._fin_t.read(self.spark, spans=[span])
+        if df is None:
+            return
+        keep = df
         for col, val in zip(self.group_cols, key_values):
             keep = keep.filter(~(F.col(col) == val))
-        if keep.isEmpty():
-            shutil.rmtree(
-                os.path.join(self._final_path, f"kspan={span}"), ignore_errors=True
-            )
-        else:
-            self._staged_overwrite(keep, self._final_path, "kspan")
+        mapping = self._fin_t.write_data(keep)
+        self._fin_t.commit(replace=mapping, drop={span} - set(mapping))
