@@ -419,3 +419,46 @@ def test_stats_snapshot(spark, tmp_path):
         assert s[table]["spans"] >= 1
         assert s[table]["files"] >= 1
         assert s[table]["bytes"] > 0
+
+
+def test_delete_docs(spark, tmp_path):
+    """Explicit deletion: ids removed everywhere (case-insensitive),
+    groups shrink/disappear, unknown ids are no-ops."""
+    v = people_view(spark, tmp_path)
+    v.execute(
+        people_df(spark, [("a", "CA"), ("b", "CA"), ("c", "TX"), ("d", "NY")])
+    )
+    v.delete_docs(["A", "c"])  # case-insensitive, one per group
+    assert counts(v) == {"CA": 1, "NY": 1}
+    v.delete_docs(["nope"])  # unknown id: no-op
+    assert counts(v) == {"CA": 1, "NY": 1}
+    v.delete_docs(people_df(spark, [("d", "ignored")]).select("id"))
+    assert counts(v) == {"CA": 1}
+    # deleted ids can be re-inserted afterwards
+    v.execute(people_df(spark, [("a", "TX")]))
+    assert counts(v) == {"CA": 1, "TX": 1}
+
+
+def test_delete_docs_two_level(spark, tmp_path):
+    v = two_level_view(spark, str(tmp_path / "tl"))
+    v.execute(people_df(spark, [("a", "CA"), ("b", "CA"), ("c", "TX")]))
+    v.delete_docs(["b", "C"])
+    assert counts(v) == {"CA": 1}
+    v.execute(people_df(spark, [("e", "CA")]))
+    assert counts(v) == {"CA": 2}
+
+
+def test_compact_map_preserves_results(spark, tmp_path):
+    """Insert-only batches append one file per span; compaction folds
+    a span's files into one without changing any result, and later
+    upserts still work."""
+    v = people_view(spark, tmp_path)
+    for i in range(4):  # same state => same span accumulates appends
+        v.execute(people_df(spark, [(f"p-{i}", "CA")]))
+    before = counts(v)
+    files_before = v.stats()["map_results"]["files"]
+    assert v.compact_map(min_files=2) >= 1
+    assert v.stats()["map_results"]["files"] < files_before
+    assert counts(v) == before
+    v.execute(people_df(spark, [("p-0", "TX")]))
+    assert counts(v) == {"CA": 3, "TX": 1}

@@ -104,11 +104,22 @@ class Executer:
         return self._view.query(*key_values)
 
     # Spark-native extras beyond the reference surface
-    def final_df(self) -> DataFrame:
-        return self._view.final_df()
+    def final_df(self, version: int | None = None) -> DataFrame:
+        return self._view.final_df(version=version)
+
+    def delete(self, ids) -> None:
+        """Explicit document deletion (the reference only deletes on
+        re-submission; see MapReduceView.delete_docs)."""
+        self._view.delete_docs(ids)
 
     def drop_key(self, *key_values) -> None:
         self._view.drop_key(*key_values)
 
     def compact_index(self) -> None:
         self._view.compact_index()
+
+    def compact_map(self, min_files: int = 4) -> int:
+        return self._view.compact_map(min_files=min_files)
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        return self._view.vacuum(keep_versions=keep_versions)

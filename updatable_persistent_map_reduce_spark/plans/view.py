@@ -311,13 +311,10 @@ class MapReduceView:
     def execute(self, batch_df: DataFrame) -> None:
         """Apply one batch of document upserts and re-materialize the
         aggregates of every dirty key-span."""
-        meta = self._meta()
         ids = (
             batch_df.select(self._uid(F.col(self.id_col)).alias("uid"))
             .distinct()
         )
-        ids.cache()
-
         mapped = self.map_fn(batch_df)
         missing = {self.id_col, *self.group_cols} - set(mapped.columns)
         if missing:
@@ -326,6 +323,41 @@ class MapReduceView:
         mapped = mapped.withColumn("kspan", self._kspan())
         if self.two_level:
             mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
+        self._apply(ids, mapped)
+
+    def delete_docs(self, ids) -> None:
+        """Explicitly delete documents: remove each id's map output
+        everywhere and re-aggregate the dirty spans — the upsert path's
+        delete-and-reschedule (Executer.cs:240-261) without replacement
+        rows. The reference only ever deletes on re-submission; an
+        updatable store needs the delete itself. ``ids`` is a list of
+        id values or a DataFrame holding ``id_col``. Ids match
+        case-insensitively, like upserts; unknown ids are no-ops.
+
+        (Index entries for deleted docs are left behind deliberately —
+        a stale *extra* entry only over-dirties a later batch, and
+        ``compact_index()`` clears them — so deletion is exactly an
+        upsert whose map output is empty.)"""
+        existing = self._map_t.read(self.spark)
+        if existing is None:
+            return  # nothing stored, nothing to delete
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(
+                self._uid(F.col(self.id_col)).alias("uid")
+            ).distinct()
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(str(v),) for v in ids], "id string"
+            ).select(self._uid(F.col("id")).alias("uid"))
+        empty_mapped = self.spark.createDataFrame([], schema=existing.schema)
+        self._apply(ids_df, empty_mapped)
+
+    def _apply(self, ids: DataFrame, mapped: DataFrame) -> None:
+        """Shared core of execute/delete_docs: ``ids`` = upper-cased
+        distinct doc ids of the batch, ``mapped`` = the batch's new map
+        output (already uid/kspan[/bucket]-stamped; empty = deletion)."""
+        meta = self._meta()
+        ids.cache()
         # The mapped batch feeds several downstream plans (span
         # discovery, map_results content, doc_index content); batches
         # are bounded, so caching beats recomputing the user map.
@@ -583,6 +615,27 @@ class MapReduceView:
             t.vacuum(keep_versions=keep_versions)
             for t in (self._map_t, self._idx_t, self._l1_t, self._fin_t)
         )
+
+    def compact_map(self, min_files: int = 4) -> int:
+        """Small-file compaction for append-heavy ingest: every
+        insert-only batch appends one file per touched span, so a span
+        accumulates files until its next copy-on-write rewrite. Rewrite
+        each span holding >= ``min_files`` files into one clustered
+        file (bucket-sorted in two-level mode, restoring row-group
+        pruning quality). Results are unchanged; old files become
+        unreferenced (reclaim via ``vacuum()``). Returns the number of
+        spans compacted. At 100 TB scale this is the maintenance job a
+        table service would schedule off-peak."""
+        spans = self._map_t.spans()
+        todo = {s for s, fs in spans.items() if len(fs) >= min_files}
+        if not todo:
+            return 0
+        df = self._map_t.read(self.spark, spans=todo)
+        mapping = self._map_t.write_data(
+            df, sort_col="bucket" if self.two_level else None
+        )
+        self._map_t.commit(replace=mapping, drop=todo - set(mapping))
+        return len(todo)
 
     def compact_index(self) -> None:
         """Rewrite doc_index from the map_results source of truth,
