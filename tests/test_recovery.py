@@ -200,3 +200,39 @@ def test_recovery_is_idempotent(spark, tmp_path):
     v3 = people_view(spark, store)
     assert counts(v3) == expected
     assert not os.path.exists(v3._journal_path)
+
+
+def test_snapshot_isolation_under_concurrent_write(spark, tmp_path):
+    """A reader racing execute() sees either the pre-batch or the
+    post-batch view, never a torn mix — readers resolve a manifest
+    snapshot atomically (the old directory-swap protocol could expose
+    a half-swapped store to a concurrent reader)."""
+    import threading
+
+    store = tmp_path / "v"
+    v = people_view(spark, store)
+    v.execute(
+        people_df(spark, [(f"p-{i}", "CA") for i in range(400)])
+    )
+
+    observed: list[dict] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            observed.append(counts(v))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    # migrate half the docs CA -> TX (a copy-on-write rewrite batch)
+    v.execute(
+        people_df(spark, [(f"p-{i}", "TX") for i in range(200)])
+    )
+    stop.set()
+    t.join()
+
+    before, after = {"CA": 400}, {"CA": 200, "TX": 200}
+    torn = [o for o in observed if o not in (before, after)]
+    assert not torn, f"torn snapshots observed: {torn[:3]}"
+    assert observed, "reader never ran"
+    assert counts(v) == after

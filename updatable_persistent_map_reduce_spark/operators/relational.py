@@ -1036,3 +1036,69 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_quantiles")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# full outer join + correlated-subquery completions
+
+
+@register(
+    "q_join_full",
+    oracle=(
+        "WITH cust AS (SELECT c_custkey, round(c_acctbal, 2) AS acctbal "
+        "FROM customer WHERE c_custkey < 750), "
+        "ords AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS spend "
+        "FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey) "
+        "SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey, "
+        "acctbal, n_orders, spend "
+        "FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey"
+    ),
+    doc="Full outer join with unmatched rows on BOTH sides (customers "
+    "500-749 match; <500 customer-only; >=750 order-only). Full outer "
+    "cannot broadcast - Catalyst must keep both sides shuffled "
+    "(sort-merge); at scale this is the join type that most rewards "
+    "pre-bucketed layouts (q_join_bucketed).",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_custkey") < 750).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    ords = (
+        cat.orders.filter(F.col("o_custkey") >= 500)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    return cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "acctbal",
+        "n_orders",
+        "spend",
+    )
+
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1997-01-01' AND o_orderdate < date '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+register(
+    "q_sql_exists",
+    oracle=_EXISTS_SQL,
+    doc="Correlated EXISTS subquery (TPC-H Q4 shape over the available "
+    "columns) through the SQL front end: Catalyst decorrelates the "
+    "subquery into a left-semi join - the scan of lineitem is filtered "
+    "and joined once, not re-executed per outer row. The DataFrame twin "
+    "is q_join_semi; this proves the optimizer handles the SQL-text "
+    "formulation identically.",
+)(_sql_query(_EXISTS_SQL))
