@@ -236,3 +236,80 @@ def test_snapshot_isolation_under_concurrent_write(spark, tmp_path):
     assert not torn, f"torn snapshots observed: {torn[:3]}"
     assert observed, "reader never ran"
     assert counts(v) == after
+
+
+def test_layout_persists_across_reopen(spark, tmp_path):
+    """Span counts are store properties: reopening with different
+    constructor args silently adopts the recorded layout (span
+    assignment is baked into the persisted data)."""
+    store = tmp_path / "v"
+    v = people_view(spark, store)  # n_key_spans=8
+    v.execute(people_df(spark, [("a", "CA"), ("b", "TX")]))
+
+    v2 = MapReduceView(
+        spark,
+        str(store),
+        id_col="id",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=64,  # ignored: store records 8
+        n_doc_spans=64,
+    )
+    assert v2.n_key_spans == 8 and v2.n_doc_spans == 8
+    v2.execute(people_df(spark, [("a", "TX")]))
+    assert counts(v2) == {"TX": 2}
+
+    with pytest.raises(ValueError, match="two_level"):
+        MapReduceView(
+            spark,
+            str(store),
+            id_col="id",
+            map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+            group_cols=["state"],
+            agg_exprs=[F.sum("cnt").alias("cnt")],
+            two_level=True,
+        )
+
+
+def test_rescale_online(spark, tmp_path):
+    """Resharding rebuilds every table under the new span counts with
+    identical results, and the store keeps working afterwards."""
+    store = tmp_path / "v"
+    v = people_view(spark, store)
+    v.execute(
+        people_df(
+            spark,
+            [(f"p-{i}", s) for i, s in enumerate(["CA", "TX", "NY"] * 30)],
+        )
+    )
+    before = counts(v)
+    v.rescale(n_key_spans=32, n_doc_spans=16)
+    assert counts(v) == before
+    assert v.n_key_spans == 32
+
+    # reopen adopts the rescaled layout; incremental updates still work
+    v2 = people_view(spark, store)
+    assert v2.n_key_spans == 32 and v2.n_doc_spans == 16
+    v2.execute(people_df(spark, [("p-0", "WA")]))
+    after = counts(v2)
+    assert sum(after.values()) == sum(before.values())
+    assert after["WA"] == 1
+
+
+def test_rescale_crash_replays_on_reopen(spark, tmp_path):
+    """A kill mid-rescale leaves the journaled target layout; reopening
+    replays the rebuild deterministically."""
+    store = tmp_path / "v"
+    v = people_view(spark, store)
+    v.execute(people_df(spark, [("a", "CA"), ("b", "CA"), ("c", "TX")]))
+    v._fin_t.commit = _raise
+    with pytest.raises(RuntimeError, match="injected crash"):
+        v.rescale(n_key_spans=32)
+    assert os.path.exists(v._journal_path)
+
+    v2 = people_view(spark, store)
+    assert v2.n_key_spans == 32
+    assert counts(v2) == {"CA": 2, "TX": 1}
+    assert not os.path.exists(v2._journal_path)
+    v2.execute(people_df(spark, [("c", "CA")]))
+    assert counts(v2) == {"CA": 3}

@@ -123,3 +123,6 @@ class Executer:
 
     def vacuum(self, keep_versions: int = 0) -> int:
         return self._view.vacuum(keep_versions=keep_versions)
+
+    def rescale(self, **span_counts) -> None:
+        self._view.rescale(**span_counts)

@@ -205,7 +205,33 @@ class MapReduceView:
         )
         self._meta_path = os.path.join(store_path, "meta.json")
         self._journal_path = os.path.join(store_path, "journal.json")
+        # Layout parameters are *store* properties, not constructor
+        # preferences: span assignment is baked into every persisted
+        # kspan/dspan/bucket value, so reopening an existing store
+        # silently adopts its recorded layout (constructor args only
+        # seed a brand-new store). Changing span counts on a live store
+        # is an explicit resharding — see :meth:`rescale`.
+        stored = self._meta()
+        if "layout" in stored:
+            lay = stored["layout"]
+            if bool(lay["two_level"]) != bool(two_level):
+                raise ValueError(
+                    f"store at {store_path} was built with "
+                    f"two_level={lay['two_level']}; reopen with the same "
+                    "mode (the reduce_l1 table is part of the layout)"
+                )
+            self.n_key_spans = lay["n_key_spans"]
+            self.n_doc_spans = lay["n_doc_spans"]
+            self.n_sub_buckets = lay["n_sub_buckets"]
         self._recover()
+
+    def _layout(self) -> dict:
+        return {
+            "n_key_spans": self.n_key_spans,
+            "n_doc_spans": self.n_doc_spans,
+            "n_sub_buckets": self.n_sub_buckets,
+            "two_level": self.two_level,
+        }
 
     # ----- span expressions ------------------------------------------------
 
@@ -252,7 +278,7 @@ class MapReduceView:
         os.makedirs(self.store, exist_ok=True)
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
+            json.dump({**meta, "layout": self._layout()}, f)
         os.replace(tmp, self._meta_path)
 
     def _write_journal(self, dirty_kspans: Sequence[int]) -> None:
@@ -263,15 +289,26 @@ class MapReduceView:
         os.replace(tmp, self._journal_path)
 
     def _recover(self) -> None:
-        """Converge downstream tables after a crashed ``execute``: the
-        journal names the key-spans whose finals (and L1) may be stale
-        relative to committed map_results; re-aggregate exactly those
-        spans from the source of truth and re-publish. Idempotent —
+        """Converge downstream tables after a crashed ``execute`` or
+        ``rescale``: a batch journal names the key-spans whose finals
+        (and L1) may be stale relative to committed map_results —
+        re-aggregate exactly those spans from the source of truth and
+        re-publish. A rescale journal records the target layout —
+        re-run the full rebuild (span assignment is derived from the
+        group columns, so the rebuild is deterministic no matter which
+        tables the crash had already committed). Both are idempotent —
         a crash *during* recovery just reruns it."""
         if not os.path.exists(self._journal_path):
             return
         with open(self._journal_path) as f:
-            dirty = set(json.load(f)["kspans"])
+            j = json.load(f)
+        if "rescale_layout" in j:
+            self._adopt_layout(j["rescale_layout"])
+            self._rebuild_all()
+            self._write_meta(self._meta())
+            os.remove(self._journal_path)
+            return
+        dirty = set(j["kspans"])
         content = self._map_t.read(self.spark, spans=dirty)
         if content is None:
             if self.two_level:
@@ -615,6 +652,85 @@ class MapReduceView:
             t.vacuum(keep_versions=keep_versions)
             for t in (self._map_t, self._idx_t, self._l1_t, self._fin_t)
         )
+
+    def _adopt_layout(self, layout: dict) -> None:
+        self.n_key_spans = layout["n_key_spans"]
+        self.n_doc_spans = layout["n_doc_spans"]
+        self.n_sub_buckets = layout["n_sub_buckets"]
+
+    def _rebuild_all(self) -> None:
+        """Re-derive every table from map_results under the *current*
+        layout attributes: span columns are derived data (kspan from
+        the group columns, dspan/bucket from the uid), so a full
+        rebuild is deterministic and idempotent."""
+        live = self._map_t.read(self.spark)
+        if live is None:
+            return
+        drop_cols = ["kspan"] + (["bucket"] if self.two_level else [])
+        content = live.drop(*drop_cols).withColumn("kspan", self._kspan())
+        sort_col = None
+        if self.two_level:
+            content = content.withColumn("bucket", self._bucket(F.col("uid")))
+            sort_col = "bucket"
+        content.cache()
+        self._map_t.commit(
+            replace_all=self._map_t.write_data(content, sort_col=sort_col)
+        )
+        fresh_idx = content.select(
+            "uid", "kspan", self._dspan(F.col("uid")).alias("dspan")
+        ).distinct()
+        self._idx_t.commit(replace_all=self._idx_t.write_data(fresh_idx))
+        if self.two_level:
+            l1 = content.groupBy("kspan", "bucket", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+            l1.cache()
+            self._l1_t.commit(replace_all=self._l1_t.write_data(l1))
+            finals = l1.groupBy("kspan", *self.group_cols).agg(*self.agg_exprs)
+        elif self.agg_exprs is not None:
+            finals = content.groupBy("kspan", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+        else:
+            finals = content.groupBy("kspan", *self.group_cols).applyInPandas(
+                self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+            )
+        self._fin_t.commit(replace_all=self._fin_t.write_data(finals))
+        if self.two_level:
+            l1.unpersist()
+        content.unpersist()
+
+    def rescale(
+        self,
+        *,
+        n_key_spans: int | None = None,
+        n_doc_spans: int | None = None,
+        n_sub_buckets: int | None = None,
+    ) -> None:
+        """Online resharding: change the store's span counts (the
+        rewrite and re-aggregation granularity) and rebuild every table
+        under the new assignment. This is the grow-with-the-corpus
+        lever at 100 TB — start with spans sized for today's data,
+        ``rescale`` off-peak when ``stats()`` shows spans too large —
+        and it is crash-safe like everything else: the target layout is
+        journaled first, so a kill mid-rebuild replays the rebuild on
+        reopen. Old files become unreferenced (``vacuum()``)."""
+        new = self._layout()
+        if n_key_spans is not None:
+            new["n_key_spans"] = n_key_spans
+        if n_doc_spans is not None:
+            new["n_doc_spans"] = n_doc_spans
+        if n_sub_buckets is not None:
+            new["n_sub_buckets"] = n_sub_buckets
+        os.makedirs(self.store, exist_ok=True)
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"rescale_layout": new}, f)
+        os.replace(tmp, self._journal_path)
+        self._adopt_layout(new)
+        self._rebuild_all()
+        self._write_meta(self._meta())
+        os.remove(self._journal_path)
 
     def compact_map(self, min_files: int = 4) -> int:
         """Small-file compaction for append-heavy ingest: every
