@@ -215,3 +215,36 @@ def test_streaming_sessionize(spark, tmp_path):
         (1, 2, 3.0, s(0), s(10)),      # session A: events 1,2
         (1, 2, 7.0, s(4000), s(4005)), # session B: events 3,4
     }
+
+
+def test_streaming_inline_maintenance(spark, tmp_path):
+    """maintenance_every compacts map files, drops stale index entries,
+    and vacuums unreferenced data mid-stream without changing results."""
+    inp = str(tmp_path / "inbox")
+    os.makedirs(inp)
+    schema = "doc_id string, seq long, state string"
+    for b in range(4):  # 4 producer batches, same span -> file pile-up
+        _write_batch(
+            spark, inp, [(f"d-{b}-{i}", b, "CA") for i in range(5)], schema
+        )
+
+    sv = StreamingMapReduceView(
+        spark,
+        str(tmp_path / "store"),
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        seq_col="seq",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=4,
+        n_doc_spans=4,
+        max_files_per_trigger=1,  # one micro-batch per producer file
+        maintenance_every=2,
+    )
+    sv.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv.final_df().collect()}
+    assert counts == {"CA": 20}
+    # compaction ran: the CA span holds fewer files than batches
+    assert sv.view.stats()["map_results"]["files"] < 4

@@ -59,6 +59,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_sample_hash": (["Scan parquet"], ["Exchange"]),
     # decontamination broadcasts the (small) eval shingle set
     "q_decontaminate": (["Broadcast"], ["CartesianProduct"]),
+    # full outer keeps both sides shuffled — never broadcast, never NLJ
+    "q_join_full": (["SortMergeJoin FullOuter"], ["BroadcastNestedLoop"]),
+    # correlated EXISTS decorrelates to one semi join of the subquery
+    "q_sql_exists": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoop"]),
 }
 
 

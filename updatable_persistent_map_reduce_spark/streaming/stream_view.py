@@ -65,6 +65,7 @@ class StreamingMapReduceView:
         two_level: bool = False,
         n_sub_buckets: int = 64,
         max_files_per_trigger: int | None = None,
+        maintenance_every: int | None = None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -73,6 +74,13 @@ class StreamingMapReduceView:
         self.seq_col = seq_col
         self.id_col = id_col
         self.max_files_per_trigger = max_files_per_trigger
+        # Continuous ingest accumulates appended map files and replaced
+        # spans' dead bytes; every N micro-batches fold small files,
+        # drop stale index entries, and reclaim unreferenced data —
+        # the table-service maintenance a long-running pipeline needs,
+        # inlined into the stream (results are never affected).
+        self.maintenance_every = maintenance_every
+        self._batches_since_maintenance = 0
         user_map = map_fn or (lambda df: df)
 
         if seq_col is not None:
@@ -112,6 +120,13 @@ class StreamingMapReduceView:
         if batch_df.isEmpty():
             return
         self.view.execute(batch_df)
+        if self.maintenance_every:
+            self._batches_since_maintenance += 1
+            if self._batches_since_maintenance >= self.maintenance_every:
+                self._batches_since_maintenance = 0
+                self.view.compact_map()
+                self.view.compact_index()
+                self.view.vacuum()
 
     def run_available_now(self) -> None:
         """Process everything currently in the input dir, then stop
