@@ -462,3 +462,24 @@ def test_compact_map_preserves_results(spark, tmp_path):
     assert counts(v) == before
     v.execute(people_df(spark, [("p-0", "TX")]))
     assert counts(v) == {"CA": 3, "TX": 1}
+
+
+def test_query_local_serving_path(spark, scenario_view):
+    """query_local serves a point lookup with no Spark job: same rows
+    as query(), plain dicts, empty for unknown keys — and the
+    driver-side crc32 span must agree with the Spark-side assignment
+    for every key."""
+    v = scenario_view
+    assert v.query_local("CA") == [{"state": "CA", "cnt": 397}]
+    assert v.query_local("NV") == []
+    # span parity: Spark-assigned kspan == driver _span_of for all keys
+    from pyspark.sql import functions as F
+
+    assigned = {
+        r["state"]: r["s"]
+        for r in v._fin_t.read(spark)
+        .select("state", F.col("kspan").alias("s"))
+        .collect()
+    }
+    for key, kspan in assigned.items():
+        assert v._span_of((key,)) == kspan

@@ -116,6 +116,7 @@ import json
 import operator
 import os
 import threading
+import zlib
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -214,6 +215,13 @@ class MapReduceView:
         stored = self._meta()
         if "layout" in stored:
             lay = stored["layout"]
+            if lay.get("span_hash", self._SPAN_HASH) != self._SPAN_HASH:
+                raise ValueError(
+                    f"store at {store_path} uses span hash "
+                    f"{lay['span_hash']}; this engine build writes "
+                    f"{self._SPAN_HASH} — migrate via rescale() on the "
+                    "old build"
+                )
             if bool(lay["two_level"]) != bool(two_level):
                 raise ValueError(
                     f"store at {store_path} was built with "
@@ -225,19 +233,37 @@ class MapReduceView:
             self.n_sub_buckets = lay["n_sub_buckets"]
         self._recover()
 
+    _SPAN_HASH = "crc32-v1"  # span-assignment function version
+
     def _layout(self) -> dict:
         return {
             "n_key_spans": self.n_key_spans,
             "n_doc_spans": self.n_doc_spans,
             "n_sub_buckets": self.n_sub_buckets,
             "two_level": self.two_level,
+            "span_hash": self._SPAN_HASH,
         }
 
     # ----- span expressions ------------------------------------------------
 
     def _kspan(self, *cols: Column | str) -> Column:
+        # Portable span hash: crc32 over the '\x1f'-joined string forms
+        # of the key columns. crc32 (not xxhash64) so the *driver* can
+        # compute a key's span in pure Python (zlib.crc32 is the same
+        # function) — point lookups and drop_key then need no Spark job
+        # to locate the span, and query_local() can serve a key without
+        # any Spark job at all (the reference's Query IS a local file
+        # read, Executer.cs:370-376).
         cols = cols or [F.col(c) for c in self.group_cols]
-        return F.pmod(F.xxhash64(*cols), F.lit(self.n_key_spans)).cast("int")
+        joined = F.concat_ws("\x1f", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols])
+        return F.pmod(F.crc32(joined), F.lit(self.n_key_spans)).cast("int")
+
+    def _span_of(self, key_values) -> int:
+        """Driver-side twin of :meth:`_kspan` for literal key values
+        (str/int/float keys; matches Spark's string casts)."""
+        # concat_ws drops NULL operands (and their separators) — mirror
+        joined = "\x1f".join(str(v) for v in key_values if v is not None)
+        return zlib.crc32(joined.encode("utf-8")) % self.n_key_spans
 
     def _dspan(self, id_column: Column) -> Column:
         # Case-insensitive stable doc bucket (reference parity:
@@ -781,15 +807,11 @@ class MapReduceView:
 
     def query(self, *key_values) -> DataFrame:
         """Point lookup of one group's materialized row(s): the key's
-        span is computed driver-side and only that span's files are
-        read (manifest pruning); no recomputation; empty for unknown
-        keys (Executer.cs:373-374 semantics)."""
-        span = (
-            self.spark.range(1)
-            .select(self._kspan(*[F.lit(v) for v in key_values]).alias("s"))
-            .first()
-            .s
-        )
+        span is computed driver-side (portable crc32 — no Spark job)
+        and only that span's files are read (manifest pruning); no
+        recomputation; empty for unknown keys (Executer.cs:373-374
+        semantics)."""
+        span = self._span_of(key_values)
         out = self._fin_t.read(self.spark, spans=[span])
         if out is None:
             empty_schema = ", ".join(f"`{c}` string" for c in self.group_cols)
@@ -798,16 +820,34 @@ class MapReduceView:
             out = out.filter(F.col(col) == val)
         return out.drop("kspan")
 
+    def query_local(self, *key_values) -> list[dict]:
+        """Serving-path point lookup with NO Spark job at all: compute
+        the key's span in-process, read that span's files with pyarrow,
+        filter to the key, return plain dicts. This is the closest
+        analogue of the reference's Query — a local file read +
+        deserialize (Executer.cs:370-376) — at single-digit-ms latency;
+        use :meth:`query` when the result feeds further Spark plans."""
+        import pyarrow.parquet as pq
+
+        span = self._span_of(key_values)
+        files = self._fin_t.spans().get(span, [])
+        out: list[dict] = []
+        for f in files:
+            tbl = pq.read_table(os.path.join(self._fin_t.path, f))
+            for row in tbl.to_pylist():
+                if all(
+                    row.get(c) == v
+                    for c, v in zip(self.group_cols, key_values)
+                ):
+                    row.pop("kspan", None)
+                    out.append(row)
+        return out
+
     def drop_key(self, *key_values) -> None:
         """Remove one group's materialized rows (the reference's dead
         ``Storage.Delete``, Executer.cs:222-238, exposed for real) —
         a single-span file rewrite + manifest commit."""
-        span = (
-            self.spark.range(1)
-            .select(self._kspan(*[F.lit(v) for v in key_values]).alias("s"))
-            .first()
-            .s
-        )
+        span = self._span_of(key_values)
         df = self._fin_t.read(self.spark, spans=[span])
         if df is None:
             return
