@@ -103,6 +103,12 @@ class Executer:
         materialized result; empty for unknown keys; no computation."""
         return self._view.query(*key_values)
 
+    def query_local(self, *key_values) -> list[dict]:
+        """Serving-path ``Query(key)``: plain dicts via a driver-side
+        pyarrow read of the key's span — no Spark job (the closest
+        analogue of the reference's local file read)."""
+        return self._view.query_local(*key_values)
+
     # Spark-native extras beyond the reference surface
     def final_df(self, version: int | None = None) -> DataFrame:
         return self._view.final_df(version=version)

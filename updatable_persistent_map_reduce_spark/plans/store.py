@@ -121,7 +121,15 @@ class ManifestTable:
         for entry in sorted(os.listdir(target)):
             if not entry.startswith(prefix):
                 continue
-            span = int(entry[len(prefix):])
+            raw = entry[len(prefix):]
+            if not raw.lstrip("-").isdigit():
+                # __HIVE_DEFAULT_PARTITION__ — a NULL span value, which
+                # only a NULL document id / group key row can produce
+                raise ValueError(
+                    f"null {self.span_col} in write to {self.path}: "
+                    "document ids and group keys must be non-null"
+                )
+            span = int(raw)
             files = [
                 os.path.join(dirname, entry, f)
                 for f in sorted(os.listdir(os.path.join(target, entry)))

@@ -418,13 +418,35 @@ class MapReduceView:
     def _apply(self, ids: DataFrame, mapped: DataFrame) -> None:
         """Shared core of execute/delete_docs: ``ids`` = upper-cased
         distinct doc ids of the batch, ``mapped`` = the batch's new map
-        output (already uid/kspan[/bucket]-stamped; empty = deletion)."""
+        output (already uid/kspan[/bucket]-stamped; empty = deletion).
+        Unpersists every cached plan on all exits (a failed batch must
+        not leak executor memory; its files are unreferenced and its
+        journal replays on reopen)."""
+        cached: list[DataFrame] = []
+
+        def cache(df: DataFrame) -> DataFrame:
+            df.cache()
+            cached.append(df)
+            return df
+
+        try:
+            self._apply_inner(ids, mapped, cache)
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    def _apply_inner(
+        self,
+        ids: DataFrame,
+        mapped: DataFrame,
+        cache: Callable[[DataFrame], DataFrame],
+    ) -> None:
         meta = self._meta()
-        ids.cache()
+        cache(ids)
         # The mapped batch feeds several downstream plans (span
         # discovery, map_results content, doc_index content); batches
         # are bounded, so caching beats recomputing the user map.
-        mapped.cache()
+        cache(mapped)
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
         # The batch's doc-spans first (a tiny distinct over the cached
@@ -467,8 +489,6 @@ class MapReduceView:
             # Batch mapped to nothing and replaced nothing: no index
             # entries exist for these ids (old_kspans empty) — nothing
             # to do.
-            mapped.unpersist()
-            ids.unpersist()
             self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
             return
 
@@ -524,7 +544,7 @@ class MapReduceView:
         # would force a full span scan that pushdown would otherwise
         # prune to the dirty buckets' row groups.
         if not self.two_level or rewrite_spans:
-            content.cache()
+            cache(content)
 
         # --- re-aggregate only dirty state
         # (reference: ExecuteReduce over scheduled spans,
@@ -554,7 +574,7 @@ class MapReduceView:
                 )
             else:
                 l1_content = recomputed
-            l1_content.cache()
+            cache(l1_content)
             finals = l1_content.groupBy("kspan", *self.group_cols).agg(
                 *self.agg_exprs
             )
@@ -642,13 +662,6 @@ class MapReduceView:
             replace=results["fin"], drop=dirty_kspans - set(results["fin"])
         )
         os.remove(self._journal_path)
-
-        if l1_content is not None:
-            l1_content.unpersist()
-        if not self.two_level or rewrite_spans:
-            content.unpersist()
-        mapped.unpersist()
-        ids.unpersist()
         self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
 
     # ----- maintenance -----------------------------------------------------
