@@ -313,3 +313,63 @@ def test_rescale_crash_replays_on_reopen(spark, tmp_path):
     assert not os.path.exists(v2._journal_path)
     v2.execute(people_df(spark, [("c", "CA")]))
     assert counts(v2) == {"CA": 3}
+
+
+def test_span_hash_migration(spark, tmp_path):
+    """A store recorded under a previous span-hash version refuses to
+    open by default and rebuilds in place with migrate_span_hash=True
+    (spans are derived data, so the rebuild is deterministic)."""
+    import json
+
+    store = tmp_path / "v"
+    v = people_view(spark, store)
+    v.execute(people_df(spark, [("a", "CA"), ("b", "TX"), ("c", "CA")]))
+    before = counts(v)
+
+    # age the store: layout written by a build before span-hash
+    # versioning (no span_hash key == legacy xxhash64)
+    meta = json.load(open(v._meta_path))
+    del meta["layout"]["span_hash"]
+    json.dump(meta, open(v._meta_path, "w"))
+
+    with pytest.raises(ValueError, match="migrate_span_hash"):
+        people_view(spark, store)
+
+    v2 = people_view(spark, store, migrate_span_hash=True)
+    assert counts(v2) == before
+    assert v2.query_local("CA") == [{"state": "CA", "cnt": 2}]
+    v2.execute(people_df(spark, [("a", "TX")]))
+    assert counts(v2) == {"CA": 1, "TX": 2}
+    # migrated layout is recorded: reopening needs no flag
+    assert people_view(spark, store).n_key_spans == 8
+
+
+def test_span_of_non_string_keys_match_spark(spark, tmp_path):
+    """Driver-side span computation falls back to a Spark expression
+    for key types whose str() differs from Spark's cast (floats,
+    bools), so lookups always agree with the stored assignment."""
+    v = people_view(spark, tmp_path)
+    for key in [("CA",), (5,), (1e7,), (1e-4,), (True,), (None,), (0.5, "x")]:
+        via_spark = (
+            spark.range(1)
+            .select(v._kspan(*[F.lit(x) for x in key]).alias("s"))
+            .first()
+            .s
+        )
+        assert v._span_of(key) == via_spark, key
+
+
+def test_query_schema_stable_for_unknown_span(spark, tmp_path):
+    """query() of a key whose span holds no files must return the same
+    schema as a hit (callers select aggregate columns either way)."""
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA")]))
+    hit = v.query("CA")
+    # find a key whose span differs from CA's (empty span)
+    miss_key = next(
+        k for k in ("NV", "OR", "WA", "AZ", "UT", "ID", "MT", "KS")
+        if v._span_of((k,)) != v._span_of(("CA",))
+    )
+    miss = v.query(miss_key)
+    assert miss.columns == hit.columns
+    assert miss.select("cnt").count() == 0

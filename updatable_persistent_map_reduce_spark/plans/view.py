@@ -31,9 +31,11 @@ Four manifest tables under ``store_path``:
 ``map_results/``  (span column ``kspan``)
     Persisted per-document map output (the reference's
     ``MapResults/<key>/<bucket>/<docId>`` tree, Executer.cs:165-183),
-    columnar and clustered by **key-span** ``K = pmod(xxhash64(group
-    key), n_key_spans)`` so recomputation of a dirty span reads only
-    that span's files (pruned driver-side against the manifest).
+    columnar and clustered by **key-span** ``K = crc32('\x1f'-joined
+    string casts of the group key) % n_key_spans`` — crc32 so the
+    driver computes a key's span in pure Python (see ``_kspan``) —
+    and recomputation of a dirty span reads only that span's files
+    (pruned driver-side against the manifest).
 
 ``doc_index/``  (span column ``dspan``)
     ``(uid, kspan)`` locations of every live doc's map output,
@@ -163,6 +165,7 @@ class MapReduceView:
         n_doc_spans: int = 64,
         two_level: bool = False,
         n_sub_buckets: int = 64,
+        migrate_span_hash: bool = False,
     ):
         if (agg_exprs is None) == (reduce_fn is None):
             raise ValueError("exactly one of agg_exprs / reduce_fn required")
@@ -213,15 +216,9 @@ class MapReduceView:
         # seed a brand-new store). Changing span counts on a live store
         # is an explicit resharding — see :meth:`rescale`.
         stored = self._meta()
+        self._needs_rehash = False
         if "layout" in stored:
             lay = stored["layout"]
-            if lay.get("span_hash", self._SPAN_HASH) != self._SPAN_HASH:
-                raise ValueError(
-                    f"store at {store_path} uses span hash "
-                    f"{lay['span_hash']}; this engine build writes "
-                    f"{self._SPAN_HASH} — migrate via rescale() on the "
-                    "old build"
-                )
             if bool(lay["two_level"]) != bool(two_level):
                 raise ValueError(
                     f"store at {store_path} was built with "
@@ -231,7 +228,26 @@ class MapReduceView:
             self.n_key_spans = lay["n_key_spans"]
             self.n_doc_spans = lay["n_doc_spans"]
             self.n_sub_buckets = lay["n_sub_buckets"]
+            # Layouts written before span-hash versioning used
+            # xxhash64; absence of the key means the legacy hash, not
+            # the current one — treating it as current would silently
+            # mis-route every span lookup.
+            if lay.get("span_hash", "xxhash64-v0") != self._SPAN_HASH:
+                if not migrate_span_hash:
+                    raise ValueError(
+                        f"store at {store_path} uses span hash "
+                        f"{lay.get('span_hash', 'xxhash64-v0')}; this "
+                        f"engine build writes {self._SPAN_HASH} — reopen "
+                        "with migrate_span_hash=True to rebuild the span "
+                        "assignment in place (spans are derived data)"
+                    )
+                self._needs_rehash = True
         self._recover()
+        if self._needs_rehash:
+            # Same journaled, crash-safe rebuild a rescale uses: spans
+            # are derived from the group columns / uids, so rebuilding
+            # under the new hash is deterministic and replayable.
+            self.rescale()
 
     _SPAN_HASH = "crc32-v1"  # span-assignment function version
 
@@ -259,11 +275,22 @@ class MapReduceView:
         return F.pmod(F.crc32(joined), F.lit(self.n_key_spans)).cast("int")
 
     def _span_of(self, key_values) -> int:
-        """Driver-side twin of :meth:`_kspan` for literal key values
-        (str/int/float keys; matches Spark's string casts)."""
-        # concat_ws drops NULL operands (and their separators) — mirror
-        joined = "\x1f".join(str(v) for v in key_values if v is not None)
-        return zlib.crc32(joined.encode("utf-8")) % self.n_key_spans
+        """Driver-side twin of :meth:`_kspan` for literal key values.
+        Python ``str()`` matches Spark's cast-to-string only for str
+        and int keys (Spark renders doubles Java-style — ``1.0E7`` —
+        and booleans lowercase), so any other type falls back to
+        computing the span through a one-row Spark expression: always
+        correct, just not job-free."""
+        if all(v is None or isinstance(v, (str, int)) and not isinstance(v, bool) for v in key_values):
+            # concat_ws drops NULL operands (and their separators)
+            joined = "\x1f".join(str(v) for v in key_values if v is not None)
+            return zlib.crc32(joined.encode("utf-8")) % self.n_key_spans
+        return (
+            self.spark.range(1)
+            .select(self._kspan(*[F.lit(v) for v in key_values]).alias("s"))
+            .first()
+            .s
+        )
 
     def _dspan(self, id_column: Column) -> Column:
         # Case-insensitive stable doc bucket (reference parity:
@@ -827,6 +854,13 @@ class MapReduceView:
         span = self._span_of(key_values)
         out = self._fin_t.read(self.spark, spans=[span])
         if out is None:
+            # Unknown span: keep the result schema identical to a hit
+            # by deriving it from any committed finals (empty relation,
+            # no rows read); a truly empty store falls back to the
+            # group columns only.
+            whole = self._fin_t.read(self.spark)
+            if whole is not None:
+                return whole.filter(F.lit(False)).drop("kspan")
             empty_schema = ", ".join(f"`{c}` string" for c in self.group_cols)
             return self.spark.createDataFrame([], schema=empty_schema)
         for col, val in zip(self.group_cols, key_values):
@@ -835,26 +869,42 @@ class MapReduceView:
 
     def query_local(self, *key_values) -> list[dict]:
         """Serving-path point lookup with NO Spark job at all: compute
-        the key's span in-process, read that span's files with pyarrow,
-        filter to the key, return plain dicts. This is the closest
-        analogue of the reference's Query — a local file read +
-        deserialize (Executer.cs:370-376) — at single-digit-ms latency;
-        use :meth:`query` when the result feeds further Spark plans."""
+        the key's span in-process, read that span's files with pyarrow
+        (the key filter is pushed into the read, so row-group stats
+        prune and only matching rows materialize), return plain dicts.
+        This is the closest analogue of the reference's Query — a local
+        file read + deserialize (Executer.cs:370-376) — at
+        single-digit-ms latency; use :meth:`query` when the result
+        feeds further Spark plans. Key values must match the group
+        columns' storage types (pyarrow compares typed values).
+
+        Concurrent maintenance can vacuum a file between the manifest
+        resolve and the read; on a missing file the lookup re-resolves
+        the (atomically committed) manifest and retries."""
         import pyarrow.parquet as pq
 
         span = self._span_of(key_values)
-        files = self._fin_t.spans().get(span, [])
-        out: list[dict] = []
-        for f in files:
-            tbl = pq.read_table(os.path.join(self._fin_t.path, f))
-            for row in tbl.to_pylist():
-                if all(
-                    row.get(c) == v
-                    for c, v in zip(self.group_cols, key_values)
-                ):
-                    row.pop("kspan", None)
-                    out.append(row)
-        return out
+        filters = [
+            (c, "==", v) for c, v in zip(self.group_cols, key_values)
+        ]
+        for _ in range(3):
+            files = self._fin_t.spans().get(span, [])
+            out: list[dict] = []
+            try:
+                for f in files:
+                    tbl = pq.read_table(
+                        os.path.join(self._fin_t.path, f), filters=filters
+                    )
+                    for row in tbl.to_pylist():
+                        row.pop("kspan", None)
+                        out.append(row)
+                return out
+            except FileNotFoundError:
+                continue  # lost a race with vacuum(); re-resolve
+        raise RuntimeError(
+            f"query_local kept losing the vacuum race at {self._fin_t.path}; "
+            "raise vacuum(keep_versions=...) retention for serving stores"
+        )
 
     def drop_key(self, *key_values) -> None:
         """Remove one group's materialized rows (the reference's dead
