@@ -1,0 +1,82 @@
+"""ManifestTable unit semantics: commit modes, snapshot reads,
+version archive, vacuum — the storage contract the view builds on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from updatable_persistent_map_reduce_spark.plans.store import ManifestTable
+
+
+def mk_df(spark, rows):
+    return spark.createDataFrame(rows, "kspan int, v string")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "t"), "kspan")
+
+
+def read_vals(table, spark, **kw):
+    df = table.read(spark, **kw)
+    return sorted((r["kspan"], r["v"]) for r in df.collect()) if df is not None else None
+
+
+def test_write_commit_read_roundtrip(spark, table):
+    m = table.write_data(mk_df(spark, [(0, "a"), (1, "b")]))
+    assert set(m) == {0, 1}
+    assert table.read(spark) is None  # invisible until commit
+    table.commit(replace=m)
+    assert read_vals(table, spark) == [(0, "a"), (1, "b")]
+    # span pruning is driver-side file selection
+    assert read_vals(table, spark, spans=[1]) == [(1, "b")]
+    assert table.read(spark, spans=[7]) is None
+
+
+def test_append_extends_replace_swaps_drop_removes(spark, table):
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a"), (1, "b")])))
+    table.commit(append=table.write_data(mk_df(spark, [(0, "a2")])))
+    assert read_vals(table, spark, spans=[0]) == [(0, "a"), (0, "a2")]
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "z")])))
+    assert read_vals(table, spark, spans=[0]) == [(0, "z")]
+    table.commit(drop=[0])
+    assert table.read(spark, spans=[0]) is None
+    assert read_vals(table, spark) == [(1, "b")]
+
+
+def test_replace_all_substitutes_table(spark, table):
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a"), (1, "b")])))
+    table.commit(replace_all=table.write_data(mk_df(spark, [(5, "q")])))
+    assert read_vals(table, spark) == [(5, "q")]
+
+
+def test_version_archive_and_time_travel(spark, table):
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    v1 = table.version
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v2")])))
+    assert read_vals(table, spark) == [(0, "v2")]
+    assert read_vals(table, spark, version=v1) == [(0, "v1")]
+    with pytest.raises(ValueError, match="no archived manifest"):
+        table.read(spark, version=999)
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, table):
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v2")])))
+    # old snapshot still readable pre-vacuum
+    assert table.vacuum(keep_versions=1) >= 1
+    assert read_vals(table, spark) == [(0, "v2")]
+    s = table.stats()
+    assert s["files"] == 1 and s["spans"] == 1
+    # keep_versions=1 retained exactly one archived manifest
+    vdir = os.path.join(table.path, "_versions")
+    assert len(os.listdir(vdir)) == 1
+
+
+def test_empty_write_yields_empty_mapping(spark, table):
+    m = table.write_data(mk_df(spark, []))
+    assert m == {}
+    table.commit(replace=m)
+    assert table.read(spark) is None

@@ -240,6 +240,7 @@ def test_streaming_inline_maintenance(spark, tmp_path):
         agg_exprs=[F.count(F.lit(1)).alias("cnt")],
         n_key_spans=4,
         n_doc_spans=4,
+        n_sub_buckets=1,  # all of a key-span in one pair -> file pile-up
         max_files_per_trigger=1,  # one micro-batch per producer file
         maintenance_every=2,
     )

@@ -449,11 +449,13 @@ def test_delete_docs_two_level(spark, tmp_path):
 
 
 def test_compact_map_preserves_results(spark, tmp_path):
-    """Insert-only batches append one file per span; compaction folds
-    a span's files into one without changing any result, and later
-    upserts still work."""
-    v = people_view(spark, tmp_path)
-    for i in range(4):  # same state => same span accumulates appends
+    """Insert-only batches append one file per touched pair; compaction
+    folds a pair's files into one without changing any result, and
+    later upserts still work."""
+    # n_sub_buckets=1 puts every doc of a key-span in one pair, so the
+    # four appends below pile files onto the same physical pair
+    v = people_view(spark, tmp_path, n_sub_buckets=1)
+    for i in range(4):  # same state => same pair accumulates appends
         v.execute(people_df(spark, [(f"p-{i}", "CA")]))
     before = counts(v)
     files_before = v.stats()["map_results"]["files"]

@@ -28,7 +28,7 @@ Spark-first architecture
 ------------------------
 Four manifest tables under ``store_path``:
 
-``map_results/``  (span column ``kspan``)
+``map_results/``  (span column ``pspan`` = key-span x doc-bucket)
     Persisted per-document map output (the reference's
     ``MapResults/<key>/<bucket>/<docId>`` tree, Executer.cs:165-183),
     columnar and clustered by **key-span** ``K = crc32('\x1f'-joined
@@ -55,8 +55,8 @@ Four manifest tables under ``store_path``:
     reference's level-one reduce results (``ReduceResults/One``,
     Executer.cs:80-81,192-203) with per-bucket dirty granularity: a
     batch recomputes partials only for buckets holding changed docs
-    (map files are bucket-clustered, so the recompute scan is
-    row-group pruned) and finals re-reduce the span's partials.
+    (the map table is pair-partitioned, so the recompute reads exactly
+    the dirty pairs' files) and finals re-reduce the span's partials.
     Requires ``agg_exprs`` closed under re-application to their own
     output (the reference's re-reducible Reduce contract,
     MapReduceTask.cs:10).
@@ -69,9 +69,10 @@ Incremental maintenance per ``execute(batch)``:
 2. dirty key-spans = spans of the batch's new keys ∪ spans holding
    replaced docs' old output (via the manifest-pruned doc_index
    lookup);
-3. write replacement/append data files for the dirty spans of
-   ``map_results`` (survivors = existing rows minus incoming doc ids,
-   latest-wins) — files are invisible until the manifest commit;
+3. write replacement/append data files for the dirty (key-span,
+   doc-bucket) pairs of ``map_results`` (survivors = existing rows
+   minus incoming doc ids, latest-wins) — files are invisible until
+   the manifest commit;
 4. re-aggregate *only* the dirty key-spans (pruned file list +
    partial/final HashAggregate — Spark's native two-level reduce tree,
    the reference's Executer.cs:47-85 for free);
@@ -89,13 +90,15 @@ committed map_results and re-publishes finals (and L1), converging the
 downstream tables. Data files written by a crashed batch are never
 referenced by any manifest — invisible, reclaimed by ``vacuum()``.
 
-Cost per batch is O(|batch| + rewritten-span bytes + dirty-span
+Cost per batch is O(|batch| + rewritten-pair bytes + dirty-span
 aggregation), independent of corpus size — strictly better than the
 reference, which rescans all map results for invalidation on every
-batch. Spans holding a replaced doc are copy-on-write rewritten; spans
-dirtied only by brand-new docs take an O(batch) append (the doc_index
-never loses an entry, so "no index entry" proves "never written"),
-which is what insert-heavy ingest pays. Because readers hold
+batch. Pairs holding a replaced doc are copy-on-write rewritten
+(bounded by corpus/(n_key_spans*n_sub_buckets) per pair, regardless of
+group-key cardinality); pairs dirtied only by brand-new docs take an
+O(batch) append (the doc_index never loses an entry, so "no index
+entry" proves "never written"), which is what insert-heavy ingest
+pays. Because readers hold
 manifest-resolved file lists and appends only add unreferenced files,
 every write job of a batch runs concurrently — there is no
 reader/append ordering to respect (the old directory-swap protocol
@@ -164,7 +167,7 @@ class MapReduceView:
         n_key_spans: int = 64,
         n_doc_spans: int = 64,
         two_level: bool = False,
-        n_sub_buckets: int = 64,
+        n_sub_buckets: int = 8,
         migrate_span_hash: bool = False,
     ):
         if (agg_exprs is None) == (reduce_fn is None):
@@ -195,8 +198,17 @@ class MapReduceView:
         # sum("cnt").alias("cnt"); count(*) is NOT — emit 1s and sum).
         self.two_level = two_level
         self.n_sub_buckets = n_sub_buckets
+        # map_results is physically partitioned by the (key-span x
+        # doc-bucket) PAIR — the reference's MapResults/<key>/<bucket>/
+        # granularity (Executer.cs:167). The pair, not the key-span, is
+        # the copy-on-write rewrite unit: with few giant groups (the
+        # reference demo has two!), a key-span holds a whole group and
+        # span-grained rewrite would amplify a 100-doc upsert into an
+        # O(group) rewrite; pair-grained rewrite is bounded by
+        # corpus/(n_key_spans * n_sub_buckets) regardless of key
+        # cardinality.
         self._map_t = ManifestTable(
-            os.path.join(store_path, "map_results"), "kspan"
+            os.path.join(store_path, "map_results"), "pspan"
         )
         self._idx_t = ManifestTable(
             os.path.join(store_path, "doc_index"), "dspan"
@@ -249,7 +261,19 @@ class MapReduceView:
             # under the new hash is deterministic and replayable.
             self.rescale()
 
-    _SPAN_HASH = "crc32-v1"  # span-assignment function version
+    # Versions the derived physical layout: the key-span hash AND the
+    # map table's pair partitioning. Bump on any change to how span
+    # columns are derived; migrate_span_hash=True rebuilds in place.
+    _SPAN_HASH = "crc32-pair-v2"
+
+    def _map_pspans(self, kspans: set[int]) -> set[int]:
+        """The map table's physical pairs belonging to ``kspans``
+        (manifest keys are pspans = kspan * n_sub_buckets + bucket)."""
+        return {
+            p
+            for p in self._map_t.spans()
+            if p // self.n_sub_buckets in kspans
+        }
 
     def _layout(self) -> dict:
         return {
@@ -308,9 +332,9 @@ class MapReduceView:
     @staticmethod
     def _pair_pred(pairs_by_span: dict[int, list[int]]) -> Column:
         """Predicate selecting the dirty (kspan, bucket) pairs as an OR
-        of per-span conjunctions — both conjuncts are plain column
-        comparisons, so the filter pushes to parquet and row-group
-        stats (files are bucket-sorted) prune the scan."""
+        of per-span conjunctions — used to split reduce_l1 survivors
+        from recomputed partials; plain column comparisons, so it
+        pushes into the parquet read of the L1 files."""
         return functools.reduce(
             operator.or_,
             [
@@ -362,7 +386,7 @@ class MapReduceView:
             os.remove(self._journal_path)
             return
         dirty = set(j["kspans"])
-        content = self._map_t.read(self.spark, spans=dirty)
+        content = self._map_t.read(self.spark, spans=self._map_pspans(dirty))
         if content is None:
             if self.two_level:
                 self._l1_t.commit(drop=dirty)
@@ -411,8 +435,11 @@ class MapReduceView:
             raise ValueError(f"map output missing columns: {sorted(missing)}")
         mapped = mapped.withColumn("uid", self._uid(F.col(self.id_col)))
         mapped = mapped.withColumn("kspan", self._kspan())
-        if self.two_level:
-            mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
+        mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
+        mapped = mapped.withColumn(
+            "pspan",
+            F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
+        )
         self._apply(ids, mapped)
 
     def delete_docs(self, ids) -> None:
@@ -486,13 +513,11 @@ class MapReduceView:
         # buckets) from the index.
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
         batch_dspans = {r.dspan for r in ids_d.select("dspan").distinct().collect()}
-        bucket_of = (
-            self._bucket(F.col("uid")) if self.two_level else F.lit(0)
-        )
+        bucket_of = self._bucket(F.col("uid"))
         tagged = mapped.select(
             F.lit("k").alias("t"),
             F.col("kspan").alias("v"),
-            bucket_of.alias("b"),
+            F.col("bucket").alias("b"),
         )
         idx = self._idx_t.read(self.spark, spans=batch_dspans)
         if idx is not None:
@@ -506,12 +531,15 @@ class MapReduceView:
             )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
-        dirty_pairs: set[tuple[int, int]] = set()  # (kspan, bucket); two-level
-        buckets = {"k": new_kspans, "o": old_kspans}
+        new_pspans: set[int] = set()
+        old_pspans: set[int] = set()
+        kspans = {"k": new_kspans, "o": old_kspans}
+        pspans = {"k": new_pspans, "o": old_pspans}
         for r in tagged.distinct().collect():
-            buckets[r.t].add(r.v)
-            dirty_pairs.add((r.v, r.b))
+            kspans[r.t].add(r.v)
+            pspans[r.t].add(r.v * self.n_sub_buckets + r.b)
         dirty_kspans = new_kspans | old_kspans
+        dirty_pspans = new_pspans | old_pspans
         if not dirty_kspans:
             # Batch mapped to nothing and replaced nothing: no index
             # entries exist for these ids (old_kspans empty) — nothing
@@ -524,76 +552,70 @@ class MapReduceView:
         # converging recompute described in the module docstring.
         self._write_journal(sorted(dirty_kspans))
 
-        # --- classify dirty spans
+        # --- classify dirty pairs
         # (reference: PersistMap + delete of replaced docs,
-        # Executer.cs:165-183, 258)
+        # Executer.cs:165-183, 258 — its MapResults/<key>/<bucket>/
+        # tree is exactly this granularity)
         #
-        #   rewrite spans = ``old_kspans`` — some incoming doc has a
-        #     prior version there (the doc_index never loses an entry,
-        #     so a doc absent from ``old_kspans`` has provably never
-        #     been written); survivors must be filtered out, so the
-        #     span's file set is replaced.
-        #   append spans = dirty - rewrite — only brand-new rows land
-        #     there; the batch's rows are *appended* as new files,
-        #     O(batch) instead of O(span). Insert-heavy ingest (the
-        #     dominant 100 TB regime) never pays rewrite amplification.
-        data_cols = [c for c in mapped.columns if c != "kspan"]
-        new_rows = mapped.select(*data_cols, F.col("kspan"))
-        existing = self._map_t.read(self.spark, spans=dirty_kspans)
-        if existing is not None:
-            rewrite_spans = set(old_kspans)
-            append_spans = new_kspans - old_kspans
-            span_content = existing
-            if rewrite_spans:
-                span_content = span_content.join(
-                    F.broadcast(ids), "uid", "left_anti"
-                )
-            content = span_content.select(new_rows.columns).unionByName(new_rows)
+        #   rewrite pairs = pairs holding a replaced doc ("o"-tagged
+        #     via the index; the index never loses an entry, so a pair
+        #     absent from ``old_pspans`` provably holds no prior
+        #     version of any incoming doc) — survivors must be
+        #     filtered out, so the pair's file set is replaced.
+        #   every other dirty pair only gains brand-new rows: an
+        #     O(batch) *append* of new files. Rewrite amplification is
+        #     therefore bounded by the doc-bucket — a small upsert into
+        #     a giant group rewrites corpus/(n_key_spans*n_sub_buckets)
+        #     bytes, never O(group) — and insert-heavy ingest (the
+        #     dominant 100 TB regime) pays no rewrite at all.
+        all_pspans = set(self._map_t.spans())
+        rewrite_pspans = old_pspans & all_pspans  # stale entries: no files
+        append_pspans = new_pspans - rewrite_pspans
+        data_cols = [c for c in mapped.columns if c != "pspan"]
+        new_rows = mapped.select(*data_cols, F.col("pspan"))
+        existing_dirty = self._map_t.read(
+            self.spark, spans=dirty_pspans & all_pspans
+        )
+        if existing_dirty is not None:
+            survivors = existing_dirty
+            if rewrite_pspans:
+                survivors = survivors.join(F.broadcast(ids), "uid", "left_anti")
+            pair_rows = survivors.select(new_rows.columns).unionByName(new_rows)
         else:
-            # no committed files in the dirty spans (fresh store, or
-            # stale index entries pointing at since-emptied spans):
-            # nothing to rewrite — everything is an append
-            rewrite_spans = set()
-            append_spans = set(dirty_kspans)
-            content = new_rows
-        # ``content`` is exactly what the dirty map_results spans will
-        # hold after commit, so downstream aggregation reads it
-        # directly instead of re-reading the parquet it just wrote.
-        # Every write job below runs on a concurrent driver thread
-        # (Spark schedules jobs from separate threads in parallel):
-        # readers hold manifest-resolved file lists and appends only
-        # create unreferenced files, so no ordering applies until the
-        # commits — the critical path is the slowest write, not the
-        # sum.
-        #
-        # Two-level append-only batches skip the cache: the only
-        # consumer is the bucket-filtered L1 recompute, and caching
-        # would force a full span scan that pushdown would otherwise
-        # prune to the dirty buckets' row groups.
-        if not self.two_level or rewrite_spans:
-            cache(content)
+            pair_rows = new_rows
+        # ``pair_rows`` is exactly what the dirty pairs hold after
+        # commit, so the rewrite write and the re-aggregation read it
+        # from cache instead of re-reading just-written parquet. Every
+        # write job below runs on a concurrent driver thread (Spark
+        # schedules jobs from separate threads in parallel): readers
+        # hold manifest-resolved file lists and appends only create
+        # unreferenced files, so no ordering applies until the commits
+        # — the critical path is the slowest write, not the sum.
+        cache(pair_rows)
 
         # --- re-aggregate only dirty state
         # (reference: ExecuteReduce over scheduled spans,
-        # Executer.cs:47-85). Single-level: Catalyst's partial+final
-        # HashAggregate is the reduce tree, re-run over dirty spans.
-        # Two-level: the tree is *materialized* — per-(kspan, bucket)
-        # partials recompute only for dirty buckets, and finals
-        # re-reduce the span's partials (the reference's
-        # BucketId/BatchSize grouping, Executer.cs:62, with strictly
-        # finer dirty granularity).
+        # Executer.cs:47-85). Two-level: the reduce tree is
+        # *materialized* — the dirty pairs' partials recompute from
+        # ``pair_rows`` (already exactly the dirty pairs' data: the
+        # manifest pruned the read to those files) and finals re-reduce
+        # the span's partials (the reference's BucketId/BatchSize
+        # grouping, Executer.cs:62, with strictly finer dirty
+        # granularity). Single-level: Catalyst's partial+final
+        # HashAggregate is the reduce tree, re-run over the dirty
+        # key-spans' rows = dirty pairs + their spans' untouched pairs.
         l1_content = None
         if self.two_level:
             pairs_by_span: dict[int, list[int]] = {}
-            for s, b in sorted(dirty_pairs):
-                pairs_by_span.setdefault(s, []).append(b)
+            for p in sorted(dirty_pspans):
+                pairs_by_span.setdefault(p // self.n_sub_buckets, []).append(
+                    p % self.n_sub_buckets
+                )
             dirty_pred = self._pair_pred(pairs_by_span)
             l1_existing = self._l1_t.read(self.spark, spans=dirty_kspans)
-            recomputed = (
-                content.filter(dirty_pred)
-                .groupBy("kspan", "bucket", *self.group_cols)
-                .agg(*self.agg_exprs)
-            )
+            recomputed = pair_rows.groupBy(
+                "kspan", "bucket", *self.group_cols
+            ).agg(*self.agg_exprs)
             if l1_existing is not None:
                 l1_surv = l1_existing.filter(~dirty_pred)
                 l1_content = l1_surv.select(recomputed.columns).unionByName(
@@ -605,14 +627,28 @@ class MapReduceView:
             finals = l1_content.groupBy("kspan", *self.group_cols).agg(
                 *self.agg_exprs
             )
-        elif self.agg_exprs is not None:
-            finals = content.groupBy("kspan", *self.group_cols).agg(
-                *self.agg_exprs
-            )
         else:
-            finals = content.groupBy("kspan", *self.group_cols).applyInPandas(
-                self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+            untouched_pspans = {
+                p
+                for p in all_pspans
+                if p // self.n_sub_buckets in dirty_kspans
+            } - dirty_pspans
+            untouched = self._map_t.read(self.spark, spans=untouched_pspans)
+            content = (
+                pair_rows
+                if untouched is None
+                else untouched.select(pair_rows.columns).unionByName(pair_rows)
             )
+            if self.agg_exprs is not None:
+                finals = content.groupBy("kspan", *self.group_cols).agg(
+                    *self.agg_exprs
+                )
+            else:
+                finals = content.groupBy(
+                    "kspan", *self.group_cols
+                ).applyInPandas(
+                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+                )
 
         # --- write all data files concurrently (invisible until commit)
         new_idx = (
@@ -636,27 +672,19 @@ class MapReduceView:
             ("idx", lambda: self._idx_t.write_data(new_idx)),
             ("fin", lambda: self._fin_t.write_data(finals)),
         ]
-        if append_spans:
-            app_rows = new_rows.filter(F.col("kspan").isin(sorted(append_spans)))
-            jobs.append(
-                (
-                    "map_app",
-                    lambda: self._map_t.write_data(
-                        app_rows,
-                        sort_col="bucket" if self.two_level else None,
-                    ),
-                )
+        if append_pspans:
+            app_rows = new_rows.filter(
+                F.col("pspan").isin(sorted(append_pspans))
             )
-        if rewrite_spans:
-            rw_rows = content.filter(F.col("kspan").isin(sorted(rewrite_spans)))
             jobs.append(
-                (
-                    "map_rw",
-                    lambda: self._map_t.write_data(
-                        rw_rows,
-                        sort_col="bucket" if self.two_level else None,
-                    ),
-                )
+                ("map_app", lambda: self._map_t.write_data(app_rows))
+            )
+        if rewrite_pspans:
+            rw_rows = pair_rows.filter(
+                F.col("pspan").isin(sorted(rewrite_pspans))
+            )
+            jobs.append(
+                ("map_rw", lambda: self._map_t.write_data(rw_rows))
             )
         if l1_content is not None:
             jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
@@ -679,7 +707,7 @@ class MapReduceView:
         self._map_t.commit(
             replace=map_rw,
             append=map_app,
-            drop=rewrite_spans - set(map_rw) - set(map_app),
+            drop=rewrite_pspans - set(map_rw) - set(map_app),
         )
         if l1_content is not None:
             self._l1_t.commit(
@@ -732,16 +760,20 @@ class MapReduceView:
         live = self._map_t.read(self.spark)
         if live is None:
             return
-        drop_cols = ["kspan"] + (["bucket"] if self.two_level else [])
-        content = live.drop(*drop_cols).withColumn("kspan", self._kspan())
-        sort_col = None
-        if self.two_level:
-            content = content.withColumn("bucket", self._bucket(F.col("uid")))
-            sort_col = "bucket"
-        content.cache()
-        self._map_t.commit(
-            replace_all=self._map_t.write_data(content, sort_col=sort_col)
+        drop_cols = [
+            c for c in ("kspan", "bucket", "pspan") if c in live.columns
+        ]
+        content = (
+            live.drop(*drop_cols)
+            .withColumn("kspan", self._kspan())
+            .withColumn("bucket", self._bucket(F.col("uid")))
+            .withColumn(
+                "pspan",
+                F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
+            )
         )
+        content.cache()
+        self._map_t.commit(replace_all=self._map_t.write_data(content))
         fresh_idx = content.select(
             "uid", "kspan", self._dspan(F.col("uid")).alias("dspan")
         ).distinct()
@@ -800,11 +832,10 @@ class MapReduceView:
 
     def compact_map(self, min_files: int = 4) -> int:
         """Small-file compaction for append-heavy ingest: every
-        insert-only batch appends one file per touched span, so a span
+        insert-only batch appends one file per touched pair, so a pair
         accumulates files until its next copy-on-write rewrite. Rewrite
-        each span holding >= ``min_files`` files into one clustered
-        file (bucket-sorted in two-level mode, restoring row-group
-        pruning quality). Results are unchanged; old files become
+        each pair holding >= ``min_files`` files into one file.
+        Results are unchanged; old files become
         unreferenced (reclaim via ``vacuum()``). Returns the number of
         spans compacted. At 100 TB scale this is the maintenance job a
         table service would schedule off-peak."""
@@ -813,9 +844,7 @@ class MapReduceView:
         if not todo:
             return 0
         df = self._map_t.read(self.spark, spans=todo)
-        mapping = self._map_t.write_data(
-            df, sort_col="bucket" if self.two_level else None
-        )
+        mapping = self._map_t.write_data(df)
         self._map_t.commit(replace=mapping, drop=todo - set(mapping))
         return len(todo)
 

@@ -63,7 +63,7 @@ class StreamingMapReduceView:
         n_key_spans: int = 64,
         n_doc_spans: int = 64,
         two_level: bool = False,
-        n_sub_buckets: int = 64,
+        n_sub_buckets: int = 8,
         max_files_per_trigger: int | None = None,
         maintenance_every: int | None = None,
     ):
