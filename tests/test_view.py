@@ -485,3 +485,20 @@ def test_query_local_serving_path(spark, scenario_view):
     }
     for key, kspan in assigned.items():
         assert v._span_of((key,)) == kspan
+
+
+def test_reserved_column_clash_raises(spark, tmp_path):
+    """A map output using an engine bookkeeping column name must fail
+    fast instead of being silently overwritten."""
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "clash"),
+        id_col="id",
+        map_fn=lambda df: df.withColumn("bucket", F.col("state")),
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved engine column"):
+        v.execute(people_df(spark, [("a", "CA")]))

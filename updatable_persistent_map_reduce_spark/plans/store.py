@@ -93,9 +93,7 @@ class ManifestTable:
 
     # ----- write path ------------------------------------------------------
 
-    def write_data(
-        self, df: DataFrame, sort_col: str | None = None
-    ) -> dict[int, list[str]]:
+    def write_data(self, df: DataFrame) -> dict[int, list[str]]:
         """Run one Spark write job landing ``df`` as immutable files in
         a fresh ``data-*/`` subdir; return span -> relative file paths.
 
@@ -113,8 +111,6 @@ class ManifestTable:
         out = df.withColumn("__span", F.col(self.span_col)).repartition(
             F.col("__span")
         )
-        if sort_col is not None:
-            out = out.sortWithinPartitions(sort_col)
         out.write.mode("overwrite").partitionBy("__span").parquet(target)
         mapping: dict[int, list[str]] = {}
         prefix = "__span="

@@ -31,11 +31,13 @@ Four manifest tables under ``store_path``:
 ``map_results/``  (span column ``pspan`` = key-span x doc-bucket)
     Persisted per-document map output (the reference's
     ``MapResults/<key>/<bucket>/<docId>`` tree, Executer.cs:165-183),
-    columnar and clustered by **key-span** ``K = crc32('\x1f'-joined
-    string casts of the group key) % n_key_spans`` — crc32 so the
-    driver computes a key's span in pure Python (see ``_kspan``) —
-    and recomputation of a dirty span reads only that span's files
-    (pruned driver-side against the manifest).
+    physically partitioned by the PAIR ``pspan = kspan * n_sub_buckets
+    + bucket``, where ``kspan = crc32('\x1f'-joined string casts of
+    the group key) % n_key_spans`` (crc32 so the driver computes a
+    key's span in pure Python, see ``_kspan``) and ``bucket`` is the
+    doc's stable case-insensitive hash bucket. The pair is the
+    copy-on-write rewrite unit and the recompute read unit — both
+    pruned file-exactly against the manifest.
 
 ``doc_index/``  (span column ``dspan``)
     ``(uid, kspan)`` locations of every live doc's map output,
@@ -131,6 +133,10 @@ from ..functions.bucket import bucket_expr
 from .store import ManifestTable
 
 MapFn = Callable[[DataFrame], DataFrame]
+
+# Engine bookkeeping columns stamped onto every map output; user map
+# outputs may not use these names (execute() raises on a clash).
+_RESERVED_COLS = {"uid", "kspan", "bucket", "dspan", "pspan"}
 
 
 class MapReduceView:
@@ -433,9 +439,28 @@ class MapReduceView:
         missing = {self.id_col, *self.group_cols} - set(mapped.columns)
         if missing:
             raise ValueError(f"map output missing columns: {sorted(missing)}")
+        clash = _RESERVED_COLS & set(mapped.columns)
+        if clash:
+            raise ValueError(
+                f"map output uses reserved engine column names {sorted(clash)}"
+                " — rename them (they carry the span bookkeeping)"
+            )
+        # One bucket_expr evaluation serves both derived columns: the
+        # hash is an interpreted per-codepoint fold (the dominant
+        # per-row map cost), so bucket and dspan are derived from a
+        # single shared projection rather than hashing twice.
         mapped = mapped.withColumn("uid", self._uid(F.col(self.id_col)))
         mapped = mapped.withColumn("kspan", self._kspan())
-        mapped = mapped.withColumn("bucket", self._bucket(F.col("uid")))
+        mapped = (
+            mapped.withColumn("__dh", bucket_expr(F.col("uid")))
+            .withColumn(
+                "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
+            )
+            .withColumn(
+                "dspan", (F.col("__dh") % F.lit(self.n_doc_spans)).cast("int")
+            )
+            .drop("__dh")
+        )
         mapped = mapped.withColumn(
             "pspan",
             F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
@@ -651,14 +676,7 @@ class MapReduceView:
                 )
 
         # --- write all data files concurrently (invisible until commit)
-        new_idx = (
-            mapped.select(
-                "uid",
-                F.col("kspan"),
-                self._dspan(F.col("uid")).alias("dspan"),
-            )
-            .distinct()
-        )
+        new_idx = mapped.select("uid", "kspan", "dspan").distinct()
         results: dict[str, dict[int, list[str]]] = {}
         errors: dict[str, BaseException] = {}
 
@@ -761,12 +779,19 @@ class MapReduceView:
         if live is None:
             return
         drop_cols = [
-            c for c in ("kspan", "bucket", "pspan") if c in live.columns
+            c for c in ("kspan", "bucket", "dspan", "pspan") if c in live.columns
         ]
         content = (
             live.drop(*drop_cols)
             .withColumn("kspan", self._kspan())
-            .withColumn("bucket", self._bucket(F.col("uid")))
+            .withColumn("__dh", bucket_expr(F.col("uid")))
+            .withColumn(
+                "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
+            )
+            .withColumn(
+                "dspan", (F.col("__dh") % F.lit(self.n_doc_spans)).cast("int")
+            )
+            .drop("__dh")
             .withColumn(
                 "pspan",
                 F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
@@ -837,7 +862,7 @@ class MapReduceView:
         each pair holding >= ``min_files`` files into one file.
         Results are unchanged; old files become
         unreferenced (reclaim via ``vacuum()``). Returns the number of
-        spans compacted. At 100 TB scale this is the maintenance job a
+        pairs compacted. At 100 TB scale this is the maintenance job a
         table service would schedule off-peak."""
         spans = self._map_t.spans()
         todo = {s for s, fs in spans.items() if len(fs) >= min_files}
@@ -856,9 +881,7 @@ class MapReduceView:
         live = self._map_t.read(self.spark)
         if live is None:
             return
-        fresh = live.select(
-            "uid", "kspan", self._dspan(F.col("uid")).alias("dspan")
-        ).distinct()
+        fresh = live.select("uid", "kspan", "dspan").distinct()
         mapping = self._idx_t.write_data(fresh)
         self._idx_t.commit(replace_all=mapping)
         self._idx_t.vacuum()

@@ -66,6 +66,7 @@ class StreamingMapReduceView:
         n_sub_buckets: int = 8,
         max_files_per_trigger: int | None = None,
         maintenance_every: int | None = None,
+        migrate_span_hash: bool = False,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -114,6 +115,7 @@ class StreamingMapReduceView:
             n_doc_spans=n_doc_spans,
             two_level=two_level,
             n_sub_buckets=n_sub_buckets,
+            migrate_span_hash=migrate_span_hash,
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
