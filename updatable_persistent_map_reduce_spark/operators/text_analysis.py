@@ -208,6 +208,102 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+
+# Pattern classes a real pipeline scrubs; on the synthetic corpus only
+# digit runs fire, but the operator is class-generic. Both regexes are
+# RE2-safe so Spark's and DuckDB's engines agree.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM_RE = r"[0-9]+"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=(
+        "SELECT event_id, "
+        f"CAST(len(regexp_extract_all(props, '{_PII_EMAIL_RE}')) AS INTEGER) "
+        "AS n_email, "
+        f"CAST(len(regexp_extract_all(props, '{_PII_NUM_RE}')) AS INTEGER) "
+        "AS n_num, "
+        f"regexp_replace(regexp_replace(props, '{_PII_EMAIL_RE}', "
+        "'<EMAIL>', 'g'), "
+        f"'{_PII_NUM_RE}', '<NUM>', 'g') AS scrubbed "
+        "FROM events"
+    ),
+    doc="PII scrubbing: count + redact pattern classes (emails, numeric "
+    "identifiers) in a free-text column — the privacy pass a training "
+    "pipeline runs before packing. Pure codegen regex map over one scan; "
+    "at 100 TB this is embarrassingly parallel with zero shuffle, and "
+    "new pattern classes are one more regexp_replace in the same "
+    "projection.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("props", _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_NUM_RE,
+        "<NUM>",
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit(_PII_EMAIL_RE), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all("props", F.lit(_PII_NUM_RE), F.lit(0))).alias(
+            "n_num"
+        ),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality filtering (Gopher-style)
+
+
+@register(
+    "q_repetition_filter",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents) "
+        "SELECT doc_id, "
+        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / "
+        "greatest(len(toks), 1), 4) AS dup_ratio, "
+        "round(CAST(list_max(list_transform(list_distinct(toks), "
+        "d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / "
+        "greatest(len(toks), 1), 4) AS top_token_ratio, "
+        "CASE WHEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / "
+        "greatest(len(toks), 1) > 0.5 THEN TRUE ELSE FALSE END "
+        "AS is_repetitive FROM t"
+    ),
+    doc="Repetition-based quality filter (the Gopher-rules shape): "
+    "duplicate-token fraction and most-frequent-token share per doc, "
+    "with a repetition gate. Array HOFs keep it a single-scan map; the "
+    "per-doc top-token count is O(distinct x tokens) inside the row — "
+    "fine for document-sized arrays; the at-scale alternative for huge "
+    "docs is explode + two-key partial agg, same result.",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks"), F.lit(1))
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda dtok: F.size(F.filter(F.col("toks"), lambda t: t == dtok)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.round(dup_ratio, 4).alias("dup_ratio"),
+        F.round(top_cnt.cast("double") / n, 4).alias("top_token_ratio"),
+        (dup_ratio > 0.5).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint
 
 
