@@ -118,8 +118,10 @@ commit shape); see plans/store.py.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import json
+import math
 import operator
 import os
 import threading
@@ -129,8 +131,21 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.bucket import bucket_expr
 from .store import ManifestTable
+
+
+def _doc_hash(uid_column: Column) -> Column:
+    """Stable doc hash for span/bucket assignment: xxhash64 over the
+    (already upper-cased) uid — deterministic across runs/sessions
+    (fixed seed 42), case-insensitive because the uid is, and fully
+    JVM-codegen'd. The reference's per-codepoint fold
+    (Executer.cs:295-303) survives as ``functions.bucket.bucket_expr``
+    for the `q_bucket_hash` oracle-checked query; *inside* the store
+    the hash is a physical placement detail (SURVEY §1: "exact hash
+    function need not match"), so the engine uses the cheap one —
+    the interpreted higher-order fold costs ~10s of first-use JIT and
+    dominates small-batch maintenance."""
+    return F.abs(F.xxhash64(uid_column))
 
 MapFn = Callable[[DataFrame], DataFrame]
 
@@ -175,6 +190,7 @@ class MapReduceView:
         two_level: bool = False,
         n_sub_buckets: int = 8,
         migrate_span_hash: bool = False,
+        maintenance_shuffle_partitions: int | None = None,
     ):
         if (agg_exprs is None) == (reduce_fn is None):
             raise ValueError("exactly one of agg_exprs / reduce_fn required")
@@ -192,6 +208,10 @@ class MapReduceView:
         self.reduce_schema = reduce_schema
         self.n_key_spans = n_key_spans
         self.n_doc_spans = n_doc_spans
+        # Maintenance jobs are right-sized per batch (see
+        # :meth:`_maintenance_conf`): explicit value wins, else derived
+        # from the previous batch's observed row count.
+        self.maintenance_shuffle_partitions = maintenance_shuffle_partitions
         # Two-level mode materializes the reference's reduce tree
         # (Executer.cs:62,80-83: doc-bucketed partials below the final):
         # a ``reduce_l1`` table holds per-(kspan, doc-bucket) partial
@@ -267,10 +287,11 @@ class MapReduceView:
             # under the new hash is deterministic and replayable.
             self.rescale()
 
-    # Versions the derived physical layout: the key-span hash AND the
-    # map table's pair partitioning. Bump on any change to how span
-    # columns are derived; migrate_span_hash=True rebuilds in place.
-    _SPAN_HASH = "crc32-pair-v2"
+    # Versions the derived physical layout: the key-span hash, the doc
+    # hash, AND the map table's pair partitioning. Bump on any change
+    # to how span columns are derived; migrate_span_hash=True rebuilds
+    # in place.
+    _SPAN_HASH = "crc32key-xxdoc-v3"
 
     def _map_pspans(self, kspans: set[int]) -> set[int]:
         """The map table's physical pairs belonging to ``kspans``
@@ -322,10 +343,10 @@ class MapReduceView:
             .s
         )
 
-    def _dspan(self, id_column: Column) -> Column:
-        # Case-insensitive stable doc bucket (reference parity:
-        # Executer.cs:295-303 over upper-cased chars), folded to spans.
-        return (bucket_expr(id_column) % F.lit(self.n_doc_spans)).cast("int")
+    def _dspan(self, uid_column: Column) -> Column:
+        # Case-insensitive stable doc span (the reference's bucket role,
+        # Executer.cs:295-303, over the upper-cased uid).
+        return (_doc_hash(uid_column) % F.lit(self.n_doc_spans)).cast("int")
 
     def _uid(self, id_column: Column) -> Column:
         return F.upper(id_column.cast("string"))
@@ -333,7 +354,7 @@ class MapReduceView:
     def _bucket(self, uid_column: Column) -> Column:
         # Fine-grained doc bucket inside a key-span (two-level mode):
         # the reference's leaf bucket role (Executer.cs:295-303).
-        return (bucket_expr(uid_column) % F.lit(self.n_sub_buckets)).cast("int")
+        return (_doc_hash(uid_column) % F.lit(self.n_sub_buckets)).cast("int")
 
     @staticmethod
     def _pair_pred(pairs_by_span: dict[int, list[int]]) -> Column:
@@ -348,6 +369,76 @@ class MapReduceView:
                 for s, bs in pairs_by_span.items()
             ],
         )
+
+    # ----- maintenance job sizing ------------------------------------------
+
+    # Target rows per maintenance shuffle partition: view-state rows
+    # are narrow (key + aggregate columns), so ~250k rows is a few MB —
+    # small enough to aggregate in-core, big enough that task overhead
+    # doesn't dominate. The floor keeps a handful of tasks in flight
+    # even for tiny batches: 1-partition plans serialize the survivor
+    # rewrite and the per-span file writes behind a single core.
+    _ROWS_PER_PARTITION = 250_000
+    _MIN_PARTITIONS = 8
+
+    def _size_partitions(self, rows: int) -> int:
+        return max(
+            self._MIN_PARTITIONS,
+            math.ceil(rows / self._ROWS_PER_PARTITION),
+        )
+
+    def _maintenance_partitions(self) -> int | None:
+        """Partition count for this batch's maintenance jobs, known
+        up-front: the explicit setting, else derived from the previous
+        batch's observed rows. ``None`` = unknown (fresh store)."""
+        if self.maintenance_shuffle_partitions is not None:
+            return self.maintenance_shuffle_partitions
+        last = self._meta().get("last_batch_rows")
+        if last is not None:
+            return self._size_partitions(last)
+        return None
+
+    @contextlib.contextmanager
+    def _conf_scope(self, n: int | None):
+        """Scope the session to right-sized maintenance jobs.
+
+        The store's internal jobs (dirty-set collects, survivor
+        rewrites, span re-aggregation, manifest writes) run over ONE
+        batch + its dirty slice — usually orders of magnitude smaller
+        than the analytics queries the session is configured for. A
+        32-partition AQE plan on a 1500-row batch spends its wall time
+        on stage materialization and empty tasks, ~4x the query cost at
+        bench scale. So: when the right-sized partition count ``n`` is
+        below the session default — i.e. the batch is small and the
+        partition count is already right-sized, which is AQE
+        coalescing's whole job locally — run the maintenance with a
+        static ``n``-partition plan (AQE off). Big batches (``n`` >=
+        session default) leave the session untouched: full parallelism,
+        AQE skew-splitting, the 100 TB path. Re-entrant: an inner scope
+        inside an active one is a no-op, so ``_apply_inner`` can
+        re-enter with a measured batch size when the outer scope had
+        nothing to size by."""
+        conf = self.spark.conf
+        if n is None or getattr(self, "_conf_scope_active", False):
+            yield
+            return
+        try:
+            default = int(conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001 — unusual session config
+            default = None
+        if default is None or n >= default:
+            yield
+            return
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.shuffle.partitions", str(n))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        self._conf_scope_active = True
+        try:
+            yield
+        finally:
+            self._conf_scope_active = False
+            conf.set("spark.sql.shuffle.partitions", str(default))
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     # ----- journal / meta --------------------------------------------------
 
@@ -445,14 +536,12 @@ class MapReduceView:
                 f"map output uses reserved engine column names {sorted(clash)}"
                 " — rename them (they carry the span bookkeeping)"
             )
-        # One bucket_expr evaluation serves both derived columns: the
-        # hash is an interpreted per-codepoint fold (the dominant
-        # per-row map cost), so bucket and dspan are derived from a
-        # single shared projection rather than hashing twice.
+        # One doc-hash evaluation serves both derived columns (bucket
+        # and dspan are different moduli of the same hash).
         mapped = mapped.withColumn("uid", self._uid(F.col(self.id_col)))
         mapped = mapped.withColumn("kspan", self._kspan())
         mapped = (
-            mapped.withColumn("__dh", bucket_expr(F.col("uid")))
+            mapped.withColumn("__dh", _doc_hash(F.col("uid")))
             .withColumn(
                 "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
             )
@@ -509,7 +598,8 @@ class MapReduceView:
             return df
 
         try:
-            self._apply_inner(ids, mapped, cache)
+            with self._conf_scope(self._maintenance_partitions()):
+                self._apply_inner(ids, mapped, cache)
         finally:
             for df in cached:
                 df.unpersist()
@@ -520,7 +610,6 @@ class MapReduceView:
         mapped: DataFrame,
         cache: Callable[[DataFrame], DataFrame],
     ) -> None:
-        meta = self._meta()
         cache(ids)
         # The mapped batch feeds several downstream plans (span
         # discovery, map_results content, doc_index content); batches
@@ -528,41 +617,80 @@ class MapReduceView:
         cache(mapped)
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
-        # The batch's doc-spans first (a tiny distinct over the cached
-        # ids), so the doc_index lookup reads only those spans' files —
-        # the manifest-pruned equivalent of the reference's
-        # delete-and-reschedule (Executer.cs:240-261) without its
-        # full-corpus scan. Then one tagged-union job discovers
-        # everything the batch dirties: new keys' spans from the mapped
-        # batch, and replaced docs' old key-spans (and, two-level, doc
-        # buckets) from the index.
+        # One probe job discovers the batch's footprint — the mapped
+        # batch's new (kspan, bucket) pairs AND the ids' doc-spans —
+        # then the doc_index lookup reads only those doc-spans' files
+        # (the manifest-pruned equivalent of the reference's
+        # delete-and-reschedule, Executer.cs:240-261, without its
+        # full-corpus scan) and a second tiny job collects the replaced
+        # docs' old key-spans (and, two-level, doc buckets).
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
-        batch_dspans = {r.dspan for r in ids_d.select("dspan").distinct().collect()}
         bucket_of = self._bucket(F.col("uid"))
-        tagged = mapped.select(
+        probe = mapped.select(
             F.lit("k").alias("t"),
             F.col("kspan").alias("v"),
             F.col("bucket").alias("b"),
-        )
-        idx = self._idx_t.read(self.spark, spans=batch_dspans)
-        if idx is not None:
-            old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
-            tagged = tagged.unionByName(
-                old_locs.select(
-                    F.lit("o").alias("t"),
-                    F.col("kspan").alias("v"),
-                    bucket_of.alias("b"),
-                )
+        ).unionByName(
+            ids_d.select(
+                F.lit("d").alias("t"),
+                F.col("dspan").alias("v"),
+                F.lit(0).alias("b"),
             )
+        )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
         new_pspans: set[int] = set()
         old_pspans: set[int] = set()
-        kspans = {"k": new_kspans, "o": old_kspans}
-        pspans = {"k": new_pspans, "o": old_pspans}
-        for r in tagged.distinct().collect():
-            kspans[r.t].add(r.v)
-            pspans[r.t].add(r.v * self.n_sub_buckets + r.b)
+        batch_dspans: set[int] = set()
+        for r in probe.distinct().collect():
+            if r.t == "d":
+                batch_dspans.add(r.v)
+            else:
+                new_kspans.add(r.v)
+                new_pspans.add(r.v * self.n_sub_buckets + r.b)
+        # Fresh store, first batch: nothing to size maintenance by
+        # up-front, but the probe job just populated ``mapped``'s
+        # cache, so measuring the batch now is one cheap cached count —
+        # size the remainder of the batch with it (re-entrant no-op
+        # when the outer scope is already active).
+        stack = contextlib.ExitStack()
+        with stack:
+            if not getattr(self, "_conf_scope_active", False):
+                n_mapped = mapped.count()
+                stack.enter_context(
+                    self._conf_scope(self._size_partitions(n_mapped))
+                )
+            self._apply_rest(
+                ids, mapped, cache, new_kspans, old_kspans, new_pspans,
+                old_pspans, batch_dspans, bucket_of, ids_d,
+            )
+
+    def _apply_rest(
+        self,
+        ids: DataFrame,
+        mapped: DataFrame,
+        cache: Callable[[DataFrame], DataFrame],
+        new_kspans: set[int],
+        old_kspans: set[int],
+        new_pspans: set[int],
+        old_pspans: set[int],
+        batch_dspans: set[int],
+        bucket_of: Column,
+        ids_d: DataFrame,
+    ) -> None:
+        meta = self._meta()
+        idx = self._idx_t.read(self.spark, spans=batch_dspans)
+        if idx is not None:
+            old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
+            for r in (
+                old_locs.select(
+                    F.col("kspan").alias("v"), bucket_of.alias("b")
+                )
+                .distinct()
+                .collect()
+            ):
+                old_kspans.add(r.v)
+                old_pspans.add(r.v * self.n_sub_buckets + r.b)
         dirty_kspans = new_kspans | old_kspans
         dirty_pspans = new_pspans | old_pspans
         if not dirty_kspans:
@@ -676,6 +804,14 @@ class MapReduceView:
                 )
 
         # --- write all data files concurrently (invisible until commit)
+        #
+        # ``pair_rows`` feeds two (three, two-level) of the concurrent
+        # jobs below; Spark's cache does not deduplicate in-flight
+        # partition computation across jobs racing to populate it, so
+        # materialize it once up front — the concurrent writers then
+        # read columnar cache instead of each re-running the
+        # survivor-filter union.
+        n_pair_rows = pair_rows.count()
         new_idx = mapped.select("uid", "kspan", "dspan").distinct()
         results: dict[str, dict[int, list[str]]] = {}
         errors: dict[str, BaseException] = {}
@@ -686,24 +822,34 @@ class MapReduceView:
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 errors[name] = e
 
+        # One write job covers the whole map table: append pairs land
+        # only the batch's new rows, rewrite pairs land their full
+        # replacement content (survivors + batch). The two slices are
+        # disjoint by pspan, so a single job writes both file sets and
+        # the commit splits the resulting span->files mapping by pair
+        # class — halving the map-table job count per batch. (NB
+        # ``pair_rows`` also holds existing rows of append-class pairs
+        # — read for the re-aggregation — which must NOT be rewritten,
+        # hence the slice-and-union rather than writing ``pair_rows``.)
+        map_write_pspans = append_pspans | rewrite_pspans
+        slices = []
+        if rewrite_pspans:
+            slices.append(
+                pair_rows.filter(F.col("pspan").isin(sorted(rewrite_pspans)))
+            )
+        if append_pspans:
+            slices.append(
+                new_rows.filter(F.col("pspan").isin(sorted(append_pspans)))
+            )
+        map_rows = slices[0] if len(slices) == 1 else (
+            slices[0].unionByName(slices[1]) if slices else None
+        )
         jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
             ("idx", lambda: self._idx_t.write_data(new_idx)),
             ("fin", lambda: self._fin_t.write_data(finals)),
         ]
-        if append_pspans:
-            app_rows = new_rows.filter(
-                F.col("pspan").isin(sorted(append_pspans))
-            )
-            jobs.append(
-                ("map_app", lambda: self._map_t.write_data(app_rows))
-            )
-        if rewrite_pspans:
-            rw_rows = pair_rows.filter(
-                F.col("pspan").isin(sorted(rewrite_pspans))
-            )
-            jobs.append(
-                ("map_rw", lambda: self._map_t.write_data(rw_rows))
-            )
+        if map_write_pspans:
+            jobs.append(("map", lambda: self._map_t.write_data(map_rows)))
         if l1_content is not None:
             jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
         threads = [
@@ -720,8 +866,11 @@ class MapReduceView:
         # --- commit (atomic manifest swaps, dependency order; see
         # module docstring for why the index leads)
         self._idx_t.commit(append=results["idx"])
-        map_rw = results.get("map_rw", {})
-        map_app = results.get("map_app", {})
+        map_files = results.get("map", {})
+        map_rw = {s: fs for s, fs in map_files.items() if s in rewrite_pspans}
+        map_app = {
+            s: fs for s, fs in map_files.items() if s not in rewrite_pspans
+        }
         self._map_t.commit(
             replace=map_rw,
             append=map_app,
@@ -735,7 +884,16 @@ class MapReduceView:
             replace=results["fin"], drop=dirty_kspans - set(results["fin"])
         )
         os.remove(self._journal_path)
-        self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
+        self._write_meta(
+            {
+                **meta,
+                "batch_seq": meta["batch_seq"] + 1,
+                # Sizes the next batch's maintenance jobs (see
+                # _maintenance_conf); the dirty slice is the best
+                # available predictor of the next one.
+                "last_batch_rows": int(n_pair_rows),
+            }
+        )
 
     # ----- maintenance -----------------------------------------------------
 
@@ -784,7 +942,7 @@ class MapReduceView:
         content = (
             live.drop(*drop_cols)
             .withColumn("kspan", self._kspan())
-            .withColumn("__dh", bucket_expr(F.col("uid")))
+            .withColumn("__dh", _doc_hash(F.col("uid")))
             .withColumn(
                 "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
             )
