@@ -1033,7 +1033,17 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("double"),
                 F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
                 10_000,
-            ).alias("approx_quantiles")
+            ).alias("aq")
+        )
+        # Scalar columns, not the raw array: the driver's canonical
+        # compare sorts on every column, and a list-typed column is
+        # unsortable/unhashable in pandas (round-1 failure mode).
+        .select(
+            "lang",
+            F.col("aq")[0].alias("q25"),
+            F.col("aq")[1].alias("q50"),
+            F.col("aq")[2].alias("q75"),
+            F.col("aq")[3].alias("q95"),
         )
     )
 

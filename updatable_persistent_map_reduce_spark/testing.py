@@ -76,14 +76,33 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     return problems
 
 
+def driver_canon_probe(rows, cols) -> list[str]:
+    """Replicate the DRIVER's canonicalization mechanics: it loads the
+    result into pandas and ``sort_values`` by every column (name-sorted)
+    before hashing. That crashes on unsortable cell types (lists, dicts,
+    arrays — round 1's q_agg_approx_quantile failure), including for
+    rows-only queries, so probe it here and report instead of crashing
+    the gate."""
+    import pandas as pd
+
+    try:
+        df = pd.DataFrame(rows, columns=cols)
+        df = df.reindex(sorted(df.columns), axis=1)
+        df.sort_values(by=list(df.columns), inplace=True)
+    except Exception as e:  # noqa: BLE001 — the probe's whole point
+        return [f"driver canon would fail: {type(e).__name__}: {e}"]
+    return []
+
+
 def check_query(spark, con, query, sf_dir: str) -> list[str]:
     """Run one registered Query against both engines; [] = pass."""
     sdf = query.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    problems = driver_canon_probe(spark_rows, spark_cols)
     if query.oracle is None:
-        return []  # rows-only: just confirms it runs
+        return problems  # rows-only: runs + canonicalizable
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
-    return compare(spark_rows, spark_cols, duck_rows, duck_cols)
+    return problems + compare(spark_rows, spark_cols, duck_rows, duck_cols)
