@@ -66,6 +66,15 @@ def main() -> None:
         return x
 
     spark.range(10_000).select(F.sum(_warm("id"))).collect()
+    # Higher-order array expressions (aggregate/zip_with/transform) and
+    # window machinery JIT several seconds of codegen on first use;
+    # that is session setup, not query cost.
+    spark.sql(
+        "SELECT aggregate(zip_with(array(1.0D), array(2.0D), (x, y) -> x*y),"
+        " 0D, (a, v) -> a + v),"
+        " transform(array(1, 2), x -> x + 1),"
+        " row_number() OVER (PARTITION BY 1 ORDER BY 1)"
+    ).collect()
 
     qs = all_queries()
     times: dict[str, float] = {}

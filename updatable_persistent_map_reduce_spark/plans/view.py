@@ -616,6 +616,17 @@ class MapReduceView:
         # are bounded, so caching beats recomputing the user map.
         cache(mapped)
 
+        # --- bootstrap fast path: a completely fresh store cannot hold
+        # prior versions of any incoming doc, so the whole invalidation
+        # protocol (probe, doc_index lookup, survivor rewrite) is
+        # provably a no-op — write everything, derive the dirty spans
+        # from the write mappings themselves.
+        if not self._map_t.spans() and not self._idx_t.spans():
+            n_mapped = mapped.count()
+            with self._conf_scope(self._size_partitions(n_mapped)):
+                self._bootstrap(mapped, cache, n_mapped)
+            return
+
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
         # One probe job discovers the batch's footprint — the mapped
         # batch's new (kspan, bucket) pairs AND the ids' doc-spans —
@@ -623,7 +634,10 @@ class MapReduceView:
         # (the manifest-pruned equivalent of the reference's
         # delete-and-reschedule, Executer.cs:240-261, without its
         # full-corpus scan) and a second tiny job collects the replaced
-        # docs' old key-spans (and, two-level, doc buckets).
+        # docs' old key-spans (and, two-level, doc buckets). When the
+        # whole doc_index is small (manifest byte stats, no job), the
+        # lookup is folded INTO the probe — one collect instead of two;
+        # the two-phase pruned path remains the at-scale plan.
         ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
         bucket_of = self._bucket(F.col("uid"))
         probe = mapped.select(
@@ -637,6 +651,17 @@ class MapReduceView:
                 F.lit(0).alias("b"),
             )
         )
+        small_idx = self._idx_t.stats()["bytes"] < self._SMALL_INDEX_BYTES
+        idx_all = self._idx_t.read(self.spark) if small_idx else None
+        if idx_all is not None:
+            probe = probe.unionByName(
+                idx_all.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
+                .select(
+                    F.lit("o").alias("t"),
+                    F.col("kspan").alias("v"),
+                    bucket_of.alias("b"),
+                )
+            )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
         new_pspans: set[int] = set()
@@ -646,13 +671,16 @@ class MapReduceView:
             if r.t == "d":
                 batch_dspans.add(r.v)
             else:
-                new_kspans.add(r.v)
-                new_pspans.add(r.v * self.n_sub_buckets + r.b)
-        # Fresh store, first batch: nothing to size maintenance by
-        # up-front, but the probe job just populated ``mapped``'s
-        # cache, so measuring the batch now is one cheap cached count —
-        # size the remainder of the batch with it (re-entrant no-op
-        # when the outer scope is already active).
+                tgt = (new_kspans, new_pspans) if r.t == "k" else (
+                    old_kspans, old_pspans
+                )
+                tgt[0].add(r.v)
+                tgt[1].add(r.v * self.n_sub_buckets + r.b)
+        # Nothing to size maintenance by up-front on a store without
+        # meta, but the probe job just populated ``mapped``'s cache, so
+        # measuring the batch now is one cheap cached count — size the
+        # remainder of the batch with it (re-entrant no-op when the
+        # outer scope is already active).
         stack = contextlib.ExitStack()
         with stack:
             if not getattr(self, "_conf_scope_active", False):
@@ -663,7 +691,93 @@ class MapReduceView:
             self._apply_rest(
                 ids, mapped, cache, new_kspans, old_kspans, new_pspans,
                 old_pspans, batch_dspans, bucket_of, ids_d,
+                lookup_done=idx_all is not None,
             )
+
+    # Fold the doc_index lookup into the probe when the whole index is
+    # under this many bytes: reading a few extra small files costs less
+    # than a second driver round-trip job.
+    _SMALL_INDEX_BYTES = 64 * 1024 * 1024
+
+    def _bootstrap(
+        self,
+        mapped: DataFrame,
+        cache: Callable[[DataFrame], DataFrame],
+        n_mapped: int,
+    ) -> None:
+        """First batch into an empty store: concurrent writes of map
+        output, index, (L1,) and finals straight from the mapped batch;
+        the journal (derived from the write mappings) precedes the
+        first commit, so crash recovery converges exactly as in the
+        general path."""
+        meta = self._meta()
+        if n_mapped == 0:
+            self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
+            return
+        data_cols = [c for c in mapped.columns if c != "pspan"]
+        new_rows = mapped.select(*data_cols, F.col("pspan"))
+        l1_content = None
+        if self.two_level:
+            l1_content = cache(
+                mapped.groupBy("kspan", "bucket", *self.group_cols).agg(
+                    *self.agg_exprs
+                )
+            )
+            finals = l1_content.groupBy("kspan", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+        elif self.agg_exprs is not None:
+            finals = mapped.groupBy("kspan", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+        else:
+            finals = mapped.groupBy("kspan", *self.group_cols).applyInPandas(
+                self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+            )
+        new_idx = mapped.select("uid", "kspan", "dspan").distinct()
+        results: dict[str, dict[int, list[str]]] = {}
+        errors: dict[str, BaseException] = {}
+
+        def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
+            try:
+                results[name] = fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors[name] = e
+
+        jobs = [
+            ("idx", lambda: self._idx_t.write_data(new_idx)),
+            ("fin", lambda: self._fin_t.write_data(finals)),
+            ("map", lambda: self._map_t.write_data(new_rows)),
+        ]
+        if l1_content is not None:
+            jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
+        threads = [
+            threading.Thread(target=_run, args=(n, fn), daemon=True)
+            for n, fn in jobs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise next(iter(errors.values()))
+        dirty_kspans = {
+            p // self.n_sub_buckets for p in results["map"]
+        } | set(results["fin"])
+        self._write_journal(sorted(dirty_kspans))
+        self._idx_t.commit(append=results["idx"])
+        self._map_t.commit(append=results["map"])
+        if l1_content is not None:
+            self._l1_t.commit(replace=results["l1"])
+        self._fin_t.commit(replace=results["fin"])
+        os.remove(self._journal_path)
+        self._write_meta(
+            {
+                **meta,
+                "batch_seq": meta["batch_seq"] + 1,
+                "last_batch_rows": int(n_mapped),
+            }
+        )
 
     def _apply_rest(
         self,
@@ -677,9 +791,14 @@ class MapReduceView:
         batch_dspans: set[int],
         bucket_of: Column,
         ids_d: DataFrame,
+        lookup_done: bool = False,
     ) -> None:
         meta = self._meta()
-        idx = self._idx_t.read(self.spark, spans=batch_dspans)
+        idx = (
+            None
+            if lookup_done
+            else self._idx_t.read(self.spark, spans=batch_dspans)
+        )
         if idx is not None:
             old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
             for r in (
