@@ -56,7 +56,10 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapRed
     cached = _VIEW_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    ev = Catalog(spark, sf_dir).events
+    # The build reads events once per batch plus the bounds probe;
+    # persist for the build's duration so the parquet scan+decode runs
+    # once (released in the finally below).
+    ev = Catalog(spark, sf_dir).events.persist()
     store = tempfile.mkdtemp(prefix="upmr_events_")
     view = MapReduceView(
         spark,
@@ -71,24 +74,27 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapRed
         n_key_spans=8,
         n_doc_spans=8,
     )
-    bounds = [
-        r[0]
-        for r in ev.selectExpr("max(event_id)").collect()
-    ]
-    hi = bounds[0] + 1
-    step = max(1, hi // n_batches + 1)
-    for b in range(n_batches):
-        lo_b, hi_b = b * step, (b + 1) * step
-        batch = ev.filter(
-            (F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b)
-        ).select(
-            F.col("user_id").cast("string").alias("doc_id"),
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-        )
-        view.execute(batch)
+    try:
+        bounds = [
+            r[0]
+            for r in ev.selectExpr("max(event_id)").collect()
+        ]
+        hi = bounds[0] + 1
+        step = max(1, hi // n_batches + 1)
+        for b in range(n_batches):
+            lo_b, hi_b = b * step, (b + 1) * step
+            batch = ev.filter(
+                (F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b)
+            ).select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+            )
+            view.execute(batch)
+    finally:
+        ev.unpersist()
     _VIEW_CACHE[cache_key] = view
     return view
 
