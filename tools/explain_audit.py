@@ -63,6 +63,38 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_join_full": (["SortMergeJoin FullOuter"], ["BroadcastNestedLoop"]),
     # correlated EXISTS decorrelates to one semi join of the subquery
     "q_sql_exists": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # salted skew join stays an equi-join (salt explode, no NLJ)
+    "q_join_salted": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # dense-spine gap fill: sequence/explode + equi left join, no NLJ
+    "q_gap_fill": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # pivot compiles to conditional aggs in ONE pass — no per-value scans
+    "q_pivot": (["HashAggregate"], ["Python"]),
+    # grouping sets / rollup / cube: one Expand + a single aggregation
+    "q_agg_grouping_sets": (["Expand", "HashAggregate"], []),
+    "q_agg_rollup": (["Expand", "HashAggregate"], []),
+    "q_agg_cube": (["Expand", "HashAggregate"], []),
+    # analytics windows: one Window operator, JVM-side only
+    "q_window_rank": (["Window"], ["Python", "CartesianProduct"]),
+    "q_window_frame": (["Window"], ["Python"]),
+    "q_window_ntile": (["Window"], ["Python"]),
+    # event-time windows aggregate JVM-side
+    "q_stream_tumbling": (["HashAggregate"], ["Python"]),
+    # corpus prep composes into one plan: pushed quality predicate,
+    # dedup + prefix-sum windows, nothing Python
+    "q_corpus_prep": (["Window", "PushedFilters: ["], ["Python"]),
+    "q_shard_pack": (["Window"], ["Python"]),
+    # text analysis is pure JVM expression work
+    "q_text_stats": (["HashAggregate"], ["Python"]),
+    "q_lang_id": (["Scan parquet"], ["Python"]),
+    "q_quality_score": (["Scan parquet"], ["Python"]),
+    # Python where it belongs: Arrow-batched pandas evaluation, NEVER
+    # the row-at-a-time pickled path
+    "q_mm_features": (["MapInPandas"], ["BatchEvalPython"]),
+    "q_dedup_near": (["Python"], ["BatchEvalPython"]),
+    "q_udf_surface": (["Python"], ["BatchEvalPython"]),
+    # SQL front end produces the same shapes as the DataFrame API
+    "q_sql_tpch_q1": (["HashAggregate"], ["CartesianProduct"]),
+    "q_sql_tpch_q3": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 
