@@ -79,14 +79,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_window_ntile": (["Window"], ["Python"]),
     # event-time windows aggregate JVM-side
     "q_stream_tumbling": (["HashAggregate"], ["Python"]),
-    # corpus prep composes into one plan: pushed quality predicate,
-    # dedup + prefix-sum windows, nothing Python
-    "q_corpus_prep": (["Window", "PushedFilters: ["], ["Python"]),
+    # corpus prep composes into one plan: the quality predicate must
+    # actually reach the scan (the named filter, not the vacuous
+    # "PushedFilters: [" prefix that every scan prints)
+    "q_corpus_prep": (
+        ["Window", "GreaterThanOrEqual(n_chars,50)"],
+        ["Python"],
+    ),
     "q_shard_pack": (["Window"], ["Python"]),
-    # text analysis is pure JVM expression work
+    # text analysis is pure JVM expression work — no Python stage, no
+    # shuffle beyond the aggregation's own
     "q_text_stats": (["HashAggregate"], ["Python"]),
-    "q_lang_id": (["Scan parquet"], ["Python"]),
-    "q_quality_score": (["Scan parquet"], ["Python"]),
+    "q_lang_id": (["Scan parquet"], ["Python", "SortMergeJoin"]),
+    "q_quality_score": (["Scan parquet"], ["Python", "SortMergeJoin"]),
     # Python where it belongs: Arrow-batched pandas evaluation, NEVER
     # the row-at-a-time pickled path
     "q_mm_features": (["MapInPandas"], ["BatchEvalPython"]),

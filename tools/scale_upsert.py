@@ -86,14 +86,14 @@ def run(spark, n: int, *, two_level: bool) -> dict:
     t0 = time.perf_counter()
     view.execute(corpus(spark, n))
     t_boot = time.perf_counter() - t0
-    # fixed-size upsert: UPSERT_N docs spread over every group/key-span
-    # (worst case for dirty-span count), values changed so rows really
-    # differ
-    upd = corpus(spark, n).filter(
-        F.col("doc_id").substr(F.lit(5), F.lit(99)).cast("long")
-        % (n // UPSERT_N)
-        == 0
-    ).withColumn("value", F.col("value") + 1000.0)
+    # fixed-size upsert: docs 0..UPSERT_N-1 — ids cover all N_GROUPS
+    # groups (id % 1000) so every key-span is dirty, and the hashed doc
+    # buckets spread over every pair: the true worst case (every pair
+    # copy-on-write rewritten), identical across corpus sizes. Values
+    # changed so rows really differ.
+    upd = corpus(spark, UPSERT_N).withColumn(
+        "value", F.col("value") + 1000.0
+    )
     t0 = time.perf_counter()
     view.execute(upd)
     t_upsert = time.perf_counter() - t0

@@ -42,7 +42,7 @@ Four manifest tables under ``store_path``:
 ``doc_index/``  (span column ``dspan``)
     ``(uid, kspan)`` locations of every live doc's map output,
     clustered by the stable case-insensitive **doc bucket** span
-    (functions/bucket.py, the reference's Executer.cs:295-303 role).
+    (``_doc_hash``, the reference's Executer.cs:295-303 role).
     This replaces the reference's O(corpus) invalidation scan
     (``Directory.GetFiles(AllDirectories)``, Executer.cs:245) with a
     manifest-pruned lookup: an incoming batch reads only its own doc
@@ -144,8 +144,10 @@ def _doc_hash(uid_column: Column) -> Column:
     the hash is a physical placement detail (SURVEY §1: "exact hash
     function need not match"), so the engine uses the cheap one —
     the interpreted higher-order fold costs ~10s of first-use JIT and
-    dominates small-batch maintenance."""
-    return F.abs(F.xxhash64(uid_column))
+    dominates small-batch maintenance. Callers take ``pmod`` of this
+    (never ``%``): the raw hash is signed, and ``abs()`` would overflow
+    for Long.MIN_VALUE."""
+    return F.xxhash64(uid_column)
 
 MapFn = Callable[[DataFrame], DataFrame]
 
@@ -209,8 +211,10 @@ class MapReduceView:
         self.n_key_spans = n_key_spans
         self.n_doc_spans = n_doc_spans
         # Maintenance jobs are right-sized per batch (see
-        # :meth:`_maintenance_conf`): explicit value wins, else derived
-        # from the previous batch's observed row count.
+        # :meth:`_conf_scope`): an explicit value here pins every
+        # phase; otherwise the probe phase uses the previous batch's
+        # hint and the heavy phase is sized from the current batch +
+        # dirty-pair file bytes.
         self.maintenance_shuffle_partitions = maintenance_shuffle_partitions
         # Two-level mode materializes the reference's reduce tree
         # (Executer.cs:62,80-83: doc-bucketed partials below the final):
@@ -291,7 +295,7 @@ class MapReduceView:
     # hash, AND the map table's pair partitioning. Bump on any change
     # to how span columns are derived; migrate_span_hash=True rebuilds
     # in place.
-    _SPAN_HASH = "crc32key-xxdoc-v3"
+    _SPAN_HASH = "crc32key-xxdoc-pmod-v4"
 
     def _map_pspans(self, kspans: set[int]) -> set[int]:
         """The map table's physical pairs belonging to ``kspans``
@@ -346,7 +350,9 @@ class MapReduceView:
     def _dspan(self, uid_column: Column) -> Column:
         # Case-insensitive stable doc span (the reference's bucket role,
         # Executer.cs:295-303, over the upper-cased uid).
-        return (_doc_hash(uid_column) % F.lit(self.n_doc_spans)).cast("int")
+        return F.pmod(
+            _doc_hash(uid_column), F.lit(self.n_doc_spans)
+        ).cast("int")
 
     def _uid(self, id_column: Column) -> Column:
         return F.upper(id_column.cast("string"))
@@ -354,7 +360,9 @@ class MapReduceView:
     def _bucket(self, uid_column: Column) -> Column:
         # Fine-grained doc bucket inside a key-span (two-level mode):
         # the reference's leaf bucket role (Executer.cs:295-303).
-        return (_doc_hash(uid_column) % F.lit(self.n_sub_buckets)).cast("int")
+        return F.pmod(
+            _doc_hash(uid_column), F.lit(self.n_sub_buckets)
+        ).cast("int")
 
     @staticmethod
     def _pair_pred(pairs_by_span: dict[int, list[int]]) -> Column:
@@ -372,34 +380,52 @@ class MapReduceView:
 
     # ----- maintenance job sizing ------------------------------------------
 
-    # Target rows per maintenance shuffle partition: view-state rows
-    # are narrow (key + aggregate columns), so ~250k rows is a few MB —
-    # small enough to aggregate in-core, big enough that task overhead
-    # doesn't dominate. The floor keeps a handful of tasks in flight
-    # even for tiny batches: 1-partition plans serialize the survivor
-    # rewrite and the per-span file writes behind a single core.
+    # Target rows / on-disk bytes per maintenance shuffle partition:
+    # view-state rows are narrow (key + aggregate columns), so ~250k
+    # rows is a few MB — small enough to aggregate in-core, big enough
+    # that task overhead doesn't dominate; the byte form sizes the
+    # survivor-rewrite phase from the dirty pairs' actual file sizes.
+    # The floor keeps a handful of tasks in flight even for tiny
+    # batches: 1-partition plans serialize the survivor rewrite and the
+    # per-span file writes behind a single core.
     _ROWS_PER_PARTITION = 250_000
+    _BYTES_PER_PARTITION = 64 * 1024 * 1024
     _MIN_PARTITIONS = 8
 
-    def _size_partitions(self, rows: int) -> int:
+    def _size_partitions(self, rows: int, file_bytes: int = 0) -> int:
         return max(
             self._MIN_PARTITIONS,
             math.ceil(rows / self._ROWS_PER_PARTITION),
+            math.ceil(file_bytes / self._BYTES_PER_PARTITION),
         )
 
-    def _maintenance_partitions(self) -> int | None:
-        """Partition count for this batch's maintenance jobs, known
-        up-front: the explicit setting, else derived from the previous
-        batch's observed rows. ``None`` = unknown (fresh store)."""
-        if self.maintenance_shuffle_partitions is not None:
-            return self.maintenance_shuffle_partitions
+    def _hint_partitions(self) -> int | None:
+        """Up-front sizing hint for the batch's *probe phase*: the
+        previous batch's observed dirty-slice rows (meta). Safe for the
+        probe at any true batch size — the probe is a distinct over
+        span/bucket ids whose map-side partial aggregation reduces any
+        input to a few thousand rows before the shuffle, so a small
+        reducer count never bottlenecks it. The *heavy* phase is sized
+        from the current batch + dirty-pair file bytes instead (see
+        ``_apply_rest``)."""
         last = self._meta().get("last_batch_rows")
         if last is not None:
             return self._size_partitions(last)
         return None
 
+    def _span_file_bytes(self, table: ManifestTable, spans) -> int:
+        """On-disk bytes of ``spans``' files per the current manifest —
+        driver-side metadata only, no Spark job."""
+        mapping = table.spans()
+        return sum(
+            os.path.getsize(os.path.join(table.path, f))
+            for s in spans
+            for f in mapping.get(s, [])
+            if os.path.exists(os.path.join(table.path, f))
+        )
+
     @contextlib.contextmanager
-    def _conf_scope(self, n: int | None):
+    def _conf_scope(self, n: int | None, pin: bool = False):
         """Scope the session to right-sized maintenance jobs.
 
         The store's internal jobs (dirty-set collects, survivor
@@ -414,10 +440,13 @@ class MapReduceView:
         coalescing's whole job locally — run the maintenance with a
         static ``n``-partition plan (AQE off). Big batches (``n`` >=
         session default) leave the session untouched: full parallelism,
-        AQE skew-splitting, the 100 TB path. Re-entrant: an inner scope
-        inside an active one is a no-op, so ``_apply_inner`` can
-        re-enter with a measured batch size when the outer scope had
-        nothing to size by."""
+        AQE skew-splitting, the 100 TB path.
+
+        Nested scopes are no-ops while one is active. ``pin=True``
+        (the user's explicit ``maintenance_shuffle_partitions``) always
+        applies ``n`` as the maintenance partition count — raising as
+        well as lowering — and stays marked active so inner derived
+        scopes cannot override the explicit setting."""
         conf = self.spark.conf
         if n is None or getattr(self, "_conf_scope_active", False):
             yield
@@ -426,19 +455,25 @@ class MapReduceView:
             default = int(conf.get("spark.sql.shuffle.partitions"))
         except Exception:  # noqa: BLE001 — unusual session config
             default = None
-        if default is None or n >= default:
+        modify = default is not None and (n < default if not pin else True)
+        if not modify and not pin:
             yield
             return
-        old_aqe = conf.get("spark.sql.adaptive.enabled")
-        conf.set("spark.sql.shuffle.partitions", str(n))
-        conf.set("spark.sql.adaptive.enabled", "false")
+        old_aqe = None
+        if modify:
+            old_aqe = conf.get("spark.sql.adaptive.enabled")
+            conf.set("spark.sql.shuffle.partitions", str(n))
+            if default is not None and n < default:
+                conf.set("spark.sql.adaptive.enabled", "false")
         self._conf_scope_active = True
         try:
             yield
         finally:
             self._conf_scope_active = False
-            conf.set("spark.sql.shuffle.partitions", str(default))
-            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            if modify:
+                conf.set("spark.sql.shuffle.partitions", str(default))
+                if old_aqe is not None:
+                    conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     # ----- journal / meta --------------------------------------------------
 
@@ -543,10 +578,12 @@ class MapReduceView:
         mapped = (
             mapped.withColumn("__dh", _doc_hash(F.col("uid")))
             .withColumn(
-                "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
+                "bucket",
+                F.pmod(F.col("__dh"), F.lit(self.n_sub_buckets)).cast("int"),
             )
             .withColumn(
-                "dspan", (F.col("__dh") % F.lit(self.n_doc_spans)).cast("int")
+                "dspan",
+                F.pmod(F.col("__dh"), F.lit(self.n_doc_spans)).cast("int"),
             )
             .drop("__dh")
         )
@@ -598,7 +635,9 @@ class MapReduceView:
             return df
 
         try:
-            with self._conf_scope(self._maintenance_partitions()):
+            with self._conf_scope(
+                self.maintenance_shuffle_partitions, pin=True
+            ):
                 self._apply_inner(ids, mapped, cache)
         finally:
             for df in cached:
@@ -667,7 +706,15 @@ class MapReduceView:
         new_pspans: set[int] = set()
         old_pspans: set[int] = set()
         batch_dspans: set[int] = set()
-        for r in probe.distinct().collect():
+        # The probe (and the pruned index lookup in _apply_rest) is
+        # distinct-over-span-ids work: map-side partial aggregation
+        # reduces ANY input size to a few thousand rows before the
+        # shuffle, so sizing it by the previous batch's hint is safe
+        # even when this batch is much larger. The heavy phase below is
+        # sized from THIS batch + the dirty pairs' file bytes.
+        with self._conf_scope(self._hint_partitions()):
+            probe_rows = probe.distinct().collect()
+        for r in probe_rows:
             if r.t == "d":
                 batch_dspans.add(r.v)
             else:
@@ -676,23 +723,15 @@ class MapReduceView:
                 )
                 tgt[0].add(r.v)
                 tgt[1].add(r.v * self.n_sub_buckets + r.b)
-        # Nothing to size maintenance by up-front on a store without
-        # meta, but the probe job just populated ``mapped``'s cache, so
-        # measuring the batch now is one cheap cached count — size the
-        # remainder of the batch with it (re-entrant no-op when the
-        # outer scope is already active).
-        stack = contextlib.ExitStack()
-        with stack:
-            if not getattr(self, "_conf_scope_active", False):
-                n_mapped = mapped.count()
-                stack.enter_context(
-                    self._conf_scope(self._size_partitions(n_mapped))
-                )
-            self._apply_rest(
-                ids, mapped, cache, new_kspans, old_kspans, new_pspans,
-                old_pspans, batch_dspans, bucket_of, ids_d,
-                lookup_done=idx_all is not None,
-            )
+        # The probe job just populated ``mapped``'s cache, so measuring
+        # the batch is one cheap cached count.
+        n_mapped = mapped.count()
+        self._apply_rest(
+            ids, mapped, cache, new_kspans, old_kspans, new_pspans,
+            old_pspans, batch_dspans, bucket_of, ids_d,
+            n_mapped=n_mapped,
+            lookup_done=idx_all is not None,
+        )
 
     # Fold the doc_index lookup into the probe when the whole index is
     # under this many bytes: reading a few extra small files costs less
@@ -723,6 +762,10 @@ class MapReduceView:
                     *self.agg_exprs
                 )
             )
+            # Materialize before the concurrent fin/l1 writers start:
+            # racing jobs would each recompute the L1 aggregation while
+            # the cache populates.
+            l1_content.count()
             finals = l1_content.groupBy("kspan", *self.group_cols).agg(
                 *self.agg_exprs
             )
@@ -791,6 +834,7 @@ class MapReduceView:
         batch_dspans: set[int],
         bucket_of: Column,
         ids_d: DataFrame,
+        n_mapped: int = 0,
         lookup_done: bool = False,
     ) -> None:
         meta = self._meta()
@@ -801,13 +845,17 @@ class MapReduceView:
         )
         if idx is not None:
             old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
-            for r in (
-                old_locs.select(
-                    F.col("kspan").alias("v"), bucket_of.alias("b")
+            # Distinct-over-span-ids like the probe: safe under the
+            # previous batch's sizing hint at any batch size.
+            with self._conf_scope(self._hint_partitions()):
+                old_rows = (
+                    old_locs.select(
+                        F.col("kspan").alias("v"), bucket_of.alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            ):
+            for r in old_rows:
                 old_kspans.add(r.v)
                 old_pspans.add(r.v * self.n_sub_buckets + r.b)
         dirty_kspans = new_kspans | old_kspans
@@ -824,163 +872,175 @@ class MapReduceView:
         # converging recompute described in the module docstring.
         self._write_journal(sorted(dirty_kspans))
 
-        # --- classify dirty pairs
-        # (reference: PersistMap + delete of replaced docs,
-        # Executer.cs:165-183, 258 — its MapResults/<key>/<bucket>/
-        # tree is exactly this granularity)
-        #
-        #   rewrite pairs = pairs holding a replaced doc ("o"-tagged
-        #     via the index; the index never loses an entry, so a pair
-        #     absent from ``old_pspans`` provably holds no prior
-        #     version of any incoming doc) — survivors must be
-        #     filtered out, so the pair's file set is replaced.
-        #   every other dirty pair only gains brand-new rows: an
-        #     O(batch) *append* of new files. Rewrite amplification is
-        #     therefore bounded by the doc-bucket — a small upsert into
-        #     a giant group rewrites corpus/(n_key_spans*n_sub_buckets)
-        #     bytes, never O(group) — and insert-heavy ingest (the
-        #     dominant 100 TB regime) pays no rewrite at all.
-        all_pspans = set(self._map_t.spans())
-        rewrite_pspans = old_pspans & all_pspans  # stale entries: no files
-        append_pspans = new_pspans - rewrite_pspans
-        data_cols = [c for c in mapped.columns if c != "pspan"]
-        new_rows = mapped.select(*data_cols, F.col("pspan"))
-        existing_dirty = self._map_t.read(
-            self.spark, spans=dirty_pspans & all_pspans
+        # Heavy phase — survivor rewrite, re-aggregation, data-file
+        # writes — sized from THIS batch plus the dirty key-spans' map
+        # file bytes (driver-side manifest metadata): a large batch
+        # after a small one gets full parallelism, and a small batch
+        # over a big dirty slice gets enough reducers for the rewrite.
+        heavy_n = self._size_partitions(
+            n_mapped,
+            file_bytes=self._span_file_bytes(
+                self._map_t, self._map_pspans(dirty_kspans)
+            ),
         )
-        if existing_dirty is not None:
-            survivors = existing_dirty
-            if rewrite_pspans:
-                survivors = survivors.join(F.broadcast(ids), "uid", "left_anti")
-            pair_rows = survivors.select(new_rows.columns).unionByName(new_rows)
-        else:
-            pair_rows = new_rows
-        # ``pair_rows`` is exactly what the dirty pairs hold after
-        # commit, so the rewrite write and the re-aggregation read it
-        # from cache instead of re-reading just-written parquet. Every
-        # write job below runs on a concurrent driver thread (Spark
-        # schedules jobs from separate threads in parallel): readers
-        # hold manifest-resolved file lists and appends only create
-        # unreferenced files, so no ordering applies until the commits
-        # — the critical path is the slowest write, not the sum.
-        cache(pair_rows)
-
-        # --- re-aggregate only dirty state
-        # (reference: ExecuteReduce over scheduled spans,
-        # Executer.cs:47-85). Two-level: the reduce tree is
-        # *materialized* — the dirty pairs' partials recompute from
-        # ``pair_rows`` (already exactly the dirty pairs' data: the
-        # manifest pruned the read to those files) and finals re-reduce
-        # the span's partials (the reference's BucketId/BatchSize
-        # grouping, Executer.cs:62, with strictly finer dirty
-        # granularity). Single-level: Catalyst's partial+final
-        # HashAggregate is the reduce tree, re-run over the dirty
-        # key-spans' rows = dirty pairs + their spans' untouched pairs.
-        l1_content = None
-        if self.two_level:
-            pairs_by_span: dict[int, list[int]] = {}
-            for p in sorted(dirty_pspans):
-                pairs_by_span.setdefault(p // self.n_sub_buckets, []).append(
-                    p % self.n_sub_buckets
-                )
-            dirty_pred = self._pair_pred(pairs_by_span)
-            l1_existing = self._l1_t.read(self.spark, spans=dirty_kspans)
-            recomputed = pair_rows.groupBy(
-                "kspan", "bucket", *self.group_cols
-            ).agg(*self.agg_exprs)
-            if l1_existing is not None:
-                l1_surv = l1_existing.filter(~dirty_pred)
-                l1_content = l1_surv.select(recomputed.columns).unionByName(
-                    recomputed
-                )
+        with self._conf_scope(heavy_n):
+            # --- classify dirty pairs
+            # (reference: PersistMap + delete of replaced docs,
+            # Executer.cs:165-183, 258 — its MapResults/<key>/<bucket>/
+            # tree is exactly this granularity)
+            #
+            #   rewrite pairs = pairs holding a replaced doc ("o"-tagged
+            #     via the index; the index never loses an entry, so a pair
+            #     absent from ``old_pspans`` provably holds no prior
+            #     version of any incoming doc) — survivors must be
+            #     filtered out, so the pair's file set is replaced.
+            #   every other dirty pair only gains brand-new rows: an
+            #     O(batch) *append* of new files. Rewrite amplification is
+            #     therefore bounded by the doc-bucket — a small upsert into
+            #     a giant group rewrites corpus/(n_key_spans*n_sub_buckets)
+            #     bytes, never O(group) — and insert-heavy ingest (the
+            #     dominant 100 TB regime) pays no rewrite at all.
+            all_pspans = set(self._map_t.spans())
+            rewrite_pspans = old_pspans & all_pspans  # stale entries: no files
+            append_pspans = new_pspans - rewrite_pspans
+            data_cols = [c for c in mapped.columns if c != "pspan"]
+            new_rows = mapped.select(*data_cols, F.col("pspan"))
+            existing_dirty = self._map_t.read(
+                self.spark, spans=dirty_pspans & all_pspans
+            )
+            if existing_dirty is not None:
+                survivors = existing_dirty
+                if rewrite_pspans:
+                    survivors = survivors.join(F.broadcast(ids), "uid", "left_anti")
+                pair_rows = survivors.select(new_rows.columns).unionByName(new_rows)
             else:
-                l1_content = recomputed
-            cache(l1_content)
-            finals = l1_content.groupBy("kspan", *self.group_cols).agg(
-                *self.agg_exprs
-            )
-        else:
-            untouched_pspans = {
-                p
-                for p in all_pspans
-                if p // self.n_sub_buckets in dirty_kspans
-            } - dirty_pspans
-            untouched = self._map_t.read(self.spark, spans=untouched_pspans)
-            content = (
-                pair_rows
-                if untouched is None
-                else untouched.select(pair_rows.columns).unionByName(pair_rows)
-            )
-            if self.agg_exprs is not None:
-                finals = content.groupBy("kspan", *self.group_cols).agg(
+                pair_rows = new_rows
+            # ``pair_rows`` is exactly what the dirty pairs hold after
+            # commit, so the rewrite write and the re-aggregation read it
+            # from cache instead of re-reading just-written parquet. Every
+            # write job below runs on a concurrent driver thread (Spark
+            # schedules jobs from separate threads in parallel): readers
+            # hold manifest-resolved file lists and appends only create
+            # unreferenced files, so no ordering applies until the commits
+            # — the critical path is the slowest write, not the sum.
+            cache(pair_rows)
+
+            # --- re-aggregate only dirty state
+            # (reference: ExecuteReduce over scheduled spans,
+            # Executer.cs:47-85). Two-level: the reduce tree is
+            # *materialized* — the dirty pairs' partials recompute from
+            # ``pair_rows`` (already exactly the dirty pairs' data: the
+            # manifest pruned the read to those files) and finals re-reduce
+            # the span's partials (the reference's BucketId/BatchSize
+            # grouping, Executer.cs:62, with strictly finer dirty
+            # granularity). Single-level: Catalyst's partial+final
+            # HashAggregate is the reduce tree, re-run over the dirty
+            # key-spans' rows = dirty pairs + their spans' untouched pairs.
+            l1_content = None
+            if self.two_level:
+                pairs_by_span: dict[int, list[int]] = {}
+                for p in sorted(dirty_pspans):
+                    pairs_by_span.setdefault(p // self.n_sub_buckets, []).append(
+                        p % self.n_sub_buckets
+                    )
+                dirty_pred = self._pair_pred(pairs_by_span)
+                l1_existing = self._l1_t.read(self.spark, spans=dirty_kspans)
+                recomputed = pair_rows.groupBy(
+                    "kspan", "bucket", *self.group_cols
+                ).agg(*self.agg_exprs)
+                if l1_existing is not None:
+                    l1_surv = l1_existing.filter(~dirty_pred)
+                    l1_content = l1_surv.select(recomputed.columns).unionByName(
+                        recomputed
+                    )
+                else:
+                    l1_content = recomputed
+                cache(l1_content)
+                finals = l1_content.groupBy("kspan", *self.group_cols).agg(
                     *self.agg_exprs
                 )
             else:
-                finals = content.groupBy(
-                    "kspan", *self.group_cols
-                ).applyInPandas(
-                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+                untouched_pspans = {
+                    p
+                    for p in all_pspans
+                    if p // self.n_sub_buckets in dirty_kspans
+                } - dirty_pspans
+                untouched = self._map_t.read(self.spark, spans=untouched_pspans)
+                content = (
+                    pair_rows
+                    if untouched is None
+                    else untouched.select(pair_rows.columns).unionByName(pair_rows)
                 )
+                if self.agg_exprs is not None:
+                    finals = content.groupBy("kspan", *self.group_cols).agg(
+                        *self.agg_exprs
+                    )
+                else:
+                    finals = content.groupBy(
+                        "kspan", *self.group_cols
+                    ).applyInPandas(
+                        self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+                    )
 
-        # --- write all data files concurrently (invisible until commit)
-        #
-        # ``pair_rows`` feeds two (three, two-level) of the concurrent
-        # jobs below; Spark's cache does not deduplicate in-flight
-        # partition computation across jobs racing to populate it, so
-        # materialize it once up front — the concurrent writers then
-        # read columnar cache instead of each re-running the
-        # survivor-filter union.
-        n_pair_rows = pair_rows.count()
-        new_idx = mapped.select("uid", "kspan", "dspan").distinct()
-        results: dict[str, dict[int, list[str]]] = {}
-        errors: dict[str, BaseException] = {}
+            # --- write all data files concurrently (invisible until commit)
+            #
+            # ``pair_rows`` feeds two (three, two-level) of the concurrent
+            # jobs below; Spark's cache does not deduplicate in-flight
+            # partition computation across jobs racing to populate it, so
+            # materialize it once up front — the concurrent writers then
+            # read columnar cache instead of each re-running the
+            # survivor-filter union.
+            n_pair_rows = pair_rows.count()
+            new_idx = mapped.select("uid", "kspan", "dspan").distinct()
+            results: dict[str, dict[int, list[str]]] = {}
+            errors: dict[str, BaseException] = {}
 
-        def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
-            try:
-                results[name] = fn()
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                errors[name] = e
+            def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
+                try:
+                    results[name] = fn()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors[name] = e
 
-        # One write job covers the whole map table: append pairs land
-        # only the batch's new rows, rewrite pairs land their full
-        # replacement content (survivors + batch). The two slices are
-        # disjoint by pspan, so a single job writes both file sets and
-        # the commit splits the resulting span->files mapping by pair
-        # class — halving the map-table job count per batch. (NB
-        # ``pair_rows`` also holds existing rows of append-class pairs
-        # — read for the re-aggregation — which must NOT be rewritten,
-        # hence the slice-and-union rather than writing ``pair_rows``.)
-        map_write_pspans = append_pspans | rewrite_pspans
-        slices = []
-        if rewrite_pspans:
-            slices.append(
-                pair_rows.filter(F.col("pspan").isin(sorted(rewrite_pspans)))
+            # One write job covers the whole map table: append pairs land
+            # only the batch's new rows, rewrite pairs land their full
+            # replacement content (survivors + batch). The two slices are
+            # disjoint by pspan, so a single job writes both file sets and
+            # the commit splits the resulting span->files mapping by pair
+            # class — halving the map-table job count per batch. (NB
+            # ``pair_rows`` also holds existing rows of append-class pairs
+            # — read for the re-aggregation — which must NOT be rewritten,
+            # hence the slice-and-union rather than writing ``pair_rows``.)
+            map_write_pspans = append_pspans | rewrite_pspans
+            slices = []
+            if rewrite_pspans:
+                slices.append(
+                    pair_rows.filter(F.col("pspan").isin(sorted(rewrite_pspans)))
+                )
+            if append_pspans:
+                slices.append(
+                    new_rows.filter(F.col("pspan").isin(sorted(append_pspans)))
+                )
+            map_rows = slices[0] if len(slices) == 1 else (
+                slices[0].unionByName(slices[1]) if slices else None
             )
-        if append_pspans:
-            slices.append(
-                new_rows.filter(F.col("pspan").isin(sorted(append_pspans)))
-            )
-        map_rows = slices[0] if len(slices) == 1 else (
-            slices[0].unionByName(slices[1]) if slices else None
-        )
-        jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
-            ("idx", lambda: self._idx_t.write_data(new_idx)),
-            ("fin", lambda: self._fin_t.write_data(finals)),
-        ]
-        if map_write_pspans:
-            jobs.append(("map", lambda: self._map_t.write_data(map_rows)))
-        if l1_content is not None:
-            jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
-        threads = [
-            threading.Thread(target=_run, args=(n, fn), daemon=True)
-            for n, fn in jobs
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errors:
-            raise next(iter(errors.values()))
+            jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
+                ("idx", lambda: self._idx_t.write_data(new_idx)),
+                ("fin", lambda: self._fin_t.write_data(finals)),
+            ]
+            if map_write_pspans:
+                jobs.append(("map", lambda: self._map_t.write_data(map_rows)))
+            if l1_content is not None:
+                jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
+            threads = [
+                threading.Thread(target=_run, args=(n, fn), daemon=True)
+                for n, fn in jobs
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                raise next(iter(errors.values()))
 
         # --- commit (atomic manifest swaps, dependency order; see
         # module docstring for why the index leads)
@@ -1008,7 +1068,7 @@ class MapReduceView:
                 **meta,
                 "batch_seq": meta["batch_seq"] + 1,
                 # Sizes the next batch's maintenance jobs (see
-                # _maintenance_conf); the dirty slice is the best
+                # _hint_partitions); the dirty slice is the best
                 # available predictor of the next one.
                 "last_batch_rows": int(n_pair_rows),
             }
@@ -1063,10 +1123,12 @@ class MapReduceView:
             .withColumn("kspan", self._kspan())
             .withColumn("__dh", _doc_hash(F.col("uid")))
             .withColumn(
-                "bucket", (F.col("__dh") % F.lit(self.n_sub_buckets)).cast("int")
+                "bucket",
+                F.pmod(F.col("__dh"), F.lit(self.n_sub_buckets)).cast("int"),
             )
             .withColumn(
-                "dspan", (F.col("__dh") % F.lit(self.n_doc_spans)).cast("int")
+                "dspan",
+                F.pmod(F.col("__dh"), F.lit(self.n_doc_spans)).cast("int"),
             )
             .drop("__dh")
             .withColumn(
