@@ -714,6 +714,10 @@ class MapReduceView:
         # sized from THIS batch + the dirty pairs' file bytes.
         with self._conf_scope(self._hint_partitions()):
             probe_rows = probe.distinct().collect()
+            # Measure THIS batch while the cache the probe populated is
+            # hot; count()'s reduce side is a handful of partial counts,
+            # so the hint sizing is safe at any batch size.
+            n_mapped = mapped.count()
         for r in probe_rows:
             if r.t == "d":
                 batch_dspans.add(r.v)
@@ -723,9 +727,6 @@ class MapReduceView:
                 )
                 tgt[0].add(r.v)
                 tgt[1].add(r.v * self.n_sub_buckets + r.b)
-        # The probe job just populated ``mapped``'s cache, so measuring
-        # the batch is one cheap cached count.
-        n_mapped = mapped.count()
         self._apply_rest(
             ids, mapped, cache, new_kspans, old_kspans, new_pspans,
             old_pspans, batch_dspans, bucket_of, ids_d,
