@@ -84,7 +84,10 @@ def main() -> None:
     # rep is a cold run of the query itself: the Spark cache and the
     # engine's store cache are cleared first, so internal persists and
     # the incremental view's multi-batch build are re-done, not reused.
-    N_REPS = 2
+    # Best-of-3: this box shows ±50% noisy-neighbor variance at times;
+    # the minimum over three cold runs is a stabler estimate of true
+    # query cost than best-of-two.
+    N_REPS = 3
     from updatable_persistent_map_reduce_spark.operators import incremental
 
     for name in HEADLINE:
