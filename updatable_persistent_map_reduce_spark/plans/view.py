@@ -712,16 +712,21 @@ class MapReduceView:
         # shuffle, so sizing it by the previous batch's hint is safe
         # even when this batch is much larger. The heavy phase below is
         # sized from THIS batch + the dirty pairs' file bytes.
+        # groupBy+count instead of distinct: identical shuffle shape
+        # (map-side partial aggregation over a few thousand distinct
+        # tuples), but the counts measure the batch for free — the 'k'
+        # rows sum to the mapped row count, so no separate count job.
         with self._conf_scope(self._hint_partitions()):
-            probe_rows = probe.distinct().collect()
-            # Measure THIS batch while the cache the probe populated is
-            # hot; count()'s reduce side is a handful of partial counts,
-            # so the hint sizing is safe at any batch size.
-            n_mapped = mapped.count()
+            probe_rows = probe.groupBy("t", "v", "b").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        n_mapped = 0
         for r in probe_rows:
             if r.t == "d":
                 batch_dspans.add(r.v)
             else:
+                if r.t == "k":
+                    n_mapped += r.c
                 tgt = (new_kspans, new_pspans) if r.t == "k" else (
                     old_kspans, old_pspans
                 )
