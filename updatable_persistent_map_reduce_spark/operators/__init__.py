@@ -55,9 +55,10 @@ _PRIORITY = [
     # Tier A — the updatable persistent view engine (the raison d'être)
     "q_upsert_recount", "q_key_migration", "q_rereduce_tree",
     "q_store_point_lookup",
-    # Tier B — dedup family
+    # Tier B — dedup family (q_dedup_incremental is the Tier-A view
+    # engine maintaining the dedup index — the A x B crossover)
     "q_dedup_exact", "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_cluster",
+    "q_dedup_embed", "q_dedup_cluster", "q_dedup_incremental",
     # Tier B — similarity search
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     # Tier B — text analysis
@@ -73,7 +74,6 @@ _PRIORITY = [
     "q_sql_tpch_q1", "q_sql_tpch_q3", "q_join_inner", "q_join_broadcast",
     "q_join_bucketed", "q_join_salted", "q_join_asof", "q_agg_multi",
     "q_agg_grouping_sets", "q_agg_approx_quantile", "q_window_rank",
-    "q_gap_fill",
 ]
 
 

@@ -232,6 +232,54 @@ def q_rereduce_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental",
+    oracle=(
+        "WITH latest AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' (rev2)' "
+        "ELSE text END AS text FROM documents) "
+        "SELECT sha256(text) AS content_hash, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_copies "
+        "FROM latest GROUP BY 1"
+    ),
+    doc="Incrementally MAINTAINED exact dedup: the Tier-A updatable "
+    "view applied to the LLM-pipeline dedup operator. The dedup table "
+    "(group key = sha2(text), aggregates = keep-lowest-doc_id + copy "
+    "count) is a MapReduceView: the corpus loads as batch 1, then every "
+    "5th document is re-submitted with revised text — each revision "
+    "REMOVES the doc from its old content-hash group and adds it to the "
+    "new one (key migration, Program.cs:35-44), so the materialized "
+    "dedup state always reflects the latest version of every doc. At "
+    "100 TB this is how ingest keeps a content-hash dedup index "
+    "current without recomputing the corpus.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    store = tempfile.mkdtemp(prefix="upmr_dedup_inc_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        map_fn=lambda df: df.select(
+            "doc_id", F.sha2("text", 256).alias("content_hash")
+        ),
+        group_cols=["content_hash"],
+        agg_exprs=[
+            F.min(F.col("doc_id").cast("long")).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    view.execute(d.select("doc_id", "text"))
+    revised = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" (rev2)")).alias("text")
+    )
+    view.execute(revised)
+    return view.final_df().select("content_hash", "keep_doc_id", "n_copies")
+
+
+@register(
     "q_store_point_lookup",
     oracle=(
         f"{_LATEST_CTE} "
