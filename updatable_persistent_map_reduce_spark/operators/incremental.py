@@ -44,9 +44,11 @@ def _latest_event_per_user(df: DataFrame) -> DataFrame:
 _VIEW_CACHE: dict[tuple[int, str, int], MapReduceView] = {}
 
 
-def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> MapReduceView:
+def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> MapReduceView:
     """Replay events as ``n_batches`` ordered upsert batches into a
-    fresh store (doc = user, group key = event_type of latest event).
+    fresh store (doc = user, group key = event_type of latest event) —
+    an initial load plus two incremental rounds, one more Execute than
+    the reference demo's own two-call pattern (Program.cs:31,35).
 
     The built store is cached per (session, sf_dir): a persisted view
     is built once and then *queried* — rebuilding it for every read
@@ -116,7 +118,7 @@ _LATEST_CTE = (
         "FROM latest GROUP BY event_type"
     ),
     doc="THE raison d'être (Executer.cs:87-110 + 240-261): events replayed "
-    "as 4 upsert batches per user; every re-submission replaces the user's "
+    "as 3 upsert batches per user; every re-submission replaces the user's "
     "previous contribution; materialized groups equal latest-wins oracle.",
 )
 def q_upsert_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
