@@ -50,15 +50,22 @@ def _record_scopes(view):
 
 def test_large_after_small_resizes_heavy_phase(spark, tmp_path):
     view = _mk_view(spark, tmp_path / "s1")
+    # Shrink the sizing unit so a modest batch derives a partition
+    # count ABOVE the _MIN_PARTITIONS floor — otherwise both the stale
+    # hint and the correct size collapse to the floor and the
+    # assertion cannot tell them apart.
+    view._ROWS_PER_PARTITION = 1_000
     view.execute(_batch(spark, 100))  # small bootstrap -> meta hint small
     calls = _record_scopes(view)
-    big = 3 * view._ROWS_PER_PARTITION
+    big = 20_000
     view.execute(_batch(spark, big, start=1000))
-    # The heavy phase must have been sized from THIS batch (>= 3
-    # partitions' worth of rows), not the 100-row hint.
+    # The heavy phase must have been sized from THIS batch (20
+    # partitions' worth), not the 100-row hint (floor = 8).
+    want = view._size_partitions(big)
+    assert want > view._MIN_PARTITIONS  # the test's own guard
     heavy_requests = [n for n, pin in calls if not pin and n is not None]
     assert heavy_requests, "no derived conf scopes recorded"
-    assert max(heavy_requests) >= view._size_partitions(big), heavy_requests
+    assert max(heavy_requests) >= want, heavy_requests
     # and the result is still right (id ranges disjoint -> pure insert)
     total = view.final_df().agg(F.sum("cnt")).collect()[0][0]
     assert total == 100 + big

@@ -74,6 +74,9 @@ _PRIORITY = [
     "q_sql_tpch_q1", "q_sql_tpch_q3", "q_join_inner", "q_join_broadcast",
     "q_join_bucketed", "q_join_salted", "q_join_asof", "q_agg_multi",
     "q_agg_grouping_sets", "q_agg_approx_quantile", "q_window_rank",
+    # (q_gap_fill rotated out of the ordered prefix to keep it at 50
+    # entries when q_dedup_incremental joined the dedup family; it
+    # remains registered and fully gate-checked in the tail.)
 ]
 
 
