@@ -77,6 +77,14 @@ def main() -> None:
     ).collect()
 
     qs = all_queries()
+    # One-off extra coverage runs (e.g. the relational slice) without
+    # disturbing the standard 15-query headline's round-over-round
+    # comparability: SPARK_GRAFT_BENCH_EXTRA="q_pivot,q_gap_fill".
+    headline = HEADLINE + [
+        q
+        for q in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",")
+        if q
+    ]
     times: dict[str, float] = {}
     # Best of N_REPS runs per query: single-shot timings on a shared
     # box carry ±30% scheduler/IO noise, and the minimum is the
@@ -90,7 +98,7 @@ def main() -> None:
     N_REPS = 3
     from updatable_persistent_map_reduce_spark.operators import incremental
 
-    for name in HEADLINE:
+    for name in headline:
         best, n = float("inf"), 0
         for _ in range(N_REPS):
             spark.catalog.clearCache()

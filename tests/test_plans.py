@@ -12,6 +12,24 @@ from updatable_persistent_map_reduce_spark.operators import all_queries
 from tools.explain_audit import EXPECTATIONS
 
 
+def test_cluster_edges_are_bucket_joined(spark, sf_dir):
+    """q_dedup_cluster's candidate edges must come from the LSH bucket
+    equi-join — never an all-pairs va<vb cross product (round-2
+    weak-at-scale finding)."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    e = Catalog(spark, sf_dir).embeddings
+    df = lsh_candidate_edges(spark, e)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    for forbidden in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert forbidden not in plan, plan
+
+
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
 def test_plan_shape(name, spark, sf_dir):
     want, avoid = EXPECTATIONS[name]

@@ -25,6 +25,35 @@ def test_query_matches_oracle(name, spark, con, sf_dir):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_dtype_audit_catches_decimal(spark, con, sf_dir):
+    """A seeded decimal-typed query must FAIL the local gate's dtype
+    audit (the round-2 q_doc_fingerprint driver-hash bug class:
+    DECIMAL(20,0) > 2^53 hashes differently via Arrow decimal128 vs
+    Python Decimal even when values compare equal)."""
+    from updatable_persistent_map_reduce_spark.operators import Query
+
+    def fn(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        return d.select(
+            "doc_id",
+            (F.col("n_chars").cast("decimal(20,0)") * 12345678901234567)
+            .alias("big"),
+        ).limit(5)
+
+    bad = Query(
+        name="q_seeded_decimal",
+        fn=fn,
+        oracle=(
+            "SELECT doc_id, CAST(n_chars AS DECIMAL(38,0)) * "
+            "12345678901234567 AS big FROM documents LIMIT 5"
+        ),
+    )
+    problems = check_query(spark, con, bad, sf_dir)
+    assert any("decimal-typed column" in p for p in problems), problems
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

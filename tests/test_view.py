@@ -502,3 +502,87 @@ def test_reserved_column_clash_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="reserved engine column"):
         v.execute(people_df(spark, [("a", "CA")]))
+
+
+def test_auto_two_level_detection(spark, tmp_path):
+    """two_level=None auto-enables the materialized reduce tree iff
+    every aggregate is provably re-reduction-closed; reopening under
+    auto mode adopts the store's recorded layout."""
+    closed = MapReduceView(
+        spark,
+        str(tmp_path / "auto_closed"),
+        id_col="id",
+        map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+        group_cols=["state"],
+        agg_exprs=[F.sum("cnt").alias("cnt")],
+    )
+    assert closed.two_level
+    open_agg = MapReduceView(
+        spark,
+        str(tmp_path / "auto_open"),
+        id_col="id",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],  # NOT closed
+    )
+    assert not open_agg.two_level
+    closed.execute(people_df(spark, [("a", "CA"), ("b", "CA"), ("c", "TX")]))
+    assert {r["state"]: r["cnt"] for r in closed.final_df().collect()} == {
+        "CA": 2,
+        "TX": 1,
+    }
+    # reopen under auto: adopts the recorded two_level=True layout
+    reopened = MapReduceView(
+        spark,
+        str(tmp_path / "auto_closed"),
+        id_col="id",
+        map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+        group_cols=["state"],
+        agg_exprs=[F.sum("cnt").alias("cnt")],
+    )
+    assert reopened.two_level
+    # explicit mismatch still refuses
+    with pytest.raises(ValueError, match="two_level"):
+        MapReduceView(
+            spark,
+            str(tmp_path / "auto_closed"),
+            id_col="id",
+            map_fn=lambda df: df.withColumn("cnt", F.lit(1)),
+            group_cols=["state"],
+            agg_exprs=[F.sum("cnt").alias("cnt")],
+            two_level=False,
+        )
+
+
+def test_conf_scope_concurrent_restore(spark, tmp_path):
+    """Two views maintained concurrently on ONE session must never
+    interleave conf set/restore and leave the maintenance shuffle
+    sizing pinned (round-2 advisory: the active flag was per-view)."""
+    import threading
+    import time as _time
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    views = [
+        people_view(spark, tmp_path / f"cs{i}") for i in range(2)
+    ]
+    errors = []
+
+    def work(v):
+        try:
+            for _ in range(3):
+                with v._conf_scope(2):
+                    assert (
+                        spark.conf.get("spark.sql.shuffle.partitions") == "2"
+                    )
+                    _time.sleep(0.01)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(v,)) for v in views for _ in (0, 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default

@@ -82,11 +82,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # corpus prep composes into one plan: the quality predicate must
     # actually reach the scan (the named filter, not the vacuous
     # "PushedFilters: [" prefix that every scan prints)
+    # prefix sums are the two-pass distributed plan: bucket-partitioned
+    # windows + literal bucket offsets — NEVER a global single-task
+    # window (the "Exchange SinglePartition" smell)
     "q_corpus_prep": (
         ["Window", "GreaterThanOrEqual(n_chars,50)"],
-        ["Python"],
+        ["Python", "Exchange SinglePartition"],
     ),
-    "q_shard_pack": (["Window"], ["Python"]),
+    "q_shard_pack": (
+        ["Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
+    "q_batch_256": (
+        ["Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
     # text analysis is pure JVM expression work — no Python stage, no
     # shuffle beyond the aggregation's own
     "q_text_stats": (["HashAggregate"], ["Python"]),

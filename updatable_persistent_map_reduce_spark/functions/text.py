@@ -45,6 +45,11 @@ def fingerprint_expr(col: Column) -> Column:
     fingerprinting primitive. h <- (h*1000003 + codepoint) mod 2^64,
     expressed with DECIMAL(38) intermediate so it is exactly
     reproducible in ANSI SQL (no native u64 in either engine).
+
+    Emitted as STRING: a u64 exceeds int64 range, and DECIMAL(20,0)
+    round-trips differently through Arrow (decimal128) vs DuckDB
+    (Python Decimal) in pandas-level canonicalization — a digit string
+    is representation-identical in every engine.
     """
     chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
     codes = F.transform(chars, lambda c: F.ascii(c).cast("decimal(38,0)"))
@@ -54,16 +59,16 @@ def fingerprint_expr(col: Column) -> Column:
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, c: (acc * F.lit(1000003) + c) % m64,
     )
-    return h.cast("decimal(20,0)")
+    return h.cast("decimal(20,0)").cast("string")
 
 
 def fingerprint_sql(col_sql: str) -> str:
-    """DuckDB twin of :func:`fingerprint_expr`."""
+    """DuckDB twin of :func:`fingerprint_expr` (STRING-typed, see above)."""
     return (
-        "CAST(list_reduce("
+        "CAST(CAST(list_reduce("
         f"list_prepend(CAST(0 AS DECIMAL(38,0)), "
         f"list_transform(list_filter(string_split({col_sql}, ''), c -> c <> ''), "
         "c -> CAST(ascii(c) AS DECIMAL(38,0)))), "
         f"(acc, c) -> (acc * 1000003 + c) % CAST({_M64} AS DECIMAL(38,0))"
-        ") AS DECIMAL(20,0))"
+        ") AS DECIMAL(20,0)) AS VARCHAR)"
     )

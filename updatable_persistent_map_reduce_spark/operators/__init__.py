@@ -39,44 +39,55 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Registry iteration order is deliberate: consumers that walk the dict
-# front-to-back (docs, demos, budget-bounded external checkers) hit
-# the semantically load-bearing queries first — the reference's Tier-A
-# core + the incremental-view engine, then the LLM-pipeline operator
-# families, then a relational showcase slice; the relational tail is
-# thin wrappers over Spark built-ins. Ordering is presentation only:
-# the full local gate (tools/check_oracle.py, run per round) always
-# validates every registered query regardless of position.
+# Registry iteration order follows ONE rule, applied mechanically each
+# round so any budget-bounded external checker that samples a prefix
+# sees the queries whose external attestation is most valuable — i.e.
+# the ones LEAST RECENTLY validated by the driver, never a flattering
+# hand-picked subset:
+#   1. queries whose last driver attestation is oldest (round 1 only,
+#      per CORRECTNESS_r01/r02.json) come first;
+#   2. then queries whose implementation changed this round (their
+#      prior attestation no longer covers current code);
+#   3. then everything else, most-recently-attested last.
+# The order never hides anything: the full local gate
+# (tools/check_oracle.py, run per round) validates every registered
+# query regardless of position, and the union of driver rounds covers
+# all of them.
 _PRIORITY = [
-    # Tier A — the reference's own surface
+    # -- 1. attested in round 1 only (stale — re-attest first) --------
+    "q_scan_parquet", "q_filter_pred", "q_project_expr",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
+    "q_join_full", "q_agg_rollup", "q_agg_cube", "q_agg_quantile",
+    "q_approx_distinct", "q_window_frame", "q_window_ntile",
+    "q_sort_limit", "q_union_all", "q_intersect", "q_except",
+    "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
+    "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
+    "q_string_agg", "q_gap_fill", "q_sql_exists",
+    # -- 2. implementation changed in round 3 (re-attest) -------------
+    "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
+    "q_batch_256",         # global window -> two-pass prefix sums
+    "q_shard_pack",        # global window -> two-pass prefix sums
+    "q_corpus_prep",       # global window -> two-pass prefix sums
+    "q_dedup_cluster",     # all-pairs edges -> LSH candidate pairs
+    "q_upsert_recount",    # re-reducible agg form; two-level A/B'd
+    "q_rereduce_tree",     # two-level write path: read-back finals
+    # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
-    "q_rereduce", "q_bucket_hash", "q_batch_256", "q_distinct_ids",
-    "q_point_lookup",
-    # Tier A — the updatable persistent view engine (the raison d'être)
-    "q_upsert_recount", "q_key_migration", "q_rereduce_tree",
-    "q_store_point_lookup",
-    # Tier B — dedup family (q_dedup_incremental is the Tier-A view
-    # engine maintaining the dedup index — the A x B crossover)
-    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_cluster", "q_dedup_incremental",
-    # Tier B — similarity search
-    "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
-    # Tier B — text analysis
-    "q_text_stats", "q_token_count", "q_lang_id", "q_quality_score",
-    "q_pii_scrub", "q_repetition_filter", "q_doc_fingerprint",
-    # Tier B — multimodal plumbing
+    "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",
+    "q_key_migration", "q_store_point_lookup",
+    "q_dedup_exact", "q_dedup_incremental", "q_sim_search",
+    "q_text_stats", "q_sample_hash",
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
+    "q_sim_search_lsh", "q_sim_search_ivf",
+    "q_token_count", "q_lang_id", "q_quality_score", "q_pii_scrub",
+    "q_repetition_filter",
     "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
-    # Tier B — event-time windows
-    "q_stream_tumbling", "q_stream_session",
-    # Tier B — pipeline composites
-    "q_sample_hash", "q_decontaminate", "q_shard_pack", "q_corpus_prep",
-    # Tier C — relational showcase
-    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_join_inner", "q_join_broadcast",
-    "q_join_bucketed", "q_join_salted", "q_join_asof", "q_agg_multi",
-    "q_agg_grouping_sets", "q_agg_approx_quantile", "q_window_rank",
-    # (q_gap_fill rotated out of the ordered prefix to keep it at 50
-    # entries when q_dedup_incremental joined the dedup family; it
-    # remains registered and fully gate-checked in the tail.)
+    "q_stream_tumbling", "q_stream_session", "q_decontaminate",
+    "q_sql_tpch_q1", "q_sql_tpch_q3",
+    "q_join_inner", "q_join_broadcast", "q_join_bucketed",
+    "q_join_salted", "q_join_asof",
+    "q_agg_multi", "q_agg_grouping_sets", "q_agg_approx_quantile",
+    "q_window_rank",
 ]
 
 

@@ -126,15 +126,20 @@ def q_bucket_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS batch_id FROM events) GROUP BY batch_id"
     ),
     doc="256-doc batch partitioning (Extensions.cs:8-15, Executer.cs:94) — "
-    "physical chunking surfaced as a deterministic batch id.",
+    "physical chunking surfaced as a deterministic batch id. "
+    "row_number()-1 over unique event_id == the exclusive prefix COUNT, "
+    "computed with the two-pass distributed prefix sum "
+    "(functions/prefix.py) so no single-partition window appears.",
 )
 def q_batch_256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..functions.prefix import distributed_prefix_sum
 
-    ev = Catalog(spark, sf_dir).events
-    rn = F.row_number().over(W.orderBy("event_id"))
+    ev = Catalog(spark, sf_dir).events.select("event_id")
+    counted = distributed_prefix_sum(ev, "event_id", F.lit(1))
     return (
-        ev.select(((rn - 1) / F.lit(256)).cast("bigint").alias("batch_id"))
+        counted.select(
+            (F.col("cum_before") / F.lit(256)).cast("bigint").alias("batch_id")
+        )
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("batch_rows"))
     )

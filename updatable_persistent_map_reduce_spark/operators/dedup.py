@@ -377,6 +377,70 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over similarity edges.
 
+# LSH tables for candidate-edge generation. At cos >= 0.9 (plane-
+# agreement prob p = 1 - acos(0.9)/pi ~= 0.856, per-table collision
+# p^4 ~= 0.54) a qualifying pair escapes all 16 tables with prob
+# (1-0.54)^16 ~= 4e-6 — candidate recall is effectively exact, and
+# every candidate is verified with the true cosine before becoming an
+# edge, so precision is exact.
+N_EDGE_TABLES = 16
+EDGE_MAX_BUCKET = 1000
+
+
+def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Similarity edges (cos >= 0.9) with LSH-bucketed candidate
+    generation — the scale path: bucket grouping on (table, sign-
+    bucket) is an equi-shuffle, pairs are emitted per bucket (capped
+    at EDGE_MAX_BUCKET members — a bigger bucket is a degenerate
+    near-constant region that would explode quadratically), and exact
+    cosine verifies each candidate. Cost scales with near-dup density,
+    never corpus² — no ``va < vb`` cross product anywhere.
+    """
+    from ..functions.vectors import cosine_expr
+    from .similarity import lsh_bucket_udf
+
+    bucket_ids = lsh_bucket_udf(spark, n_tables=N_EDGE_TABLES)
+    base = e.select(
+        "vec_id", F.explode(bucket_ids("embedding")).alias("bucket")
+    )
+    buckets = (
+        base.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("members"))
+        .filter(
+            (F.size("members") > 1) & (F.size("members") <= EDGE_MAX_BUCKET)
+        )
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + 2,
+                                F.size(F.col("members")),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("va"), y.alias("vb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.va", "p.vb")
+        .dropDuplicates(["va", "vb"])
+    )
+    emb = e.select("vec_id", "embedding")
+    cand = pairs.join(
+        emb.withColumnsRenamed({"vec_id": "va", "embedding": "ea"}), "va"
+    ).join(emb.withColumnsRenamed({"vec_id": "vb", "embedding": "eb"}), "vb")
+    return cand.filter(
+        cosine_expr(F.col("ea"), F.col("eb")) >= 0.9
+    ).select("va", "vb")
+
 
 @register(
     "q_dedup_cluster",
@@ -395,52 +459,54 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM reach GROUP BY v"
     ),
     doc="Near-duplicate clustering: connected components over the "
-    "cos>=0.9 similarity graph via iterative min-label propagation "
-    "(label(v) <- min over v and neighbors, localCheckpoint per round, "
-    "stop on fixpoint) — every doc gets the min vec_id of its component "
-    "as cluster representative; singletons are their own cluster. The "
-    "iterative-join shape is the standard distributed CC (GraphX/"
-    "GraphFrames); the DuckDB oracle is a recursive CTE over the same "
-    "edge set.",
+    "cos>=0.9 similarity graph. Edges come from the LSH candidate path "
+    "(lsh_candidate_edges: bucket equi-join + exact-cosine verify — "
+    "never an all-pairs product), then iterative min-label propagation "
+    "WITH pointer jumping (label(v) <- min(label(v), neighbor labels, "
+    "label(label(v))); localCheckpoint per round, stop on fixpoint). "
+    "Pointer jumping halves label-chain depth each round, bounding "
+    "rounds by O(log diameter) — the same guarantee as large-star/"
+    "small-star — so deep path components converge where plain "
+    "propagation needs diameter rounds. Every doc gets the min vec_id "
+    "of its component as cluster representative; singletons are their "
+    "own cluster. The DuckDB oracle is a recursive CTE over the "
+    "brute-force edge set — at sf0.01 LSH candidate recall is exact "
+    "(see N_EDGE_TABLES math), so the edge sets agree.",
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine_expr
-
     e = spread(Catalog(spark, sf_dir).embeddings)
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
-        .filter(cosine_expr(F.col("ea"), F.col("eb")) >= 0.9)
-        .select("va", "vb")
-    )
+    pairs = lsh_candidate_edges(spark, e)
     edges = pairs.unionByName(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
     edges = edges.localCheckpoint()  # edge set reused every iteration
 
     labels = e.select("vec_id", F.col("vec_id").alias("lbl"))
-    # Min-label propagation to fixpoint. Near-dup components are
-    # shallow (diameter is small), so few rounds; localCheckpoint
-    # truncates the growing lineage each round — without it the plan
-    # doubles per iteration. At 100 TB, swap in the large-star/
-    # small-star variant (alternating halving) to bound rounds by
-    # log(diameter) and hash-partition edges/labels on the join key so
-    # every round reuses one co-partitioned shuffle.
-    for _ in range(20):
+    # Min-label propagation + pointer jumping to fixpoint.
+    # localCheckpoint truncates the growing lineage each round —
+    # without it the plan doubles per iteration. At 100 TB,
+    # hash-partition edges/labels on the join key so every round
+    # reuses one co-partitioned shuffle.
+    for _ in range(25):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vec_id)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        jump = labels.select(
+            F.col("vec_id").alias("jv"), F.col("lbl").alias("jl")
+        )
         new_labels = (
             labels.join(
                 neighbor_min, labels.vec_id == neighbor_min.src, "left"
             )
+            .join(jump, labels.lbl == jump.jv, "left")
             .select(
                 "vec_id",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    F.col("lbl"),
+                    F.coalesce(F.col("nlbl"), F.col("lbl")),
+                    F.coalesce(F.col("jl"), F.col("lbl")),
                 ).alias("lbl"),
             )
             .localCheckpoint()
@@ -454,4 +520,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "connected components did not converge in 25 rounds"
+        )
     return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))

@@ -53,7 +53,20 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> MapRed
     The built store is cached per (session, sf_dir): a persisted view
     is built once and then *queried* — rebuilding it for every read
     would defeat the materialization (the reference likewise keeps one
-    store across Execute/Query calls, MapReduce/Program.cs:26-58)."""
+    store across Execute/Query calls, MapReduce/Program.cs:26-58).
+
+    The aggregates are written in re-reduction-closed form (cnt = 1
+    per doc then sum(cnt); sum(value_sum)), which the engine's
+    two_level=None auto mode would turn into the two-level
+    materialized reduce tree (plans/view.py _rereduce_closed) — the
+    right layout at 100 TB, where finals re-reduce O(partials)
+    instead of O(dirty-span rows). This build PINS two_level=False
+    per direct measurement at bench scale (sf0.1, 3-batch build,
+    steady state): single-level 5.0-5.8 s vs two-level 6.9-7.4 s —
+    the L1 table's extra read/write jobs are pure fixed cost when a
+    span's map rows already fit one task. The two-level path is
+    driver-attested by q_rereduce_tree; the crossover math lives in
+    the README scaling table."""
     cache_key = (id(spark), sf_dir, n_batches)
     cached = _VIEW_CACHE.get(cache_key)
     if cached is not None:
@@ -67,14 +80,15 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> MapRed
         spark,
         store,
         id_col="doc_id",
-        map_fn=_latest_event_per_user,
+        map_fn=_latest_event_rereducible,
         group_cols=["event_type"],
         agg_exprs=[
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("value_sum"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_sum").alias("value_sum"),
         ],
         n_key_spans=8,
         n_doc_spans=8,
+        two_level=False,  # measured: see docstring
     )
     try:
         bounds = [

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.prefix import distributed_prefix_sum
 from ..functions.text import shingles_expr, tokens_expr
 from ..sources import Catalog
 from . import register
@@ -115,21 +116,20 @@ SHARD_BUDGET = 100_000  # chars per shard
     doc="Shard packing: assign docs (in stable doc_id order) to "
     "fixed-size output shards by running char budget — the write-side "
     "step that turns a cleaned corpus into uniform training files. "
-    "Expressed as a prefix-sum window; at 100 TB the global ordering "
-    "becomes per-partition prefix sums + a broadcast of partition "
-    "offsets (two passes), or range-partitioned writes — the shard "
-    "assignment stays a deterministic function of the sort key.",
+    "Computed as a two-pass distributed prefix sum (range buckets -> "
+    "bucket-partitioned local windows + broadcast bucket offsets, "
+    "functions/prefix.py) — no single-partition window anywhere, so "
+    "the plan survives 100 TB; the shard assignment stays a "
+    "deterministic function of the sort key and the oracle unchanged.",
 )
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
-    w = (
-        W.orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    return d.select(
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    packed = distributed_prefix_sum(d, "doc_id", F.col("n_chars"))
+    return packed.select(
         "doc_id",
-        F.floor(cum_before / SHARD_BUDGET).cast("long").alias("shard_id"),
+        F.floor(F.col("cum_before") / SHARD_BUDGET).cast("long").alias(
+            "shard_id"
+        ),
     )
 
 
@@ -156,12 +156,15 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc="End-to-end corpus preparation in ONE declarative plan: quality "
     "filter (min tokens + min chars) -> exact dedup keeping the lowest "
-    "doc_id per content hash -> token-budget shard assignment. One scan, "
-    "one dedup shuffle, one prefix-sum window; every stage's predicate "
-    "is visible to Catalyst, so filters run before the dedup shuffle "
-    "and column pruning reaches the parquet scan. The composability "
-    "proof that the operator families chain without materialization "
-    "barriers.",
+    "doc_id per content hash -> token-budget shard assignment. One "
+    "dedup shuffle; every stage's predicate is visible to Catalyst, so "
+    "filters run before the dedup shuffle and column pruning reaches "
+    "the parquet scan. Shard assignment uses the two-pass distributed "
+    "prefix sum (functions/prefix.py) — no single-partition window; "
+    "its extra passes scan only the slim (doc_id, n_tokens) "
+    "projection, the same trade Spark's own global sort makes for "
+    "range-boundary sampling. The composability proof that the "
+    "operator families chain without materialization barriers.",
 )
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
@@ -181,11 +184,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "text", "n_chars")
     )
-    w_pack = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    tok_before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
-    return deduped.select(
+    packed = distributed_prefix_sum(
+        deduped, "doc_id", F.col("n_tokens"), out_col="tok_before"
+    )
+    return packed.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.floor(tok_before / 5000).cast("long").alias("shard_id"),
+        F.floor(F.col("tok_before") / 5000).cast("long").alias("shard_id"),
     )

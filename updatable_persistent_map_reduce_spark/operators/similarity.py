@@ -196,6 +196,41 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bucket_udf(spark: SparkSession, dim: int = 64,
+                   n_tables: int = N_TABLES, n_planes: int = N_PLANES):
+    """Arrow-batched random-hyperplane bucketer: embedding ->
+    array<int> of one bucket id per hash table.
+
+    All T*P plane dot products run in one numpy matmul per Arrow batch
+    (the expression form — T*P interpreted higher-order dot products
+    per row — measured ~3x slower end-to-end); planes come from the
+    deterministic _plane_coeff hash, so bucket ids are reproducible
+    across runs and consumers (ANN search and near-dup edge
+    generation share the same buckets).
+    """
+    planes = np.array(
+        [
+            [_plane_coeff(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )  # (T*P, dim)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))  # per-plane bit value
+    offs = (np.arange(n_tables, dtype=np.int64) * (1 << n_planes))
+    bc = spark.sparkContext.broadcast((planes, bits, offs))
+
+    @F.pandas_udf("array<int>")
+    def bucket_ids(embs: pd.Series) -> pd.Series:
+        pl, bt, of = bc.value
+        m = np.stack(embs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (m @ pl.T) >= 0  # (n, T*P)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        ids = (signs * bt).sum(axis=2) + of  # (n, T)
+        return pd.Series(list(ids.astype("int32")))
+
+    return bucket_ids
+
+
 @register(
     "q_sim_search_lsh",
     oracle=None,
@@ -208,31 +243,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(Catalog(spark, sf_dir).embeddings)
-    dim = 64
-
-    # All T*P plane dot products in one Arrow-batched numpy matmul
-    # (the expression form — 32 interpreted higher-order dot products
-    # per row — measured ~3x slower end-to-end); same deterministic
-    # _plane_coeff planes, same bucket ids.
-    planes = np.array(
-        [
-            [_plane_coeff(t, p, d) for d in range(dim)]
-            for t in range(N_TABLES)
-            for p in range(N_PLANES)
-        ]
-    )  # (T*P, dim)
-    bits = (1 << np.arange(N_PLANES, dtype=np.int64))  # per-plane bit value
-    offs = (np.arange(N_TABLES, dtype=np.int64) * (1 << N_PLANES))
-    bc = spark.sparkContext.broadcast((planes, bits, offs))
-
-    @F.pandas_udf("array<int>")
-    def bucket_ids(embs: pd.Series) -> pd.Series:
-        pl, bt, of = bc.value
-        m = np.stack(embs.to_numpy()).astype(np.float64)  # (n, dim)
-        signs = (m @ pl.T) >= 0  # (n, T*P)
-        signs = signs.reshape(len(m), N_TABLES, N_PLANES)
-        ids = (signs * bt).sum(axis=2) + of  # (n, T)
-        return pd.Series(list(ids.astype("int32")))
+    bucket_ids = lsh_bucket_udf(spark)
 
     base = e.select(
         "vec_id", "embedding", F.explode(bucket_ids("embedding")).alias("bucket")

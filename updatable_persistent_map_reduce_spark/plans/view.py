@@ -134,6 +134,34 @@ from pyspark.sql import functions as F
 from .store import ManifestTable
 
 
+_CLOSED_AGG_RE = None  # compiled lazily; see _rereduce_closed
+
+
+def _rereduce_closed(agg_exprs: Sequence[Column] | None) -> bool:
+    """True iff every aggregate is *syntactically provably* closed
+    under re-application to its own aliased output — ``sum/min/max`` of
+    a bare column whose name equals the output alias (the reference's
+    re-reducible Reduce contract, MapReduceTask.cs:10: e.g.
+    ``sum(cnt) AS cnt`` re-reduces partials correctly, ``count(1) AS
+    cnt`` does not). Used to auto-enable the two-level materialized
+    reduce tree; conservative by design — anything unrecognized stays
+    single-level."""
+    global _CLOSED_AGG_RE
+    if agg_exprs is None:
+        return False
+    if _CLOSED_AGG_RE is None:
+        import re
+
+        _CLOSED_AGG_RE = re.compile(
+            r"^Column<'(?:sum|min|max)\((\w+)\) AS (\w+)'>$"
+        )
+    for c in agg_exprs:
+        m = _CLOSED_AGG_RE.match(str(c))
+        if not m or m.group(1) != m.group(2):
+            return False
+    return True
+
+
 def _doc_hash(uid_column: Column) -> Column:
     """Stable doc hash for span/bucket assignment: xxhash64 over the
     (already upper-cased) uid — deterministic across runs/sessions
@@ -150,6 +178,12 @@ def _doc_hash(uid_column: Column) -> Column:
     return F.xxhash64(uid_column)
 
 MapFn = Callable[[DataFrame], DataFrame]
+
+# spark.conf is session-global: serialize modifying maintenance scopes
+# across all views/threads sharing a session (see _conf_scope). The
+# re-entrancy/nesting guard is per-thread.
+_CONF_SCOPE_LOCK = threading.RLock()
+_CONF_SCOPE_TLS = threading.local()
 
 # Engine bookkeeping columns stamped onto every map output; user map
 # outputs may not use these names (execute() raises on a clash).
@@ -189,7 +223,7 @@ class MapReduceView:
         reduce_schema: str | None = None,
         n_key_spans: int = 64,
         n_doc_spans: int = 64,
-        two_level: bool = False,
+        two_level: bool | None = None,
         n_sub_buckets: int = 8,
         migrate_span_hash: bool = False,
         maintenance_shuffle_partitions: int | None = None,
@@ -208,6 +242,15 @@ class MapReduceView:
         self.agg_exprs = list(agg_exprs) if agg_exprs is not None else None
         self.reduce_fn = reduce_fn
         self.reduce_schema = reduce_schema
+        # two_level=None (the default) auto-enables the materialized
+        # reduce tree whenever the aggregates are provably closed under
+        # re-reduction — the strictly better layout when legal (finals
+        # re-reduce O(partials) instead of O(dirty-span rows); measured
+        # delta in README). Reopening an existing store under auto mode
+        # adopts the store's recorded layout instead.
+        auto_two_level = two_level is None
+        if auto_two_level:
+            two_level = _rereduce_closed(self.agg_exprs)
         self.n_key_spans = n_key_spans
         self.n_doc_spans = n_doc_spans
         # Maintenance jobs are right-sized per batch (see
@@ -261,7 +304,10 @@ class MapReduceView:
         self._needs_rehash = False
         if "layout" in stored:
             lay = stored["layout"]
-            if bool(lay["two_level"]) != bool(two_level):
+            if auto_two_level:
+                two_level = bool(lay["two_level"])
+                self.two_level = two_level
+            elif bool(lay["two_level"]) != bool(two_level):
                 raise ValueError(
                     f"store at {store_path} was built with "
                     f"two_level={lay['two_level']}; reopen with the same "
@@ -442,38 +488,56 @@ class MapReduceView:
         session default) leave the session untouched: full parallelism,
         AQE skew-splitting, the 100 TB path.
 
-        Nested scopes are no-ops while one is active. ``pin=True``
-        (the user's explicit ``maintenance_shuffle_partitions``) always
-        applies ``n`` as the maintenance partition count — raising as
-        well as lowering — and stays marked active so inner derived
-        scopes cannot override the explicit setting."""
+        Nested scopes are no-ops while one is active (tracked
+        per-thread). ``pin=True`` (the user's explicit
+        ``maintenance_shuffle_partitions``) always applies ``n`` as the
+        maintenance partition count — raising as well as lowering —
+        and stays marked active so inner derived scopes cannot
+        override the explicit setting.
+
+        The session conf is SESSION-global state, so a module-level
+        lock serializes modifying scopes across views/threads sharing
+        one SparkSession: two concurrently maintained views can no
+        longer interleave set/restore and leave the maintenance value
+        pinned. Analytics queries issued on the same session DURING a
+        maintenance window still see the maintenance conf — run them
+        on ``spark.newSession()`` (shares the cluster, isolates conf)
+        if that matters."""
         conf = self.spark.conf
-        if n is None or getattr(self, "_conf_scope_active", False):
+        if n is None or getattr(_CONF_SCOPE_TLS, "active", False):
             yield
             return
+        _CONF_SCOPE_LOCK.acquire()
+        held = True
         try:
-            default = int(conf.get("spark.sql.shuffle.partitions"))
-        except Exception:  # noqa: BLE001 — unusual session config
-            default = None
-        modify = default is not None and (n < default if not pin else True)
-        if not modify and not pin:
-            yield
-            return
-        old_aqe = None
-        if modify:
-            old_aqe = conf.get("spark.sql.adaptive.enabled")
-            conf.set("spark.sql.shuffle.partitions", str(n))
-            if default is not None and n < default:
-                conf.set("spark.sql.adaptive.enabled", "false")
-        self._conf_scope_active = True
-        try:
-            yield
-        finally:
-            self._conf_scope_active = False
+            try:
+                default = int(conf.get("spark.sql.shuffle.partitions"))
+            except Exception:  # noqa: BLE001 — unusual session config
+                default = None
+            modify = default is not None and (n < default if not pin else True)
+            if not modify and not pin:
+                _CONF_SCOPE_LOCK.release()
+                held = False
+                yield
+                return
+            old_aqe = None
             if modify:
-                conf.set("spark.sql.shuffle.partitions", str(default))
-                if old_aqe is not None:
-                    conf.set("spark.sql.adaptive.enabled", old_aqe)
+                old_aqe = conf.get("spark.sql.adaptive.enabled")
+                conf.set("spark.sql.shuffle.partitions", str(n))
+                if default is not None and n < default:
+                    conf.set("spark.sql.adaptive.enabled", "false")
+            _CONF_SCOPE_TLS.active = True
+            try:
+                yield
+            finally:
+                _CONF_SCOPE_TLS.active = False
+                if modify:
+                    conf.set("spark.sql.shuffle.partitions", str(default))
+                    if old_aqe is not None:
+                        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        finally:
+            if held:
+                _CONF_SCOPE_LOCK.release()
 
     # ----- journal / meta --------------------------------------------------
 
@@ -528,28 +592,25 @@ class MapReduceView:
                 l1 = content.groupBy(
                     "kspan", "bucket", *self.group_cols
                 ).agg(*self.agg_exprs)
-                l1.cache()
                 l1_map = self._l1_t.write_data(l1)
                 self._l1_t.commit(
                     replace=l1_map, drop=dirty - set(l1_map)
                 )
-                finals = l1.groupBy("kspan", *self.group_cols).agg(
-                    *self.agg_exprs
-                )
-            elif self.agg_exprs is not None:
-                finals = content.groupBy("kspan", *self.group_cols).agg(
-                    *self.agg_exprs
-                )
+                fin_map = self._write_finals_from_l1(l1_map)
             else:
-                finals = content.groupBy(
-                    "kspan", *self.group_cols
-                ).applyInPandas(
-                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
-                )
-            fin_map = self._fin_t.write_data(finals)
+                if self.agg_exprs is not None:
+                    finals = content.groupBy("kspan", *self.group_cols).agg(
+                        *self.agg_exprs
+                    )
+                else:
+                    finals = content.groupBy(
+                        "kspan", *self.group_cols
+                    ).applyInPandas(
+                        self.reduce_fn,
+                        schema=f"kspan int, {self.reduce_schema}",
+                    )
+                fin_map = self._fin_t.write_data(finals)
             self._fin_t.commit(replace=fin_map, drop=dirty - set(fin_map))
-            if self.two_level:
-                l1.unpersist()
         os.remove(self._journal_path)
 
     # ----- write path (Execute — reference Executer.cs:31-45) -------------
@@ -744,6 +805,29 @@ class MapReduceView:
     # than a second driver round-trip job.
     _SMALL_INDEX_BYTES = 64 * 1024 * 1024
 
+    def _write_finals_from_l1(
+        self, l1_map: dict[int, list[str]]
+    ) -> dict[int, list[str]]:
+        """Two-level finals: re-reduce the L1 files a just-finished
+        write job landed (uncommitted but on disk — write_data returns
+        their paths). Reading the tiny columnar partial state back
+        beats caching the L1 plan and racing concurrent consumers over
+        it: one fewer job, no executor cache, and the read is exactly
+        the partial-reduce tree the store persists anyway."""
+        files = [
+            os.path.join(self._l1_t.path, f)
+            for fs in l1_map.values()
+            for f in fs
+        ]
+        if not files:
+            return {}
+        finals = (
+            self.spark.read.parquet(*files)
+            .groupBy("kspan", *self.group_cols)
+            .agg(*self.agg_exprs)
+        )
+        return self._fin_t.write_data(finals)
+
     def _bootstrap(
         self,
         mapped: DataFrame,
@@ -762,19 +846,13 @@ class MapReduceView:
         data_cols = [c for c in mapped.columns if c != "pspan"]
         new_rows = mapped.select(*data_cols, F.col("pspan"))
         l1_content = None
+        finals = None
         if self.two_level:
-            l1_content = cache(
-                mapped.groupBy("kspan", "bucket", *self.group_cols).agg(
-                    *self.agg_exprs
-                )
-            )
-            # Materialize before the concurrent fin/l1 writers start:
-            # racing jobs would each recompute the L1 aggregation while
-            # the cache populates.
-            l1_content.count()
-            finals = l1_content.groupBy("kspan", *self.group_cols).agg(
-                *self.agg_exprs
-            )
+            # Finals re-reduce the L1 files after the l1 write lands
+            # (_write_finals_from_l1) — no cache, no racing writers.
+            l1_content = mapped.groupBy(
+                "kspan", "bucket", *self.group_cols
+            ).agg(*self.agg_exprs)
         elif self.agg_exprs is not None:
             finals = mapped.groupBy("kspan", *self.group_cols).agg(
                 *self.agg_exprs
@@ -795,9 +873,10 @@ class MapReduceView:
 
         jobs = [
             ("idx", lambda: self._idx_t.write_data(new_idx)),
-            ("fin", lambda: self._fin_t.write_data(finals)),
             ("map", lambda: self._map_t.write_data(new_rows)),
         ]
+        if finals is not None:
+            jobs.append(("fin", lambda: self._fin_t.write_data(finals)))
         if l1_content is not None:
             jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
         threads = [
@@ -810,6 +889,8 @@ class MapReduceView:
             t.join()
         if errors:
             raise next(iter(errors.values()))
+        if self.two_level:
+            results["fin"] = self._write_finals_from_l1(results["l1"])
         dirty_kspans = {
             p // self.n_sub_buckets for p in results["map"]
         } | set(results["fin"])
@@ -943,6 +1024,7 @@ class MapReduceView:
             # HashAggregate is the reduce tree, re-run over the dirty
             # key-spans' rows = dirty pairs + their spans' untouched pairs.
             l1_content = None
+            finals = None
             if self.two_level:
                 pairs_by_span: dict[int, list[int]] = {}
                 for p in sorted(dirty_pspans):
@@ -961,10 +1043,12 @@ class MapReduceView:
                     )
                 else:
                     l1_content = recomputed
-                cache(l1_content)
-                finals = l1_content.groupBy("kspan", *self.group_cols).agg(
-                    *self.agg_exprs
-                )
+                # finals are computed AFTER the concurrent jobs by
+                # reading back the L1 files the l1 write just landed —
+                # no cache, no materialization job, no writers racing
+                # to populate a cache: the L1 parquet (page-cache-warm,
+                # columnar, tiny relative to map rows) IS the
+                # materialized partial state finals re-reduce.
             else:
                 untouched_pspans = {
                     p
@@ -990,12 +1074,12 @@ class MapReduceView:
 
             # --- write all data files concurrently (invisible until commit)
             #
-            # ``pair_rows`` feeds two (three, two-level) of the concurrent
-            # jobs below; Spark's cache does not deduplicate in-flight
-            # partition computation across jobs racing to populate it, so
-            # materialize it once up front — the concurrent writers then
-            # read columnar cache instead of each re-running the
-            # survivor-filter union.
+            # ``pair_rows`` feeds two of the concurrent jobs below (map +
+            # fin single-level, map + l1 two-level); Spark's cache does
+            # not deduplicate in-flight partition computation across jobs
+            # racing to populate it, so materialize it once up front —
+            # the concurrent writers then read columnar cache instead of
+            # each re-running the survivor-filter union.
             n_pair_rows = pair_rows.count()
             new_idx = mapped.select("uid", "kspan", "dspan").distinct()
             results: dict[str, dict[int, list[str]]] = {}
@@ -1031,8 +1115,9 @@ class MapReduceView:
             )
             jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
                 ("idx", lambda: self._idx_t.write_data(new_idx)),
-                ("fin", lambda: self._fin_t.write_data(finals)),
             ]
+            if finals is not None:
+                jobs.append(("fin", lambda: self._fin_t.write_data(finals)))
             if map_write_pspans:
                 jobs.append(("map", lambda: self._map_t.write_data(map_rows)))
             if l1_content is not None:
@@ -1047,6 +1132,8 @@ class MapReduceView:
                 t.join()
             if errors:
                 raise next(iter(errors.values()))
+            if self.two_level:
+                results["fin"] = self._write_finals_from_l1(results["l1"])
 
         # --- commit (atomic manifest swaps, dependency order; see
         # module docstring for why the index leads)

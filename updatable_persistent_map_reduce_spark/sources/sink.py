@@ -22,7 +22,7 @@ task_count x dir_count sliver files; pair with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,18 +69,19 @@ def write_packed_shards(
 ) -> None:
     """Pack rows (in stable ``order_col`` order) into fixed-budget
     shards by running ``size_col`` prefix sum, then write one file per
-    shard (``shard=N`` hive dirs). The global-ordering window is the
-    sf-test formulation; at 100 TB swap in per-partition prefix sums +
-    broadcast partition offsets (two passes) — the shard id stays a
-    deterministic function of the sort key, so re-runs are stable."""
-    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
-    sharded = df.withColumn(
+    shard (``shard=N`` hive dirs). The prefix sum is the two-pass
+    distributed plan (functions/prefix.py: range buckets, parallel
+    local windows, broadcast bucket offsets) — no single-partition
+    stage; the shard id is a deterministic function of the sort key,
+    so re-runs are stable."""
+    from ..functions.prefix import distributed_prefix_sum
+
+    sharded = distributed_prefix_sum(
+        df, order_col, F.col(size_col), out_col="_cum_before"
+    ).withColumn(
         "shard",
-        F.floor(
-            F.coalesce(F.sum(size_col).over(w), F.lit(0))
-            / F.lit(shard_budget)
-        ).cast("long"),
-    )
+        F.floor(F.col("_cum_before") / F.lit(shard_budget)).cast("long"),
+    ).drop("_cum_before")
     (
         sharded.repartition(F.col("shard"))
         .sortWithinPartitions(order_col)

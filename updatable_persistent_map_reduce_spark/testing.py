@@ -94,6 +94,53 @@ def driver_canon_probe(rows, cols) -> list[str]:
     return []
 
 
+def dtype_audit(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    """Flag type-representation hazards the order-insensitive value
+    compare is blind to but the DRIVER's pandas canonicalize-then-hash
+    is not (round 2's q_doc_fingerprint: DECIMAL(20,0) values > 2^53
+    hash differently via Arrow decimal128 vs Python Decimal).
+
+    Two rules, both cheap:
+    - any ``decimal.Decimal`` cell on either side (decimals should be
+      cast to double or string before leaving a query);
+    - a pandas dtype-kind mismatch between the two engines for the
+      same column (int64 vs float64 vs object hash differently).
+    """
+    import pandas as pd
+
+    problems = []
+    for side, rows, cols in (
+        ("spark", spark_rows, spark_cols),
+        ("duck", duck_rows, duck_cols),
+    ):
+        for r in rows[:200]:  # bounded probe; type is uniform per column
+            for c, v in zip(cols, r):
+                if isinstance(v, decimal.Decimal):
+                    problems.append(
+                        f"decimal-typed column {c!r} on {side} side "
+                        "(cast to DOUBLE or STRING in both engines)"
+                    )
+                    break
+            else:
+                continue
+            break
+    try:
+        sdf = pd.DataFrame(spark_rows, columns=spark_cols)
+        ddf = pd.DataFrame(duck_rows, columns=duck_cols)
+    except Exception:  # noqa: BLE001 — canon probe reports this case
+        return problems
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk != dk and not sdf[c].isna().any() and not ddf[c].isna().any():
+            problems.append(
+                f"dtype mismatch for column {c!r}: "
+                f"spark pandas kind={sk!r} vs duck kind={dk!r}"
+            )
+    return problems
+
+
 def check_query(spark, con, query, sf_dir: str) -> list[str]:
     """Run one registered Query against both engines; [] = pass."""
     sdf = query.fn(spark, sf_dir)
@@ -105,4 +152,8 @@ def check_query(spark, con, query, sf_dir: str) -> list[str]:
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
-    return problems + compare(spark_rows, spark_cols, duck_rows, duck_cols)
+    return (
+        problems
+        + compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        + dtype_audit(spark_rows, spark_cols, duck_rows, duck_cols)
+    )
