@@ -110,6 +110,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # SQL front end produces the same shapes as the DataFrame API
     "q_sql_tpch_q1": (["HashAggregate"], ["CartesianProduct"]),
     "q_sql_tpch_q3": (["HashAggregate"], ["CartesianProduct"]),
+    # stratified sample is a pure scan predicate + projection, no shuffle
+    "q_sample_stratified": (["Scan parquet"], ["Exchange", "Python"]),
+    # n-gram top-k: partial+final agg, top-k never a global sort
+    "q_ngram_stats": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["Python", "Sort "],
+    ),
+    # funnel: one scan -> content-hash window -> 1-row conditional agg
+    # (the global agg's SinglePartition exchange is fine: partial
+    # aggregation runs first, so it moves O(partitions) rows, not O(n))
+    "q_quality_funnel": (
+        ["HashAggregate", "Window"],
+        ["Python", "CartesianProduct"],
+    ),
+    # semantic dedup: ONE Arrow-batched grouped-map shuffle by cell,
+    # never row-at-a-time Python or a pairwise product
+    "q_dedup_semantic": (
+        ["FlatMapGroupsInPandas"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
 }
 
 

@@ -63,7 +63,11 @@ _PRIORITY = [
     "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
     "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
     "q_string_agg", "q_gap_fill", "q_sql_exists",
-    # -- 2. implementation changed in round 3 (re-attest) -------------
+    # -- 2. new or implementation changed in round 3 (attest first) ---
+    "q_sample_stratified",  # new: per-stratum deterministic sampling
+    "q_ngram_stats",       # new: corpus n-gram frequency top-k
+    "q_quality_funnel",    # new: staged survival counts
+    "q_dedup_semantic",    # new: SemDeDup (k-means cells + greedy prune)
     "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
     "q_batch_256",         # global window -> two-pass prefix sums
     "q_shard_pack",        # global window -> two-pass prefix sums

@@ -525,3 +525,95 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "connected components did not converge in 25 rounds"
         )
     return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup shape): k-means cells, greedy cosine prune
+# within each cell.
+
+# Within-cell cosine threshold for "semantic duplicate". Tuned to the
+# synthetic test embeddings, which are near-orthogonal (max pairwise
+# cos ~0.48, 99.9th pct ~0.38 at sf0.001) so a real-world 0.9+ would
+# never fire; production embedding spaces cluster much tighter and use
+# ~0.95 — the threshold is the recipe's knob, not a constant.
+SEM_TAU = 0.3
+SEM_MAX_CELL = 4096  # greedy pass cap per cell — raise n_cells instead
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=None,
+    doc="Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): "
+    "cluster embeddings with distributed spherical k-means (shared "
+    "fit_kmeans — the IVF index and this op see the same cells), then "
+    "WITHIN each cell greedily keep vectors in (centroid-similarity "
+    "desc, vec_id) order, dropping any whose cosine to an already-kept "
+    "cell member is >= SEM_TAU and recording which keeper shadowed it. "
+    "Rows-only by design (k-means is iterative, not SQL), but fully "
+    "deterministic: seeded centroids, fixed iterations, total greedy "
+    "order. Scale shape: ONE applyInPandas shuffle keyed by cell; "
+    "pairwise work is bounded per cell (n_cells grows with the corpus "
+    "so cells stay ~constant-size; a cell past SEM_MAX_CELL fails "
+    "loudly rather than degrading quadratically), and the per-cell "
+    "greedy is one incremental numpy matmul per member batch — never "
+    "corpus x corpus.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .similarity import fit_kmeans, make_assign_udf
+
+    e = (
+        spread(Catalog(spark, sf_dir).embeddings)
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    centroids = fit_kmeans(spark, e)
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        make_assign_udf(spark, centroids)("embedding").alias("cell"),
+    )
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > SEM_MAX_CELL:
+            raise ValueError(
+                f"cell {int(pdf.cell.iloc[0])} has {len(pdf)} members "
+                f"(> {SEM_MAX_CELL}): raise n_cells so cells stay bounded"
+            )
+        cell = int(pdf["cell"].iloc[0])
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        csim = m @ bc.value[cell]
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -csim))
+        kept_idx: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        kept_by = np.zeros(len(pdf), dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        for i in order:
+            if kept_idx:
+                sims = m[kept_idx] @ m[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= SEM_TAU:
+                    kept[i] = False
+                    kept_by[i] = ids[kept_idx[j]]
+                    continue
+            kept[i] = True
+            kept_by[i] = ids[i]
+            kept_idx.append(int(i))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(len(pdf), cell, dtype=np.int32),
+                "centroid_sim": np.round(csim, 6),
+                "kept": kept,
+                "kept_by": kept_by,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell,
+        "vec_id long, cell int, centroid_sim double, kept boolean, "
+        "kept_by long",
+    )

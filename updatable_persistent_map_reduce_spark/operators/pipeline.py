@@ -50,6 +50,48 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stratified sampling — per-stratum rates, still fully deterministic.
+
+# Rebalancing rates: downsample the dominant language, oversample the
+# tails — the language-mix control knob of a pretraining data recipe.
+_STRATA_PCT = {"en": 10, "es": 30, "fr": 30, "de": 30}
+_DEFAULT_PCT = 20  # any stratum not listed (zh, future langs)
+
+_STRATA_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PCT.items())
+    + f" ELSE {_DEFAULT_PCT} END"
+)
+
+
+@register(
+    "q_sample_stratified",
+    oracle=(
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE (doc_id * {_KNUTH}) % {_M32} % 100 < {_STRATA_CASE_SQL}"
+    ),
+    doc="Stratified deterministic sampling: per-language keep rates "
+    "(downsample the dominant lang, oversample tails — the data-mix "
+    "rebalancing step of a corpus recipe) applied through the same "
+    "multiplicative doc_id hash as q_sample_hash, so strata rates can "
+    "be retuned without reshuffling membership: a doc kept at 10% is "
+    "still kept at 30% (nested samples by construction). Pure pushed "
+    "predicate over one scan — no shuffle, no RNG state; the CASE "
+    "rate table and the Spark when-chain are generated from the same "
+    "dict so the two engines cannot drift.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(100)
+    pct = None
+    for lang, p in _STRATA_PCT.items():
+        cond = F.col("lang") == lang
+        pct = F.when(cond, p) if pct is None else pct.when(cond, p)
+    pct = pct.otherwise(F.lit(_DEFAULT_PCT))
+    return d.filter(bucket < pct).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
 # decontamination — remove training docs sharing n-grams with an
 # evaluation/benchmark set.
 
@@ -193,3 +235,121 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor(F.col("tok_before") / 5000).cast("long").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality funnel — survival counts per pipeline stage (observability).
+
+
+def _funnel_oracle() -> str:
+    from .text_analysis import _STOPWORDS, _hits_sql
+
+    hits = ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in _STOPWORDS)
+    anyhit = " + ".join(f"h_{lang}" for lang in _STOPWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, text, n_chars, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents), "
+        f"s AS (SELECT doc_id, text, n_chars, toks, {hits}, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct FROM t), "
+        "f AS (SELECT "
+        f"(({anyhit}) > 0) AS g1, "
+        "(len(toks) >= 20 AND len(toks) <= 1000 "
+        "AND CAST(npunct AS DOUBLE) / greatest(n_chars, 1) < 0.1 "
+        "AND CAST(h_en AS DOUBLE) / greatest(len(toks), 1) >= 0.01) AS q, "
+        "(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / "
+        "greatest(len(toks), 1) <= 0.5) AS nr, "
+        "(row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1) "
+        "AS fs FROM s), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n0, "
+        "CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        "CAST(sum(CASE WHEN g1 AND q THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        "CAST(sum(CASE WHEN g1 AND q AND nr THEN 1 ELSE 0 END) AS BIGINT) AS n3, "
+        "CAST(sum(CASE WHEN g1 AND q AND nr AND fs THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n4 FROM f) "
+        "SELECT CAST(0 AS INTEGER) AS stage_id, 'all' AS stage, n0 AS n_docs FROM g "
+        "UNION ALL SELECT 1, 'lang_known', n1 FROM g "
+        "UNION ALL SELECT 2, 'quality', n2 FROM g "
+        "UNION ALL SELECT 3, 'non_repetitive', n3 FROM g "
+        "UNION ALL SELECT 4, 'unique', n4 FROM g"
+    )
+
+
+@register(
+    "q_quality_funnel",
+    oracle=_funnel_oracle(),
+    doc="Pipeline observability: how many documents survive each "
+    "cleaning stage — all -> language identified (any stopword hit) -> "
+    "quality gate (length band, punctuation density, stopword ratio; "
+    "the q_quality_score gate) -> non-repetitive (duplicate-token "
+    "fraction <= 0.5) -> unique (first occurrence per content hash). "
+    "Stages are CUMULATIVE (each applies on top of the previous), "
+    "matching how the real funnel composes, and every predicate reuses "
+    "the exact expression of its standalone operator so the funnel "
+    "numbers reconcile with the per-doc outputs. One scan + one "
+    "content-hash window shuffle + a 1-row conditional aggregate, "
+    "unpivoted to (stage_id, stage, n_docs) — the per-stage counts a "
+    "100 TB run logs to its dashboard every batch.",
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import _STOPWORDS, stopword_hits
+
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    base = d.select("doc_id", "text", "n_chars", toks.alias("toks"))
+    for lang, words in _STOPWORDS.items():
+        base = base.withColumn(f"h_{lang}", stopword_hits(F.col("toks"), words))
+    ntok = F.greatest(F.size("toks"), F.lit(1))
+    npunct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    punct_ratio = npunct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = F.col("h_en").cast("double") / ntok
+    anyhit = None
+    for lang in _STOPWORDS:
+        h = F.col(f"h_{lang}")
+        anyhit = h if anyhit is None else anyhit + h
+    flags = base.select(
+        "doc_id",
+        (anyhit > 0).alias("g1"),
+        (
+            (F.size("toks") >= 20)
+            & (F.size("toks") <= 1000)
+            & (punct_ratio < 0.1)
+            & (stop_ratio >= 0.01)
+        ).alias("q"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / ntok
+            <= 0.5
+        ).alias("nr"),
+        (
+            F.row_number().over(
+                W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            )
+            == 1
+        ).alias("fs"),
+    )
+    g = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("g1").cast("int")).alias("n1"),
+        F.sum((F.col("g1") & F.col("q")).cast("int")).alias("n2"),
+        F.sum((F.col("g1") & F.col("q") & F.col("nr")).cast("int")).alias("n3"),
+        F.sum(
+            (F.col("g1") & F.col("q") & F.col("nr") & F.col("fs")).cast("int")
+        ).alias("n4"),
+    )
+    stages = ["all", "lang_known", "quality", "non_repetitive", "unique"]
+    return g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_id"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"n{i}").cast("long").alias("n_docs"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -97,6 +97,63 @@ N_PROBE = 4
 KMEANS_ITERS = 2
 
 
+def make_assign_udf(spark: SparkSession, cmat: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    batch against the broadcast (cells × dim) centroid matrix."""
+    bc = spark.sparkContext.broadcast(cmat)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def fit_kmeans(
+    spark: SparkSession,
+    e: DataFrame,
+    n_cells: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd): deterministic seeding
+    (first ``n_cells`` vectors by id), Arrow-batched assignment, and
+    the canonical posexplode + groupBy(cell, dim) mean update — one
+    shuffle keyed by cell×dim per iteration. Centroids are KB-sized
+    driver state (the legitimate collect). Shared by the IVF ANN index
+    and semantic dedup so both see the same partitioning of space."""
+    seed_rows = (
+        e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    )
+    centroids = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            make_assign_udf(spark, centroids)("embedding").alias("cell"),
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        nxt = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.mu
+        for cell, dims in by_cell.items():
+            vec = np.array([dims[i] for i in range(len(dims))])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                nxt[cell] = vec / n
+        centroids = nxt
+    return centroids
+
+
 @register(
     "q_sim_search_ivf",
     oracle=None,
@@ -115,50 +172,12 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(Catalog(spark, sf_dir).embeddings)
     e = e.select("vec_id", "embedding").persist()
 
-    # --- deterministic init: first N_CELLS vectors by id are the seeds
-    seed_rows = (
-        e.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
-    )
-    centroids = np.array([r.embedding for r in seed_rows], dtype=np.float64)
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-
-    def assign_udf(cmat: np.ndarray):
-        bc = spark.sparkContext.broadcast(cmat)
-
-        @F.pandas_udf("int")
-        def assign(embs: pd.Series) -> pd.Series:
-            m = np.stack(embs.to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
-
-        return assign
-
-    # --- Lloyd iterations: assign (numpy, Arrow-batched) then update
-    # (posexplode + mean per (cell, dim) — a single shuffle keyed by
-    # cell*dim, the canonical distributed k-means step).
-    for _ in range(KMEANS_ITERS):
-        assigned = e.select(
-            "vec_id", "embedding", assign_udf(centroids)("embedding").alias("cell")
-        )
-        upd = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("mu"))
-            .collect()
-        )
-        nxt = centroids.copy()
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in upd:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.mu
-        for cell, dims in by_cell.items():
-            vec = np.array([dims[i] for i in range(len(dims))])
-            n = np.linalg.norm(vec)
-            if n > 0:
-                nxt[cell] = vec / n
-        centroids = nxt
+    centroids = fit_kmeans(spark, e)
 
     listed = e.select(
-        "vec_id", "embedding", assign_udf(centroids)("embedding").alias("cell")
+        "vec_id",
+        "embedding",
+        make_assign_udf(spark, centroids)("embedding").alias("cell"),
     )
 
     # --- probe sets: per query, its N_PROBE nearest cells (numpy on

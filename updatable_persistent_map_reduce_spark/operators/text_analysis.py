@@ -17,6 +17,7 @@ from ..functions.text import (
     BPE_TOKEN_RE,
     fingerprint_expr,
     fingerprint_sql,
+    shingles_expr,
     tokens_expr,
 )
 from ..sources import Catalog
@@ -98,6 +99,15 @@ def _hits_sql(lang: str) -> str:
     )
 
 
+def stopword_hits(toks_col, words: list[str]):
+    """Count of tokens in ``words`` — shared by lang-id, quality
+    scoring, and the pipeline funnel so every consumer uses the exact
+    same codegen expression (single-arg lambda: higher-order filter()
+    treats a second parameter as the element index)."""
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks_col, lambda t: F.array_contains(sw, t)))
+
+
 @register(
     "q_lang_id",
     oracle=(
@@ -119,14 +129,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     toks = tokens_expr(F.col("text"))
     scored = d.select("doc_id", toks.alias("toks"))
-    def _hits(toks_col, words):
-        # single-arg lambda required: higher-order filter() treats a
-        # second parameter (even a defaulted one) as the element index
-        sw = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks_col, lambda t: F.array_contains(sw, t)))
-
     for lang, words in _STOPWORDS.items():
-        scored = scored.withColumn(f"h_{lang}", _hits(F.col("toks"), words))
+        scored = scored.withColumn(
+            f"h_{lang}", stopword_hits(F.col("toks"), words)
+        )
     pred = (
         F.when(
             (F.col("h_en") == 0)
@@ -179,7 +185,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     toks = tokens_expr(F.col("text"))
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
     base = d.select(
         "doc_id",
         "n_chars",
@@ -187,7 +192,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
             "npunct"
         ),
-        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("nstop"),
+        stopword_hits(toks, _STOPWORDS["en"]).alias("nstop"),
     )
     punct_ratio = F.col("npunct").cast("double") / F.greatest(
         F.col("n_chars"), F.lit(1)
@@ -320,3 +325,48 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram frequency table
+
+TOP_NGRAMS = 50
+
+
+@register(
+    "q_ngram_stats",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, "
+        "unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))) AS ngram FROM ("
+        "SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '') AS toks FROM documents)) "
+        "SELECT ngram, CAST(count(*) AS BIGINT) AS n_occur, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM sh GROUP BY ngram "
+        f"ORDER BY n_occur DESC, ngram LIMIT {TOP_NGRAMS}"
+    ),
+    doc="Corpus n-gram frequency table: top-50 word-3grams by total "
+    "occurrences (ties broken by ngram — a deterministic total order, "
+    "so both engines pick identical boundary rows), with the distinct-"
+    "doc count per ngram. The frequency profile a pipeline uses for "
+    "boilerplate detection and contamination analysis. Scale shape: "
+    "explode is map-side, the count aggregates partially before the "
+    "one shuffle, and the final top-k is TakeOrdered (per-partition "
+    "heaps + driver merge of k·P rows) — never a global sort.",
+)
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sh = d.select(
+        "doc_id",
+        F.explode(shingles_expr(tokens_expr(F.col("text")), 3)).alias("ngram"),
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occur").desc(), "ngram")
+        .limit(TOP_NGRAMS)
+    )
