@@ -112,10 +112,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_sql_tpch_q3": (["HashAggregate"], ["CartesianProduct"]),
     # stratified sample is a pure scan predicate + projection, no shuffle
     "q_sample_stratified": (["Scan parquet"], ["Exchange", "Python"]),
-    # n-gram top-k: partial+final agg, top-k never a global sort
+    # n-gram top-k: Arrow-batched shingling (never row-at-a-time),
+    # partial+final agg, top-k never a global sort
     "q_ngram_stats": (
-        ["HashAggregate", "TakeOrderedAndProject"],
-        ["Python", "Sort "],
+        ["HashAggregate", "TakeOrderedAndProject", "ArrowEvalPython"],
+        ["BatchEvalPython", "Sort "],
     ),
     # funnel: one scan -> content-hash window -> 1-row conditional agg
     # (the global agg's SinglePartition exchange is fine: partial

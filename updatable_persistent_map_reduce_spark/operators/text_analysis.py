@@ -17,7 +17,7 @@ from ..functions.text import (
     BPE_TOKEN_RE,
     fingerprint_expr,
     fingerprint_sql,
-    shingles_expr,
+    shingle_strings_udf,
     tokens_expr,
 )
 from ..sources import Catalog
@@ -351,15 +351,17 @@ TOP_NGRAMS = 50
     "so both engines pick identical boundary rows), with the distinct-"
     "doc count per ngram. The frequency profile a pipeline uses for "
     "boilerplate detection and contamination analysis. Scale shape: "
-    "explode is map-side, the count aggregates partially before the "
-    "one shuffle, and the final top-k is TakeOrdered (per-partition "
-    "heaps + driver merge of k·P rows) — never a global sort.",
+    "shingling is an Arrow-batched map (measured 5x the interpreted "
+    "HOF pipeline, see functions/text.py:shingle_strings_udf), explode "
+    "is map-side, the count aggregates partially before the one "
+    "shuffle, and the final top-k is TakeOrdered (per-partition heaps "
+    "+ driver merge of k·P rows) — never a global sort.",
 )
 def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     sh = d.select(
         "doc_id",
-        F.explode(shingles_expr(tokens_expr(F.col("text")), 3)).alias("ngram"),
+        F.explode(shingle_strings_udf(3)("text")).alias("ngram"),
     )
     return (
         sh.groupBy("ngram")
