@@ -87,3 +87,52 @@ def test_stratified_sample_nests_inside_higher_rates(spark, sf_dir):
     for d in docs:
         if (d.doc_id * _KNUTH) % _M32 % 100 < 10:
             assert d.doc_id in kept, d.doc_id
+
+
+def test_embed_quantize_reconstruction_bound(spark, sf_dir):
+    """int8 symmetric quantization invariant: max reconstruction error
+    is at most scale/2 (+eps), and no lane overflows past the
+    saturation count it reports."""
+    rows = QUERIES["q_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # both outputs are rounded to 6 decimals: allow one ulp of
+        # that rounding on each side of the exact err <= scale/2 bound
+        assert r.max_err <= r.scale / 2 + 1e-6, r
+        assert r.n_sat >= 0, r
+
+
+def test_bm25_scores_docs_containing_query_terms(spark, sf_dir):
+    """Every BM25 hit actually contains >=1 query term; scores are
+    positive and the result is sorted-compatible (top-k by rounded
+    score, doc_id tiebreak)."""
+    from updatable_persistent_map_reduce_spark.operators.search import (
+        QUERY_TERMS,
+        TOP_DOCS,
+    )
+
+    rows = QUERIES["q_bm25"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP_DOCS
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.score > 0, r
+        toks = set(docs[r.doc_id].lower().split())
+        assert toks & set(QUERY_TERMS), r
+
+
+def test_sliding_window_counts_are_4x_tumbling_15min(spark, sf_dir):
+    """Every event lands in exactly 4 overlapping 1h/15min windows, so
+    the sliding counts total 4x the event count."""
+    ev_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    rows = QUERIES["q_stream_sliding"].fn(spark, sf_dir).collect()
+    assert sum(r.cnt for r in rows) == 4 * ev_total
+
+
+def test_doc_len_histogram_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["q_doc_len_histogram"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01

@@ -586,3 +586,26 @@ def test_conf_scope_concurrent_restore(spark, tmp_path):
         t.join()
     assert not errors
     assert spark.conf.get("spark.sql.shuffle.partitions") == default
+
+
+def test_time_travel_final_df(spark, scenario_view):
+    """Snapshot time travel at the VIEW level: after an upsert, the
+    pre-upsert finals remain readable at the archived manifest version
+    (store.py:_VERSIONS), and an unknown version raises."""
+    v = scenario_view
+    v1 = v._fin_t.version
+    before = {r["state"]: r["cnt"] for r in v.final_df().collect()}
+    assert before == {"CA": 397, "TX": 256}
+
+    v.execute(people_df(spark, [("people-30", "TX")]))
+    after = {r["state"]: r["cnt"] for r in v.final_df().collect()}
+    assert after == {"CA": 396, "TX": 257}
+
+    # the archived snapshot still reads the pre-upsert state
+    archived = {
+        r["state"]: r["cnt"] for r in v.final_df(version=v1).collect()
+    }
+    assert archived == before
+
+    with pytest.raises(ValueError, match="no archived manifest"):
+        v.final_df(version=99_999).collect()

@@ -131,6 +131,29 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # sliding windows: map-side window assignment feeding one
+    # partial+final aggregation — JVM-only
+    "q_stream_sliding": (["HashAggregate"], ["Python"]),
+    # int8 quantization is a pure map over one scan: no shuffle at all
+    "q_embed_quantize": (["Scan parquet"], ["Exchange", "Python"]),
+    # index vocabulary: partial+final agg, top-k never a global sort
+    "q_inverted_index": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["Python", "Sort "],
+    ),
+    # BM25: query-term filter BEFORE the posting aggregation, corpus
+    # scalars broadcast, top-k as TakeOrdered — no global sort
+    "q_bm25": (
+        ["TakeOrderedAndProject", "Broadcast"],
+        ["Python", "CartesianProduct"],
+    ),
+    # length histogram: map-side banding + tiny agg, no Python
+    "q_doc_len_histogram": (["HashAggregate"], ["Python"]),
+    # lag(): user-partitioned window (parallel), never single-task
+    "q_window_lag": (
+        ["Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
 }
 
 

@@ -68,6 +68,12 @@ _PRIORITY = [
     "q_ngram_stats",       # new: corpus n-gram frequency top-k
     "q_quality_funnel",    # new: staged survival counts
     "q_dedup_semantic",    # new: SemDeDup (k-means cells + greedy prune)
+    "q_stream_sliding",    # new: 1h/15min sliding windows
+    "q_embed_quantize",    # new: int8 scalar quantization
+    "q_inverted_index",    # new: posting-list vocabulary top-k
+    "q_bm25",              # new: Okapi BM25 ranking
+    "q_doc_len_histogram",  # new: banded length profile
+    "q_window_lag",        # new: lag() inter-arrival stats
     "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
     "q_batch_256",         # global window -> two-pass prefix sums
     "q_shard_pack",        # global window -> two-pass prefix sums
@@ -87,7 +93,7 @@ _PRIORITY = [
     "q_token_count", "q_lang_id", "q_quality_score", "q_pii_scrub",
     "q_repetition_filter",
     "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
-    "q_stream_tumbling", "q_stream_session", "q_decontaminate",
+    "q_stream_tumbling", "q_stream_session",
     "q_sql_tpch_q1", "q_sql_tpch_q3",
     "q_join_inner", "q_join_broadcast", "q_join_bucketed",
     "q_join_salted", "q_join_asof",
@@ -107,6 +113,7 @@ def all_queries() -> dict[str, Query]:
     from . import windows  # noqa: F401
     from . import incremental  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import search  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})

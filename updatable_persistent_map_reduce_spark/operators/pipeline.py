@@ -359,3 +359,89 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# corpus length profile — banded histogram (observability).
+
+_LEN_BANDS = [(0, 100), (100, 300), (300, 1000), (1000, 3000)]  # chars
+
+
+def _band_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN n_chars < {hi} THEN {i}"
+        for i, (_, hi) in enumerate(_LEN_BANDS)
+    )
+    return f"CASE {whens} ELSE {len(_LEN_BANDS)} END"
+
+
+def _band_label(i: int) -> str:
+    if i < len(_LEN_BANDS):
+        lo, hi = _LEN_BANDS[i]
+        return f"[{lo},{hi})"
+    return f"[{_LEN_BANDS[-1][1]},inf)"
+
+
+def _band_label_sql() -> str:
+    whens = " ".join(
+        f"WHEN band_id = {i} THEN '{_band_label(i)}'"
+        for i in range(len(_LEN_BANDS))
+    )
+    return f"CASE {whens} ELSE '{_band_label(len(_LEN_BANDS))}' END"
+
+
+@register(
+    "q_doc_len_histogram",
+    oracle=(
+        f"WITH b AS (SELECT {_band_case_sql()} AS band_id, n_chars "
+        "FROM documents), "
+        "g AS (SELECT band_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM b GROUP BY band_id), "
+        "t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g) "
+        f"SELECT band_id, {_band_label_sql()} AS band, n_docs, "
+        "round(CAST(n_docs AS DOUBLE) / total, 4) AS share, "
+        "round(CAST(sum_chars AS DOUBLE) / n_docs, 2) AS avg_chars "
+        "FROM g CROSS JOIN t"
+    ),
+    doc="Corpus length profile: documents banded by character count "
+    "(the length-distribution panel of a data-quality dashboard; band "
+    "edges are the typical too-short / short / normal / long / "
+    "too-long cut points a recipe thresholds on), with per-band share "
+    "of corpus and mean length. Integer sums feed every double "
+    "division, so the stats are bit-identical across engines. One "
+    "scan, one tiny aggregation, a broadcast 1-row total join — "
+    "map-side banding, no Python.",
+)
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    band = None
+    for i, (_, hi) in enumerate(_LEN_BANDS):
+        cond = F.col("n_chars") < hi
+        band = F.when(cond, i) if band is None else band.when(cond, i)
+    band = band.otherwise(F.lit(len(_LEN_BANDS)))
+    g = (
+        d.select(band.alias("band_id"), "n_chars")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    t = g.agg(F.sum("n_docs").alias("total"))
+    label = None
+    for i in range(len(_LEN_BANDS)):
+        cond = F.col("band_id") == i
+        lbl = F.lit(_band_label(i))
+        label = F.when(cond, lbl) if label is None else label.when(cond, lbl)
+    label = label.otherwise(F.lit(_band_label(len(_LEN_BANDS))))
+    return g.crossJoin(F.broadcast(t)).select(
+        "band_id",
+        label.alias("band"),
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 4).alias(
+            "share"
+        ),
+        F.round(
+            F.col("sum_chars").cast("double") / F.col("n_docs"), 2
+        ).alias("avg_chars"),
+    )

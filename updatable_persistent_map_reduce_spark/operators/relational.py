@@ -1112,3 +1112,65 @@ register(
     "is q_join_semi; this proves the optimizer handles the SQL-text "
     "formulation identically.",
 )(_sql_query(_EXISTS_SQL))
+
+
+# ---------------------------------------------------------------------------
+# lag/lead — inter-event gap statistics per user.
+
+
+@register(
+    "q_window_lag",
+    oracle=(
+        "WITH o AS (SELECT user_id, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+        "FROM events) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 3) "
+        "AS avg_gap_s, "
+        "round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 3) AS max_gap_s "
+        "FROM o GROUP BY user_id HAVING count(gap_us) > 0"
+    ),
+    doc="lag() inter-arrival analysis: per-user event gap statistics "
+    "(mean/max seconds between consecutive events; users with a "
+    "single event drop — no gaps). Gaps are computed on integer "
+    "microsecond epochs so the sums are exact and every double "
+    "division is bit-identical across engines. Plan: one Window "
+    "partitioned by user (parallel per user, never a global sort) "
+    "feeding a partial+final aggregate on the same key — AQE reuses "
+    "the window's hash partitioning for the groupBy, one shuffle "
+    "total.",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may load as TIMESTAMP_NTZ; the UTC-pinned session makes the
+    # cast to (ltz) TIMESTAMP an exact identity on the epoch value,
+    # matching DuckDB's epoch_us over the naive timestamp.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_us").alias("sum_gap"),
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("sum_gap").cast("double")
+                / F.col("n_gaps")
+                / F.lit(1000000.0),
+                3,
+            ).alias("avg_gap_s"),
+            F.round(
+                F.col("max_gap").cast("double") / F.lit(1000000.0), 3
+            ).alias("max_gap_s"),
+        )
+    )

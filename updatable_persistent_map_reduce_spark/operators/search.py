@@ -1,0 +1,184 @@
+"""Tier B — text retrieval over ``documents``: inverted index + BM25.
+
+The serving-side complement of the corpus pipeline: after cleaning /
+dedup, a training-data platform indexes the corpus for inspection
+queries ("which docs mention X", contamination spot checks, nearest
+exemplars for an eval item). Absent from the reference (whose full
+surface is MapReduce/MapReduceTask.cs:8-14 + Executer.cs:31,370) —
+but its Map/Reduce pair IS the textbook inverted-index construction,
+so this family is the reference's own motivating example expressed
+Spark-first.
+
+Scale notes: index construction is explode -> one partial+final
+aggregation (map-side combine collapses each partition's repeats
+before the single shuffle). BM25 scoring against a Q-term query
+touches only the posting rows of the query's terms — the term filter
+is pushed below the explode's aggregation, and the corpus-level
+scalars (N, avgdl) are a 1-row broadcast join.
+
+Float determinism across engines: every score input is an integer
+(tf, df, dl, N) or one fixed-shape double expression; additions are
+explicitly parenthesized identically in the Spark and DuckDB forms so
+IEEE evaluation matches bit-for-bit (modulo libm ln(), guarded by
+rounding to 4 decimals before the top-k ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..sources import Catalog
+from . import register
+
+TOP_TERMS = 100
+
+_TOK_CTE = (
+    "WITH t AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+    "AS toks FROM documents)"
+)
+
+
+@register(
+    "q_inverted_index",
+    oracle=(
+        _TOK_CTE + ", "
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM t) "
+        "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+        "CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY token "
+        f"ORDER BY df DESC, tf DESC, token LIMIT {TOP_TERMS}"
+    ),
+    doc="Inverted-index vocabulary: per token, the document frequency "
+    "(posting-list length) and total term frequency, top-100 by df "
+    "with a fully deterministic (df, tf, token) total order. The "
+    "reference's canonical map/reduce example (emit term->doc, reduce "
+    "to posting lists) as one explode + one partially-aggregated "
+    "shuffle; the full posting lists themselves would be written "
+    "bucketed by term hash rather than collected.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(TOP_TERMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — fixed query, Okapi BM25 with k1=1.2, b=0.75.
+
+QUERY_TERMS = ["hash", "join", "window"]
+TOP_DOCS = 20
+
+
+def _bm25_oracle() -> str:
+    cases = ", ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    terms = "', '".join(QUERY_TERMS)
+    total = f"s_{QUERY_TERMS[0]} + (s_{QUERY_TERMS[1]} + s_{QUERY_TERMS[2]})"
+    return (
+        _TOK_CTE + ", "
+        "d AS (SELECT doc_id, len(toks) AS dl, toks FROM t), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
+        "tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d) "
+        f"WHERE token IN ('{terms}') GROUP BY doc_id, dl, token), "
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY token), "
+        "s AS (SELECT tf.doc_id, tf.token, "
+        "ln(((g.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * "
+        "(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / g.avgdl)))) "
+        "AS sc FROM tf CROSS JOIN g JOIN dfreq ON tf.token = dfreq.token), "
+        f"p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id) "
+        f"SELECT doc_id, round({total}, 4) AS score FROM p "
+        f"ORDER BY score DESC, doc_id LIMIT {TOP_DOCS}"
+    )
+
+
+@register(
+    "q_bm25",
+    oracle=_bm25_oracle(),
+    doc="Okapi BM25 (k1=1.2, b=0.75) ranking of the corpus against a "
+    "fixed 3-term query, top-20 by rounded score with doc_id "
+    "tiebreak. Plan: the token explode is filtered to the query terms "
+    "BEFORE its aggregation (postings of 3 terms, not the whole "
+    "vocabulary, cross the wire), corpus scalars (N, avgdl) arrive as "
+    "a broadcast 1-row join, per-term partial scores pivot to columns "
+    "via order-independent MAX so the final sum has a fixed, "
+    "engine-identical evaluation order. At 100 TB this is the "
+    "scatter-gather scoring path of a distributed index: per-partition "
+    "top-k then a k*P driver merge, never a global sort.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    docs = d.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    g = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    s = (
+        tf.crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfreq), "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (
+                    F.col("tf")
+                    * F.lit(2.2)
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("sc"),
+        )
+    )
+    p = s.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in QUERY_TERMS
+        ]
+    )
+    total = F.col(f"s_{QUERY_TERMS[0]}") + (
+        F.col(f"s_{QUERY_TERMS[1]}") + F.col(f"s_{QUERY_TERMS[2]}")
+    )
+    return (
+        p.select("doc_id", F.round(total, 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(TOP_DOCS)
+    )

@@ -44,6 +44,43 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle=(
+        "WITH w AS (SELECT event_type, value, "
+        "CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k.k * 900) "
+        "AS TIMESTAMP) AS win_start "
+        "FROM events, (SELECT unnest(range(0, 4)) AS k) k) "
+        "SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM w GROUP BY 1, 2"
+    ),
+    doc="1-hour windows sliding every 15 minutes per event type: each "
+    "event lands in exactly 4 overlapping windows (the oracle "
+    "enumerates them as floor-to-15min minus k*15min, k in 0..3 — "
+    "Spark's F.window(slide) epoch-aligned assignment under the UTC "
+    "session). The smoothing aggregation of a rate dashboard; the "
+    "streaming twin is the same expression under readStream with a "
+    "watermark. Plan: the window assignment is an Expand (4 rows per "
+    "event, map-side) feeding one partial+final aggregate — one "
+    "shuffle, no Python.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "value_sum"
+        )
+    )
+
+
+@register(
     "q_stream_session",
     oracle=(
         "WITH o AS (SELECT user_id, ts, event_id, "
