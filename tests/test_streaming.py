@@ -249,3 +249,43 @@ def test_streaming_inline_maintenance(spark, tmp_path):
     assert counts == {"CA": 20}
     # compaction ran: the CA span holds fewer files than batches
     assert sv.view.stats()["map_results"]["files"] < 4
+
+
+def test_streaming_sliding_windows(spark, tmp_path):
+    """Sliding 1h/15min windows over a file stream: every event lands
+    in 4 overlapping window states, matching the batch q_stream_sliding
+    semantics (window starts at floor-to-15min minus k*15min)."""
+    inp = str(tmp_path / "events_slide")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = spark.createDataFrame(
+        [(0, "2026-01-01 01:05:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src.coalesce(1).write.mode("append").parquet(inp)
+
+    streaming_tumbling_counts(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt_slide"),
+        ts_col="ts",
+        key_cols=("event_type",),
+        window="1 hour",
+        slide="15 minutes",
+        watermark="1 hour",
+        sink_table="t_sliding",
+    )
+    got = sorted(
+        str(r["win_start"])
+        for r in spark.sql("select * from t_sliding").collect()
+    )
+    assert got == [
+        "2026-01-01 00:15:00",
+        "2026-01-01 00:30:00",
+        "2026-01-01 00:45:00",
+        "2026-01-01 01:00:00",
+    ]
+    assert all(
+        r["cnt"] == 1 for r in spark.sql("select * from t_sliding").collect()
+    )

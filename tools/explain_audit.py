@@ -154,6 +154,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["Python", "Exchange SinglePartition"],
     ),
+    # TPC-H Q5: dims broadcast, date filter pushed, no cartesian
+    "q_sql_tpch_q5": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 

@@ -74,6 +74,7 @@ _PRIORITY = [
     "q_bm25",              # new: Okapi BM25 ranking
     "q_doc_len_histogram",  # new: banded length profile
     "q_window_lag",        # new: lag() inter-arrival stats
+    "q_sql_tpch_q5",       # new: six-table star join (TPC-H Q5)
     "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
     "q_batch_256",         # global window -> two-pass prefix sums
     "q_shard_pack",        # global window -> two-pass prefix sums

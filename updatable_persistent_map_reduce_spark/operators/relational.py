@@ -1174,3 +1174,30 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_gap_s"),
         )
     )
+
+
+_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= date '1996-01-01' AND o_orderdate < date '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+register(
+    "q_sql_tpch_q5",
+    oracle=_TPCH_Q5,
+    doc="TPC-H Q5 (local supplier volume): the six-table star join — "
+    "region -> nation -> {customer, supplier} -> orders -> lineitem "
+    "with the c_nationkey = s_nationkey locality condition. The "
+    "workout for Catalyst's join reordering + dimension broadcasting: "
+    "region/nation/supplier/customer broadcast (all under the 64MB "
+    "threshold), the date predicate pushes into the orders scan, and "
+    "the only shuffles are fact-side. At 100 TB orders/lineitem would "
+    "be bucketed on orderkey to make their join co-located (see "
+    "q_join_bucketed).",
+)(_sql_query(_TPCH_Q5))

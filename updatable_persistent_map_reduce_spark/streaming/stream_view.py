@@ -166,20 +166,29 @@ def streaming_tumbling_counts(
     ts_col: str = "ts",
     key_cols: Sequence[str] = ("event_type",),
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "1 hour",
     agg_exprs: Sequence[Column] | None = None,
     sink_table: str = "tumbling_counts",
 ) -> None:
-    """Native watermarked tumbling-window aggregation: readStream ->
+    """Native watermarked windowed aggregation: readStream ->
     withWatermark -> window groupBy -> update-mode memory sink (tests)
     — Spark's state store doing the reference's incremental
-    maintenance with per-group granularity. Returns when all
-    currently-available input is processed."""
+    maintenance with per-group granularity. ``slide`` turns the
+    tumbling window into a sliding one (each event updates
+    window/slide overlapping states — the streaming twin of
+    q_stream_sliding). Returns when all currently-available input is
+    processed."""
     aggs = list(agg_exprs) if agg_exprs else [F.count(F.lit(1)).alias("cnt")]
     stream = spark.readStream.schema(input_schema).parquet(input_path)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     windowed = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), *key_cols)
+        .groupBy(win.alias("w"), *key_cols)
         .agg(*aggs)
         .withColumn("win_start", F.col("w.start"))
         .drop("w")
