@@ -159,6 +159,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # RANGE frame: partitioned window, never single-task
+    "q_window_range_frame": (
+        ["Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
+    # p99 outliers: tiny threshold table broadcast onto the fact scan
+    "q_anomaly_p99": (
+        ["Broadcast", "HashAggregate"],
+        ["Python", "CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 

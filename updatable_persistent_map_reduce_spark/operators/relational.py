@@ -1201,3 +1201,92 @@ register(
     "be bucketed on orderkey to make their join co-located (see "
     "q_join_bucketed).",
 )(_sql_query(_TPCH_Q5))
+
+
+# ---------------------------------------------------------------------------
+# time-range window frame — trailing-hour activity per event row.
+
+_HOUR_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "q_window_range_frame",
+    oracle=(
+        "SELECT event_type, event_id, "
+        "CAST(count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts) "
+        f"RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n_last_hour, "
+        "round(CAST(max(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts) "
+        f"RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
+        "AS max_last_hour "
+        "FROM events WHERE user_id < 20"
+    ),
+    doc="RANGE-interval window frame: per event, the count and max "
+    "value of same-type events in the trailing hour of EVENT TIME — a "
+    "value-based frame (peers by timestamp distance), not a row-count "
+    "frame like q_window_frame. Ordered on integer epoch microseconds "
+    "so the frame bounds are exact in both engines and ties (equal "
+    "timestamps) are peers by RANGE semantics — deterministic without "
+    "a tiebreak column. The trailing-window rate/extreme feature of an "
+    "event monitoring pipeline; only order-independent aggregates "
+    "(count, max) so doubles never accumulate in engine-specific "
+    "order.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.max("value").over(w), 2).alias("max_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile-threshold outliers — monitoring-style anomaly counts.
+
+
+@register(
+    "q_anomaly_p99",
+    oracle=(
+        "WITH th AS (SELECT event_type, "
+        "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type) "
+        "SELECT e.event_type, round(th.p99, 4) AS p99, "
+        "CAST(count(*) AS BIGINT) AS n_above, "
+        "round(CAST(max(e.value) AS DOUBLE), 2) AS max_value "
+        "FROM events e JOIN th ON e.event_type = th.event_type "
+        "WHERE e.value > th.p99 GROUP BY e.event_type, th.p99"
+    ),
+    doc="Percentile-threshold outlier detection: per event type, the "
+    "exact (interpolated) p99 of value and the count/max of events "
+    "above it — the tail-monitoring query of an ops dashboard. The "
+    "exact percentile's interpolation arithmetic is deterministic "
+    "from the sorted values (same guarantee q_agg_quantile relies "
+    "on), so the > p99 membership test agrees across engines — no "
+    "stddev-style accumulation-order hazard. Plan: one partial+final "
+    "percentile aggregation produces a per-type threshold table "
+    "(rows = |event types|), broadcast back onto the fact scan; only "
+    "outliers reach the final count.",
+)
+def q_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("p99")
+    )
+    j = ev.join(F.broadcast(th), "event_type").filter(
+        F.col("value") > F.col("p99")
+    )
+    return j.groupBy("event_type", "p99").agg(
+        F.count(F.lit(1)).alias("n_above"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    ).select(
+        "event_type",
+        F.round("p99", 4).alias("p99"),
+        "n_above",
+        "max_value",
+    )
