@@ -609,3 +609,22 @@ def test_time_travel_final_df(spark, scenario_view):
 
     with pytest.raises(ValueError, match="no archived manifest"):
         v.final_df(version=99_999).collect()
+
+
+def test_new_session_isolated_from_maintenance_conf(spark, tmp_path):
+    """Analytics issued DURING a maintenance window should run on
+    ``spark.newSession()`` (same cluster, isolated conf): while a view
+    holds a pinned maintenance conf scope, the parent session sees the
+    maintenance shuffle-partition count but a child session keeps the
+    default — the documented concurrent-analytics pattern
+    (plans/view.py:_conf_scope)."""
+    v = people_view(spark, tmp_path)
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    with v._conf_scope(2, pin=True):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        child = spark.newSession()
+        assert child.conf.get("spark.sql.shuffle.partitions") == default
+        # and the child actually executes with its own conf
+        n = child.range(10).groupBy((F.col("id") % 3).alias("g")).count()
+        assert n.rdd.getNumPartitions() != 2 or default == "2"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default

@@ -77,6 +77,7 @@ _PRIORITY = [
     "q_sql_tpch_q5",       # new: six-table star join (TPC-H Q5)
     "q_window_range_frame",  # new: RANGE-interval time frame
     "q_anomaly_p99",       # new: percentile-threshold outliers
+    "q_upsert_enriched",   # new: broadcast-dim join inside map phase
     "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
     "q_batch_256",         # global window -> two-pass prefix sums
     "q_shard_pack",        # global window -> two-pass prefix sums
