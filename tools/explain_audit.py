@@ -169,6 +169,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast", "HashAggregate"],
         ["Python", "CartesianProduct", "SortMergeJoin"],
     ),
+    # SCD2: user-partitioned window, parallel, never single-task
+    "q_scd2_history": (
+        ["Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
+    # cohorts: two aggs + equi join, no cartesian, no Python
+    "q_retention_cohort": (
+        ["HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -63,7 +63,19 @@ _PRIORITY = [
     "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
     "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
     "q_string_agg", "q_gap_fill", "q_sql_exists",
-    # -- 2. new or implementation changed in round 3 (attest first) ---
+    # -- 2a. implementation changed since last attestation (the round-2
+    #        verdict's named fixes — driver proof of the fix matters
+    #        most, so these precede brand-new queries) ----------------
+    "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
+    "q_batch_256",         # global window -> two-pass prefix sums
+    "q_shard_pack",        # global window -> two-pass prefix sums
+    "q_corpus_prep",       # global window -> two-pass prefix sums
+    "q_dedup_cluster",     # all-pairs edges -> LSH candidate pairs
+    "q_upsert_recount",    # re-reducible agg form; two-level A/B'd
+    "q_rereduce_tree",     # two-level write path: read-back finals
+    "q_decontaminate",     # shingling: interpreted HOF -> Arrow UDF
+    # -- 2b. new this round (never driver-attested; excess past the
+    #        50-sample rolls to the next round, local gate covers all)
     "q_sample_stratified",  # new: per-stratum deterministic sampling
     "q_ngram_stats",       # new: corpus n-gram frequency top-k
     "q_quality_funnel",    # new: staged survival counts
@@ -78,14 +90,8 @@ _PRIORITY = [
     "q_window_range_frame",  # new: RANGE-interval time frame
     "q_anomaly_p99",       # new: percentile-threshold outliers
     "q_upsert_enriched",   # new: broadcast-dim join inside map phase
-    "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
-    "q_batch_256",         # global window -> two-pass prefix sums
-    "q_shard_pack",        # global window -> two-pass prefix sums
-    "q_corpus_prep",       # global window -> two-pass prefix sums
-    "q_dedup_cluster",     # all-pairs edges -> LSH candidate pairs
-    "q_upsert_recount",    # re-reducible agg form; two-level A/B'd
-    "q_rereduce_tree",     # two-level write path: read-back finals
-    "q_decontaminate",     # shingling: interpreted HOF -> Arrow UDF
+    "q_scd2_history",      # new: SCD2 validity intervals via lead()
+    "q_retention_cohort",  # new: first-week cohorts x active week
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",

@@ -1290,3 +1290,76 @@ def q_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build — validity intervals from an event log.
+
+
+@register(
+    "q_scd2_history",
+    oracle=(
+        "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from, "
+        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS TIMESTAMP) AS valid_to "
+        "FROM events WHERE user_id < 50"
+    ),
+    doc="Type-2 slowly-changing-dimension history from an event log: "
+    "each user state gets a [valid_from, valid_to) interval via "
+    "lead() over event time; the open (NULL valid_to) row is the "
+    "current state. The warehouse-side twin of the view engine's "
+    "latest-wins upsert — where the view keeps only the current "
+    "state, SCD2 keeps the full change history for as-of queries "
+    "(pair with q_join_asof to read it). One user-partitioned window, "
+    "parallel per user, no global sort.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts — activity by signup week.
+
+
+@register(
+    "q_retention_cohort",
+    oracle=(
+        "WITH f AS (SELECT user_id, "
+        "CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week "
+        "FROM events GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week "
+        "FROM events) "
+        "SELECT cohort_week, "
+        "CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) "
+        "AS week_offset, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+    ),
+    doc="Retention cohort matrix: users grouped by first-activity week "
+    "(ISO Monday truncation in both engines), counted per subsequent "
+    "active week offset — the cohort-retention panel of a product "
+    "dashboard. week_offset divides an exact day count (both weeks "
+    "are Monday-truncated, so days are multiples of 7) — no "
+    "calendar-semantics drift. Plan: one distinct + one min-agg, "
+    "joined on user (AQE picks broadcast for the cohort side when "
+    "small), then a tiny final aggregation.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    wk = F.date_trunc("week", F.col("ts"))
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    a = ev.select("user_id", wk.alias("active_week")).distinct()
+    j = a.join(f, "user_id")
+    off = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return j.groupBy(
+        "cohort_week", off.alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
