@@ -150,18 +150,11 @@ def _shingle_minhash_udf(n_perm: int):
     return shingle_minhash
 
 
-@register(
-    "q_dedup_near",
-    oracle=None,
-    doc="MinHash-LSH near-dup detection: hashed 3-shingles -> 16 "
-    "universal-hash permutation minhashes (numpy, one Arrow batch) -> "
-    "8 bands of 2 -> candidate pairs via bucket grouping on (band, "
-    "band_signature) -> exact-Jaccard verification >= 0.5 on the "
-    "shingle-hash sets. The shuffle key is the band signature, so cost "
-    "scales with near-dup density, not corpus².",
-)
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(Catalog(spark, sf_dir).documents)
+def near_dup_pairs(d: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs over any (doc_id, text) DataFrame —
+    the reusable pipeline behind q_dedup_near; also driven at synthetic
+    corpus sizes by tools/scale_dedup.py to measure the
+    scales-with-density-not-corpus² claim directly."""
     docs = d.select(
         "doc_id", _shingle_minhash_udf(N_PERM)("text").alias("sm")
     ).select(
@@ -246,6 +239,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+
+
+@register(
+    "q_dedup_near",
+    oracle=None,
+    doc="MinHash-LSH near-dup detection: hashed 3-shingles -> 16 "
+    "universal-hash permutation minhashes (numpy, one Arrow batch) -> "
+    "8 bands of 2 -> candidate pairs via bucket grouping on (band, "
+    "band_signature) -> exact-Jaccard verification >= 0.5 on the "
+    "shingle-hash sets. The shuffle key is the band signature, so cost "
+    "scales with near-dup density, not corpus² (measured across 8x "
+    "corpus growth by tools/scale_dedup.py).",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(spread(Catalog(spark, sf_dir).documents))
 
 
 # ---------------------------------------------------------------------------
