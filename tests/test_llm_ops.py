@@ -136,3 +136,24 @@ def test_doc_len_histogram_shares_sum_to_one(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+
+
+def test_near_dup_planted_pair_recall(spark):
+    """Ground-truth LSH recall: a synthetic corpus with exactly one
+    planted near-copy per 10 docs (one token of 50 mutated, Jaccard
+    ~0.9) must yield exactly n/10 verified pairs — the LSH banding
+    (16 minhashes, 8 bands of 2) may not drop a single planted pair at
+    this similarity, and exact-Jaccard verification may not admit any
+    unplanted one (distinct docs share ~0 shingles)."""
+    from tools.scale_dedup import synth_corpus
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    n = 2000
+    pairs = near_dup_pairs(synth_corpus(spark, n)).collect()
+    assert len(pairs) == n // 10
+    for r in pairs:
+        assert {r.doc_a % 10, r.doc_b % 10} == {0, 1}, r
+        assert abs(r.doc_a - r.doc_b) == 1, r
+        assert r.jaccard >= 0.5, r
