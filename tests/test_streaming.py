@@ -289,3 +289,56 @@ def test_streaming_sliding_windows(spark, tmp_path):
     assert all(
         r["cnt"] == 1 for r in spark.sql("select * from t_sliding").collect()
     )
+
+
+def test_streaming_checkpoint_recovery(spark, tmp_path):
+    """Restarting a watermarked windowed aggregation from its
+    checkpoint resumes STATE, not just position: a second batch into an
+    already-counted window must emit the cumulative count (2+1=3), not
+    a fresh one — the exactly-once recovery contract the engine's
+    batch-side recovery journal mirrors (tests/test_recovery.py).
+    Uses foreachBatch (the memory sink does not support checkpoint
+    recovery)."""
+    inp = str(tmp_path / "events_rec")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(inp)
+
+    def run_once(out):
+        stream = spark.readStream.schema(schema).parquet(inp)
+        windowed = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("w.start").alias("win_start"), "event_type", "cnt"
+            )
+        )
+        q = (
+            windowed.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_rec"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([(0, "2026-01-01 00:05:00", "click", 1.0),
+           (1, "2026-01-01 00:20:00", "click", 1.0)])
+    out1 = []
+    run_once(out1)
+    got1 = {(str(r["win_start"]), r["event_type"]): r["cnt"] for r in out1}
+    assert got1 == {("2026-01-01 00:00:00", "click"): 2}
+
+    # restart from the same checkpoint; only the new file is processed,
+    # but the window's count continues from recovered state
+    write([(2, "2026-01-01 00:40:00", "click", 1.0)])
+    out2 = []
+    run_once(out2)
+    got2 = {(str(r["win_start"]), r["event_type"]): r["cnt"] for r in out2}
+    assert got2 == {("2026-01-01 00:00:00", "click"): 3}
