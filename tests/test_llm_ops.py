@@ -157,3 +157,12 @@ def test_near_dup_planted_pair_recall(spark):
         assert {r.doc_a % 10, r.doc_b % 10} == {0, 1}, r
         assert abs(r.doc_a - r.doc_b) == 1, r
         assert r.jaccard >= 0.5, r
+
+
+def test_sketch_union_estimate_within_5pct(spark, sf_dir):
+    """Union of per-source HLL sketches estimates the corpus distinct
+    count within 5% of the exact value (doc_ids are unique, so exact =
+    row count)."""
+    [r] = QUERIES["q_sketch_union"].fn(spark, sf_dir).collect()
+    assert r.n_sketches >= 1
+    assert abs(r.est_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct

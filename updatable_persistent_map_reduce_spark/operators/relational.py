@@ -1363,3 +1363,35 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "cohort_week", off.alias("week_offset")
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count sketches — the pre-aggregation pattern.
+
+
+@register(
+    "q_sketch_union",
+    oracle=None,
+    doc="Mergeable HLL sketches (rows-only: HLL is approximate): build "
+    "one hll_sketch_agg per source partition of the corpus, then "
+    "hll_union_agg the per-source sketches into a corpus-wide distinct "
+    "estimate — alongside the exact countDistinct for reference. THE "
+    "pattern for distinct counts at 100 TB: each shard/partition/day "
+    "pre-aggregates a KB-sized sketch once, and any rollup (per "
+    "source, per day, corpus-wide) is a cheap union of sketches "
+    "instead of a re-scan — the same persisted-partial-aggregate idea "
+    "as the view engine's reduce_l1 table, applied to a sketch "
+    "algebra. Estimate accuracy is asserted within 5% by "
+    "tests/test_llm_ops.py.",
+)
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    per_src = d.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.countDistinct("doc_id").alias("exact_src"),
+    )
+    return per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_src").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
