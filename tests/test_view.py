@@ -628,3 +628,49 @@ def test_new_session_isolated_from_maintenance_conf(spark, tmp_path):
         n = child.range(10).groupBy((F.col("id") % 3).alias("g")).count()
         assert n.rdd.getNumPartitions() != 2 or default == "2"
     assert spark.conf.get("spark.sql.shuffle.partitions") == default
+
+
+def test_two_views_maintained_concurrently(spark, tmp_path):
+    """Two views on ONE SparkSession, maintained from concurrent
+    threads: the module-level conf-scope lock serializes their
+    right-sized maintenance windows, both stores end correct, and the
+    session conf is restored to the default afterwards."""
+    import threading
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    views = [
+        people_view(spark, tmp_path / "a"),
+        people_view(spark, tmp_path / "b"),
+    ]
+    errors = []
+
+    def build(v, offset):
+        try:
+            v.execute(
+                people_df(
+                    spark,
+                    [(f"p{offset}-{i}", "CA") for i in range(40)]
+                    + [(f"q{offset}-{i}", "TX") for i in range(10)],
+                )
+            )
+            # incremental round: migrate 5 CA docs to TX
+            v.execute(
+                people_df(
+                    spark, [(f"p{offset}-{i}", "TX") for i in range(5)]
+                )
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised by assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=build, args=(v, i), daemon=True)
+        for i, v in enumerate(views)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for v in views:
+        assert counts(v) == {"CA": 35, "TX": 15}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
