@@ -342,3 +342,40 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
     run_once(out2)
     got2 = {(str(r["win_start"]), r["event_type"]): r["cnt"] for r in out2}
     assert got2 == {("2026-01-01 00:00:00", "click"): 3}
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Stream-stream attribution join: purchases match a same-user
+    click within 30 minutes; outside-window or other-user purchases
+    don't. Watermarks on both sides bound the join state."""
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_interval_join,
+    )
+
+    inp = str(tmp_path / "events_join")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    rows = [
+        (0, "2026-01-01 00:00:00", "click", 0.0, 1),
+        (1, "2026-01-01 00:10:00", "purchase", 9.0, 1),  # within 30m -> match
+        (2, "2026-01-01 02:00:00", "purchase", 9.0, 1),  # too late -> no match
+        (3, "2026-01-01 00:05:00", "purchase", 9.0, 2),  # no click -> no match
+        (4, "2026-01-01 05:00:00", "view", 0.0, 1),  # watermark advancer
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").parquet(inp)
+
+    streaming_interval_join(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt_join"),
+        sink_table="t_attr",
+    )
+    got = [
+        (r["c_user"], r["click_id"], r["buy_id"])
+        for r in spark.sql("select * from t_attr").collect()
+    ]
+    assert got == [(1, 0, 1)]

@@ -93,6 +93,8 @@ _PRIORITY = [
     "q_scd2_history",      # new: SCD2 validity intervals via lead()
     "q_retention_cohort",  # new: first-week cohorts x active week
     "q_sketch_union",      # new: mergeable HLL sketch rollup
+    "q_dedup_cross_snapshot",  # new: incoming-vs-corpus dedup gate
+    "q_scan_orc",          # new: ORC round-trip format breadth
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",

@@ -625,3 +625,48 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, cell int, centroid_sim double, kept boolean, "
         "kept_by long",
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot dedup — incoming batch vs existing corpus.
+
+_INGEST_MOD = 5  # doc_id % 5 == 0 -> "incoming batch"; else "existing"
+
+
+@register(
+    "q_dedup_cross_snapshot",
+    oracle=(
+        "WITH existing AS (SELECT sha256(text) AS h FROM documents "
+        f"WHERE doc_id % {_INGEST_MOD} <> 0), "
+        f"incoming AS (SELECT doc_id, sha256(text) AS h FROM documents "
+        f"WHERE doc_id % {_INGEST_MOD} = 0) "
+        "SELECT i.doc_id, "
+        "CAST(EXISTS(SELECT 1 FROM existing e WHERE e.h = i.h) AS BOOLEAN) "
+        "AS already_ingested FROM incoming i"
+    ),
+    doc="Cross-snapshot (asymmetric) dedup: classify each INCOMING doc "
+    "by whether its content hash already exists in the CORPUS — the "
+    "don't-re-ingest gate of a continuously fed pipeline, where dedup "
+    "is one-directional (new vs old) rather than all-pairs. Plan: the "
+    "corpus side reduces to distinct hashes (at 100 TB that distinct "
+    "set is the persisted dedup index the view engine maintains "
+    "incrementally — q_dedup_incremental — not a re-scan), then a "
+    "left-semi-style membership join against the batch. Left join on "
+    "the hash key; no payload crosses the shuffle.",
+)
+def q_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    h = F.sha2("text", 256)
+    existing = (
+        d.filter(F.col("doc_id") % _INGEST_MOD != 0)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    incoming = d.filter(F.col("doc_id") % _INGEST_MOD == 0).select(
+        "doc_id", h.alias("h")
+    )
+    return incoming.join(existing, "h", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("already_ingested"),
+    )

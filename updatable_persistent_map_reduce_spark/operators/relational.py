@@ -1395,3 +1395,29 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_src").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_sketches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip — columnar-format breadth beyond parquet/JSON/CSV.
+
+
+@register(
+    "q_scan_orc",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    doc="ORC round-trip: write the documents projection as ORC (Spark's "
+    "second first-class columnar format — same predicate pushdown and "
+    "column pruning machinery as parquet) into a temp table, read it "
+    "back, and verify content identity against the source-of-truth "
+    "parquet via the oracle. Proves the engine's source abstraction is "
+    "format-plural: a reference user whose at-rest data lands in ORC "
+    "ingests it with the same API surface.",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="upmr_orc_") + "/documents_orc"
+    d.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

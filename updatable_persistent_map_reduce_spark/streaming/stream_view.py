@@ -343,3 +343,58 @@ def streaming_sessionize(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    sink_table: str = "attributed",
+) -> None:
+    """Stream-stream interval join: attribute each purchase to a prior
+    click of the same user within ``within`` — the classic streaming
+    attribution join. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can size and EVICT
+    the join state (clicks older than watermark + interval drop from
+    the state store); an unbounded stream-stream join would grow state
+    forever. Append mode: a match emits once both sides are final.
+    """
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {within}"
+        ),
+    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
