@@ -179,6 +179,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # cross-snapshot dedup: hash-key equi join, no payload shuffle
+    "q_dedup_cross_snapshot": (
+        ["Join"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # ORC round-trip reads through the columnar ORC scan
+    "q_scan_orc": (["Scan orc"], ["Python"]),
+    # sketch rollup: partial+final agg of mergeable sketches
+    "q_sketch_union": (["HashAggregate"], ["Python", "CartesianProduct"]),
 }
 
 
