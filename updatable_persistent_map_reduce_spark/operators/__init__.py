@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_sketch_union",      # new: mergeable HLL sketch rollup
     "q_dedup_cross_snapshot",  # new: incoming-vs-corpus dedup gate
     "q_scan_orc",          # new: ORC round-trip format breadth
+    "q_time_travel",       # new: archived-snapshot read, oracle-checked
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",

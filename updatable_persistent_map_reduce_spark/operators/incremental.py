@@ -397,3 +397,84 @@ def q_upsert_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot time travel — read the view AS OF an earlier batch.
+
+_TT_CACHE: dict[tuple[int, str], tuple[MapReduceView, int]] = {}
+
+
+def _time_travel_view(spark: SparkSession, sf_dir: str):
+    """2-batch events view + the finals-manifest version archived
+    after batch 1 (cached per session+sf like _events_view)."""
+    key = (id(spark), sf_dir)
+    cached = _TT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ev = Catalog(spark, sf_dir).events
+    [[hi]] = ev.selectExpr("max(event_id)").collect()
+    mid = (hi + 1) // 2
+    store = tempfile.mkdtemp(prefix="upmr_tt_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        map_fn=_latest_event_rereducible,
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_sum").alias("value_sum"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+        two_level=False,
+    )
+    def batch(lo, hi_b):
+        return ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi_b)
+        ).select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+    view.execute(batch(0, mid))
+    v1 = view._fin_t.version
+    view.execute(batch(mid, hi + 1))
+    _TT_CACHE[key] = (view, v1)
+    return view, v1
+
+
+@register(
+    "q_time_travel",
+    oracle=(
+        "WITH m AS (SELECT CAST(floor((max(event_id) + 1) / 2) AS BIGINT) "
+        "AS mid FROM events), "
+        "latest AS (SELECT user_id, event_type, value FROM ("
+        "SELECT e.user_id, e.event_type, e.value, "
+        "row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) "
+        "AS rn FROM events e CROSS JOIN m WHERE e.event_id < m.mid) "
+        "WHERE rn = 1) "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="Snapshot time travel, oracle-checked: the view ingests events "
+    "in two upsert batches, then reads the ARCHIVED manifest version "
+    "from after batch 1 — which must equal the latest-wins aggregation "
+    "over only the first half of the log, byte-for-byte, even though "
+    "the store has since been overwritten by batch 2. Every commit "
+    "archives its manifest (plans/store.py _versions/), so any "
+    "historical snapshot is a driver-side file-list resolution away — "
+    "no data copies, the same mechanism as Delta/Iceberg VERSION AS "
+    "OF; vacuum(keep_versions=N) bounds the archive.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view, v1 = _time_travel_view(spark, sf_dir)
+    return view.final_df(version=v1).select(
+        F.col("event_type").alias("group_key"),
+        "cnt",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
