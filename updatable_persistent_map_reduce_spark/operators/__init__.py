@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_dedup_cross_snapshot",  # new: incoming-vs-corpus dedup gate
     "q_scan_orc",          # new: ORC round-trip format breadth
     "q_time_travel",       # new: archived-snapshot read, oracle-checked
+    "q_pagerank",          # new: centrality over the similarity graph
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",
@@ -128,6 +129,7 @@ def all_queries() -> dict[str, Query]:
     from . import incremental  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import search  # noqa: F401
+    from . import graph  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
