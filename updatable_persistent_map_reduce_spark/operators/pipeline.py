@@ -445,3 +445,45 @@ def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_chars").cast("double") / F.col("n_docs"), 2
         ).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted resampling — per-source epoch factors (data-mix upsampling).
+
+_FACTOR_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 3 "
+    "WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 2 ELSE 1 END"
+)
+
+
+@register(
+    "q_resample_weighted",
+    oracle=(
+        f"WITH w AS (SELECT doc_id, source, {_FACTOR_SQL} AS factor "
+        "FROM documents) "
+        "SELECT doc_id, source, CAST(copy_id AS INTEGER) AS copy_id "
+        "FROM (SELECT doc_id, source, "
+        "unnest(range(1, factor + 1)) AS copy_id FROM w)"
+    ),
+    doc="Weighted corpus resampling: integer per-source epoch factors "
+    "(high-quality sources repeated 3x, mid 2x, rest 1x — the "
+    "deterministic data-mix upsampling of a pretraining recipe, vs "
+    "the DOWN-sampling knob of q_sample_stratified). Each doc emits "
+    "factor rows tagged copy_id, so shuffling downstream (shard "
+    "packing) interleaves the repeats. Map-side sequence+explode — "
+    "no shuffle, no RNG; factors live in one expression shared with "
+    "the oracle so the engines cannot drift. Fractional factors "
+    "compose with the stratified hash sample (e.g. 2.5x = 2x + a 50% "
+    "deterministic-hash extra copy).",
+)
+def q_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    n = F.substring("source", 4, 10).cast("int")
+    factor = (
+        F.when(n < 5, 3).when(n < 10, 2).otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), factor)).alias("copy_id"),
+    )
