@@ -188,6 +188,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_scan_orc": (["Scan orc"], ["Python"]),
     # sketch rollup: partial+final agg of mergeable sketches
     "q_sketch_union": (["HashAggregate"], ["Python", "CartesianProduct"]),
+    # weighted resampling: map-side explode, no shuffle at all
+    "q_resample_weighted": (["Generate"], ["Exchange", "Python"]),
+    # snapshot read: manifest-resolved parquet scan, no recompute
+    "q_time_travel": (["Scan parquet"], ["Python"]),
+    "q_upsert_enriched": (["Scan parquet"], ["Python"]),
 }
 
 
