@@ -674,3 +674,38 @@ def test_two_views_maintained_concurrently(spark, tmp_path):
     for v in views:
         assert counts(v) == {"CA": 35, "TX": 15}
     assert spark.conf.get("spark.sql.shuffle.partitions") == default
+
+
+def test_auto_compaction_bounds_sliver_files(spark, tmp_path):
+    """Append-heavy ingest must not accumulate sliver files without
+    bound: with auto_compact_files_per_span set, the engine folds the
+    map table once the average files/span crosses the threshold —
+    results unchanged, archived snapshots untouched (no vacuum)."""
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "auto_compact"),
+        id_col="id",
+        group_cols=["state"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=2,
+        n_doc_spans=2,
+        n_sub_buckets=2,
+        auto_compact_files_per_span=3,
+    )
+    n_batches, per = 10, 20
+    for b in range(n_batches):
+        v.execute(
+            people_df(
+                spark,
+                [(f"d{b}-{i}", ["CA", "TX"][i % 2]) for i in range(per)],
+            )
+        )
+    mapping = v._map_t.spans()
+    files_per_span = sum(len(f) for f in mapping.values()) / len(mapping)
+    assert files_per_span < 3 + 1, mapping  # folded at least once
+    assert counts(v) == {"CA": n_batches * per // 2, "TX": n_batches * per // 2}
+    # un-vacuumed: at least one archived manifest remains for time travel
+    import os as _os
+
+    assert _os.listdir(_os.path.join(str(tmp_path / "auto_compact"),
+                                     "map_results", "_versions"))

@@ -61,6 +61,9 @@ def main() -> None:
         ],
         n_key_spans=8,
         n_doc_spans=8,
+        # disable the engine's self-compaction to expose the raw
+        # sliver-accumulation degradation this tool measures
+        auto_compact_files_per_span=None,
     )
     for b in range(n_batches):
         batch = spark.range(b * rows, (b + 1) * rows).select(

@@ -227,6 +227,7 @@ class MapReduceView:
         n_sub_buckets: int = 8,
         migrate_span_hash: bool = False,
         maintenance_shuffle_partitions: int | None = None,
+        auto_compact_files_per_span: int | None = 16,
     ):
         if (agg_exprs is None) == (reduce_fn is None):
             raise ValueError("exactly one of agg_exprs / reduce_fn required")
@@ -259,6 +260,18 @@ class MapReduceView:
         # hint and the heavy phase is sized from the current batch +
         # dirty-pair file bytes.
         self.maintenance_shuffle_partitions = maintenance_shuffle_partitions
+        # Append-heavy ingest degrades ~linearly in accumulated sliver
+        # files (measured: 60 insert batches -> 3,840 map slivers, the
+        # NEXT batch 9.4s vs 1.6s compacted — tools/scale_compact.py),
+        # so the engine self-compacts: after a batch commits, if the
+        # map table averages >= this many files per span, fold map
+        # slivers and drop superseded index entries. Crash-safe (same
+        # manifest-swap commit as a batch), never changes results, and
+        # deliberately does NOT vacuum — archived snapshots stay
+        # readable (time travel) until an explicit vacuum(). None
+        # disables (the measurement tool does, to expose the raw
+        # degradation).
+        self.auto_compact_files_per_span = auto_compact_files_per_span
         # Two-level mode materializes the reference's reduce tree
         # (Executer.cs:62,80-83: doc-bucketed partials below the final):
         # a ``reduce_l1`` table holds per-(kspan, doc-bucket) partial
@@ -653,6 +666,22 @@ class MapReduceView:
             F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
         )
         self._apply(ids, mapped)
+        self._maybe_auto_compact()
+
+    def _maybe_auto_compact(self) -> None:
+        """Self-compaction after a committed batch: when the map table
+        averages ``auto_compact_files_per_span`` files per span, fold
+        slivers and drop superseded index entries (manifest reads only
+        — no Spark job — decide the trigger)."""
+        k = self.auto_compact_files_per_span
+        if not k:
+            return
+        mapping = self._map_t.spans()
+        n_spans = len(mapping)
+        n_files = sum(len(v) for v in mapping.values())
+        if n_spans and n_files >= k * n_spans:
+            self.compact_map(min_files=2)
+            self.compact_index()
 
     def delete_docs(self, ids) -> None:
         """Explicitly delete documents: remove each id's map output
