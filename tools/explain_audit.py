@@ -193,6 +193,68 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # snapshot read: manifest-resolved parquet scan, no recompute
     "q_time_travel": (["Scan parquet"], ["Python"]),
     "q_upsert_enriched": (["Scan parquet"], ["Python"]),
+    # ---- blanket coverage: every remaining registered query --------
+    # Tier A core: pruned scans / projections / single aggregations
+    "q_source_batch": (["Scan parquet"], ["Python", "Exchange"]),
+    "q_map_project": (["Scan parquet"], ["Python", "Exchange"]),
+    "q_map_flat": (["Generate"], ["Python"]),
+    "q_bucket_hash": (["Scan parquet"], ["Python", "Exchange"]),
+    "q_distinct_ids": (["HashAggregate"], ["Python"]),
+    # engine-view reads: materialized finals = manifest-pruned scans
+    "q_upsert_recount": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    "q_rereduce_tree": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    "q_key_migration": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    "q_dedup_incremental": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # point lookups: q_point_lookup is the aggregate-on-demand contrast
+    # (filter pushed to the scan + one agg); q_store_point_lookup is
+    # the engine's materialized read — a filtered span scan, NO shuffle
+    "q_point_lookup": (["PushedFilters: [IsNotNull(c_nationkey)", "HashAggregate"], ["Python"]),
+    "q_store_point_lookup": (["Scan parquet"], ["Python", "Exchange"]),
+    # joins / set ops
+    "q_join_left": (["Join"], ["CartesianProduct", "Python"]),
+    # range (theta) join is NLJ by nature — forbid Python, not NLJ
+    "q_join_range": (["Join"], ["Python"]),
+    "q_union_all": (["Union"], ["Python", "CartesianProduct"]),
+    "q_intersect": (["Join"], ["Python", "CartesianProduct"]),
+    "q_except": (["Join"], ["Python", "CartesianProduct"]),
+    # aggregations
+    "q_agg_quantile": ([], ["Python", "CartesianProduct"]),
+    "q_agg_approx_quantile": ([], ["Python", "CartesianProduct"]),
+    "q_approx_distinct": (["HashAggregate"], ["Python"]),
+    "q_string_agg": ([], ["Python", "CartesianProduct"]),
+    "q_json_struct": (["HashAggregate"], ["Python"]),
+    # scalar / array expression surfaces stay JVM-side
+    "q_scalar_funcs": (["Scan parquet"], ["Python"]),
+    "q_array_map_funcs": (["Scan parquet"], ["BatchEvalPython"]),
+    "q_doc_fingerprint": (["Scan parquet"], ["Python", "Exchange"]),
+    # non-parquet sources read through their own scan nodes
+    "q_scan_json": (["Scan json"], ["Python"]),
+    "q_scan_csv": (["Scan csv"], ["Python"]),
+    # dedup family — the returned labels are post-localCheckpoint, so
+    # the iterative joins are already executed; the candidate-edge
+    # plan shape is asserted by test_cluster_edges_are_bucket_joined
+    "q_dedup_cluster": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
+    ),
+    "q_dedup_simhash": (["HashAggregate"], ["BatchEvalPython"]),
+    # declared O(n^2) correctness baselines: only forbid row-at-a-time
+    "q_dedup_ngram": ([], ["BatchEvalPython"]),
+    "q_dedup_embed": ([], ["BatchEvalPython"]),
+    "q_sim_search_lsh": (
+        ["Broadcast"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # text analysis: pure JVM expressions
+    "q_pii_scrub": (["Scan parquet"], ["Python"]),
+    "q_repetition_filter": (["Scan parquet"], ["Python"]),
+    # multimodal: Arrow-batched only
+    "q_mm_resize": (["MapInPandas"], ["BatchEvalPython"]),
+    "q_mm_frame_sample": (["MapInPandas"], ["BatchEvalPython"]),
+    # session windows aggregate JVM-side
+    "q_stream_session": ([], ["Python", "CartesianProduct"]),
+    # pagerank result: checkpointed ranks, no Python in the read plan
+    "q_pagerank": ([], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 
