@@ -41,3 +41,24 @@ def test_reference_program_through_api(spark, tmp_path):
 
     # unknown key => empty, no error (Executer.cs:373-374)
     assert ex.query("ZZ").count() == 0
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY.md §2 (the coverage checklist) and the query registry may
+    not drift: every registered query appears in §2 and every q_* id
+    named in §2 is registered."""
+    import os
+    import re
+
+    from updatable_persistent_map_reduce_spark.operators import all_queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    sec2 = survey[
+        survey.index("## 2. Operator inventory"):
+        survey.index("## 3. Query lifecycle")
+    ]
+    survey_ids = set(re.findall(r"q_[a-z0-9_]+", sec2))
+    reg = set(all_queries())
+    assert reg - survey_ids == set(), f"not in SURVEY §2: {sorted(reg - survey_ids)}"
+    assert survey_ids - reg == set(), f"phantom in SURVEY §2: {sorted(survey_ids - reg)}"
