@@ -255,6 +255,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_stream_session": ([], ["Python", "CartesianProduct"]),
     # pagerank result: checkpointed ranks, no Python in the read plan
     "q_pagerank": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # unpivot: one map-side Expand, single pass, no join/Python
+    "q_unpivot": (["Expand"], ["Python", "Join"]),
+    # UDTF runs Arrow-batched, never the pickled row path
+    "q_udtf_surface": ([], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

@@ -1421,3 +1421,83 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="upmr_orc_") + "/documents_orc"
     d.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt — wide metrics back to long form.
+
+
+@register(
+    "q_unpivot",
+    oracle=(
+        "WITH w AS (SELECT l_returnflag, "
+        "round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, "
+        "round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price, "
+        "round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, metric, value FROM ("
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w "
+        "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w "
+        "UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM w)"
+    ),
+    doc="Unpivot (melt): a wide per-flag metrics table back to long "
+    "(key, metric, value) form — the shape metric stores and plotting "
+    "layers want. DataFrame.unpivot compiles to one Expand (each input "
+    "row emits one row per value column, map-side) — the exact inverse "
+    "of q_pivot's conditional aggregation, and like it a single pass: "
+    "no join, no repeated scans, no Python.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "avg_disc"],
+        "metric",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — the table-function escape hatch (1 row -> N rows of a
+# declared schema), complementing q_udf_surface's scalar/grouped paths.
+
+
+@register(
+    "q_udtf_surface",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents WHERE doc_id < 50) "
+        "SELECT doc_id, unnest(toks) AS token, "
+        "CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS pos FROM t"
+    ),
+    doc="Python UDTF (user-defined TABLE function, lateral-joined in "
+    "the FROM clause): positional tokenization emitting one (token, "
+    "pos) row per token per document — the contract the reference's "
+    "Map has (1 doc -> N records, MapReduceTask.cs:8) expressed "
+    "through Spark's UDTF API rather than explode. The declared result "
+    "schema makes the output plan-able; prefer explode/posexplode "
+    "(codegen) in hot paths — this registers the escape hatch for "
+    "logic that genuinely needs imperative row emission.",
+)
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.lower().split(), start=1):
+                yield t, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM documents d, LATERAL tokenize_udtf(d.text) t "
+        "WHERE d.doc_id < 50"
+    )
