@@ -709,3 +709,18 @@ def test_auto_compaction_bounds_sliver_files(spark, tmp_path):
 
     assert _os.listdir(_os.path.join(str(tmp_path / "auto_compact"),
                                      "map_results", "_versions"))
+
+
+def test_reader_snapshot_survives_concurrent_commit(spark, scenario_view):
+    """Snapshot isolation for readers: a DataFrame planned BEFORE a
+    batch commits resolves the manifest to an explicit file list, and
+    data files are never deleted until vacuum — so collecting it AFTER
+    the commit still returns the old snapshot, not a torn or updated
+    read."""
+    v = scenario_view
+    old_df = v.final_df()  # plan resolved against the current manifest
+    v.execute(people_df(spark, [("people-30", "TX")]))
+    old = {r["state"]: r["cnt"] for r in old_df.collect()}
+    assert old == {"CA": 397, "TX": 256}  # pre-commit snapshot
+    new = {r["state"]: r["cnt"] for r in v.final_df().collect()}
+    assert new == {"CA": 396, "TX": 257}
