@@ -259,6 +259,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path
     "q_udtf_surface": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # session funnel: JVM session windows + conditional agg
+    "q_session_conversion": ([], ["Python", "CartesianProduct"]),
 }
 
 

@@ -111,3 +111,58 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+@register(
+    "q_session_conversion",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events), "
+        "b AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS brk FROM o), "
+        "s AS (SELECT user_id, event_type, "
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b), "
+        "f AS (SELECT user_id, sid, "
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click, "
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(sum(has_click) AS BIGINT) AS n_click_sessions, "
+        "CAST(sum(CASE WHEN has_click = 1 AND has_buy = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_converted, "
+        "round(CAST(sum(CASE WHEN has_click = 1 AND has_buy = 1 THEN 1 "
+        "ELSE 0 END) AS DOUBLE) / sum(has_click), 4) AS conv_rate FROM f"
+    ),
+    doc="Session conversion funnel: 30-minute-gap sessions per user "
+    "(same islands as q_stream_session), each flagged for click and "
+    "purchase activity; reports session counts and the click->purchase "
+    "conversion rate — the composite product-analytics query that "
+    "chains sessionization INTO conditional aggregation in one plan. "
+    "Integer flags feed the one double division, so the rate is "
+    "engine-exact. One session-window shuffle + a 1-row conditional "
+    "aggregate (partial-agg'd before its SinglePartition gather).",
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    per_session = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "has_buy"
+        ),
+    )
+    converted = (
+        (F.col("has_click") == 1) & (F.col("has_buy") == 1)
+    ).cast("int")
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_click").alias("n_click_sessions"),
+        F.sum(converted).alias("n_converted"),
+        F.round(
+            F.sum(converted).cast("double") / F.sum("has_click"), 4
+        ).alias("conv_rate"),
+    )
