@@ -724,3 +724,31 @@ def test_reader_snapshot_survives_concurrent_commit(spark, scenario_view):
     assert old == {"CA": 397, "TX": 256}  # pre-commit snapshot
     new = {r["state"]: r["cnt"] for r in v.final_df().collect()}
     assert new == {"CA": 396, "TX": 257}
+
+
+def test_reopen_with_wrong_task_definition_fails(spark, tmp_path):
+    """A store reopened under a different task identity (group_cols or
+    id_col) must fail loudly — persisted rows are keyed by those
+    columns, so proceeding would silently mix incompatible data."""
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA")]))
+
+    with pytest.raises(ValueError, match="group_cols"):
+        MapReduceView(
+            spark,
+            str(tmp_path / "people_by_state"),
+            id_col="id",
+            group_cols=["city"],  # wrong key
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        )
+    with pytest.raises(ValueError, match="id_col"):
+        MapReduceView(
+            spark,
+            str(tmp_path / "people_by_state"),
+            id_col="other_id",  # wrong identity
+            group_cols=["state"],
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        )
+    # the correct task definition still reopens fine
+    again = people_view(spark, tmp_path)
+    assert counts(again) == {"CA": 1}

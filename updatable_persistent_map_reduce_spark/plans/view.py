@@ -329,6 +329,22 @@ class MapReduceView:
             self.n_key_spans = lay["n_key_spans"]
             self.n_doc_spans = lay["n_doc_spans"]
             self.n_sub_buckets = lay["n_sub_buckets"]
+            # Task identity must match the store's: every persisted row
+            # is keyed by (id_col, group_cols) values, so a different
+            # task definition silently reads/writes garbage. (Layouts
+            # written before this key existed skip the check; the next
+            # committed batch records it.)
+            for key, mine in (
+                ("group_cols", self.group_cols),
+                ("id_col", self.id_col),
+            ):
+                if key in lay and lay[key] != mine:
+                    raise ValueError(
+                        f"store at {store_path} was built with "
+                        f"{key}={lay[key]!r}; this task declares "
+                        f"{mine!r} — open the store with its own task "
+                        "definition or build a new store"
+                    )
             # Layouts written before span-hash versioning used
             # xxhash64; absence of the key means the legacy hash, not
             # the current one — treating it as current would silently
@@ -372,6 +388,11 @@ class MapReduceView:
             "n_sub_buckets": self.n_sub_buckets,
             "two_level": self.two_level,
             "span_hash": self._SPAN_HASH,
+            # task identity: persisted rows are keyed by these, so a
+            # reopen under a different task must fail loudly instead of
+            # silently mixing incompatible data
+            "group_cols": self.group_cols,
+            "id_col": self.id_col,
         }
 
     # ----- span expressions ------------------------------------------------
