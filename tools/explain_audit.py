@@ -261,6 +261,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_udtf_surface": ([], ["BatchEvalPython", "CartesianProduct"]),
     # session funnel: JVM session windows + conditional agg
     "q_session_conversion": ([], ["Python", "CartesianProduct"]),
+    # Q6: every predicate reaches the scan; no joins anywhere
+    "q_sql_tpch_q6": (
+        ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+        ["Join", "Python"],
+    ),
+    # Q10: top-k via TakeOrdered, dims broadcast, no cartesian
+    "q_sql_tpch_q10": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "Python"],
+    ),
 }
 
 

@@ -1501,3 +1501,57 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents d, LATERAL tokenize_udtf(d.text) t "
         "WHERE d.doc_id < 50"
     )
+
+
+_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= date '1996-01-01' AND l_shipdate < date '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+register(
+    "q_sql_tpch_q6",
+    oracle=_TPCH_Q6,
+    doc="TPC-H Q6 (forecasting revenue change): the pure filter+global-"
+    "aggregate query — every predicate (date range, discount band, "
+    "quantity cap) pushes into the parquet scan, so the plan is scan -> "
+    "partial agg -> 1-row final agg with zero joins and zero wide "
+    "shuffles. The query class where columnar pruning + pushdown do ALL "
+    "the work; at 100 TB it reads only the 4 referenced columns of the "
+    "row groups whose min/max stats overlap the date range.",
+)(_sql_query(_TPCH_Q6))
+
+
+_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS revenue_cents,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+  AND o_orderdate >= date '1996-01-01' AND o_orderdate < date '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+register(
+    "q_sql_tpch_q10",
+    oracle=_TPCH_Q10,
+    doc="TPC-H Q10 (returned-item reporting): top-20 customers by "
+    "revenue lost to returns in a quarter — fact-fact join (orders x "
+    "lineitem) with the returnflag and date predicates pushed to the "
+    "scans, broadcast customer/nation dims, and the top-k as "
+    "TakeOrderedAndProject (per-partition heaps, never a global "
+    "sort). Revenue is integer CENTS: terms cast to DECIMAL(18,6) "
+    "(per-row double products are engine-identical; the decimal sum "
+    "is then EXACT) and floor(x*100) emits a tie-free BIGINT — no "
+    "round() anywhere, because a customer here sums to exactly "
+    "...595 and Spark's round (shortest-decimal-repr HALF_UP) and "
+    "DuckDB's (binary-double) disagree on it even over an exact sum "
+    "(found by the sf0.01 gate). Floor is unambiguous: fractional "
+    "parts are multiples of 1e-4, far above double epsilon.",
+)(_sql_query(_TPCH_Q10))
