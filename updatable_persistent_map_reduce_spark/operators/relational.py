@@ -1555,3 +1555,55 @@ register(
     "(found by the sf0.01 gate). Floor is unambiguous: fractional "
     "parts are multiples of 1e-4, far above double epsilon.",
 )(_sql_query(_TPCH_Q10))
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record ingestion — PERMISSIVE parsing with quarantine.
+
+_CORRUPT_GOOD = 9
+_CORRUPT_BAD = 3
+
+
+@register(
+    "q_ingest_corrupt",
+    oracle=(
+        f"SELECT CAST({_CORRUPT_GOOD} AS BIGINT) AS n_good, "
+        f"CAST({_CORRUPT_BAD} AS BIGINT) AS n_bad, "
+        "CAST(36 AS BIGINT) AS good_id_sum"
+    ),
+    doc="Corrupt-record quarantine on JSON ingest: schema-first "
+    "PERMISSIVE read with columnNameOfCorruptRecord — malformed lines "
+    "land whole in the quarantine column (null typed fields) instead "
+    "of failing the job or being silently dropped, so a 100 TB ingest "
+    "survives the inevitable bad records AND accounts for every one "
+    "of them. The query writes a fixture with 9 valid + 3 malformed "
+    "lines (truncated JSON, wrong type, plain garbage), reads it "
+    "back, and reports good/bad counts plus a checksum of the parsed "
+    "ids; the oracle is the fixture's known ground truth. FAILFAST "
+    "and DROPMALFORMED are one option away; quarantined rows feed a "
+    "dead-letter sink in production.",
+)
+def q_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="upmr_corrupt_")
+    path = os.path.join(d, "docs.jsonl")
+    lines = [f'{{"id": {i}, "tag": "t{i}"}}' for i in range(1, 9)]
+    lines.insert(3, '{"id": 0, "tag": "ok"}')  # 9 valid total, ids sum 36
+    lines.insert(2, '{"id": 1, "tag": ')  # truncated JSON
+    lines.insert(5, '{"id": "not-a-number", "tag": "x"}')  # type mismatch
+    lines.append("complete garbage")  # not JSON at all
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    df = (
+        spark.read.schema("id bigint, tag string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return df.agg(
+        F.count("id").alias("n_good"),
+        F.count("_corrupt").alias("n_bad"),
+        F.coalesce(F.sum("id"), F.lit(0)).alias("good_id_sum"),
+    )
