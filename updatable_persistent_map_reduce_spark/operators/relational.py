@@ -1607,3 +1607,42 @@ def q_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").alias("n_bad"),
         F.coalesce(F.sum("id"), F.lit(0)).alias("good_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# null semantics — the aggregate/join null rules, pinned.
+
+
+@register(
+    "q_null_semantics",
+    oracle=(
+        "SELECT c_mktsegment, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(o_orderkey) AS BIGINT) AS n_matched, "
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_orderless, "
+        "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses, "
+        "round(CAST(avg(o_totalprice) AS DOUBLE), 2) AS avg_price "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="Null-semantics contract over an outer join, pinned per "
+    "segment: count(*) counts null-extended rows, count(col) and "
+    "count(DISTINCT col) skip them, avg ignores them in BOTH numerator "
+    "and denominator — the null rules that silently skew metrics when "
+    "an engine (or a port between engines) gets any of them wrong. "
+    "One outer join + one aggregation; every rule is an ANSI semantic "
+    "Catalyst and DuckDB must agree on exactly.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_orderless"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
