@@ -107,6 +107,8 @@ _PRIORITY = [
     "q_sql_tpch_q10",      # new: returned-item top-k reporting
     "q_ingest_corrupt",    # new: PERMISSIVE quarantine ingest
     "q_null_semantics",    # new: outer-join null rules pinned
+    "q_argminmax",         # new: min_by/max_by ordered aggregates
+    "q_map_type_ops",      # new: MapType parse/explode machinery
     # -- 3. unchanged, attested green in round 2 ----------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",

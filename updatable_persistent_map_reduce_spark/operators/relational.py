@@ -1646,3 +1646,76 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by — ordered-argument aggregates.
+
+
+@register(
+    "q_argminmax",
+    oracle=(
+        "SELECT event_type, "
+        "arg_max(user_id, event_id) AS last_user, "
+        "arg_min(user_id, event_id) AS first_user, "
+        "round(arg_max(value, event_id), 2) AS last_value, "
+        "CAST(arg_max(ts, event_id) AS TIMESTAMP) AS last_ts "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="min_by/max_by (argmin/argmax) aggregates: per event type, the "
+    "first/last user and the latest value/timestamp ordered by the "
+    "UNIQUE event_id — one aggregation instead of the window+filter "
+    "latest-row idiom (which q_upsert_recount's oracle uses); "
+    "uniqueness of the ordering key makes the result total-order "
+    "deterministic (plain value ordering has ties in this data — "
+    "checked — and would be engine-arbitrary). The single-pass "
+    "latest-per-group primitive of the reference's latest-wins "
+    "semantics, as an aggregate.",
+)
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+        F.max_by("ts", "event_id").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface — key-value column machinery.
+
+
+@register(
+    "q_map_type_ops",
+    oracle=(
+        "SELECT event_type, 'k' AS map_key, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS v_sum, "
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS v_max "
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+        "GROUP BY event_type"
+    ),
+    doc="MapType column machinery: props parsed once into "
+    "map<string,bigint> (from_json with a MAP schema — keys unknown "
+    "ahead of time, unlike the fixed-field struct of q_json_struct), "
+    "exploded into (key, value) rows map-side, aggregated per (type, "
+    "key). The schema-flexible path for ragged key-value payloads — "
+    "at 100 TB hot keys would be shredded to real columns and the "
+    "map retained for the long tail.",
+)
+def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    m = ev.select(
+        "event_type",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("map_key", "v"),
+    ).filter(F.col("v").isNotNull())
+    return m.groupBy("event_type", "map_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("v_sum"),
+        F.max("v").alias("v_max"),
+    )
