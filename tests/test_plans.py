@@ -42,3 +42,10 @@ def test_plan_shape(name, spark, sf_dir):
     assert not missing and not present, (
         f"{name}: missing={missing} forbidden={present}\n{plan}"
     )
+
+
+def test_every_query_has_a_plan_expectation():
+    """The audit's ALL-queries claim may not drift: every registered
+    query carries a physical-plan expectation."""
+    missing = [n for n in all_queries() if n not in EXPECTATIONS]
+    assert not missing, missing

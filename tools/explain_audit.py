@@ -271,6 +271,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "Python"],
     ),
+    # quarantine ingest: one JSON scan + 1-row agg, no Python
+    "q_ingest_corrupt": (["Scan json", "HashAggregate"], ["Python"]),
+    # null semantics: one outer join + one aggregation
+    "q_null_semantics": (["Join", "HashAggregate"], ["Python", "CartesianProduct"]),
+    # argmin/argmax: single-pass aggregate, no window
+    "q_argminmax": ([], ["Python", "Window", "CartesianProduct"]),
+    # map explode is map-side; one aggregation shuffle
+    "q_map_type_ops": (["Generate", "HashAggregate"], ["Python"]),
 }
 
 
