@@ -56,64 +56,38 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. attested in round 1 only (stale — re-attest first) --------
-    "q_scan_parquet", "q_filter_pred", "q_project_expr",
-    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
-    "q_join_full", "q_agg_rollup", "q_agg_cube", "q_agg_quantile",
-    "q_approx_distinct", "q_window_frame", "q_window_ntile",
-    "q_sort_limit", "q_union_all", "q_intersect", "q_except",
-    "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
-    "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
-    "q_string_agg", "q_gap_fill", "q_sql_exists",
-    # -- 2a. implementation changed since last attestation (the round-2
-    #        verdict's named fixes — driver proof of the fix matters
-    #        most, so these precede brand-new queries) ----------------
-    "q_doc_fingerprint",   # fingerprint type DECIMAL(20,0) -> STRING
-    "q_batch_256",         # global window -> two-pass prefix sums
-    "q_shard_pack",        # global window -> two-pass prefix sums
-    "q_corpus_prep",       # global window -> two-pass prefix sums
-    "q_dedup_cluster",     # all-pairs edges -> LSH candidate pairs
-    "q_upsert_recount",    # re-reducible agg form; two-level A/B'd
-    "q_rereduce_tree",     # two-level write path: read-back finals
-    "q_decontaminate",     # shingling: interpreted HOF -> Arrow UDF
+    # -- 1. never driver-attested (added late in round 3; the r3
+    #       50-sample ended before reaching them — they pass the local
+    #       109/109 gate but need external attestation first) ---------
+    "q_scd2_history", "q_retention_cohort", "q_sketch_union",
+    "q_dedup_cross_snapshot", "q_scan_orc", "q_time_travel",
+    "q_pagerank", "q_resample_weighted", "q_unpivot", "q_udtf_surface",
+    "q_session_conversion", "q_sql_tpch_q6", "q_sql_tpch_q10",
+    "q_ingest_corrupt", "q_null_semantics", "q_argminmax",
+    "q_map_type_ops",
+    # -- 2a. implementation changed since last attestation (round-4
+    #        changes — driver proof of the change matters most) -------
+    "q_dedup_cluster",   # convergence probe folded into label job
+    "q_sim_search",      # dropped spread() repartition (r3 regression)
+    "q_upsert_recount",  # commit-path cost shaving
     # -- 2b. new this round (never driver-attested; excess past the
     #        50-sample rolls to the next round, local gate covers all)
-    "q_sample_stratified",  # new: per-stratum deterministic sampling
-    "q_ngram_stats",       # new: corpus n-gram frequency top-k
-    "q_quality_funnel",    # new: staged survival counts
-    "q_dedup_semantic",    # new: SemDeDup (k-means cells + greedy prune)
-    "q_stream_sliding",    # new: 1h/15min sliding windows
-    "q_embed_quantize",    # new: int8 scalar quantization
-    "q_inverted_index",    # new: posting-list vocabulary top-k
-    "q_bm25",              # new: Okapi BM25 ranking
-    "q_doc_len_histogram",  # new: banded length profile
-    "q_window_lag",        # new: lag() inter-arrival stats
-    "q_sql_tpch_q5",       # new: six-table star join (TPC-H Q5)
-    "q_window_range_frame",  # new: RANGE-interval time frame
-    "q_anomaly_p99",       # new: percentile-threshold outliers
-    "q_upsert_enriched",   # new: broadcast-dim join inside map phase
-    "q_scd2_history",      # new: SCD2 validity intervals via lead()
-    "q_retention_cohort",  # new: first-week cohorts x active week
-    "q_sketch_union",      # new: mergeable HLL sketch rollup
-    "q_dedup_cross_snapshot",  # new: incoming-vs-corpus dedup gate
-    "q_scan_orc",          # new: ORC round-trip format breadth
-    "q_time_travel",       # new: archived-snapshot read, oracle-checked
-    "q_pagerank",          # new: centrality over the similarity graph
-    "q_resample_weighted",  # new: per-source epoch-factor upsampling
-    "q_unpivot",           # new: melt wide metrics to long form
-    "q_udtf_surface",      # new: Python table-function escape hatch
-    "q_session_conversion",  # new: sessionized click->purchase funnel
-    "q_sql_tpch_q6",       # new: pure filter+agg (pushdown showcase)
-    "q_sql_tpch_q10",      # new: returned-item top-k reporting
-    "q_ingest_corrupt",    # new: PERMISSIVE quarantine ingest
-    "q_null_semantics",    # new: outer-join null rules pinned
-    "q_argminmax",         # new: min_by/max_by ordered aggregates
-    "q_map_type_ops",      # new: MapType parse/explode machinery
-    # -- 3. unchanged, attested green in round 2 ----------------------
+    "q_stream_interval_join",  # new: stream-stream join, availableNow
+    "q_stream_dedup",          # new: watermarked streaming dedup
+    "q_topk_per_group",        # new: per-group top-k reporting
+    "q_sql_tpch_q18",          # new: large-order customers (HAVING)
+    "q_cross_tab",             # new: crosstab contingency counts
+    "q_percent_change",        # new: window period-over-period delta
+    "q_minhash_containment",   # new: asymmetric containment dedup
+    "q_tfidf_vectors",         # new: sparse TF-IDF document vectors
+    "q_sim_join_threshold",    # new: all-pairs similarity join (LSH)
+    "q_dedup_url",             # new: URL canonicalization dedup
+    # -- 3. unchanged, last attested in round 2 (oldest green rows —
+    #       re-attest before the round-3 ones) ------------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",
     "q_key_migration", "q_store_point_lookup",
-    "q_dedup_exact", "q_dedup_incremental", "q_sim_search",
+    "q_dedup_exact", "q_dedup_incremental",
     "q_text_stats", "q_sample_hash",
     "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
     "q_sim_search_lsh", "q_sim_search_ivf",
@@ -126,6 +100,22 @@ _PRIORITY = [
     "q_join_salted", "q_join_asof",
     "q_agg_multi", "q_agg_grouping_sets", "q_agg_approx_quantile",
     "q_window_rank",
+    # -- 4. unchanged, attested green in round 3 (most recent) --------
+    "q_scan_parquet", "q_filter_pred", "q_project_expr",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
+    "q_join_full", "q_agg_rollup", "q_agg_cube", "q_agg_quantile",
+    "q_approx_distinct", "q_window_frame", "q_window_ntile",
+    "q_sort_limit", "q_union_all", "q_intersect", "q_except",
+    "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
+    "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
+    "q_string_agg", "q_gap_fill", "q_sql_exists",
+    "q_doc_fingerprint", "q_batch_256", "q_shard_pack",
+    "q_corpus_prep", "q_rereduce_tree", "q_decontaminate",
+    "q_sample_stratified", "q_ngram_stats", "q_quality_funnel",
+    "q_dedup_semantic", "q_stream_sliding", "q_embed_quantize",
+    "q_inverted_index", "q_bm25", "q_doc_len_histogram",
+    "q_window_lag", "q_sql_tpch_q5", "q_window_range_frame",
+    "q_anomaly_p99", "q_upsert_enriched",
 ]
 
 

@@ -504,6 +504,9 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("vec_id").alias("jv"), F.col("lbl").alias("jl")
         )
+        # Carry the previous label through the checkpoint so the
+        # convergence probe is a filter over the already-materialized
+        # result — no extra join-job per round.
         new_labels = (
             labels.join(
                 neighbor_min, labels.vec_id == neighbor_min.src, "left"
@@ -511,6 +514,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(jump, labels.lbl == jump.jv, "left")
             .select(
                 "vec_id",
+                F.col("lbl").alias("old"),
                 F.least(
                     F.col("lbl"),
                     F.coalesce(F.col("nlbl"), F.col("lbl")),
@@ -520,12 +524,9 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "vec_id")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("lbl") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("vec_id", "lbl")
         if changed == 0:
             break
     else:

@@ -9,12 +9,13 @@ CC is a min-label fixpoint.
 
 Scale shape: each iteration is one equi-join (edges x ranks, both
 hash-partitioned on the join key) + one partial+final aggregation; the
-dangling-mass correction is a 1-row aggregate collected driver-side
-(a scalar per iteration, the standard Pregel-style pattern).
-``localCheckpoint`` truncates lineage so the plan stays O(1) per
-iteration instead of growing with the iteration count. At 100 TB the
-edge list would be persisted bucketed by src so every iteration reuses
-one co-partitioned shuffle.
+dangling-mass correction is a 1-row aggregate broadcast-cross-joined
+into the same job (NOT collected driver-side — a per-iteration driver
+collect doubles the job count and adds a scheduler barrier each
+round). ``localCheckpoint`` truncates lineage so the plan stays O(1)
+per iteration instead of growing with the iteration count. At 100 TB
+the edge list would be persisted bucketed by src so every iteration
+reuses one co-partitioned shuffle.
 
 Rows-only (no SQL oracle): recursive CTEs cannot aggregate in the
 recursive term, so the ground truth is numpy power iteration on the
@@ -56,11 +57,13 @@ def pagerank(
             outdeg, ranks.vec_id == outdeg.src, "left"
         ).select("vec_id", "rank", "deg")
         # rank mass sitting on nodes with no out-edges (isolated in the
-        # symmetric similarity graph) teleports uniformly
-        [[dangling]] = (
+        # symmetric similarity graph) teleports uniformly. Computed as
+        # a 1-row aggregate and broadcast-cross-joined into the rank
+        # update so the whole iteration is ONE job (the materializing
+        # localCheckpoint) — no driver round-trip for the scalar.
+        dangling = (
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         contribs = (
             sym.join(with_deg, sym.src == with_deg.vec_id)
@@ -68,13 +71,14 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes.vec_id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "vec_id",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dmass") / n
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )

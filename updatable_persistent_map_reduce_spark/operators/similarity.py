@@ -45,10 +45,13 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
     ),
     doc="Brute-force cosine top-k per query vector: broadcast the query "
     "set, codegen'd dot products over a single corpus scan, "
-    "per-partition top-k via window. The ANN baseline.",
+    "per-partition top-k via window. The ANN baseline. No spread(): "
+    "the scorer is pure whole-stage codegen, so a repartition shuffle "
+    "before it only adds exchange cost (the r3 bench regression, "
+    "0.52->0.83 s, was exactly that shuffle).",
 )
 def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(Catalog(spark, sf_dir).embeddings)
+    e = Catalog(spark, sf_dir).embeddings
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
