@@ -279,6 +279,49 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_argminmax": ([], ["Python", "Window", "CartesianProduct"]),
     # map explode is map-side; one aggregation shuffle
     "q_map_type_ops": (["Generate", "HashAggregate"], ["Python"]),
+    # streaming-path queries return a drained memory sink — the read
+    # plan is a local/memory scan; the streaming job's own shape is
+    # exercised in tests/test_streaming.py
+    "q_stream_interval_join": ([], ["CartesianProduct", "BatchEvalPython"]),
+    "q_stream_dedup": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
+    # by group — never a single-task window, never raw-row ranking
+    "q_topk_per_group": (
+        ["HashAggregate", "Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
+    # Q18: lineitem aggregates FIRST, survivors broadcast
+    "q_sql_tpch_q18": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "Python"],
+    ),
+    # crosstab: one pair-key aggregation, driver-side cell pivot
+    "q_cross_tab": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # period-over-period: lag over the aggregated month series,
+    # partitioned by priority — never single-task
+    "q_percent_change": (
+        ["HashAggregate", "Window"],
+        ["Python", "Exchange SinglePartition"],
+    ),
+    # containment: token inverted-index equi-join + size broadcast
+    "q_minhash_containment": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # URL canonicalization is map-side string work + one agg
+    "q_dedup_url": (["HashAggregate"], ["Python", "Join"]),
+    # TF-IDF: two aggs + broadcast scalar + per-doc window; the 1-row
+    # corpus-size cross join is a legitimate BroadcastNestedLoop
+    "q_tfidf_vectors": (
+        ["HashAggregate", "Window", "Broadcast"],
+        ["Python", "CartesianProduct"],
+    ),
+    # LSH similarity join: bucket equi-join + exact verify; Arrow
+    # bucket UDF allowed, pickled row path and products forbidden
+    "q_sim_join_threshold": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
+    ),
 }
 
 

@@ -445,9 +445,10 @@ def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
     cand = pairs.join(
         emb.withColumnsRenamed({"vec_id": "va", "embedding": "ea"}), "va"
     ).join(emb.withColumnsRenamed({"vec_id": "vb", "embedding": "eb"}), "vb")
-    return cand.filter(
-        cosine_expr(F.col("ea"), F.col("eb")) >= 0.9
-    ).select("va", "vb")
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return cand.filter(cos >= 0.9).select(
+        "va", "vb", F.round(cos, 4).alias("cos_sim")
+    )
 
 
 @register(
@@ -483,7 +484,7 @@ def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(Catalog(spark, sf_dir).embeddings)
-    pairs = lsh_candidate_edges(spark, e)
+    pairs = lsh_candidate_edges(spark, e).select("va", "vb")
     edges = pairs.unionByName(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
@@ -670,4 +671,124 @@ def q_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(existing, "h", "left").select(
         "doc_id",
         F.coalesce(F.col("_hit"), F.lit(False)).alias("already_ingested"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment — snippet/quotation detection.
+
+
+@register(
+    "q_minhash_containment",
+    oracle=(
+        "WITH tok AS (SELECT DISTINCT doc_id, w FROM ("
+        "SELECT doc_id, unnest(list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w "
+        "FROM documents)), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM tok GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS c FROM tok a JOIN tok b "
+        "ON a.w = b.w AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(c * 1.0 / n, 4) AS containment "
+        "FROM inter JOIN sz ON sz.doc_id = doc_a "
+        "WHERE c * 1.0 / n >= 0.8"
+    ),
+    doc="Asymmetric set containment C(A,B) = |A n B| / |A| over word "
+    "sets: detects documents CONTAINED in another (quotations, "
+    "snippet extractions, subset boilerplate) that symmetric Jaccard "
+    "misses — a 50-word doc fully inside a 5000-word doc has Jaccard "
+    "~0.01 but containment 1.0. Directional: (a,b) and (b,a) score "
+    "differently. Candidate generation is the token inverted-index "
+    "self-join (one shuffle on the token key, count per ordered "
+    "pair); at 100 TB the candidate join keys on MinHash band "
+    "signatures instead of raw tokens (the q_dedup_near machinery — "
+    "containment's minhash estimator uses the same signatures) and "
+    "stopword-frequency tokens are dropped from the index to kill "
+    "the hub-token quadratic blowup.",
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("w")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        a.join(b, ["w"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cont = F.col("c") / F.col("n")
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+        )
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the crawl-ingest variant of exact dedup.
+
+
+# The corpus tables carry no URL column, so each doc gets a
+# deterministic synthetic URL exercising every canonicalization rule:
+# mixed-case scheme/host, an explicit default port, tracking params,
+# and a fragment — with doc_id % 50 as the path so canonical groups
+# have real collisions. Built with the SAME expression in both
+# engines; the operator under test is the canonicalizer.
+_URL_SQL = (
+    "'HTTPS://Example.COM:443/' || source || '/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?id=1&utm_campaign=feed' "
+    "WHEN doc_id % 3 = 1 THEN '?id=1' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END"
+)
+
+
+@register(
+    "q_dedup_url",
+    oracle=(
+        f"WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents), "
+        "c AS (SELECT doc_id, regexp_replace(replace(lower("
+        "regexp_replace(url, '#.*$', '')), ':443/', '/'), "
+        "'[&?]utm_[a-z]+=[a-z0-9]*$', '') AS canon_url FROM u) "
+        "SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_variants "
+        "FROM c GROUP BY canon_url"
+    ),
+    doc="URL canonicalization dedup — the crawl-side twin of "
+    "q_dedup_exact: strip the fragment, lowercase, drop the explicit "
+    "default port, strip trailing utm_* tracking params, then group "
+    "by canonical URL keeping the lowest doc_id. All four rules are "
+    "single codegen string expressions (regexp_replace/replace/"
+    "lower), so canonicalization is map-side and the only shuffle is "
+    "the final groupBy on the canonical key — the same one-shuffle "
+    "shape as content-hash dedup. (Full host-only lowercasing and "
+    "param re-sorting are grammar variants of the same "
+    "regexp_replace pipeline.)",
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    url = F.expr(_URL_SQL.replace("VARCHAR", "STRING"))
+    canon = F.regexp_replace(
+        F.replace(
+            F.lower(F.regexp_replace(url, r"#.*$", "")),
+            F.lit(":443/"),
+            F.lit("/"),
+        ),
+        r"[&?]utm_[a-z]+=[a-z0-9]*$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
     )

@@ -1719,3 +1719,175 @@ def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("v_sum"),
         F.max("v").alias("v_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k with ties — aggregate-then-rank reporting.
+
+
+@register(
+    "q_topk_per_group",
+    oracle=(
+        "SELECT * FROM ("
+        "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS revenue, "
+        "CAST(rank() OVER (PARTITION BY event_type "
+        "ORDER BY round(CAST(sum(value) AS DOUBLE), 2) DESC) AS INTEGER) "
+        "AS rnk "
+        "FROM events GROUP BY 1, 2) WHERE rnk <= 3"
+    ),
+    doc="Grouped top-k WITH ties over a pre-aggregation: daily revenue "
+    "per event type, then rank() (not row_number — equal revenues all "
+    "surface) keeping the top 3 ranks. Two-level shape: one "
+    "partial+final hash aggregate, then a window over the ALREADY "
+    "aggregated (small) frame — ranking post-aggregation rows is "
+    "orders of magnitude cheaper than ranking raw events, the "
+    "standard leaderboard plan at scale. Ranks on the rounded value "
+    "so both engines break float near-ties identically.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = W.partitionBy("event_type").orderBy(F.col("revenue").desc())
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "day", "revenue", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume customers (semi-join on a HAVING subquery).
+
+
+@register(
+    "q_sql_tpch_q18",
+    oracle=(
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+        "CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, "
+        "round(o.o_totalprice, 2) AS o_totalprice, "
+        "round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS sum_qty "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_orderkey IN ("
+        "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(l_quantity) > 300) "
+        "GROUP BY 1, 2, 3, 4, 5"
+    ),
+    doc="TPC-H Q18 (large-volume customers): the HAVING subquery is a "
+    "self-aggregation of lineitem semi-joined back as the filter, "
+    "then customer/orders detail re-joined and re-aggregated. Plan: "
+    "the big side (lineitem) aggregates FIRST — the sum(qty)>300 "
+    "filter kills ~all orderkeys before any join — then the "
+    "survivors' join is broadcast-sized. The filter-early shape is "
+    "what survives a 100x scale-up; joining three tables before "
+    "aggregating would shuffle the full fact table twice.",
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.lineitem, cat.orders, cat.customer
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# contingency table — DataFrameStatFunctions.crosstab surface.
+
+
+@register(
+    "q_cross_tab",
+    oracle=(
+        "SELECT event_type AS event_type_hb, "
+        "CAST(sum(CASE WHEN hour(ts) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS h0, "
+        "CAST(sum(CASE WHEN hour(ts) % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS h1, "
+        "CAST(sum(CASE WHEN hour(ts) % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS h2, "
+        "CAST(sum(CASE WHEN hour(ts) % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS h3 "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="Contingency table via df.stat.crosstab (event type x hour-of-"
+    "day bucket): the dedicated pairwise-frequency surface — one "
+    "shuffle on the pair key, then a driver-side pivot of the "
+    "(distinct type x distinct bucket) cells. Usable exactly when "
+    "both cardinalities are small (the result materializes "
+    "driver-side); high-cardinality pivots go through "
+    "groupBy().pivot() with an explicit value list (q_pivot) "
+    "instead. Buckets are labeled h0..h3 so the pivoted columns sort "
+    "deterministically.",
+)
+def q_cross_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    hb = ev.select(
+        "event_type",
+        F.concat(F.lit("h"), (F.hour("ts") % 4).cast("string")).alias("hb"),
+    )
+    return hb.stat.crosstab("event_type", "hb")
+
+
+# ---------------------------------------------------------------------------
+# period-over-period delta — lag over a pre-aggregated time series.
+
+
+@register(
+    "q_percent_change",
+    oracle=(
+        "WITH m AS (SELECT o_orderpriority, "
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+        "round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue "
+        "FROM orders GROUP BY 1, 2) "
+        "SELECT o_orderpriority, month, revenue, "
+        "round(CAST((revenue - lag(revenue) OVER w) AS DOUBLE) * 100 / "
+        "lag(revenue) OVER w, 4) AS pct_change "
+        "FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)"
+    ),
+    doc="Period-over-period percent change: monthly revenue per order "
+    "priority, then lag() over the month series for the delta — the "
+    "month-over-month KPI shape. Aggregate FIRST: the window runs "
+    "over (priorities x months) rows, not raw orders, so the sort "
+    "inside each window partition is trivial at any corpus size. "
+    "First month of each priority is NULL pct_change by definition. "
+    "The delta divides the ROUNDED revenues so both engines compute "
+    "bit-identical ratios.",
+)
+def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) * 100 / prev, 4).alias(
+            "pct_change"
+        ),
+    )

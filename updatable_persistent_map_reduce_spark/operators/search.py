@@ -182,3 +182,76 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document vectors — the sparse-vector complement of BM25.
+
+
+TFIDF_TOP = 5
+
+
+@register(
+    "q_tfidf_vectors",
+    oracle=(
+        _TOK_CTE + ", "
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY 1, 2), "
+        "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "s AS (SELECT doc_id, tf.token, "
+        "round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf "
+        "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) "
+        "SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn FROM ("
+        "SELECT doc_id, token, tfidf, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s) "
+        f"WHERE rn <= {TFIDF_TOP}"
+    ),
+    doc="Sparse TF-IDF document vectors, top-5 weighted terms per doc: "
+    "tf per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1 "
+    "(sklearn's smooth_idf form), score rounded to 4 decimals BEFORE "
+    "ranking so both engines break libm-ln near-ties identically, "
+    "then row_number per doc with a (score desc, token) total order. "
+    "Plan: two aggregations sharing the exploded token frame (by "
+    "(doc,term) and by term), the corpus-size scalar as a 1-row "
+    "broadcast cross join (no driver collect), and the final window "
+    "over per-doc groups. The featurization stage of a classical "
+    "retrieval / clustering pipeline; the dense twin is "
+    "q_embed_quantize.",
+)
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "token", "tfidf", "rn")
+    )

@@ -364,3 +364,34 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(zero, F.lit(0.0)).otherwise(err), 6).alias("max_err"),
         F.when(zero, F.lit(0)).otherwise(n_sat).cast("int").alias("n_sat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# threshold similarity join — the LSH-bucketed scale twin of the
+# brute-force q_dedup_embed pair generator.
+
+
+@register(
+    "q_sim_join_threshold",
+    oracle=(
+        "SELECT a.vec_id AS va, b.vec_id AS vb, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 4) "
+        "AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
+    ),
+    doc="All-pairs similarity join at cos >= 0.9 via the LSH candidate "
+    "path (dedup.lsh_candidate_edges: 16 hyperplane tables, bucket "
+    "equi-join, exact-cosine verify — never a va < vb cross product). "
+    "Deliberately shares its oracle with the BRUTE-FORCE "
+    "q_dedup_embed: a green row here is an exact-recall attestation "
+    "of the bucketed generator that q_dedup_cluster and q_pagerank "
+    "build on (a qualifying pair escapes all 16 tables with prob "
+    "~4e-6; every candidate is exact-verified, so precision is "
+    "exact). Cost scales with near-dup density, not corpus².",
+)
+def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_candidate_edges
+
+    e = spread(Catalog(spark, sf_dir).embeddings)
+    return lsh_candidate_edges(spark, e).select("va", "vb", "cos_sim")

@@ -1,0 +1,134 @@
+"""Registry entries that drive the REAL Structured-Streaming path.
+
+The batch twins in operators/windows.py prove the window semantics;
+these two queries prove the streaming execution itself — readStream ->
+watermarked stateful operator -> ``trigger(availableNow=True)`` ->
+memory sink — and hand the drained sink to the same DuckDB oracle gate
+every batch query faces. The reference's closest analog is its
+repeated-``Execute`` micro-batch loop (MapReduce/Program.cs:31,35);
+Spark's availableNow trigger is that loop with checkpointed
+exactly-once per micro-batch.
+
+Each run stages the input as parquet files in a fresh temp dir (the
+"producer"), uses a fresh checkpoint (so every run is a cold, full
+replay — the deterministic test/backfill mode), and a unique memory
+sink name (memory sinks are session-global). At deployment scale the
+input is Kafka and the sink a table, same plan shape; see
+streaming/stream_view.py for the state-store scale notes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import Catalog
+from ..streaming.stream_view import streaming_dedup, streaming_interval_join
+from . import register
+
+
+def _stage(df: DataFrame, prefix: str, n_files: int = 4) -> tuple[str, str]:
+    """Write ``df`` as a small multi-file parquet input dir plus a
+    fresh checkpoint dir. n_files stays far under the default
+    maxFilesPerTrigger, so availableNow processes everything as ONE
+    micro-batch — watermark-based state eviction can then never race
+    the data it would evict, keeping the replay deterministic."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    inp = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    df.repartition(n_files).write.parquet(inp)
+    return inp, ckpt
+
+
+@register(
+    "q_stream_interval_join",
+    oracle=(
+        "SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id, "
+        "CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(b.ts AS TIMESTAMP) AS buy_ts "
+        "FROM events c JOIN events b ON c.user_id = b.user_id "
+        "AND c.event_type = 'click' AND b.event_type = 'purchase' "
+        "AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+    doc="Stream-stream interval join, run on the ACTUAL streaming path: "
+    "events staged to a parquet input dir, readStream on both sides, "
+    "watermarked interval join (streaming/stream_view.py "
+    "streaming_interval_join — click->purchase attribution within 30 "
+    "min), availableNow trigger, memory sink drained as the result. "
+    "Inner interval joins emit eagerly, so the single-micro-batch "
+    "replay equals the batch join the oracle computes. State notes: "
+    "watermark + interval bound let Spark evict click state older "
+    "than horizon+interval; unbounded stream-stream joins grow state "
+    "forever.",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    inp, ckpt = _stage(ev, "upmr_stream_ij_")
+    sink = f"ij_sink_{uuid.uuid4().hex[:8]}"
+    streaming_interval_join(
+        spark,
+        input_path=inp,
+        input_schema=(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        ),
+        checkpoint_path=ckpt,
+        within="30 minutes",
+        watermark="1 hour",
+        sink_table=sink,
+    )
+    return spark.table(sink).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "buy_id",
+        "click_ts",
+        "buy_ts",
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT sha256(text) AS content_hash FROM documents",
+    doc="Watermarked streaming exact dedup on the ACTUAL streaming "
+    "path: documents staged with a producer ingest timestamp, "
+    "readStream -> sha2(text) -> dropDuplicatesWithinWatermark "
+    "(streaming/stream_view.py streaming_dedup), availableNow, memory "
+    "sink. Which copy of a duplicate survives is a processing-order "
+    "artifact, so the attested result is the surviving content-hash "
+    "SET — exactly the distinct hashes of the corpus when every "
+    "duplicate lands within the watermark horizon (single micro-batch "
+    "here). The ingest-time twin of q_dedup_exact: duplicates are "
+    "dropped before they ever reach the corpus store, with state "
+    "bounded by the horizon's document rate, not corpus size.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "text",
+        # producer ingest timestamp: deterministic, spread over ms so
+        # every duplicate pair is well inside the 1h watermark horizon.
+        # Based at 2024-01-01, NOT epoch 0 — a row whose event time
+        # equals the stream's initial watermark (epoch) is "late" and
+        # silently dropped.
+        F.timestamp_micros(
+            F.col("doc_id") * 1000 + F.lit(1_704_067_200_000_000)
+        ).alias("ts"),
+    )
+    inp, ckpt = _stage(docs, "upmr_stream_dd_")
+    sink = f"dd_sink_{uuid.uuid4().hex[:8]}"
+    streaming_dedup(
+        spark,
+        input_path=inp,
+        input_schema="doc_id bigint, text string, ts timestamp",
+        checkpoint_path=ckpt,
+        ts_col="ts",
+        text_col="text",
+        watermark="1 hour",
+        sink_table=sink,
+    )
+    return spark.table(sink).select("content_hash").distinct()
