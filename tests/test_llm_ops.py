@@ -210,3 +210,38 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert abs(sum(got.values()) - 1.0) < 1e-3
     for v, i in idx.items():
         assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])
+
+
+def test_mm_resize_real_decode(spark):
+    """Production PIL resize kernel — runs whenever the environment
+    gains image codecs (skip-marked otherwise): generates real PNGs,
+    drives the same mapInPandas plan as q_mm_resize, and checks the
+    aspect-preserving geometry against PIL's own ground truth."""
+    import pytest
+
+    from updatable_persistent_map_reduce_spark.operators.multimodal import (
+        HAS_PIL,
+        mm_resize_real,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    from PIL import Image
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png(640, 480, (10, 20, 30))),   # downscale, width-bound
+        (2, png(100, 300, (200, 0, 0))),    # downscale, height-bound
+        (3, png(50, 40, (0, 0, 0))),        # already fits: scale 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm_resize_real(df).collect()}
+    assert (out[1].target_w, out[1].target_h) == (224, 168)
+    assert (out[2].target_w, out[2].target_h) == (74, 224)
+    assert (out[3].target_w, out[3].target_h, out[3].scale) == (50, 40, 1.0)

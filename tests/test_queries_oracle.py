@@ -70,3 +70,62 @@ def test_contract_shape():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_bound_compare_catches_violation(spark, con, sf_dir):
+    """A seeded out-of-tolerance 'estimate' must FAIL the bounded
+    check (guards the tolerance oracle from silently passing on key
+    mismatches or dead comparison paths)."""
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.operators import Query
+
+    def fn(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # deliberately 2x the true per-lang count: far outside 15%
+        return d.groupBy("lang").agg(
+            (F.count(F.lit(1)) * 2).alias("n_docs")
+        )
+
+    bad = Query(
+        name="q_seeded_bad_estimate",
+        fn=fn,
+        oracle=None,
+        bound=(
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang",
+            0.15,
+        ),
+    )
+    problems = check_query(spark, con, bad, sf_dir)
+    assert any("outside rel tol" in p for p in problems), problems
+
+
+def test_bound_compare_catches_missing_key(spark, con, sf_dir):
+    """A missing group in the estimate must be reported, not skipped."""
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.operators import Query
+
+    def fn(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        first = d.select(F.min("lang").alias("m"))
+        return (
+            d.join(F.broadcast(first))
+            .filter(F.col("lang") != F.col("m"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    bad = Query(
+        name="q_seeded_missing_key",
+        fn=fn,
+        oracle=None,
+        bound=(
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang",
+            0.15,
+        ),
+    )
+    problems = check_query(spark, con, bad, sf_dir)
+    assert any("missing key" in p for p in problems), problems

@@ -43,7 +43,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems = [f"error: {type(e).__name__}: {e}"]
         dt = time.time() - t0
-        kind = "rows-only" if qs[name].oracle is None else "oracle"
+        if qs[name].oracle is not None:
+            kind = "oracle"
+        elif qs[name].bound is not None:
+            kind = f"bounded tol={qs[name].bound[1]}"
+        else:
+            kind = "rows-only"
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)

@@ -24,16 +24,31 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for rows-only checks
     doc: str = ""
+    # Tolerance-mode oracle for sketch/approximate queries: (exact
+    # DuckDB SQL with IDENTICAL column names, relative tolerance).
+    # The external driver still sees oracle=None (a hash compare of an
+    # estimate is meaningless), but the LOCAL gate joins estimate to
+    # exact on the key columns and enforces |est - exact| <=
+    # tol * max(1, |exact|) — converting "ran cleanly" rows into
+    # bounded-error checks.
+    bound: tuple[str, float] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bound: tuple[str, float] | None = None,
+):
     """Decorator: register a query callable under ``name``."""
 
     def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, bound=bound
+        )
         return fn
 
     return wrap

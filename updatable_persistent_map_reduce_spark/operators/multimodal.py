@@ -29,17 +29,77 @@ from ..sources import Catalog, spread
 from . import register
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: no codec libraries in this container.
+try:  # codec probe: PIL is optional in this container
+    import PIL.Image  # noqa: F401
 
-    Production: ``PIL.Image.open(io.BytesIO(payload))`` (or
-    torchvision/ffmpeg for video frame-sampling) inside the same
-    mapInPandas kernel shape as :func:`_fake_decode_batch` below.
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode. Routes through PIL when the environment has
+    it; raises otherwise (this container ships no codecs — the
+    deterministic fake kernels below exercise identical Spark
+    plumbing and are what the REGISTERED queries use, so the oracle
+    result never depends on which libraries happen to be installed).
     """
+    if HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
         "image/audio codecs are not installed in this environment; "
         "use the deterministic fake kernel (q_mm_features) which "
         "exercises identical Spark plumbing"
+    )
+
+
+def _real_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PRODUCTION resize kernel (requires PIL): decode the binary
+    payload, aspect-preserving fit to 224x224, checksum the resampled
+    RGB buffer. Same signature / Arrow batch shape / output schema as
+    :func:`_fake_resize_batch`, so ``mm_resize_real`` is a drop-in for
+    the registered query's plan; covered by a skip-marked pytest that
+    activates the moment the environment gains codecs."""
+    for pdf in batches:
+        target_w, target_h, scales, sums = [], [], [], []
+        for payload in pdf["payload"]:
+            img = decode_image(bytes(payload)).convert("RGB")
+            w, h = img.size
+            scale = min(224.0 / w, 224.0 / h, 1.0)
+            tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+            resized = img.resize((tw, th))
+            target_w.append(tw)
+            target_h.append(th)
+            scales.append(round(scale, 6))
+            sums.append(sum(resized.tobytes()) % 65536)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "target_w": pd.Series(target_w, dtype="int32"),
+                "target_h": pd.Series(target_h, dtype="int32"),
+                "scale": pd.Series(scales, dtype="float64"),
+                "resampled_sum": pd.Series(sums, dtype="int32"),
+            }
+        )
+
+
+def mm_resize_real(images: DataFrame) -> DataFrame:
+    """Real-decode resize over a (doc_id, payload) DataFrame of actual
+    encoded images — the production twin of q_mm_resize's plan (same
+    mapInPandas shape, PIL kernel instead of the deterministic fake).
+    """
+    if not HAS_PIL:
+        raise NotImplementedError("PIL not available in this environment")
+    return images.mapInPandas(
+        _real_resize_batch,
+        schema=(
+            "doc_id long, target_w int, target_h int, scale double, "
+            "resampled_sum int"
+        ),
     )
 
 

@@ -299,9 +299,20 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketch — approximate by design, rows-only check
+    oracle=None,  # HLL sketch — no hashable oracle for the driver...
+    bound=(
+        # ...but the LOCAL gate enforces the sketch's error bound
+        # against the exact cardinalities: Spark's default rsd is
+        # 0.05, so 3 sigma = 15% relative tolerance.
+        "SELECT l_returnflag, "
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts, "
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS approx_orders "
+        "FROM lineitem GROUP BY l_returnflag",
+        0.15,
+    ),
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "cardinality (no exact-distinct shuffle explosion).",
+    "cardinality (no exact-distinct shuffle explosion). Bounded check: "
+    "estimates within 15% (3x the default 5% rsd) of exact per group.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
@@ -1018,10 +1029,26 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_approx_quantile",
     oracle=None,
+    bound=(
+        # Local bounded check vs exact discrete quantiles: at accuracy
+        # 10000 the rank error is < 1 row at test scale, but the two
+        # engines' discrete-quantile edge conventions differ by up to
+        # one order statistic — 5% value tolerance covers an
+        # adjacent-value difference on the doc-length distribution.
+        "SELECT lang, "
+        "quantile_disc(CAST(length(text) AS DOUBLE), 0.25) AS q25, "
+        "quantile_disc(CAST(length(text) AS DOUBLE), 0.5) AS q50, "
+        "quantile_disc(CAST(length(text) AS DOUBLE), 0.75) AS q75, "
+        "quantile_disc(CAST(length(text) AS DOUBLE), 0.95) AS q95 "
+        "FROM documents GROUP BY lang",
+        0.05,
+    ),
     doc="Sketch-path quantiles: approx_percentile (mergeable KLL-style "
     "sketch, map-side partials) of doc length per language — the 100 TB "
-    "twin of q_agg_quantile's exact interpolation; rows-only because "
-    "the sketch's error bound is implementation-specific.",
+    "twin of q_agg_quantile's exact interpolation. No driver oracle "
+    "(the sketch's exact output is implementation-specific), but the "
+    "local gate bounds each estimate within 5% of the exact discrete "
+    "quantile.",
 )
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents

@@ -141,6 +141,45 @@ def dtype_audit(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     return problems
 
 
+def bound_compare(
+    spark_rows, spark_cols, duck_rows, duck_cols, tol: float
+) -> list[str]:
+    """Tolerance compare for sketch queries: rows are keyed by their
+    non-numeric columns (exact match required), numeric cells must be
+    within ``tol`` relative error of the exact oracle value."""
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        return [
+            f"columns: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+        ]
+    if len(spark_rows) != len(duck_rows):
+        problems.append(
+            f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
+        )
+
+    def keyed(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = {}
+        for r in rows:
+            cells = [normalize(r[i]) for i in order]
+            key = tuple(c for c in cells if not isinstance(c, (int, float)))
+            out[key] = [c for c in cells if isinstance(c, (int, float))]
+        return out
+
+    s, d = keyed(spark_rows, spark_cols), keyed(duck_rows, duck_cols)
+    for key, exact in d.items():
+        if key not in s:
+            problems.append(f"missing key {key}")
+            continue
+        for est, ex in zip(s[key], exact):
+            if abs(est - ex) > tol * max(1.0, abs(ex)):
+                problems.append(
+                    f"key {key}: estimate {est} vs exact {ex} "
+                    f"outside rel tol {tol}"
+                )
+    return problems
+
+
 def check_query(spark, con, query, sf_dir: str) -> list[str]:
     """Run one registered Query against both engines; [] = pass."""
     sdf = query.fn(spark, sf_dir)
@@ -148,6 +187,14 @@ def check_query(spark, con, query, sf_dir: str) -> list[str]:
     spark_rows = [tuple(r) for r in sdf.collect()]
     problems = driver_canon_probe(spark_rows, spark_cols)
     if query.oracle is None:
+        if query.bound is not None:
+            exact_sql, tol = query.bound
+            res = con.execute(exact_sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            problems += bound_compare(
+                spark_rows, spark_cols, duck_rows, duck_cols, tol
+            )
         return problems  # rows-only: runs + canonicalizable
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
