@@ -752,3 +752,23 @@ def test_reopen_with_wrong_task_definition_fails(spark, tmp_path):
     # the correct task definition still reopens fine
     again = people_view(spark, tmp_path)
     assert counts(again) == {"CA": 1}
+
+
+def test_two_phase_pruned_lookup_path(spark, tmp_path):
+    """Force the at-scale TWO-PHASE dirty-set path (index too big to
+    fold into the probe: separate pruned doc_index read keyed by the
+    batch ids' doc-spans) and check it against the reference scenario.
+    The folded small-index path is what every other test exercises, so
+    this is the only coverage the 100 TB branch gets."""
+    v = people_view(spark, tmp_path)
+    v._SMALL_INDEX_BYTES = 0  # index is never "small": always two-phase
+    batch1 = [(f"people-{i}", "CA") for i in range(1, 398)] + [
+        (f"people-{i}", "TX") for i in range(398, 654)
+    ]
+    v.execute(people_df(spark, batch1))
+    assert counts(v) == {"CA": 397, "TX": 256}
+    v.execute(people_df(spark, [("people-30", "TX")]))
+    assert counts(v) == {"CA": 396, "TX": 257}
+    # update that only replaces (no key migration) + a fresh insert
+    v.execute(people_df(spark, [("people-30", "TX"), ("people-999", "NV")]))
+    assert counts(v) == {"CA": 396, "TX": 257, "NV": 1}

@@ -794,12 +794,6 @@ class MapReduceView:
             F.lit("k").alias("t"),
             F.col("kspan").alias("v"),
             F.col("bucket").alias("b"),
-        ).unionByName(
-            ids_d.select(
-                F.lit("d").alias("t"),
-                F.col("dspan").alias("v"),
-                F.lit(0).alias("b"),
-            )
         )
         small_idx = self._idx_t.stats()["bytes"] < self._SMALL_INDEX_BYTES
         idx_all = self._idx_t.read(self.spark) if small_idx else None
@@ -810,6 +804,18 @@ class MapReduceView:
                     F.lit("o").alias("t"),
                     F.col("kspan").alias("v"),
                     bucket_of.alias("b"),
+                )
+            )
+        else:
+            # Two-phase path only: the ids' doc-spans drive the pruned
+            # doc_index read in _apply_rest. With the lookup folded
+            # above, batch_dspans is never consulted — skip the branch
+            # (one fewer probe input scan).
+            probe = probe.unionByName(
+                ids_d.select(
+                    F.lit("d").alias("t"),
+                    F.col("dspan").alias("v"),
+                    F.lit(0).alias("b"),
                 )
             )
         new_kspans: set[int] = set()

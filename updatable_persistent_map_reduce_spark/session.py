@@ -55,4 +55,11 @@ def get_spark(app_name: str = "upmr-spark", master: str | None = None) -> SparkS
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The manifest store tracks files itself; _SUCCESS markers are
+    # never read and cost a filesystem round trip per write job —
+    # material for the incremental view's many small commit-protocol
+    # writes (object stores at deployment scale charge per request).
+    spark.sparkContext._jsc.hadoopConfiguration().set(  # noqa: SLF001
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+    )
     return spark
