@@ -284,6 +284,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # exercised in tests/test_streaming.py
     "q_stream_interval_join": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_dedup": ([], ["CartesianProduct", "BatchEvalPython"]),
+    "q_stream_sessionize": ([], ["CartesianProduct", "BatchEvalPython"]),
     # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
     # by group — never a single-task window, never raw-row ranking
     "q_topk_per_group": (

@@ -89,6 +89,7 @@ _PRIORITY = [
     #        50-sample rolls to the next round, local gate covers all)
     "q_stream_interval_join",  # new: stream-stream join, availableNow
     "q_stream_dedup",          # new: watermarked streaming dedup
+    "q_stream_sessionize",     # new: applyInPandasWithState, attested
     "q_topk_per_group",        # new: per-group top-k reporting
     "q_sql_tpch_q18",          # new: large-order customers (HAVING)
     "q_cross_tab",             # new: crosstab contingency counts

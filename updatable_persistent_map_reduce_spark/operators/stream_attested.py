@@ -132,3 +132,60 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_table=sink,
     )
     return spark.table(sink).select("content_hash").distinct()
+
+
+@register(
+    "q_stream_sessionize",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, value, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events), "
+        "b AS (SELECT user_id, ts, event_id, value, "
+        "CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS brk FROM o), "
+        "s AS (SELECT user_id, ts, value, "
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b), "
+        "f AS (SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(max(ts) AS TIMESTAMP) AS session_end, "
+        "CAST(count(*) AS INTEGER) AS n_events, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS total_value "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        "FROM f WHERE sid < (SELECT max(sid) FROM f f2 "
+        "WHERE f2.user_id = f.user_id)"
+    ),
+    doc="Arbitrary-state streaming sessionization run on the ACTUAL "
+    "streaming path: events staged to parquet, readStream -> "
+    "groupBy(user).applyInPandasWithState (explicit per-key state "
+    "schema, 30-min-gap open/close logic — streaming/stream_view.py "
+    "streaming_sessionize) -> availableNow -> memory sink. The "
+    "operator emits a session only when a LATER event closes it "
+    "(NoTimeout), so the attested result is every user's sessions "
+    "EXCEPT their last — exactly what the gap-break-island oracle "
+    "filters to. Session boundaries/counts/sums are tie-order "
+    "independent, so the single-micro-batch replay is deterministic. "
+    "Upgrades the applyInPandasWithState surface from harness-only "
+    "to oracle-checked.",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import streaming_sessionize
+
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "value")
+    inp, ckpt = _stage(ev, "upmr_stream_sess_")
+    sink = f"sess_sink_{uuid.uuid4().hex[:8]}"
+    streaming_sessionize(
+        spark,
+        input_path=inp,
+        input_schema="user_id bigint, ts timestamp, value double",
+        checkpoint_path=ckpt,
+        gap_seconds=1800,
+        sink_table=sink,
+    )
+    return spark.table(sink).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
