@@ -245,3 +245,36 @@ def test_mm_resize_real_decode(spark):
     assert (out[1].target_w, out[1].target_h) == (224, 168)
     assert (out[2].target_w, out[2].target_h) == (74, 224)
     assert (out[3].target_w, out[3].target_h, out[3].scale) == (50, 40, 1.0)
+
+
+def test_cc_path_graph_log_rounds(spark):
+    """Pointer-jumping connected components on a 100-node PATH graph —
+    the chain-shaped worst case where plain min-label propagation needs
+    diameter rounds (100 > the 25-round cap) and would either be
+    silently wrong or raise. Pointer jumping must converge in O(log
+    diameter) (~7-8 rounds here, well under 25) and label every node
+    with the path's minimum id."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    # path 0-1-2-...-99 plus a separate 3-node triangle and a singleton
+    pairs = (
+        [(i, i + 1) for i in range(n - 1)]
+        + [(200, 201), (201, 202), (200, 202)]
+    )
+    nodes = nodes.union(
+        spark.createDataFrame(
+            [(200,), (201,), (202,), (300,)], "vec_id long"
+        )
+    )
+    edges = spark.createDataFrame(pairs, "va long, vb long")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert all(got[i] == 0 for i in range(n)), "path not fully merged"
+    assert got[200] == got[201] == got[202] == 200
+    assert got[300] == 300

@@ -451,52 +451,30 @@ def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_cluster",
-    oracle=(
-        "WITH RECURSIVE pairs AS ("
-        "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
-        "JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9), "
-        "edges AS (SELECT va AS src, vb AS dst FROM pairs "
-        "UNION ALL SELECT vb, va FROM pairs), "
-        "reach(v, lbl) AS ("
-        "SELECT vec_id, vec_id FROM embeddings "
-        "UNION "
-        "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v) "
-        "SELECT v AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id "
-        "FROM reach GROUP BY v"
-    ),
-    doc="Near-duplicate clustering: connected components over the "
-    "cos>=0.9 similarity graph. Edges come from the LSH candidate path "
-    "(lsh_candidate_edges: bucket equi-join + exact-cosine verify — "
-    "never an all-pairs product), then iterative min-label propagation "
-    "WITH pointer jumping (label(v) <- min(label(v), neighbor labels, "
-    "label(label(v))); localCheckpoint per round, stop on fixpoint). "
-    "Pointer jumping halves label-chain depth each round, bounding "
-    "rounds by O(log diameter) — the same guarantee as large-star/"
-    "small-star — so deep path components converge where plain "
-    "propagation needs diameter rounds. Every doc gets the min vec_id "
-    "of its component as cluster representative; singletons are their "
-    "own cluster. The DuckDB oracle is a recursive CTE over the "
-    "brute-force edge set — at sf0.01 LSH candidate recall is exact "
-    "(see N_EDGE_TABLES math), so the edge sets agree.",
-)
-def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(Catalog(spark, sf_dir).embeddings)
-    pairs = lsh_candidate_edges(spark, e).select("va", "vb")
-    edges = pairs.unionByName(
+def connected_components(
+    nodes: DataFrame,  # (vec_id)
+    pairs: DataFrame,  # (va, vb) undirected edges
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Distributed connected components: min-label propagation WITH
+    pointer jumping (label(v) <- min(label(v), neighbor labels,
+    label(label(v)))), localCheckpoint per round, fixpoint probe on
+    the materialized labels. Pointer jumping halves label-chain depth
+    each round, so convergence is O(log diameter) — a 100-node path
+    graph converges in ~7 rounds where plain propagation needs 100
+    (asserted by tests/test_llm_ops.py::test_cc_path_graph_log_rounds).
+    Returns (vec_id, cluster_id=min vec_id of the component)."""
+    edges = pairs.select("va", "vb").unionByName(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
     edges = edges.localCheckpoint()  # edge set reused every iteration
 
-    labels = e.select("vec_id", F.col("vec_id").alias("lbl"))
-    # Min-label propagation + pointer jumping to fixpoint.
+    labels = nodes.select("vec_id", F.col("vec_id").alias("lbl"))
     # localCheckpoint truncates the growing lineage each round —
     # without it the plan doubles per iteration. At 100 TB,
     # hash-partition edges/labels on the join key so every round
     # reuses one co-partitioned shuffle.
-    for _ in range(25):
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vec_id)
             .groupBy("src")
@@ -532,9 +510,48 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            "connected components did not converge in 25 rounds"
+            f"connected components did not converge in {max_rounds} rounds"
         )
-    return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))
+    return labels.select(
+        "vec_id", F.col("lbl").cast("long").alias("cluster_id")
+    )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=(
+        "WITH RECURSIVE pairs AS ("
+        "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9), "
+        "edges AS (SELECT va AS src, vb AS dst FROM pairs "
+        "UNION ALL SELECT vb, va FROM pairs), "
+        "reach(v, lbl) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v) "
+        "SELECT v AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY v"
+    ),
+    doc="Near-duplicate clustering: connected components over the "
+    "cos>=0.9 similarity graph. Edges come from the LSH candidate path "
+    "(lsh_candidate_edges: bucket equi-join + exact-cosine verify — "
+    "never an all-pairs product), then iterative min-label propagation "
+    "WITH pointer jumping (label(v) <- min(label(v), neighbor labels, "
+    "label(label(v))); localCheckpoint per round, stop on fixpoint). "
+    "Pointer jumping halves label-chain depth each round, bounding "
+    "rounds by O(log diameter) — the same guarantee as large-star/"
+    "small-star — so deep path components converge where plain "
+    "propagation needs diameter rounds. Every doc gets the min vec_id "
+    "of its component as cluster representative; singletons are their "
+    "own cluster. The DuckDB oracle is a recursive CTE over the "
+    "brute-force edge set — at sf0.01 LSH candidate recall is exact "
+    "(see N_EDGE_TABLES math), so the edge sets agree.",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(Catalog(spark, sf_dir).embeddings)
+    pairs = lsh_candidate_edges(spark, e).select("va", "vb")
+    return connected_components(e.select("vec_id"), pairs)
 
 
 # ---------------------------------------------------------------------------
