@@ -278,3 +278,54 @@ def test_cc_path_graph_log_rounds(spark):
     assert all(got[i] == 0 for i in range(n)), "path not fully merged"
     assert got[200] == got[201] == got[202] == 200
     assert got[300] == 300
+
+
+def test_ivf_index_upsert_and_pruned_probe(spark, tmp_path):
+    """Persisted IVF index lifecycle: build, probe, incrementally
+    upsert new vectors, probe again — and verify the probe's scan is
+    MANIFEST-PRUNED to the probed cells' files only."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.plans.ann_index import IvfIndex
+
+    dim, n = 8, 64
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(n, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_cells=4)
+    idx.build(df)
+
+    q = [(0, [float(x) for x in vecs[0]])]
+    # exact mode finds the vector's true neighbors
+    exact = idx.search(q, k=5, nprobe=4).collect()
+    assert len(exact) == 5 and all(r.query_id == 0 for r in exact)
+
+    # incremental upsert: a new vector equal to vecs[0] must become
+    # the top hit (cos ~ 1.0) after append, without any rebuild
+    new = spark.createDataFrame(
+        [(1000, [float(x) for x in vecs[0]])],
+        "vec_id long, embedding array<float>",
+    )
+    v0 = idx._listed.version
+    idx.upsert(new)
+    assert idx._listed.version == v0 + 1  # atomic snapshot advanced
+    top = idx.search(q, k=1, nprobe=4).collect()[0]
+    assert top.vec_id == 1000 and top.cos_sim >= 0.999999
+
+    # pruned probe: nprobe=1 must plan a scan over ONLY that cell's
+    # manifest files
+    cents = idx.centroids()
+    qv = np.array(q[0][1]) / np.linalg.norm(q[0][1])
+    cell = int(np.argmax(qv @ cents.T))
+    listed_one = idx._listed.read(spark, spans=[cell])
+    allowed = set(listed_one.inputFiles())
+    pruned = idx.search(q, k=3, nprobe=1)
+    # walk the probe plan's scanned files
+    scanned = set()
+    for f in pruned.inputFiles():
+        scanned.add(f)
+    assert scanned and scanned <= allowed, (scanned, allowed)

@@ -285,6 +285,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_stream_interval_join": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_dedup": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_sessionize": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # persisted-index probe: broadcast cell equi-join over the listed
+    # table's manifest-resolved files — never a cartesian/NLJ scan
+    "q_sim_index_persisted": (
+        ["Broadcast"],
+        ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
+    ),
     # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
     # by group — never a single-task window, never raw-row ranking
     "q_topk_per_group": (

@@ -395,3 +395,47 @@ def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(Catalog(spark, sf_dir).embeddings)
     return lsh_candidate_edges(spark, e).select("va", "vb", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — build once, probe many (plans/ann_index.py).
+
+
+@register(
+    "q_sim_index_persisted",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "round(list_cosine_similarity(list_transform(q.qe, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim "
+        "FROM q JOIN embeddings e ON e.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ("
+        "SELECT query_id, vec_id, cos_sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) "
+        f"WHERE rnk <= {TOP_K}"
+    ),
+    doc="ANN through a PERSISTED IVF index (plans/ann_index.py): "
+    "centroids + a cell-listed ManifestTable built once, then probed "
+    "— the probe resolves driver-side to the probed cells' files "
+    "(the view store's span pruning applied to vector search) and "
+    "supports incremental appends of new vectors with atomic "
+    "manifest snapshots. Run here with nprobe = n_cells, which "
+    "provably probes every cell — EXACT search, so it shares "
+    "q_sim_search's oracle; partial-nprobe recall/cost is measured "
+    "in tools/scale_ann.py. The reference's materialize-once-serve-"
+    "many contract (Executer.cs:165-203, 370-376) for embeddings.",
+)
+def q_sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.ann_index import IvfIndex
+
+    e = spread(Catalog(spark, sf_dir).embeddings).select("vec_id", "embedding")
+    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="upmr_ivf_"), n_cells=N_CELLS)
+    idx.build(e)
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    ]
+    return idx.search(queries, k=TOP_K, nprobe=N_CELLS)
