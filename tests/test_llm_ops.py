@@ -329,3 +329,47 @@ def test_ivf_index_upsert_and_pruned_probe(spark, tmp_path):
     for f in pruned.inputFiles():
         scanned.add(f)
     assert scanned and scanned <= allowed, (scanned, allowed)
+
+
+def test_inverted_index_upsert_and_pruned_scan(spark, tmp_path):
+    """Persisted inverted-index lifecycle: build, score, incrementally
+    append a new document, score again — and verify the query scan is
+    manifest-pruned to the query terms' spans."""
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window hash join"),
+            (2, "window sort filter"),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex(spark, str(tmp_path / "inv"), n_spans=8)
+    idx.build(docs)
+    base = {r.doc_id: r.score for r in idx.bm25(["join", "window", "hash"]).collect()}
+    assert set(base) == {1, 2}  # doc 3 matches nothing
+    assert base[1] > base[2]  # doc 1 hits all three terms
+
+    # incremental append: a new doc stuffed with the query terms must
+    # outrank everything, and corpus stats must have merged
+    s0 = idx.stats()
+    idx.upsert(
+        spark.createDataFrame(
+            [(99, "join join window hash")], "doc_id long, text string"
+        )
+    )
+    s1 = idx.stats()
+    assert s1["n_docs"] == s0["n_docs"] + 1
+    top = idx.bm25(["join", "window", "hash"], k=1).collect()[0]
+    assert top.doc_id == 99
+
+    # pruned scan: the query plan reads only the terms' spans' files
+    spans = idx._term_spans(["join", "window", "hash"])
+    allowed = set(idx._post.read(spark, spans=spans).inputFiles())
+    scanned = set(idx.bm25(["join", "window", "hash"]).inputFiles())
+    assert scanned and scanned <= allowed

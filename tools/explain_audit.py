@@ -291,6 +291,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # persisted postings score: manifest-pruned postings scan, df
+    # broadcast, top-k never a global sort
+    "q_text_index_persisted": (
+        ["Broadcast", "TakeOrderedAndProject"],
+        ["CartesianProduct", "Python", "Sort "],
+    ),
     # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
     # by group — never a single-task window, never raw-row ranking
     "q_topk_per_group": (

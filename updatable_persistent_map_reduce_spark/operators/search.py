@@ -255,3 +255,33 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .select("doc_id", "token", "tfidf", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index — build once, score many (plans/text_index.py).
+
+
+@register(
+    "q_text_index_persisted",
+    oracle=_bm25_oracle(),
+    doc="BM25 through a PERSISTED inverted index (plans/text_index.py): "
+    "postings (token, doc_id, tf, dl) written once into a "
+    "ManifestTable bucketed by term-hash span, corpus scalars "
+    "(n_docs, total_dl) as driver JSON, then the fixed 3-term query "
+    "scored against ONLY the query terms' spans — manifest span "
+    "pruning applied to text retrieval, the reference's "
+    "materialize-once point-read contract (Executer.cs:370-376) for "
+    "search. Supports incremental document appends (atomic snapshot, "
+    "merged stats — tests/test_llm_ops.py lifecycle test). Shares "
+    "q_bm25's oracle: same tokenization, same postings, identical "
+    "fixed-order scoring.",
+)
+def q_text_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.text_index import InvertedIndex
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    idx = InvertedIndex(spark, tempfile.mkdtemp(prefix="upmr_inv_"))
+    idx.build(d)
+    return idx.bm25(QUERY_TERMS, k=TOP_DOCS)
