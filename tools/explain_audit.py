@@ -297,6 +297,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast", "TakeOrderedAndProject"],
         ["CartesianProduct", "Python", "Sort "],
     ),
+    # engine-store reads: materialized finals = manifest-pruned scans
+    "q_upsert_delete": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    "q_store_rescale": (["Scan parquet"], ["Python", "CartesianProduct"]),
     # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
     # by group — never a single-task window, never raw-row ranking
     "q_topk_per_group": (

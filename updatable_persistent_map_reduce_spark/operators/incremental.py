@@ -478,3 +478,88 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+@register(
+    "q_upsert_delete",
+    oracle=(
+        "SELECT CAST(c_nationkey AS INTEGER) AS group_key, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM customer WHERE c_custkey % 10 <> 0 GROUP BY c_nationkey"
+    ),
+    doc="Explicit document deletion through the view engine: load all "
+    "customers, then delete_docs() every 10th — each deleted doc's map "
+    "output is removed everywhere and its dirty spans re-aggregate, "
+    "the reference's delete-and-reschedule (Executer.cs:240-261) "
+    "without replacement rows (deletion = an upsert whose map output "
+    "is empty). A group whose last doc is deleted disappears from the "
+    "finals entirely, exactly like the oracle's WHERE-filtered "
+    "aggregate. Upgrades delete_docs from pytest-only to an "
+    "externally-attested behavior.",
+)
+def q_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    store = tempfile.mkdtemp(prefix="upmr_delete_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        group_cols=["group_key"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_nationkey").cast("int").alias("group_key"),
+    )
+    view.execute(base)
+    doomed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("string").alias("doc_id")
+    )
+    view.delete_docs(doomed)
+    return view.final_df().select("group_key", "cnt")
+
+
+@register(
+    "q_store_rescale",
+    oracle=(
+        "SELECT CAST(c_nationkey AS INTEGER) AS group_key, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal_sum "
+        "FROM customer GROUP BY c_nationkey"
+    ),
+    doc="Online store resharding: build the view at small span counts "
+    "(4 key-spans x 4 doc-spans — right-sized for a small corpus), "
+    "then rescale() to 16x16 — every table rebuilds under the new "
+    "span assignment with the same journaled crash safety as a batch "
+    "— and read the finals THROUGH the rescaled layout. Results are "
+    "layout-invariant (spans are physical placement, not semantics), "
+    "which is exactly what the oracle asserts. The grow-with-the-"
+    "corpus lever at 100 TB: span counts size the copy-on-write "
+    "rewrite unit, so they must track corpus growth; upgrading from "
+    "pytest-only to an externally-attested behavior.",
+)
+def q_store_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    store = tempfile.mkdtemp(prefix="upmr_rescale_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        group_cols=["group_key"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("bal"), 2).alias("bal_sum"),
+        ],
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_nationkey").cast("int").alias("group_key"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    view.execute(base)
+    view.rescale(n_key_spans=16, n_doc_spans=16)
+    return view.final_df().select("group_key", "cnt", "bal_sum")
