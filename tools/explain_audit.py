@@ -300,6 +300,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # engine-store reads: materialized finals = manifest-pruned scans
     "q_upsert_delete": (["Scan parquet"], ["Python", "CartesianProduct"]),
     "q_store_rescale": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # moments family: one partial+final aggregate, no window/join
+    "q_agg_stats": (
+        ["HashAggregate"],
+        ["Python", "Window", "Join", "CartesianProduct"],
+    ),
     # grouped top-k: window over the PRE-AGGREGATED frame, partitioned
     # by group — never a single-task window, never raw-row ranking
     "q_topk_per_group": (

@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_text_index_persisted",  # new: persisted inverted index, BM25
     "q_upsert_delete",         # new: delete_docs through the engine
     "q_store_rescale",         # new: online resharding, layout-invariant
+    "q_agg_stats",             # new: stddev/var/covar/corr moments
     "q_topk_per_group",        # new: per-group top-k reporting
     "q_sql_tpch_q18",          # new: large-order customers (HAVING)
     "q_cross_tab",             # new: crosstab contingency counts

@@ -1918,3 +1918,44 @@ def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# statistical moments — the stddev/variance/covariance/correlation family.
+
+
+@register(
+    "q_agg_stats",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(CAST(stddev_samp(l_discount) AS DOUBLE), 6) AS disc_sd, "
+        "round(CAST(var_samp(l_discount) AS DOUBLE), 6) AS disc_var, "
+        "round(CAST(covar_samp(l_quantity, l_extendedprice) AS DOUBLE), 2) "
+        "AS qty_price_cov, "
+        "round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) "
+        "AS qty_price_corr "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc="Statistical-moments aggregate family per group: sample "
+    "stddev/variance of discount, sample covariance and Pearson "
+    "correlation of quantity vs extended price. All four are "
+    "single-pass partial+final aggregates (Spark's ImperativeAggregate "
+    "moment buffers merge associatively — the re-reducible Reduce "
+    "contract applied to second moments), so the family costs one "
+    "shuffle of O(groups) moment buffers at any corpus size. Sample "
+    "(n-1) definitions on both engines; skewness/kurtosis are "
+    "deliberately excluded — Spark and DuckDB disagree on bias "
+    "correction for the higher moments.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_sd"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+    )
