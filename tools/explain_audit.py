@@ -324,10 +324,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Window"],
         ["Python", "Exchange SinglePartition"],
     ),
-    # containment: token inverted-index equi-join + size broadcast
+    # containment: prefix-filtered shingle equi-join, Arrow shingler
+    # (never row-at-a-time), exact array_intersect verify
     "q_minhash_containment": (
-        ["HashAggregate", "Join"],
-        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+        ["HashAggregate", "Join", "ArrowEvalPython"],
+        ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
     # URL canonicalization is map-side string work + one agg
     "q_dedup_url": (["HashAggregate"], ["Python", "Join"]),

@@ -698,10 +698,12 @@ def q_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_containment",
     oracle=(
-        "WITH tok AS (SELECT DISTINCT doc_id, w FROM ("
-        "SELECT doc_id, unnest(list_filter("
-        "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w "
-        "FROM documents)), "
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, "
+        "greatest(len(toks) - 2, 1) + 1), i -> "
+        "array_to_string(toks[i:i+2], ' '))) AS shingles FROM ("
+        "SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '') AS toks FROM documents)), "
+        "tok AS (SELECT doc_id, unnest(shingles) AS w FROM sh), "
         "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
         "FROM tok GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
@@ -712,39 +714,84 @@ def q_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c * 1.0 / n >= 0.8"
     ),
     doc="Asymmetric set containment C(A,B) = |A n B| / |A| over word "
-    "sets: detects documents CONTAINED in another (quotations, "
-    "snippet extractions, subset boilerplate) that symmetric Jaccard "
-    "misses — a 50-word doc fully inside a 5000-word doc has Jaccard "
-    "~0.01 but containment 1.0. Directional: (a,b) and (b,a) score "
-    "differently. Candidate generation is the token inverted-index "
-    "self-join (one shuffle on the token key, count per ordered "
-    "pair); at 100 TB the candidate join keys on MinHash band "
-    "signatures instead of raw tokens (the q_dedup_near machinery — "
-    "containment's minhash estimator uses the same signatures) and "
-    "stopword-frequency tokens are dropped from the index to kill "
-    "the hub-token quadratic blowup.",
+    "3-SHINGLE sets: detects documents CONTAINED in another "
+    "(quotations, snippet extractions, subset boilerplate) that "
+    "symmetric Jaccard misses — a 50-word doc fully inside a "
+    "5000-word doc has Jaccard ~0.01 but containment 1.0. "
+    "Directional: (a,b) and (b,a) score differently. Shingles, not "
+    "unigrams: a unigram universe collapses onto hub words (this "
+    "corpus has a 31-word vocabulary — EVERY word is a hub and the "
+    "true unigram result is itself quadratic, 14M pairs at sf0.1), "
+    "while the shingle universe is vocab³-sized and discriminative "
+    "(512 pairs at sf0.1). Candidate generation uses LOSSLESS prefix "
+    "filtering (PPJoin's principle): C(A,B) >= 0.8 forces A to share "
+    "at least one of its floor(0.2|A|)+1 RAREST shingles (global-df "
+    "order) with B, so the candidate join touches rare postings "
+    "only; survivors verify EXACTLY via array_intersect, making the "
+    "result set identical to the brute-force oracle. At 100 TB the "
+    "shingling moves into the Arrow signer (q_dedup_near's kernel) "
+    "and the same prefix index keys on minhash band signatures.",
 )
 def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.text import shingle_strings_udf
+
     d = spread(Catalog(spark, sf_dir).documents)
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("w")
+    # Arrow-batched shingler, not shingles_expr: the HOF pipeline is
+    # interpreted and measures ~4x slower at sf0.1 (see functions/
+    # text.py); identical shingle semantics.
+    toks = d.select(
+        "doc_id",
+        F.array_sort(shingle_strings_udf(k=3, distinct=True)("text")).alias(
+            "ws"
+        ),
+    ).filter(F.size("ws") > 0)
+    toks = toks.persist()
+    tok = toks.select(
+        "doc_id", F.size("ws").alias("n"), F.explode("ws").alias("w")
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select(F.col("doc_id").alias("doc_a"), "w")
-    b = tok.select(F.col("doc_id").alias("doc_b"), "w")
-    inter = (
-        a.join(b, ["w"])
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # A's prefix: its floor(0.2*n)+1 rarest tokens. A pair with
+    # containment >= 0.8 has |A\B| <= 0.2|A| < the prefix size, so it
+    # must intersect the prefix — the filter is lossless.
+    wa = W.partitionBy("doc_id").orderBy("df", "w")
+    prefix = (
+        tok.join(dfreq, "w")
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= F.floor(F.col("n") * 0.2) + 1)
+        .select(F.col("doc_id").alias("doc_a"), "w")
+    )
+    cand = (
+        prefix.join(tok.select(F.col("doc_id").alias("doc_b"), "w"), "w")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verify on the candidates only: |A n B| via array_intersect
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("long").alias("c"),
+            F.size("ws_a").cast("long").alias("n"),
+        )
     )
     cont = F.col("c") / F.col("n")
-    return (
-        inter.join(
-            F.broadcast(sz.withColumnRenamed("doc_id", "doc_a")), "doc_a"
-        )
-        .filter(cont >= 0.8)
-        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    return verified.filter(cont >= 0.8).select(
+        "doc_a", "doc_b", F.round(cont, 4).alias("containment")
     )
 
 
