@@ -373,3 +373,35 @@ def test_inverted_index_upsert_and_pruned_scan(spark, tmp_path):
     allowed = set(idx._post.read(spark, spans=spans).inputFiles())
     scanned = set(idx.bm25(["join", "window", "hash"]).inputFiles())
     assert scanned and scanned <= allowed
+
+
+def test_edge_lsh_geometry_scales():
+    """Corpus-scaled LSH geometry: buckets track corpus size (bounded
+    per-bucket membership => candidate emission LINEAR in n, never
+    n²/constant-buckets), table count always pins the qualifying-pair
+    miss probability under the target, and the small-corpus geometry
+    equals the round-3 static (plane=4, table=16) configuration that
+    the driver attested."""
+    import math
+
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        EDGE_MISS_TARGET,
+        EDGE_TARGET_BUCKET,
+        edge_lsh_geometry,
+    )
+
+    # attested small-corpus geometry unchanged
+    assert edge_lsh_geometry(500) == (4, 16)
+    assert edge_lsh_geometry(2000) == (4, 16)
+
+    p = 1.0 - math.acos(0.9) / math.pi
+    prev_planes = 0
+    for n in (500, 2000, 10_000, 100_000, 1_000_000, 10_000_000):
+        planes, tables = edge_lsh_geometry(n)
+        # monotone plane growth, bounded expected bucket membership
+        assert planes >= prev_planes
+        prev_planes = planes
+        if planes < 16:  # below the plane cap the bucket bound holds
+            assert n / (2**planes) <= 2 * EDGE_TARGET_BUCKET
+        # recall pinned: miss probability under target
+        assert (1.0 - p**planes) ** tables <= EDGE_MISS_TARGET

@@ -385,14 +385,40 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over similarity edges.
 
-# LSH tables for candidate-edge generation. At cos >= 0.9 (plane-
-# agreement prob p = 1 - acos(0.9)/pi ~= 0.856, per-table collision
-# p^4 ~= 0.54) a qualifying pair escapes all 16 tables with prob
-# (1-0.54)^16 ~= 4e-6 — candidate recall is effectively exact, and
-# every candidate is verified with the true cosine before becoming an
-# edge, so precision is exact.
-N_EDGE_TABLES = 16
+# LSH geometry for candidate-edge generation, SIZED TO THE CORPUS.
+# A plane-count fixed at 4 gives 16 buckets per table forever: at any
+# real corpus size every bucket exceeds the degeneracy cap and the
+# candidate generator silently returns nothing (and below the cap,
+# per-bucket pair emission is n²/buckets — still quadratic). So the
+# plane count grows with the corpus (buckets ~ n / EDGE_TARGET_BUCKET)
+# and the table count is recomputed to pin the qualifying-pair miss
+# probability: a cos>=t pair agrees with a random plane with
+# p = 1 - acos(t)/pi (0.856 at t=0.9), survives one table with p^P,
+# and escapes all T tables with (1 - p^P)^T <= EDGE_MISS_TARGET.
+# At the test scales (n <= 4096) this resolves to the round-3 static
+# geometry (P=4, T=16 -> miss ~4e-6), so attested behavior is
+# unchanged; at 1M vectors it becomes P=12, T~60 — 4096-bucket
+# tables, one table per plan column, candidates ~ n²·T/2^P bounded
+# per bucket by the cap.
+EDGE_TARGET_BUCKET = 256
 EDGE_MAX_BUCKET = 1000
+EDGE_MISS_TARGET = 1e-5
+_EDGE_MIN_PLANES, _EDGE_MAX_PLANES = 4, 16
+
+
+def edge_lsh_geometry(n: int, threshold: float = 0.9) -> tuple[int, int]:
+    """(n_planes, n_tables) for a corpus of ``n`` vectors: planes scale
+    buckets with the corpus, tables pin the miss probability."""
+    import math
+
+    planes = min(
+        _EDGE_MAX_PLANES,
+        max(_EDGE_MIN_PLANES, math.ceil(math.log2(max(n, 1) / EDGE_TARGET_BUCKET))),
+    )
+    p = 1.0 - math.acos(threshold) / math.pi
+    per_table = p**planes
+    tables = max(16, math.ceil(math.log(EDGE_MISS_TARGET) / math.log(1.0 - per_table)))
+    return planes, tables
 
 
 def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
@@ -401,13 +427,16 @@ def lsh_candidate_edges(spark: SparkSession, e: DataFrame) -> DataFrame:
     bucket) is an equi-shuffle, pairs are emitted per bucket (capped
     at EDGE_MAX_BUCKET members — a bigger bucket is a degenerate
     near-constant region that would explode quadratically), and exact
-    cosine verifies each candidate. Cost scales with near-dup density,
-    never corpus² — no ``va < vb`` cross product anywhere.
+    cosine verifies each candidate. Plane/table counts come from
+    ``edge_lsh_geometry`` (corpus-scaled buckets, pinned miss
+    probability — see the constants above). No ``va < vb`` cross
+    product anywhere.
     """
     from ..functions.vectors import cosine_expr
     from .similarity import lsh_bucket_udf
 
-    bucket_ids = lsh_bucket_udf(spark, n_tables=N_EDGE_TABLES)
+    n_planes, n_tables = edge_lsh_geometry(e.count())
+    bucket_ids = lsh_bucket_udf(spark, n_tables=n_tables, n_planes=n_planes)
     base = e.select(
         "vec_id", F.explode(bucket_ids("embedding")).alias("bucket")
     )
@@ -546,7 +575,7 @@ def connected_components(
     "of its component as cluster representative; singletons are their "
     "own cluster. The DuckDB oracle is a recursive CTE over the "
     "brute-force edge set — at sf0.01 LSH candidate recall is exact "
-    "(see N_EDGE_TABLES math), so the edge sets agree.",
+    "(see edge_lsh_geometry math), so the edge sets agree.",
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(Catalog(spark, sf_dir).embeddings)
