@@ -344,6 +344,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # Q14: part broadcasts; shipdate pushed to the lineitem scan;
+    # one conditional partial+final agg
+    "q_sql_tpch_q14": (
+        ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
+        ["CartesianProduct", "Python", "SortMergeJoin"],
+    ),
+    # Q19: OR-of-ANDs must still resolve to a hash join on the
+    # factored-out equi-key, never a nested loop over the disjunction
+    "q_sql_tpch_q19": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # chunking: scan-local tokenize+explode — no shuffle, no Python
+    "q_chunk_split": (
+        ["Generate", "Scan parquet"],
+        ["Python", "Exchange", "Join"],
+    ),
 }
 
 

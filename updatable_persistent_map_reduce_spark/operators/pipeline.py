@@ -487,3 +487,62 @@ def q_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(1), factor)).alias("copy_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking — fixed-size overlapping token windows.
+
+_CHUNK_SIZE = 32  # tokens per chunk (a stand-in for a model context)
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_chunk_split",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, "
+        f"unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start "
+        "FROM t WHERE len(toks) > 0) "
+        f"SELECT doc_id, CAST(start / {_CHUNK_STRIDE} AS INTEGER) "
+        "AS chunk_id, "
+        f"array_to_string(toks[start + 1 : start + {_CHUNK_SIZE}], ' ') "
+        "AS chunk, "
+        f"CAST(least({_CHUNK_SIZE}, len(toks) - start) AS INTEGER) "
+        "AS chunk_tokens FROM s"
+    ),
+    doc="Context-window chunking: every document is split into "
+    f"fixed-size token windows ({_CHUNK_SIZE} tokens, stride "
+    f"{_CHUNK_STRIDE} = {_CHUNK_SIZE - _CHUNK_STRIDE}-token overlap) — "
+    "the step that turns a cleaned corpus into training sequences. "
+    "Pure Catalyst: tokenize (shared tokens_expr), sequence() the "
+    "chunk starts, posexplode, slice+array_join per window. Map-side "
+    "1->N emit with NO shuffle and no Python — the same scan-local "
+    "shape as q_resample_weighted, so at 100 TB it streams: each "
+    "input split emits its chunks straight to the sink. The overlap "
+    "is carried by re-slicing the in-memory token array, never by "
+    "re-reading input. Oracle reproduces tokenizer+slicing exactly "
+    "(DuckDB list slicing is 1-based inclusive = slice(toks, "
+    "start+1, size)).",
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(_CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(n > 0)
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("toks", F.col("start") + 1, _CHUNK_SIZE), " "
+            ).alias("chunk"),
+            F.least(F.lit(_CHUNK_SIZE), F.size("toks") - F.col("start"))
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+    )

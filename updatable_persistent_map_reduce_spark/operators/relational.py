@@ -1959,3 +1959,72 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_corr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 / Q19 adaptations — the test tables carry a TPC-H subset
+# (lineitem has no shipmode/commitdate, part has no container), so both
+# queries are restated over the columns that exist; the plan shapes
+# under test (promo conditional aggregate over a fact-dim join; a
+# disjunction of conjunctive brand/size/quantity bands) are unchanged.
+
+_TPCH_Q14 = """
+SELECT
+  CAST(floor(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 100) AS BIGINT)
+    AS promo_revenue_cents,
+  CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) * 100) AS BIGINT)
+    AS total_revenue_cents
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= date '1996-01-01' AND l_shipdate < date '1996-03-01'
+"""
+
+register(
+    "q_sql_tpch_q14",
+    oracle=_TPCH_Q14,
+    doc="TPC-H Q14 (promotion effect): revenue through promo parts vs "
+    "all parts for a two-month shipping window — a fact-dim equi-join "
+    "(part broadcasts; at 100 TB it is still the small side by 3-4 "
+    "orders of magnitude) feeding one conditional partial+final "
+    "aggregate. The date predicate pushes to the lineitem scan so the "
+    "join probes only the window's rows. Deviation from spec text: "
+    "the two revenue sums are returned as exact integer cents instead "
+    "of their ratio — decimal-division rounding is engine-specific "
+    "(Spark HALF_UP at derived scale vs DuckDB binary-double) while "
+    "the DECIMAL(18,6) sums are exact and hash-stable (the "
+    "q_sql_tpch_q10 pattern); the ratio is one client-side divide.",
+)(_sql_query(_TPCH_Q14))
+
+
+_TPCH_Q19 = """
+SELECT
+  CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) * 100) AS BIGINT)
+    AS revenue_cents
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+register(
+    "q_sql_tpch_q19",
+    oracle=_TPCH_Q19,
+    doc="TPC-H Q19 (discounted revenue): a disjunction of three "
+    "conjunctive (brand, size-band, quantity-band) clauses across the "
+    "join — the classic optimizer test for OR-of-ANDs. Catalyst "
+    "factors the common p_partkey = l_partkey conjunct out of the "
+    "disjunction so the plan is a broadcast hash join (never a "
+    "nested-loop over the OR), with the single-side conjuncts "
+    "(l_quantity <= 30 overall band, p_brand IN (...)) derivable as "
+    "pushed scan filters. One-row exact-cents aggregate, same "
+    "decimal discipline as Q10/Q14.",
+)(_sql_query(_TPCH_Q19))
