@@ -361,6 +361,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "Scan parquet"],
         ["Python", "Exchange", "Join"],
     ),
+    # entropy: two partial+final aggs, map-side explode — no Python,
+    # no join, no window
+    "q_char_entropy": (
+        ["Generate", "HashAggregate"],
+        ["Python", "Join", "Window", "CartesianProduct"],
+    ),
 }
 
 

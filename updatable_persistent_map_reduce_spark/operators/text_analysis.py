@@ -372,3 +372,58 @@ def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occur").desc(), "ngram")
         .limit(TOP_NGRAMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# character entropy — the gibberish/boilerplate filter of the C4 and
+# Gopher cleaning recipes, exact and oracle-checked.
+
+ENTROPY_LOW = 3.8  # bits; english prose sits ~4.0-4.3 on [a-z0-9]
+
+
+@register(
+    "q_char_entropy",
+    oracle=(
+        "WITH ch AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS c "
+        "FROM documents), "
+        "f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM ch GROUP BY doc_id, c) "
+        "SELECT doc_id, "
+        "round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) "
+        "AS char_entropy, "
+        f"CAST(round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) "
+        f"< {ENTROPY_LOW} AS INTEGER) AS is_low_entropy "
+        "FROM f GROUP BY doc_id"
+    ),
+    doc="Shannon character entropy per document over [a-z0-9] — the "
+    "gibberish / keyboard-mash / boilerplate filter of the C4/Gopher "
+    "cleaning recipes (repeated-character spam scores ~0 bits, English "
+    "prose ~4.0-4.3; flagged under "
+    f"{ENTROPY_LOW}). Exact, not sampled: entropy is folded to "
+    "aggregate-friendly form H = log2(T) - sum(c*log2 c)/T so each "
+    "stage is one partial+final HashAggregate — per-(doc,char) counts "
+    "combine map-side (<= 36 rows per doc reach the wire, about the "
+    "text's own width), then one row per doc. Complements "
+    "q_repetition_filter (which catches LINE-level repeats; entropy "
+    "catches character-level degeneracy).",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]"), 0)
+        ).alias("c"),
+    )
+    f = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = F.sum("cnt")
+    entropy = F.round(
+        F.log2(total) - F.sum(F.col("cnt") * F.log2("cnt")) / total, 6
+    )
+    return f.groupBy("doc_id").agg(
+        entropy.alias("char_entropy"),
+        (entropy < ENTROPY_LOW).cast("int").alias("is_low_entropy"),
+    )
