@@ -772,3 +772,118 @@ def test_two_phase_pruned_lookup_path(spark, tmp_path):
     # update that only replaces (no key migration) + a fresh insert
     v.execute(people_df(spark, [("people-30", "TX"), ("people-999", "NV")]))
     assert counts(v) == {"CA": 396, "TX": 257, "NV": 1}
+
+
+# ----- alter_reduce: reduce evolution without re-map ----------------------
+
+
+def _value_view(spark, tmp_path, name="alter", **kw):
+    return MapReduceView(
+        spark,
+        str(tmp_path / name),
+        id_col="id",
+        group_cols=["grp"],
+        n_key_spans=4,
+        n_doc_spans=4,
+        **kw,
+    )
+
+
+def _vrows(spark, rows):
+    return spark.createDataFrame(rows, "id string, grp string, v long")
+
+
+def test_alter_reduce_adds_metric_and_keeps_upserting(spark, tmp_path):
+    """Adding an aggregate re-reduces persisted map rows (no re-map),
+    and subsequent incremental batches maintain the new metric."""
+    v = _value_view(
+        spark, tmp_path, agg_exprs=[F.sum(F.lit(1)).alias("cnt")]
+    )
+    v.execute(_vrows(spark, [("a", "g", 10), ("b", "g", 4), ("c", "h", 7)]))
+    assert {r["grp"]: r["cnt"] for r in v.final_df().collect()} == {
+        "g": 2,
+        "h": 1,
+    }
+    v.alter_reduce(
+        agg_exprs=[F.sum(F.lit(1)).alias("cnt"), F.sum("v").alias("v_sum")]
+    )
+    got = {r["grp"]: (r["cnt"], r["v_sum"]) for r in v.final_df().collect()}
+    assert got == {"g": (2, 14), "h": (1, 7)}  # v was in map rows all along
+    # incremental upsert AFTER the alter maintains both metrics
+    v.execute(_vrows(spark, [("b", "g", 100), ("d", "h", 1)]))
+    got = {r["grp"]: (r["cnt"], r["v_sum"]) for r in v.final_df().collect()}
+    assert got == {"g": (2, 110), "h": (2, 8)}
+
+
+def test_alter_reduce_survives_restart(spark, tmp_path):
+    v = _value_view(
+        spark, tmp_path, agg_exprs=[F.sum(F.lit(1)).alias("cnt")]
+    )
+    v.execute(_vrows(spark, [("a", "g", 3), ("b", "g", 5)]))
+    new_aggs = [F.sum("v").alias("v_sum")]
+    v.alter_reduce(agg_exprs=new_aggs)
+    v2 = _value_view(spark, tmp_path, agg_exprs=new_aggs)
+    assert v2.final_df().collect()[0]["v_sum"] == 8
+
+
+def test_alter_reduce_crash_before_recompute_converges(spark, tmp_path):
+    """The crash window alter_reduce journals against: journal + layout
+    written, recompute never ran. Reopening with the new reduce must
+    recover the new finals from map rows."""
+    v = _value_view(
+        spark, tmp_path, agg_exprs=[F.sum(F.lit(1)).alias("cnt")]
+    )
+    v.execute(_vrows(spark, [("a", "g", 3), ("b", "h", 5)]))
+    # reproduce alter_reduce's pre-recompute state by hand
+    new_aggs = [F.sum("v").alias("v_sum")]
+    v.agg_exprs = new_aggs
+    kspans = {p // v.n_sub_buckets for p in v._map_t.spans()}
+    v._write_journal(sorted(kspans))
+    v._write_meta({**v._meta(), "layout": v._layout()})
+    # "crash": no recompute. Fresh instance with the new reduce:
+    v2 = _value_view(spark, tmp_path, agg_exprs=new_aggs)
+    got = {r["grp"]: r["v_sum"] for r in v2.final_df().collect()}
+    assert got == {"g": 3, "h": 5}
+
+
+def test_alter_reduce_to_custom_reduce_fn(spark, tmp_path):
+    """Alter from algebraic aggregates to an arbitrary applyInPandas
+    Reduce (two-level drops: a non-algebraic reduce has no mergeable
+    partials)."""
+
+    def median_reduce(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "kspan": [pdf["kspan"].iloc[0]],
+                "grp": [pdf["grp"].iloc[0]],
+                "median_v": [float(pdf["v"].median())],
+            }
+        )
+
+    v = _value_view(
+        spark, tmp_path, agg_exprs=[F.sum("v").alias("v")]
+    )
+    assert v.two_level  # sum over its own alias is re-reduce closed
+    v.execute(_vrows(spark, [("a", "g", 1), ("b", "g", 9), ("c", "g", 4)]))
+    v.alter_reduce(
+        reduce_fn=median_reduce, reduce_schema="grp string, median_v double"
+    )
+    assert not v.two_level
+    assert v._l1_t.spans() == {}  # partials dropped with the mode
+    assert v.final_df().collect()[0]["median_v"] == 4.0
+
+
+def test_alter_reduce_validation(spark, tmp_path):
+    v = _value_view(
+        spark, tmp_path, agg_exprs=[F.sum(F.lit(1)).alias("cnt")]
+    )
+    with pytest.raises(ValueError):
+        v.alter_reduce()
+    with pytest.raises(ValueError):
+        v.alter_reduce(
+            agg_exprs=[F.sum("v").alias("v")], reduce_fn=lambda p: p
+        )
+    with pytest.raises(ValueError):
+        v.alter_reduce(reduce_fn=lambda p: p)  # missing schema

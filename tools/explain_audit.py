@@ -367,6 +367,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "HashAggregate"],
         ["Python", "Join", "Window", "CartesianProduct"],
     ),
+    # engine-store read after reduce evolution: materialized finals
+    "q_alter_reduce": (["Scan parquet"], ["Python", "CartesianProduct"]),
 }
 
 

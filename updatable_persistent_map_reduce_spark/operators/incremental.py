@@ -563,3 +563,58 @@ def q_store_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     view.execute(base)
     view.rescale(n_key_spans=16, n_doc_spans=16)
     return view.final_df().select("group_key", "cnt", "bal_sum")
+
+
+@register(
+    "q_alter_reduce",
+    oracle=(
+        "SELECT o_orderstatus AS group_key, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    doc="Reduce-function evolution WITHOUT re-running Map "
+    "(view.alter_reduce): a view is built counting orders per status, "
+    "then altered to ALSO sum order value — the new finals are "
+    "re-aggregated from the persisted map_results table, never by "
+    "replaying source documents through Map. This is why the "
+    "reference persists map output at all (Executer.cs:80-83,165-183) "
+    "but it never grew the API; at 100 TB, adding a metric to a "
+    "materialized view costs one pruned columnar read of map rows "
+    "instead of a corpus re-map. Crash-safe via the batch journal "
+    "(every live key-span journaled, recovery re-aggregates under "
+    "the reopening view's reduce). Order value is exact integer "
+    "cents (round(x*100) on a 2-decimal price is exact in both "
+    "engines). The oracle checks the POST-alter finals; the gate "
+    "therefore attests that map rows carried the value column all "
+    "along and the recompute used them.",
+)
+def q_alter_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    store = tempfile.mkdtemp(prefix="upmr_alter_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        group_cols=["group_key"],
+        agg_exprs=[F.sum("cnt").alias("cnt")],
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("doc_id"),
+        F.col("o_orderstatus").alias("group_key"),
+        F.lit(1).alias("cnt"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    view.execute(base)
+    view.alter_reduce(
+        agg_exprs=[
+            F.sum("cnt").alias("cnt"),
+            F.sum("cents").alias("total_cents"),
+        ]
+    )
+    return view.final_df().select("group_key", "cnt", "total_cents")

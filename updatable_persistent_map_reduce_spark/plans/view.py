@@ -1343,6 +1343,56 @@ class MapReduceView:
         self._write_meta(self._meta())
         os.remove(self._journal_path)
 
+    def alter_reduce(
+        self,
+        *,
+        agg_exprs: Sequence[Column] | None = None,
+        reduce_fn: Callable | None = None,
+        reduce_schema: str | None = None,
+    ) -> None:
+        """Swap the view's Reduce WITHOUT re-running Map: recompute the
+        reduce tree (L1 partials where legal, finals always) from the
+        persisted map_results — the reason the reference persists its
+        map output at all (Executer.cs:80-83,165-183), exposed as the
+        API the reference never grew. Changing an aggregate costs
+        O(map rows re-aggregated), never a re-map of the corpus — at
+        100 TB, adding a metric to a materialized view reads the
+        (columnar, pruned) map table once instead of replaying every
+        source document through Map.
+
+        Crash-safe by reusing the batch recovery path: every live
+        key-span is journaled first, so a kill mid-recompute replays
+        the re-aggregation on reopen (construct the reopening view
+        with the NEW reduce definition — the view object's reduce IS
+        the store's; ``meta.json`` records the new two_level layout).
+        Group columns are fixed (kspan assignment derives from them —
+        changing the grouping is a different view, not an alter)."""
+        if (agg_exprs is None) == (reduce_fn is None):
+            raise ValueError("exactly one of agg_exprs / reduce_fn required")
+        if reduce_fn is not None and reduce_schema is None:
+            raise ValueError("reduce_fn requires reduce_schema")
+        was_two_level = self.two_level
+        self.agg_exprs = list(agg_exprs) if agg_exprs is not None else None
+        self.reduce_fn = reduce_fn
+        self.reduce_schema = reduce_schema
+        self.two_level = _rereduce_closed(self.agg_exprs)
+        kspans = {
+            p // self.n_sub_buckets for p in self._map_t.spans()
+        }
+        if not kspans:
+            self._write_meta({**self._meta(), "layout": self._layout()})
+            return
+        # Journal before the meta/layout swap: a crash at any point
+        # from here replays the per-span re-aggregation under the
+        # reduce definition the reopening constructor carries.
+        self._write_journal(sorted(kspans))
+        self._write_meta({**self._meta(), "layout": self._layout()})
+        if was_two_level and not self.two_level:
+            stale_l1 = set(self._l1_t.spans())
+            if stale_l1:
+                self._l1_t.commit(drop=stale_l1)
+        self._recover()
+
     def compact_map(self, min_files: int = 4) -> int:
         """Small-file compaction for append-heavy ingest: every
         insert-only batch appends one file per touched pair, so a pair
