@@ -887,3 +887,55 @@ def test_alter_reduce_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError):
         v.alter_reduce(reduce_fn=lambda p: p)  # missing schema
+
+
+def test_alter_reduce_interleaved_with_upserts_property(spark, tmp_path):
+    """Randomized: upsert batches with alters in between — after every
+    step, materialized finals equal the latest-wins oracle under the
+    CURRENT reduce definition (delete/upsert state is independent of
+    which reduce is installed; only the finals change shape)."""
+    import random
+
+    rng = random.Random(7)
+    reduces = [
+        ("cnt_only", [F.sum(F.lit(1)).alias("cnt")]),
+        (
+            "cnt_and_sum",
+            [F.sum(F.lit(1)).alias("cnt"), F.sum("v").alias("v_sum")],
+        ),
+        ("min_max", [F.min("v").alias("v_min"), F.max("v").alias("v_max")]),
+    ]
+    cur = 0
+    v = _value_view(spark, tmp_path, agg_exprs=reduces[cur][1])
+    latest: dict[str, tuple[str, int]] = {}
+    for step in range(6):
+        batch = {}
+        for _ in range(rng.randint(1, 25)):
+            doc = f"d-{rng.randint(1, 40)}"
+            batch[doc] = (rng.choice(["g", "h", "k"]), rng.randint(0, 99))
+        latest.update(batch)
+        v.execute(
+            _vrows(spark, [(d, g, val) for d, (g, val) in sorted(batch.items())])
+        )
+        if step % 2 == 1:  # alter on odd steps
+            cur = (cur + 1) % len(reduces)
+            v.alter_reduce(agg_exprs=reduces[cur][1])
+        per_group: dict[str, list[int]] = {}
+        for g, val in latest.values():
+            per_group.setdefault(g, []).append(val)
+        name = reduces[cur][0]
+        got = {r["grp"]: r.asDict() for r in v.final_df().collect()}
+        assert set(got) == set(per_group)
+        for g, vals in per_group.items():
+            if name == "cnt_only":
+                assert got[g]["cnt"] == len(vals)
+            elif name == "cnt_and_sum":
+                assert (got[g]["cnt"], got[g]["v_sum"]) == (
+                    len(vals),
+                    sum(vals),
+                )
+            else:
+                assert (got[g]["v_min"], got[g]["v_max"]) == (
+                    min(vals),
+                    max(vals),
+                )
