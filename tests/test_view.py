@@ -939,3 +939,60 @@ def test_alter_reduce_interleaved_with_upserts_property(spark, tmp_path):
                     min(vals),
                     max(vals),
                 )
+
+
+def test_multi_column_group_key(spark, tmp_path):
+    """Composite group keys: kspan derives from ALL group columns
+    (concat_ws crc32), point lookups take the full composite key, and
+    migration of one component moves the doc between groups."""
+    v = MapReduceView(
+        spark,
+        str(tmp_path / "multi_key"),
+        id_col="id",
+        group_cols=["state", "city"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("v_sum"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id string, state string, city string, v long"
+    )
+    v.execute(
+        mk(
+            [
+                ("a", "CA", "SF", 1),
+                ("b", "CA", "SF", 2),
+                ("c", "CA", "LA", 4),
+                ("d", "TX", "SF", 8),  # same city, different state
+            ]
+        )
+    )
+    got = {
+        (r["state"], r["city"]): (r["cnt"], r["v_sum"])
+        for r in v.final_df().collect()
+    }
+    assert got == {
+        ("CA", "SF"): (2, 3),
+        ("CA", "LA"): (1, 4),
+        ("TX", "SF"): (1, 8),
+    }
+    # composite-key point lookup, spark and serving paths
+    row = v.query("CA", "SF").collect()
+    assert len(row) == 1 and row[0]["v_sum"] == 3
+    local = v.query_local("TX", "SF")
+    assert len(local) == 1 and local[0]["cnt"] == 1
+    assert v.query("CA", "Austin").count() == 0  # unknown composite
+    # migrate one component: b moves SF -> LA within CA
+    v.execute(mk([("b", "CA", "LA", 2)]))
+    got = {
+        (r["state"], r["city"]): (r["cnt"], r["v_sum"])
+        for r in v.final_df().collect()
+    }
+    assert got == {
+        ("CA", "SF"): (1, 1),
+        ("CA", "LA"): (2, 6),
+        ("TX", "SF"): (1, 8),
+    }
