@@ -80,3 +80,52 @@ def test_empty_write_yields_empty_mapping(spark, table):
     assert m == {}
     table.commit(replace=m)
     assert table.read(spark) is None
+
+
+# ----- optimistic concurrency: the exclusive-create commit point ----------
+
+
+def test_concurrent_commit_detected(spark, table):
+    """A second writer that already claimed the next version makes
+    this writer's commit fail loudly instead of silently losing it."""
+    from updatable_persistent_map_reduce_spark.plans.store import (
+        ConcurrentCommitError,
+    )
+
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    mapping = table.write_data(mk_df(spark, [(0, "v2-lost")]))
+    # freeze this writer inside commit's load->publish window: it has
+    # read base v1 when a second writer lands v2
+    stale = table._load()
+    table._load = lambda version=None: dict(stale)
+    other = ManifestTable(table.path, "kspan")
+    other.commit(replace=other.write_data(mk_df(spark, [(0, "v2-won")])))
+    with pytest.raises(ConcurrentCommitError, match="version 2"):
+        table.commit(replace=mapping)
+    # the winner's snapshot is intact; loser's files are unreferenced
+    # orphans a vacuum reclaims
+    assert other.version == 2
+    assert read_vals(other, spark) == [(0, "v2-won")]
+    assert other.vacuum() >= 1
+    assert read_vals(other, spark) == [(0, "v2-won")]
+
+
+def test_pointer_crash_self_heals(spark, table):
+    """Crash between the commit point (_versions/<N>.json) and the
+    pointer update: the next load adopts the committed version and
+    repairs the pointer."""
+    import json
+
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    mapping = table.write_data(mk_df(spark, [(0, "v2")]))
+    committed = {
+        "version": 2,
+        "spans": {str(s): fs for s, fs in mapping.items()},
+    }
+    vdir = os.path.join(table.path, "_versions")
+    with open(os.path.join(vdir, "2.json"), "w") as f:
+        json.dump(committed, f)  # commit point landed; pointer did not
+    assert table.version == 2
+    assert read_vals(table, spark) == [(0, "v2")]
+    with open(os.path.join(table.path, "manifest.json")) as f:
+        assert json.load(f)["version"] == 2  # pointer repaired

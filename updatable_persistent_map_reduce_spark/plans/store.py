@@ -55,12 +55,29 @@ _MANIFEST = "manifest.json"
 _VERSIONS = "_versions"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version first. The losing
+    writer's data files are unreferenced (vacuum reclaims them); retry
+    by re-reading state and re-deriving the commit — the optimistic-
+    concurrency contract of a Delta/Iceberg commit log, reduced to
+    exclusive-create on a filesystem."""
+
+
 class ManifestTable:
     """A parquet table whose membership is an atomically-swapped
     manifest: ``{"version": N, "spans": {"<span>": ["<relpath>", ...]}}``.
 
-    Single-writer (the engine serializes commits per table); any number
-    of concurrent readers, each seeing a consistent snapshot.
+    Single-writer by design (the engine serializes commits per table);
+    any number of concurrent readers, each seeing a consistent
+    snapshot. A SECOND writer is a misconfiguration the table detects
+    rather than tolerates: the commit point is an exclusive create of
+    ``_versions/<N>.json``, so when two writers race to publish the
+    same next version exactly one wins and the other raises
+    :class:`ConcurrentCommitError` — a lost update becomes a loud
+    failure, never silent corruption. ``manifest.json`` is a
+    convenience pointer to the committed version; a crash between
+    commit point and pointer update self-heals on the next load
+    (the highest committed version wins).
     """
 
     def __init__(self, path: str, span_col: str):
@@ -77,17 +94,40 @@ class ManifestTable:
     # ----- manifest io -----------------------------------------------------
 
     def _load(self, version: int | None = None) -> dict:
-        p = (
-            self._manifest_path
-            if version is None
-            else os.path.join(self.path, _VERSIONS, f"{version}.json")
-        )
-        if not os.path.exists(p):
-            if version is not None:
+        if version is not None:
+            p = os.path.join(self.path, _VERSIONS, f"{version}.json")
+            if not os.path.exists(p):
                 raise ValueError(f"no archived manifest version {version} at {p}")
-            return {"version": 0, "spans": {}}
-        with open(p) as f:
-            return json.load(f)
+            with open(p) as f:
+                return json.load(f)
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+        else:
+            m = {"version": 0, "spans": {}}
+        # Crash-window self-heal: the commit POINT is the exclusive
+        # create of _versions/<N>.json; the pointer update may not have
+        # landed. Adopt the highest committed version beyond the
+        # pointer and repair the pointer (idempotent atomic replace).
+        vdir = os.path.join(self.path, _VERSIONS)
+        if os.path.isdir(vdir):
+            newer = [
+                int(f[:-5])
+                for f in os.listdir(vdir)
+                if f.endswith(".json") and f[:-5].isdigit()
+                and int(f[:-5]) > m["version"]
+            ]
+            if newer:
+                with open(os.path.join(vdir, f"{max(newer)}.json")) as f:
+                    m = json.load(f)
+                self._publish_pointer(m)
+        return m
+
+    def _publish_pointer(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
 
     @property
     def version(self) -> int:
@@ -172,17 +212,29 @@ class ManifestTable:
         spans = {s: fs for s, fs in spans.items() if fs}
         new = {"version": m["version"] + 1, "spans": spans}
         os.makedirs(self.path, exist_ok=True)
-        if os.path.exists(self._manifest_path):
-            vdir = os.path.join(self.path, _VERSIONS)
-            os.makedirs(vdir, exist_ok=True)
-            shutil.copyfile(
-                self._manifest_path,
-                os.path.join(vdir, f"{m['version']}.json"),
-            )
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
+        vdir = os.path.join(self.path, _VERSIONS)
+        os.makedirs(vdir, exist_ok=True)
+        # Keep the base version time-travelable (pre-existing stores
+        # whose current version predates the version-file commit point
+        # have no _versions/<base>.json yet).
+        base = os.path.join(vdir, f"{m['version']}.json")
+        if m["version"] > 0 and not os.path.exists(base):
+            shutil.copyfile(self._manifest_path, base)
+        # THE commit point: exclusive create of the new version's
+        # manifest. Exactly one writer can win a version; a loser got
+        # here from a stale read of the same base version.
+        target = os.path.join(vdir, f"{new['version']}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {new['version']} of {self.path} was committed "
+                "by another writer (stale base snapshot "
+                f"{m['version']}); this table is single-writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(new, f)
-        os.replace(tmp, self._manifest_path)
+        self._publish_pointer(new)
         return new["version"]
 
     # ----- read path -------------------------------------------------------
@@ -232,8 +284,10 @@ class ManifestTable:
     def vacuum(self, keep_versions: int = 0) -> int:
         """Delete data files not referenced by the current snapshot
         (crashed-write orphans, compacted/rewritten spans) and archived
-        manifests beyond ``keep_versions``. Returns the number of files
-        removed. Single-writer engines may run this any time; with
+        manifests beyond the ``keep_versions`` newest (the current
+        version's commit record counts as one of them — it is only
+        needed for time travel once the pointer is published). Returns
+        the number of files removed. Single-writer engines may run this any time; with
         long-lived external readers, delay it past their lifetime (the
         usual retention-window rule)."""
         if not os.path.exists(self.path):
