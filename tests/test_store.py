@@ -129,3 +129,19 @@ def test_pointer_crash_self_heals(spark, table):
     assert read_vals(table, spark) == [(0, "v2")]
     with open(os.path.join(table.path, "manifest.json")) as f:
         assert json.load(f)["version"] == 2  # pointer repaired
+
+
+def test_history_lists_commits_newest_first(spark, table):
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    table.commit(append=table.write_data(mk_df(spark, [(1, "v2")])))
+    h = table.history()
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["spans"] == 2 and h[0]["files"] == 2
+    assert h[1]["spans"] == 1
+    assert all(e["committed_at"] is not None for e in h)
+    # a vacuumed version remains listed, membership gone
+    table.vacuum(keep_versions=0)
+    h = table.history()
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["spans"] == 2  # current: readable through the pointer
+    assert h[1]["spans"] is None

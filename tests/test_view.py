@@ -996,3 +996,15 @@ def test_multi_column_group_key(spark, tmp_path):
         ("CA", "LA"): (2, 6),
         ("TX", "SF"): (1, 8),
     }
+
+
+def test_view_history_audit_trail(spark, tmp_path):
+    v = people_view(spark, tmp_path)
+    v.execute(people_df(spark, [("a", "CA")]))
+    v.execute(people_df(spark, [("b", "TX")]))
+    h = v.history()
+    assert set(h) >= {"map_results", "final_results", "doc_index"}
+    assert [e["version"] for e in h["final_results"]][:1] == [
+        max(e["version"] for e in h["final_results"])
+    ]
+    assert all(e["committed_at"] is not None for e in h["map_results"])

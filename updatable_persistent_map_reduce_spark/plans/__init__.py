@@ -1,1 +1,2 @@
+from .store import ConcurrentCommitError, ManifestTable  # noqa: F401
 from .view import MapReduceView  # noqa: F401

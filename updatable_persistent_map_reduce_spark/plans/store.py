@@ -281,6 +281,50 @@ class ManifestTable:
             ),
         }
 
+    def history(self) -> list[dict]:
+        """Commit history, newest first: version, commit time (the
+        version file's mtime; the pointer's for a vacuumed current
+        version), span/file counts — DESCRIBE HISTORY for the store.
+        Versions whose archived manifest was vacuumed appear with
+        ``"spans": None`` (the commit happened; its membership is no
+        longer readable). No Spark job; manifest metadata only."""
+        cur = self._load()
+        vdir = os.path.join(self.path, _VERSIONS)
+        entries: dict[int, dict] = {}
+        if os.path.isdir(vdir):
+            for f in os.listdir(vdir):
+                if not (f.endswith(".json") and f[:-5].isdigit()):
+                    continue
+                v = int(f[:-5])
+                fp = os.path.join(vdir, f)
+                with open(fp) as fh:
+                    m = json.load(fh)
+                entries[v] = {
+                    "version": v,
+                    "committed_at": os.path.getmtime(fp),
+                    "spans": len(m["spans"]),
+                    "files": sum(len(fs) for fs in m["spans"].values()),
+                }
+        for v in range(1, cur["version"] + 1):
+            if v not in entries:
+                ts = (
+                    os.path.getmtime(self._manifest_path)
+                    if v == cur["version"]
+                    and os.path.exists(self._manifest_path)
+                    else None
+                )
+                entries[v] = {
+                    "version": v,
+                    "committed_at": ts,
+                    "spans": len(cur["spans"]) if v == cur["version"] else None,
+                    "files": (
+                        sum(len(fs) for fs in cur["spans"].values())
+                        if v == cur["version"]
+                        else None
+                    ),
+                }
+        return [entries[v] for v in sorted(entries, reverse=True)]
+
     def vacuum(self, keep_versions: int = 0) -> int:
         """Delete data files not referenced by the current snapshot
         (crashed-write orphans, compacted/rewritten spans) and archived

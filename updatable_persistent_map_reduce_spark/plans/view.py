@@ -1242,6 +1242,23 @@ class MapReduceView:
                 out[name] = s
         return out
 
+    def history(self) -> dict:
+        """Per-table commit history, newest first (DESCRIBE HISTORY):
+        version, commit time, span/file counts per committed snapshot
+        — the audit trail behind ``final_df(version=N)`` time travel.
+        Manifest metadata only; no Spark job."""
+        out: dict = {}
+        for name, table in (
+            ("map_results", self._map_t),
+            ("doc_index", self._idx_t),
+            ("reduce_l1", self._l1_t),
+            ("final_results", self._fin_t),
+        ):
+            h = table.history()
+            if h:
+                out[name] = h
+        return out
+
     def vacuum(self, keep_versions: int = 0) -> int:
         """Reclaim unreferenced data files (crashed batches, replaced
         spans) and bound the manifest archive across all four tables.
