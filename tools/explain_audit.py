@@ -369,6 +369,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # engine-store read after reduce evolution: materialized finals
     "q_alter_reduce": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # streaming-built store: the returned plan reads materialized
+    # finals, same as the batch-built twin
+    "q_stream_view_upsert": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

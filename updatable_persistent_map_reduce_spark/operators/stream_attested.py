@@ -189,3 +189,80 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "q_stream_view_upsert",
+    oracle=(
+        "WITH latest AS (SELECT user_id, event_type, value FROM "
+        "(SELECT user_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events) WHERE rn = 1) "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="The STREAMING twin of q_upsert_recount, driven end-to-end on "
+    "the real path: events staged as three producer batch files "
+    "(mtime-ordered), readStream with maxFilesPerTrigger=1 so "
+    "availableNow replays them as three micro-batches, foreachBatch "
+    "-> MapReduceView.execute with checkpointed exactly-once "
+    "(streaming/stream_view.py StreamingMapReduceView). seq_col="
+    "event_id makes latest-wins deterministic even if the source "
+    "coalesces producer batches. The oracle is the identical "
+    "latest-wins SQL the batch twin faces, so a green row attests "
+    "that the reference's repeated-Execute call pattern "
+    "(Program.cs:31,35) run as Structured Streaming converges to the "
+    "same materialized groups.",
+)
+def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from ..streaming.stream_view import StreamingMapReduceView
+    from .incremental import _latest_event_rereducible
+
+    ev = Catalog(spark, sf_dir).events
+    base = tempfile.mkdtemp(prefix="upmr_sview_")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    hi = ev.selectExpr("max(event_id)").first()[0] + 1
+    step = max(1, hi // 3 + 1)
+    for b in range(3):
+        batch = ev.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        ).select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        batch.coalesce(1).write.mode("append").parquet(inbox)
+        time.sleep(0.05)  # distinct mtimes: file order == producer order
+    sv = StreamingMapReduceView(
+        spark,
+        os.path.join(base, "store"),
+        input_path=inbox,
+        input_schema=(
+            "doc_id string, event_id bigint, user_id bigint, "
+            "event_type string, value double"
+        ),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        id_col="doc_id",
+        seq_col="event_id",
+        map_fn=_latest_event_rereducible,
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_sum").alias("value_sum"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+        max_files_per_trigger=1,
+    )
+    sv.run_available_now()
+    return sv.final_df().select(
+        F.col("event_type").alias("group_key"),
+        "cnt",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
