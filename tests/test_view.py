@@ -827,23 +827,80 @@ def test_alter_reduce_survives_restart(spark, tmp_path):
 
 
 def test_alter_reduce_crash_before_recompute_converges(spark, tmp_path):
-    """The crash window alter_reduce journals against: journal + layout
-    written, recompute never ran. Reopening with the new reduce must
-    recover the new finals from map rows."""
+    """The crash window alter_reduce journals against: the journal
+    (spans + new mode) landed, nothing else ran. Reopening with the
+    new reduce must recover the new finals from map rows."""
     v = _value_view(
         spark, tmp_path, agg_exprs=[F.sum(F.lit(1)).alias("cnt")]
     )
     v.execute(_vrows(spark, [("a", "g", 3), ("b", "h", 5)]))
-    # reproduce alter_reduce's pre-recompute state by hand
-    new_aggs = [F.sum("v").alias("v_sum")]
-    v.agg_exprs = new_aggs
+    # reproduce alter_reduce's post-journal state by hand
     kspans = {p // v.n_sub_buckets for p in v._map_t.spans()}
-    v._write_journal(sorted(kspans))
-    v._write_meta({**v._meta(), "layout": v._layout()})
+    v._write_journal(sorted(kspans), extra={"alter_two_level": False})
     # "crash": no recompute. Fresh instance with the new reduce:
+    new_aggs = [F.sum("v").alias("v_sum")]
     v2 = _value_view(spark, tmp_path, agg_exprs=new_aggs)
     got = {r["grp"]: r["v_sum"] for r in v2.final_df().collect()}
     assert got == {"g": 3, "h": 5}
+
+
+def test_alter_reduce_crash_from_two_level_to_custom_fn(spark, tmp_path):
+    """Crashed two-level -> custom-reduce alter: the stored layout
+    still says two_level=True, but the journaled mode must win on the
+    reopening recovery (otherwise recovery would aggregate with
+    agg_exprs=None and crash, or re-reduce a non-closed reduce)."""
+
+    def median_reduce(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "kspan": [pdf["kspan"].iloc[0]],
+                "grp": [pdf["grp"].iloc[0]],
+                "median_v": [float(pdf["v"].median())],
+            }
+        )
+
+    v = _value_view(spark, tmp_path, agg_exprs=[F.sum("v").alias("v")])
+    assert v.two_level
+    v.execute(_vrows(spark, [("a", "g", 1), ("b", "g", 9), ("c", "g", 4)]))
+    kspans = {p // v.n_sub_buckets for p in v._map_t.spans()}
+    v._write_journal(sorted(kspans), extra={"alter_two_level": False})
+    # "crash" before anything else; reopen with the NEW reduce
+    v2 = _value_view(
+        spark,
+        tmp_path,
+        reduce_fn=median_reduce,
+        reduce_schema="grp string, median_v double",
+    )
+    assert not v2.two_level
+    assert v2._l1_t.spans() == {}  # stale partials dropped in recovery
+    assert v2.final_df().collect()[0]["median_v"] == 4.0
+
+
+def test_alter_reduce_never_escalates_pinned_single_level(spark, tmp_path):
+    """A store explicitly pinned two_level=False stays single-level
+    through an alter whose aggregates WOULD permit the reduce tree —
+    and the owner's next same-args reopen still works."""
+    v = _value_view(
+        spark,
+        tmp_path,
+        agg_exprs=[F.sum("v").alias("v")],
+        two_level=False,
+    )
+    v.execute(_vrows(spark, [("a", "g", 3), ("b", "g", 5)]))
+    v.alter_reduce(
+        agg_exprs=[F.sum("v").alias("v"), F.max("v").alias("v_max")]
+    )
+    assert not v.two_level
+    v2 = _value_view(  # same-args reopen must not hit the layout check
+        spark,
+        tmp_path,
+        agg_exprs=[F.sum("v").alias("v"), F.max("v").alias("v_max")],
+        two_level=False,
+    )
+    [row] = v2.final_df().collect()
+    assert (row["v"], row["v_max"]) == (8, 5)
 
 
 def test_alter_reduce_to_custom_reduce_fn(spark, tmp_path):

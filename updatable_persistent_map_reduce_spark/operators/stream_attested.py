@@ -203,21 +203,23 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM latest GROUP BY event_type"
     ),
     doc="The STREAMING twin of q_upsert_recount, driven end-to-end on "
-    "the real path: events staged as three producer batch files "
-    "(mtime-ordered), readStream with maxFilesPerTrigger=1 so "
-    "availableNow replays them as three micro-batches, foreachBatch "
-    "-> MapReduceView.execute with checkpointed exactly-once "
-    "(streaming/stream_view.py StreamingMapReduceView). seq_col="
-    "event_id makes latest-wins deterministic even if the source "
-    "coalesces producer batches. The oracle is the identical "
-    "latest-wins SQL the batch twin faces, so a green row attests "
-    "that the reference's repeated-Execute call pattern "
-    "(Program.cs:31,35) run as Structured Streaming converges to the "
-    "same materialized groups.",
+    "the real path: events staged as three producer batch files, "
+    "readStream with maxFilesPerTrigger=1 so availableNow replays "
+    "them as three micro-batches, foreachBatch -> "
+    "MapReduceView.execute with checkpointed exactly-once "
+    "(streaming/stream_view.py StreamingMapReduceView). Producers are "
+    "partitioned BY USER (user_id % 3), so each document's events "
+    "land in exactly one micro-batch and seq_col=event_id resolves "
+    "latest-wins inside it — the attested result is independent of "
+    "micro-batch replay order (file mtime granularity, source "
+    "coalescing). Cross-batch replacement order is driven "
+    "deterministically by the batch twin and the streaming-harness "
+    "pytest. The oracle is the identical latest-wins SQL the batch "
+    "twin faces, so a green row attests that the reference's "
+    "repeated-Execute call pattern (Program.cs:31,35) run as "
+    "Structured Streaming converges to the same materialized groups.",
 )
 def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time
-
     from ..streaming.stream_view import StreamingMapReduceView
     from .incremental import _latest_event_rereducible
 
@@ -225,12 +227,8 @@ def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="upmr_sview_")
     inbox = os.path.join(base, "inbox")
     os.makedirs(inbox)
-    hi = ev.selectExpr("max(event_id)").first()[0] + 1
-    step = max(1, hi // 3 + 1)
     for b in range(3):
-        batch = ev.filter(
-            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
-        ).select(
+        batch = ev.filter(F.col("user_id") % 3 == b).select(
             F.col("user_id").cast("string").alias("doc_id"),
             "event_id",
             "user_id",
@@ -238,7 +236,6 @@ def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         batch.coalesce(1).write.mode("append").parquet(inbox)
-        time.sleep(0.05)  # distinct mtimes: file order == producer order
     sv = StreamingMapReduceView(
         spark,
         os.path.join(base, "store"),

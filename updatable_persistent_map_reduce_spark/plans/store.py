@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from collections.abc import Iterable
 
@@ -120,7 +119,12 @@ class ManifestTable:
             if newer:
                 with open(os.path.join(vdir, f"{max(newer)}.json")) as f:
                     m = json.load(f)
-                self._publish_pointer(m)
+                try:
+                    self._publish_pointer(m)
+                except OSError:
+                    # best-effort repair: a read-only consumer still
+                    # gets the committed snapshot in memory
+                    pass
         return m
 
     def _publish_pointer(self, m: dict) -> None:
@@ -216,24 +220,34 @@ class ManifestTable:
         os.makedirs(vdir, exist_ok=True)
         # Keep the base version time-travelable (pre-existing stores
         # whose current version predates the version-file commit point
-        # have no _versions/<base>.json yet).
+        # have no _versions/<base>.json yet). Written from the loaded
+        # base manifest ``m`` — never copied from the pointer file,
+        # which a racing writer may have advanced past ``m`` by now.
         base = os.path.join(vdir, f"{m['version']}.json")
         if m["version"] > 0 and not os.path.exists(base):
-            shutil.copyfile(self._manifest_path, base)
-        # THE commit point: exclusive create of the new version's
-        # manifest. Exactly one writer can win a version; a loser got
-        # here from a stale read of the same base version.
+            btmp = base + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(btmp, "w") as f:
+                json.dump(m, f)
+            os.replace(btmp, base)
+        # THE commit point: atomically link a fully-written temp file
+        # to the new version's name. link(2) fails if the name exists,
+        # so exactly one writer can win a version — and the content is
+        # complete before the name ever exists, so no reader (or the
+        # self-heal scan) can observe a torn manifest.
         target = os.path.join(vdir, f"{new['version']}.json")
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new, f)
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"version {new['version']} of {self.path} was committed "
                 "by another writer (stale base snapshot "
                 f"{m['version']}); this table is single-writer"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(new, f)
+        finally:
+            os.remove(tmp)
         self._publish_pointer(new)
         return new["version"]
 
@@ -361,7 +375,11 @@ class ManifestTable:
         vdir = os.path.join(self.path, _VERSIONS)
         if os.path.isdir(vdir):
             archived = sorted(
-                (int(f[:-5]) for f in os.listdir(vdir) if f.endswith(".json")),
+                (
+                    int(f[:-5])
+                    for f in os.listdir(vdir)
+                    if f.endswith(".json") and f[:-5].isdigit()
+                ),
                 reverse=True,
             )
             for v in archived[keep_versions:]:

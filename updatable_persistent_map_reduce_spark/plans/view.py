@@ -588,11 +588,13 @@ class MapReduceView:
             json.dump({**meta, "layout": self._layout()}, f)
         os.replace(tmp, self._meta_path)
 
-    def _write_journal(self, dirty_kspans: Sequence[int]) -> None:
+    def _write_journal(
+        self, dirty_kspans: Sequence[int], extra: dict | None = None
+    ) -> None:
         os.makedirs(self.store, exist_ok=True)
         tmp = self._journal_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"kspans": sorted(dirty_kspans)}, f)
+            json.dump({"kspans": sorted(dirty_kspans), **(extra or {})}, f)
         os.replace(tmp, self._journal_path)
 
     def _recover(self) -> None:
@@ -615,6 +617,21 @@ class MapReduceView:
             self._write_meta(self._meta())
             os.remove(self._journal_path)
             return
+        if "alter_two_level" in j:
+            # A crashed (or in-flight) alter_reduce: the journaled mode
+            # wins over whatever layout the store recorded, and the
+            # reduce definitions come from the live object — the
+            # alter's own call frame, or on reopen the constructor
+            # args, which the alter_reduce contract requires to be the
+            # NEW reduce. Persist the corrected layout and drop L1
+            # partials if the mode fell to single-level, then fall
+            # through to the ordinary per-span re-aggregation.
+            self.two_level = bool(j["alter_two_level"])
+            self._write_meta(self._meta())
+            if not self.two_level:
+                stale_l1 = set(self._l1_t.spans())
+                if stale_l1:
+                    self._l1_t.commit(drop=stale_l1)
         dirty = set(j["kspans"])
         content = self._map_t.read(self.spark, spans=self._map_pspans(dirty))
         if content is None:
@@ -1378,12 +1395,16 @@ class MapReduceView:
         source document through Map.
 
         Crash-safe by reusing the batch recovery path: every live
-        key-span is journaled first, so a kill mid-recompute replays
-        the re-aggregation on reopen (construct the reopening view
-        with the NEW reduce definition — the view object's reduce IS
-        the store's; ``meta.json`` records the new two_level layout).
-        Group columns are fixed (kspan assignment derives from them —
-        changing the grouping is a different view, not an alter)."""
+        key-span plus the new mode is journaled FIRST (one atomic
+        write), and all state transitions — layout persist, L1 drop,
+        re-aggregation — happen inside the idempotent recovery branch.
+        A kill anywhere mid-alter replays on reopen; construct the
+        reopening view with the NEW reduce definition (the view
+        object's reduce IS the store's). If the kill landed before the
+        journal write, the store is untouched — call ``alter_reduce``
+        again. Group columns are fixed (kspan assignment derives from
+        them — changing the grouping is a different view, not an
+        alter)."""
         if (agg_exprs is None) == (reduce_fn is None):
             raise ValueError("exactly one of agg_exprs / reduce_fn required")
         if reduce_fn is not None and reduce_schema is None:
@@ -1392,22 +1413,24 @@ class MapReduceView:
         self.agg_exprs = list(agg_exprs) if agg_exprs is not None else None
         self.reduce_fn = reduce_fn
         self.reduce_schema = reduce_schema
-        self.two_level = _rereduce_closed(self.agg_exprs)
+        # Never ESCALATE the layout on an alter: a store built (or
+        # explicitly pinned) single-level stays single-level even when
+        # the new aggregates would permit the reduce tree — flipping
+        # two_level is a layout decision for rescale-class maintenance,
+        # and silently enabling it would make the owner's next
+        # same-args reopen fail the layout check. A two-level store
+        # DOES fall to single-level when the new reduce is not closed
+        # under re-application (the tree is meaningless without it).
+        self.two_level = was_two_level and _rereduce_closed(self.agg_exprs)
         kspans = {
             p // self.n_sub_buckets for p in self._map_t.spans()
         }
         if not kspans:
-            self._write_meta({**self._meta(), "layout": self._layout()})
+            self._write_meta(self._meta())
             return
-        # Journal before the meta/layout swap: a crash at any point
-        # from here replays the per-span re-aggregation under the
-        # reduce definition the reopening constructor carries.
-        self._write_journal(sorted(kspans))
-        self._write_meta({**self._meta(), "layout": self._layout()})
-        if was_two_level and not self.two_level:
-            stale_l1 = set(self._l1_t.spans())
-            if stale_l1:
-                self._l1_t.commit(drop=stale_l1)
+        self._write_journal(
+            sorted(kspans), extra={"alter_two_level": self.two_level}
+        )
         self._recover()
 
     def compact_map(self, min_files: int = 4) -> int:
