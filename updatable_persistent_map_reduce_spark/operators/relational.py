@@ -1409,7 +1409,16 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of a re-scan — the same persisted-partial-aggregate idea "
     "as the view engine's reduce_l1 table, applied to a sketch "
     "algebra. Estimate accuracy is asserted within 5% by "
-    "tests/test_llm_ops.py.",
+    "tests/test_llm_ops.py AND by the local gate's bounded-error "
+    "oracle (the driver still sees rows-only: a hash compare of an "
+    "estimate is meaningless).",
+    bound=(
+        "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS est_distinct, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sketches "
+        "FROM documents",
+        0.05,
+    ),
 )
 def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
