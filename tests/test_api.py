@@ -62,3 +62,33 @@ def test_survey_inventory_matches_registry():
     reg = set(all_queries())
     assert reg - survey_ids == set(), f"not in SURVEY §2: {sorted(reg - survey_ids)}"
     assert survey_ids - reg == set(), f"phantom in SURVEY §2: {sorted(survey_ids - reg)}"
+
+
+def test_api_maintenance_surface(spark, tmp_path):
+    """The Spark-native extras on the reference-shaped handle:
+    alter_reduce / stats / history reach the underlying view."""
+    task = MapReduceTask(
+        id_col="id",
+        group_cols=["state"],
+        map_fn=lambda df: df.select(
+            "id", "state", F.lit(1).alias("count"), "v"
+        ),
+        agg_exprs=[F.sum("count").alias("count")],
+        options={"n_key_spans": 4, "n_doc_spans": 4},
+    )
+    ex = Executer.create(spark, task, str(tmp_path / "m"))
+    ex.execute(
+        spark.createDataFrame(
+            [("a", "CA", 2), ("b", "CA", 3), ("c", "TX", 5)],
+            "id string, state string, v long",
+        )
+    )
+    ex.alter_reduce(
+        agg_exprs=[F.sum("count").alias("count"), F.sum("v").alias("v_sum")]
+    )
+    got = {
+        r["state"]: (r["count"], r["v_sum"]) for r in ex.final_df().collect()
+    }
+    assert got == {"CA": (2, 5), "TX": (1, 5)}
+    assert ex.stats()["batch_seq"] == 1
+    assert "final_results" in ex.history()

@@ -132,3 +132,17 @@ class Executer:
 
     def rescale(self, **span_counts) -> None:
         self._view.rescale(**span_counts)
+
+    def alter_reduce(self, **reduce_def) -> None:
+        """Swap the task's Reduce without re-running Map: finals (and
+        partials) recompute from the persisted map output — see
+        MapReduceView.alter_reduce."""
+        self._view.alter_reduce(**reduce_def)
+
+    def stats(self) -> dict:
+        return self._view.stats()
+
+    def history(self) -> dict:
+        """Per-table commit history (versions, commit times, span/file
+        counts) — the audit trail behind ``final_df(version=N)``."""
+        return self._view.history()
