@@ -375,6 +375,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # engine-maintained fingerprint index: materialized finals read
+    "q_simhash_incremental": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -263,33 +263,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=(
-        "WITH tok AS (SELECT doc_id, "
+def _simhash_fp_sql(source: str) -> str:
+    """DuckDB CTE chain computing (doc_id, simhash) from ``source``
+    (a relation with doc_id + text) — shared by the one-shot and the
+    incrementally-maintained fingerprint oracles."""
+    return (
+        f"tok AS (SELECT doc_id, "
         "unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok "
-        "FROM documents), "
+        f"FROM {source}), "
         "th AS (SELECT doc_id, " + _tokhash_sql("tok") + " AS h FROM tok), "
         "bits AS (SELECT doc_id, "
         + ", ".join(
             f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
             for i in range(SIMHASH_BITS)
         )
-        + " FROM th GROUP BY doc_id) "
-        "SELECT doc_id, CAST("
+        + " FROM th GROUP BY doc_id), "
+        "fps AS (SELECT doc_id, CAST("
         + " + ".join(
             f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
             for i in range(SIMHASH_BITS)
         )
-        + " AS BIGINT) AS simhash FROM bits"
-    ),
-    doc="SimHash document fingerprint: per-token 32-bit portable hash, "
-    "bitwise +/- vote, sign -> 16-bit fingerprint. Near-dups share "
-    "fingerprints (group or hamming-join downstream). One explode + one "
-    "groupBy at scale.",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+        + " AS BIGINT) AS simhash FROM bits)"
+    )
+
+
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via per-token portable hash + bitwise vote —
+    pure codegen; the reusable pipeline behind q_dedup_simhash and the
+    incrementally-maintained fingerprint index."""
     tok = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
     )
@@ -306,6 +307,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=(
+        "WITH " + _simhash_fp_sql("documents")
+        + " SELECT doc_id, simhash FROM fps"
+    ),
+    doc="SimHash document fingerprint: per-token 32-bit portable hash, "
+    "bitwise +/- vote, sign -> 16-bit fingerprint. Near-dups share "
+    "fingerprints (group or hamming-join downstream). One explode + one "
+    "groupBy at scale.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(
+        Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    )
 
 
 # ---------------------------------------------------------------------------

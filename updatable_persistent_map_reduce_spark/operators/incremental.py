@@ -618,3 +618,57 @@ def q_alter_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return view.final_df().select("group_key", "cnt", "total_cents")
+
+
+from .dedup import _simhash_fp_sql, simhash_fingerprints  # noqa: E402
+
+_SIMHASH_INC_ORACLE = (
+    "WITH latest AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' (rev2)' ELSE text END "
+    "AS text FROM documents), "
+    + _simhash_fp_sql("latest")
+    + " SELECT simhash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM fps GROUP BY simhash"
+)
+
+
+@register(
+    "q_simhash_incremental",
+    oracle=_SIMHASH_INC_ORACLE,
+    doc="Incrementally MAINTAINED near-dup fingerprint index: the "
+    "Tier-A updatable view with Map = the SimHash pipeline (token "
+    "hash + bitwise vote, shared with oracle-checked q_dedup_simhash) "
+    "and group key = the fingerprint. The corpus loads as batch 1, "
+    "then every 7th document is re-submitted with revised text; a "
+    "revision MOVES the doc from its old fingerprint bucket to the "
+    "new one (key migration), so the materialized index always "
+    "reflects latest text. The near-dup twin of q_dedup_incremental: "
+    "at 100 TB ingest keeps the fingerprint buckets (the candidate "
+    "generator for hamming-distance near-dup) current without ever "
+    "re-fingerprinting the corpus. Deterministic fingerprints make "
+    "this engine-built index EXACTLY oracle-checkable - rare for a "
+    "near-dup structure.",
+)
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    store = tempfile.mkdtemp(prefix="upmr_simhash_inc_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        map_fn=lambda df: simhash_fingerprints(df),
+        group_cols=["simhash"],
+        agg_exprs=[
+            F.min(F.col("doc_id").cast("long")).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    view.execute(d.select("doc_id", "text"))
+    revised = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" (rev2)")).alias("text")
+    )
+    view.execute(revised)
+    return view.final_df().select("simhash", "keep_doc_id", "n_docs")
+
