@@ -145,3 +145,51 @@ def test_history_lists_commits_newest_first(spark, table):
     assert [e["version"] for e in h] == [2, 1]
     assert h[0]["spans"] == 2  # current: readable through the pointer
     assert h[1]["spans"] is None
+
+
+def test_commit_algebra_model_based(spark, table):
+    """Model-based: a random sequence of replace/append/drop/vacuum
+    operations against an in-memory dict model — the committed
+    snapshot's spans and row contents must match the model after every
+    step, and version history must stay readable until vacuumed."""
+    import random
+
+    rng = random.Random(1234)
+    model: dict[int, list[str]] = {}  # span -> list of row values
+    seq = 0
+    for step in range(14):
+        op = rng.choice(["replace", "append", "drop", "vacuum"])
+        spans = sorted(rng.sample(range(4), rng.randint(1, 2)))
+        if op in ("replace", "append"):
+            rows = []
+            for s in spans:
+                for _ in range(rng.randint(1, 3)):
+                    rows.append((s, f"v{seq}"))
+                    seq += 1
+            mapping = table.write_data(mk_df(spark, rows))
+            if op == "replace":
+                table.commit(replace=mapping)
+                for s in spans:
+                    model[s] = [v for sp, v in rows if sp == s]
+            else:
+                table.commit(append=mapping)
+                for s in spans:
+                    model.setdefault(s, []).extend(
+                        v for sp, v in rows if sp == s
+                    )
+        elif op == "drop":
+            table.commit(drop=spans)
+            for s in spans:
+                model.pop(s, None)
+        else:
+            table.vacuum(keep_versions=2)
+        got = read_vals(table, spark) or []
+        want = sorted((s, v) for s, vs in model.items() for v in vs)
+        assert got == want, f"step {step} ({op} {spans})"
+        assert table.spans().keys() == {
+            s for s, vs in model.items() if vs
+        }
+    # history is consistent: versions strictly descending, current first
+    versions = [e["version"] for e in table.history()]
+    assert versions == sorted(versions, reverse=True)
+    assert versions[0] == table.version
