@@ -373,3 +373,43 @@ def test_query_schema_stable_for_unknown_span(spark, tmp_path):
     miss = v.query(miss_key)
     assert miss.columns == hit.columns
     assert miss.select("cnt").count() == 0
+
+
+def test_alter_crash_mid_recompute_replays_on_reopen(spark, tmp_path):
+    """Kill alter_reduce INSIDE the recompute (after the journal, after
+    the finals write began): reopening with the new reduce must replay
+    the re-aggregation and land the altered finals."""
+    store = tmp_path / "alt"
+    v = MapReduceView(
+        spark,
+        str(store),
+        id_col="id",
+        group_cols=["grp"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id string, grp string, v long")
+    v.execute(mk([("a", "g", 2), ("b", "g", 3), ("c", "h", 7)]))
+    new_aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("v_sum")]
+    v._fin_t.commit = _raise  # kill at the finals publish
+    with pytest.raises(RuntimeError, match="injected crash"):
+        v.alter_reduce(agg_exprs=new_aggs)
+    assert os.path.exists(v._journal_path)
+
+    v2 = MapReduceView(
+        spark,
+        str(store),
+        id_col="id",
+        group_cols=["grp"],
+        agg_exprs=new_aggs,
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    assert not os.path.exists(v2._journal_path)
+    got = {r["grp"]: (r["cnt"], r["v_sum"]) for r in v2.final_df().collect()}
+    assert got == {"g": (2, 5), "h": (1, 7)}
+    # the store keeps upserting under the altered reduce
+    v2.execute(mk([("b", "h", 10)]))
+    got = {r["grp"]: (r["cnt"], r["v_sum"]) for r in v2.final_df().collect()}
+    assert got == {"g": (1, 2), "h": (2, 17)}
