@@ -380,6 +380,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # hamming join: band equi-join on (band, value) — bucketed
+    # candidates, never a product, all-codegen (no Arrow needed)
+    "q_dedup_hamming": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
 }
 
 

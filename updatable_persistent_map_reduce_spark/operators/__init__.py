@@ -110,6 +110,7 @@ _PRIORITY = [
     "q_alter_reduce",          # new: reduce evolution without re-map
     "q_stream_view_upsert",    # new: streaming-built store, batch oracle
     "q_simhash_incremental",   # new: engine-maintained near-dup index
+    "q_dedup_hamming",         # new: lossless banded hamming pair join
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3 ones) ------------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",

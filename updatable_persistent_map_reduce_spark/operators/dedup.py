@@ -263,10 +263,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
-def _simhash_fp_sql(source: str) -> str:
+def _simhash_fp_sql(source: str, bits: int = SIMHASH_BITS) -> str:
     """DuckDB CTE chain computing (doc_id, simhash) from ``source``
-    (a relation with doc_id + text) — shared by the one-shot and the
-    incrementally-maintained fingerprint oracles."""
+    (a relation with doc_id + text) — shared by the one-shot,
+    incrementally-maintained, and hamming-join fingerprint oracles."""
     return (
         f"tok AS (SELECT doc_id, "
         "unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok "
@@ -275,22 +275,25 @@ def _simhash_fp_sql(source: str) -> str:
         "bits AS (SELECT doc_id, "
         + ", ".join(
             f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-            for i in range(SIMHASH_BITS)
+            for i in range(bits)
         )
         + " FROM th GROUP BY doc_id), "
         "fps AS (SELECT doc_id, CAST("
         + " + ".join(
             f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(SIMHASH_BITS)
+            for i in range(bits)
         )
         + " AS BIGINT) AS simhash FROM bits)"
     )
 
 
-def simhash_fingerprints(d: DataFrame) -> DataFrame:
+def simhash_fingerprints(
+    d: DataFrame, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(doc_id, simhash) via per-token portable hash + bitwise vote —
-    pure codegen; the reusable pipeline behind q_dedup_simhash and the
-    incrementally-maintained fingerprint index."""
+    pure codegen; the reusable pipeline behind q_dedup_simhash, the
+    incrementally-maintained fingerprint index, and the hamming join
+    (which widens to 32 bits for discrimination)."""
     tok = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
     )
@@ -299,14 +302,14 @@ def simhash_fingerprints(d: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
-    bits = th.groupBy("doc_id").agg(*votes)
+    bitsdf = th.groupBy("doc_id").agg(*votes)
     fp = None
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return bits.select("doc_id", fp.cast("bigint").alias("simhash"))
+    return bitsdf.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 @register(
@@ -902,4 +905,81 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_variants"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hamming near-dup join — banded exact pairs over 32-bit fingerprints.
+
+HAMMING_BITS = 32
+HAMMING_D = 2  # max differing bits for a pair to qualify
+# 3 bands (11+11+10 bits): any pair with <= 2 differing bits leaves at
+# least one band untouched (pigeonhole), so the band equi-join is
+# LOSSLESS for the threshold — candidates, never a cross product.
+_HAMMING_BANDS = [(0, 11), (11, 11), (22, 10)]
+
+
+@register(
+    "q_dedup_hamming",
+    oracle=(
+        "WITH " + _simhash_fp_sql("documents", bits=HAMMING_BITS)
+        + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_D}"
+    ),
+    doc="Exact hamming-distance near-dup pairs over 32-bit SimHash "
+    f"fingerprints (threshold {HAMMING_D} bits): fingerprints split "
+    "into 3 bit-bands; by pigeonhole a qualifying pair must agree on "
+    "at least one whole band, so the band equi-join generates a "
+    "LOSSLESS candidate set — the exact-recall counterpart of "
+    "probabilistic MinHash LSH, verified by bit_count(xor) on the "
+    "candidates. Shuffle keys are (band, 11-bit value): bucketed, "
+    "never all-pairs; at 100 TB the same plan keys the shuffle on "
+    "band values, with cost driven by fingerprint collision density, "
+    "not corpus². Oracle is the brute-force O(n^2) hamming join — "
+    "feasible at gate scale, and a hash-exact check that the banded "
+    "plan loses NO pair.",
+)
+def q_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    fps = simhash_fingerprints(d, bits=HAMMING_BITS)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", lo)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("val"),
+                    )
+                    for i, (lo, width) in enumerate(_HAMMING_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.filter(hamming <= HAMMING_D)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
