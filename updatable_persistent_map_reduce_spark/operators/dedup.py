@@ -935,11 +935,14 @@ _HAMMING_BANDS = [(0, 11), (11, 11), (22, 10)]
     "LOSSLESS candidate set — the exact-recall counterpart of "
     "probabilistic MinHash LSH, verified by bit_count(xor) on the "
     "candidates. Shuffle keys are (band, 11-bit value): bucketed, "
-    "never all-pairs; at 100 TB the same plan keys the shuffle on "
-    "band values, with cost driven by fingerprint collision density, "
-    "not corpus². Oracle is the brute-force O(n^2) hamming join — "
-    "feasible at gate scale, and a hash-exact check that the banded "
-    "plan loses NO pair.",
+    "never all-pairs. The scale lever is FINGERPRINT WIDTH, not band "
+    "count (pigeonhole pins bands at d+1 for lossless max-width "
+    "bands): per-band bucket count is 2^width, so a 10x corpus takes "
+    "a 64-bit fingerprint (21-bit bands, 2M buckets) to hold per-"
+    "bucket density — and thus candidate emission — flat, the same "
+    "corpus-scaled geometry rule lsh_candidate_edges applies. Oracle "
+    "is the brute-force O(n^2) hamming join — feasible at gate scale, "
+    "and a hash-exact check that the banded plan loses NO pair.",
 )
 def q_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
