@@ -92,3 +92,22 @@ def test_api_maintenance_surface(spark, tmp_path):
     assert got == {"CA": (2, 5), "TX": (1, 5)}
     assert ex.stats()["batch_seq"] == 1
     assert "final_results" in ex.history()
+
+
+def test_priority_order_covers_registry_exactly():
+    """The least-recently-validated-first iteration order must name
+    every registered query exactly once and nothing else — a typo in
+    the list would silently demote a query out of the driver's
+    front-of-registry sample."""
+    from updatable_persistent_map_reduce_spark.operators import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    registered = set(all_queries())
+    listed = list(_PRIORITY)
+    assert len(listed) == len(set(listed)), "duplicate in _PRIORITY"
+    assert set(listed) == registered, (
+        f"phantom: {sorted(set(listed) - registered)}; "
+        f"unlisted: {sorted(registered - set(listed))}"
+    )
