@@ -386,6 +386,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "BroadcastNestedLoop", "Python"],
     ),
+    # Q17: correlated scalar subquery DECORRELATED into a per-part
+    # aggregate + joins — never a per-row re-scan
+    "q_sql_tpch_q17": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "Python"],
+    ),
+    # Q15: aggregate once, broadcast the 1-row max into the filter
+    "q_sql_tpch_q15": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "Python", "SortMergeJoin"],
+    ),
 }
 
 

@@ -2037,3 +2037,65 @@ register(
     "pushed scan filters. One-row exact-cents aggregate, same "
     "decimal discipline as Q10/Q14.",
 )(_sql_query(_TPCH_Q19))
+
+
+_TPCH_Q17 = """
+SELECT
+  CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100) AS BIGINT)
+    AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 10
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+register(
+    "q_sql_tpch_q17",
+    oracle=_TPCH_Q17,
+    doc="TPC-H Q17 (small-quantity-order revenue): the CORRELATED "
+    "SCALAR SUBQUERY test — each lineitem compares against 0.2x the "
+    "average quantity of ITS OWN part. Catalyst decorrelates the "
+    "subquery into a per-part aggregate joined back on partkey (one "
+    "extra pass over lineitem, never a per-row re-scan): at 100 TB "
+    "the naive interpretation is O(n) subquery executions and the "
+    "decorrelated plan is two scans + two hash joins. The quantity "
+    "threshold is double arithmetic, but identical IEEE expression "
+    "shape on both engines over integral-valued quantities, so the "
+    "qualifying row SET is engine-exact; revenue is exact cents. "
+    "Deviation: spec divides by 7.0 — engine-specific decimal "
+    "division rounding — so the sum and line count are returned "
+    "instead (the per-year average is one client-side divide).",
+)(_sql_query(_TPCH_Q17))
+
+
+_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) * 100) AS BIGINT)
+           AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= date '1996-01-01' AND l_shipdate < date '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier, rev
+WHERE s_suppkey = l_suppkey
+  AND total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+register(
+    "q_sql_tpch_q15",
+    oracle=_TPCH_Q15,
+    doc="TPC-H Q15 (top supplier): revenue per supplier for a "
+    "quarter, then keep the supplier(s) whose revenue equals the "
+    "global max — the SCALAR-SUBQUERY-OVER-AGGREGATE shape (the "
+    "spec's CREATE VIEW is the CTE). The aggregate runs ONCE, its "
+    "1-row max broadcasts into the filter, and the supplier dim "
+    "broadcast-joins the surviving rows; ties all surface "
+    "(deterministic in exact cents), ordered by supplier key. "
+    "Complements q_argminmax (max_by): same question through the "
+    "SQL front end's subquery machinery rather than an aggregate "
+    "function.",
+)(_sql_query(_TPCH_Q15))
