@@ -397,6 +397,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "Python", "SortMergeJoin"],
     ),
+    # Q7: both nation aliases broadcast; no product despite the
+    # symmetric pair disjunction
+    "q_sql_tpch_q7": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "Python"],
+    ),
+    # Q8: 8-relation join — every dim broadcasts
+    "q_sql_tpch_q8": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "Python"],
+    ),
 }
 
 

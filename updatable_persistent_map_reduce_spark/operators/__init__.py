@@ -113,6 +113,8 @@ _PRIORITY = [
     "q_dedup_hamming",         # new: lossless banded hamming pair join
     "q_sql_tpch_q17",          # new: correlated scalar subquery (decorrelation)
     "q_sql_tpch_q15",          # new: top supplier (scalar over aggregate)
+    "q_sql_tpch_q7",           # new: nation-pair volume (symmetric disjunction)
+    "q_sql_tpch_q8",           # new: market share (8-relation join)
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3 ones) ------------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",

@@ -2099,3 +2099,71 @@ register(
     "SQL front end's subquery machinery rather than an aggregate "
     "function.",
 )(_sql_query(_TPCH_Q15))
+
+
+_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(floor(sum(volume) * 100) AS BIGINT) AS revenue_cents
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= date '1995-01-01'
+        AND l_shipdate < date '1998-01-01') AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+register(
+    "q_sql_tpch_q7",
+    oracle=_TPCH_Q7,
+    doc="TPC-H Q7 (volume shipping between two trading nations): the "
+    "5-way fact-to-fact-to-dims join with a SYMMETRIC nation-pair "
+    "disjunction across two aliases of the same dim. The two nation "
+    "aliases broadcast (25 rows each), lineitem x orders is the only "
+    "big shuffle pair, and the pair predicate prunes before the "
+    "per-(pair, year) aggregate. Nation names are the test schema's "
+    "synthetic domain; spec semantics otherwise unchanged; exact "
+    "cents.",
+)(_sql_query(_TPCH_Q7))
+
+
+_TPCH_Q8 = """
+SELECT o_year,
+       CAST(floor(sum(CASE WHEN nat = 'NATION_5' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) * 100) AS BIGINT)
+         AS nation_cents,
+       CAST(floor(sum(volume) * 100) AS BIGINT) AS total_cents
+FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               AS volume,
+             n2.n_name AS nat
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO') AS all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+register(
+    "q_sql_tpch_q8",
+    oracle=_TPCH_Q8,
+    doc="TPC-H Q8 (national market share): the 8-relation join — the "
+    "widest plan in the suite — restricting customers to one region "
+    "and parts to one type, then splitting yearly volume by supplier "
+    "nation. Catalyst orders the joins so every dim (part filtered, "
+    "both nation aliases, region, supplier) broadcasts and only "
+    "lineitem x orders shuffles; the market-share RATIO is returned "
+    "as its two exact-cents terms (the q_sql_tpch_q14 decimal-"
+    "division rule).",
+)(_sql_query(_TPCH_Q8))
