@@ -408,6 +408,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "Python"],
     ),
+    # Q13: outer join preserved (zero-order bucket), two aggregates
+    "q_sql_tpch_q13": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "Python"],
+    ),
 }
 
 

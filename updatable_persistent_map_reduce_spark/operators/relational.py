@@ -2167,3 +2167,27 @@ register(
     "as its two exact-cents terms (the q_sql_tpch_q14 decimal-"
     "division rule).",
 )(_sql_query(_TPCH_Q8))
+
+
+_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) AS c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register(
+    "q_sql_tpch_q13",
+    oracle=_TPCH_Q13,
+    doc="TPC-H Q13 (customer distribution): how many customers placed "
+    "exactly N orders — INCLUDING the zero-order customers, which "
+    "only a LEFT OUTER join preserves (count(o_orderkey) counts "
+    "non-null matches, so unmatched customers land in the N=0 "
+    "bucket). Double aggregate: per-customer counts shuffle once on "
+    "custkey, then the tiny distribution aggregate. Deviation: the "
+    "spec's o_comment NOT LIKE filter is dropped (no comment column "
+    "in the test schema); the plan shape under test — outer-join "
+    "count semantics + re-aggregation — is unchanged.",
+)(_sql_query(_TPCH_Q13))
