@@ -413,6 +413,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "Python"],
     ),
+    # text round-trip: scan + one aggregate, no Python, no join
+    "q_scan_text": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
+    # binaryFile round-trip: scan + one aggregate
+    "q_scan_binary": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -2191,3 +2191,104 @@ register(
     "in the test schema); the plan shape under test — outer-join "
     "count semantics + re-aggregation — is unchanged.",
 )(_sql_query(_TPCH_Q13))
+
+
+@register(
+    "q_scan_text",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(length(replace(text, chr(10), ' '))) AS BIGINT) "
+        "AS total_chars, "
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 "
+        "THEN length(replace(text, chr(10), ' ')) ELSE 0 END) AS BIGINT) "
+        "AS even_chars "
+        "FROM documents"
+    ),
+    doc="Line-oriented text source (spark.read.text): the raw-log / "
+    "one-record-per-line ingest path. Documents are staged one per "
+    "line (newlines folded to spaces — the format's framing "
+    "constraint), read back as a `value` column, and summarized; the "
+    "oracle recomputes the same folds from the parquet ground truth, "
+    "so a green row proves the text round-trip loses nothing. "
+    "doc_id order survives via a line prefix parsed back out — the "
+    "even/odd checksum would catch any line mangling. At 100 TB "
+    "text input splits by line boundaries like any Hadoop text "
+    "source; schema work happens downstream (from_json, regexp "
+    "extraction, the corrupt-record quarantine of q_ingest_corrupt).",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = Catalog(spark, sf_dir).documents
+    staged = d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace("text", "\n", " "),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="upmr_text_") + "/docs_txt"
+    staged.coalesce(1).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).cast("long").alias(
+            "doc_id"
+        ),
+        F.substring(
+            "value", F.length(F.split_part("value", F.lit("\t"), F.lit(1))) + 2,
+            1 << 30,
+        ).alias("text"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, F.length("text")).otherwise(0)
+        ).alias("even_chars"),
+    )
+
+
+_BINARY_N = 40
+
+
+@register(
+    "q_scan_binary",
+    oracle=(
+        f"SELECT CAST(count(*) AS BIGINT) AS n_files, "
+        "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, "
+        "CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_sha "
+        f"FROM documents WHERE doc_id < {_BINARY_N}"
+    ),
+    doc="Whole-file binary source (spark.read.format('binaryFile')): "
+    "the multimodal ingest path — images/audio land as one row per "
+    "file with (path, modificationTime, length, content binary). "
+    f"{_BINARY_N} documents are staged as .bin files (utf-8 bytes), "
+    "read back through binaryFile, and summarized by count, BYTE "
+    "length, and distinct sha256 of the content bytes; the oracle "
+    "recomputes all three from the parquet ground truth (strlen = "
+    "bytes, sha256 over the same utf-8), so a green row proves the "
+    "binary round-trip is byte-exact. This is the front door that "
+    "feeds operators/multimodal.py's Arrow decode plumbing; at scale "
+    "set pathGlobFilter/recursiveFileLookup and partition by "
+    "directory layout.",
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = Catalog(spark, sf_dir).documents
+    rows = (
+        d.filter(F.col("doc_id") < _BINARY_N)
+        .select("doc_id", "text")
+        .collect()
+    )  # fixture staging: N tiny files written driver-side, as in
+    #    q_ingest_corrupt — the QUERY under test is the binaryFile read
+    root = tempfile.mkdtemp(prefix="upmr_bin_")
+    for r in rows:
+        with open(os.path.join(root, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(root)
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.countDistinct(F.sha2("content", 256)).alias("distinct_sha"),
+    )
