@@ -423,6 +423,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # XML round-trip: schema-first scan, no Python, no join
+    "q_scan_xml": ([], ["Python", "Join", "CartesianProduct"]),
 }
 
 

@@ -2292,3 +2292,32 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.countDistinct(F.sha2("content", 256)).alias("distinct_sha"),
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    doc="XML round-trip (Spark 4's NATIVE xml format — the spark-xml "
+    "package folded into core): the documents projection written with "
+    "rowTag framing and read back with an explicit schema (no "
+    "inference pass — the schema-first discipline every ingest path "
+    "here follows), content-verified against the parquet ground "
+    "truth. XML splits by rowTag boundaries at scale like the other "
+    "Hadoop text-container formats; the q_ingest_corrupt quarantine "
+    "options (mode, columnNameOfCorruptRecord) apply to malformed "
+    "elements the same way they do to JSON lines.",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="upmr_xml_") + "/documents_xml"
+    d.write.format("xml").option("rowTag", "doc").mode("overwrite").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .load(path)
+    )
