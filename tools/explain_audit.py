@@ -425,6 +425,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # XML round-trip: schema-first scan, no Python, no join
     "q_scan_xml": ([], ["Python", "Join", "CartesianProduct"]),
+    # VARIANT: parse + path extract stay in the scan stage's project,
+    # one partial+final aggregate
+    "q_variant_type": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -119,6 +119,7 @@ _PRIORITY = [
     "q_scan_text",             # new: line-oriented text source round-trip
     "q_scan_binary",           # new: binaryFile multimodal ingest path
     "q_scan_xml",              # new: native XML round-trip (Spark 4)
+    "q_variant_type",          # new: VARIANT semi-structured type (Spark 4)
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3 ones) ------------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",

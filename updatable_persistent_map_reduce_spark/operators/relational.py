@@ -2321,3 +2321,36 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("doc_id bigint, lang string, source string, n_chars bigint")
         .load(path)
     )
+
+
+@register(
+    "q_variant_type",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(k) AS BIGINT) AS k_sum "
+        "FROM (SELECT event_type, "
+        "CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) "
+        "AS t WHERE k > 50 GROUP BY event_type"
+    ),
+    doc="Spark 4 VARIANT type: parse_json lands the semi-structured "
+    "props column as the binary VARIANT encoding (schema-flexible, "
+    "decoded lazily per path access) and try_variant_get extracts a "
+    "typed field for filter + aggregate. The schema-on-read twin of "
+    "q_json_struct's from_json (which needs the schema up front): "
+    "VARIANT carries heterogeneous event payloads through a 100 TB "
+    "pipeline without a unified schema, at columnar speeds the plain "
+    "JSON string can't reach (no re-parse per access). DuckDB oracle "
+    "extracts the same path with json_extract.",
+)
+def q_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )
