@@ -431,6 +431,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # recursive CTE: engine-side iteration, no Python, no product
+    "q_recursive_cte": (
+        ["HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -2354,3 +2354,35 @@ def q_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("k_sum"),
         )
     )
+
+
+_RECURSIVE_WALK = """
+WITH RECURSIVE walk(custkey, node, steps) AS (
+  SELECT c_custkey AS custkey, c_custkey AS node, 0 AS steps
+  FROM customer WHERE c_custkey < 200
+  UNION ALL
+  SELECT custkey, CAST(floor(node / 2) AS BIGINT) AS node,
+         steps + 1 AS steps
+  FROM walk WHERE node > 0
+)
+SELECT custkey, CAST(max(steps) AS INTEGER) AS depth,
+       CAST(sum(node) AS BIGINT) AS path_sum
+FROM walk GROUP BY custkey
+"""
+
+register(
+    "q_recursive_cte",
+    oracle=_RECURSIVE_WALK,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE): an ancestor-chain "
+    "walk over a synthetic parent edge (parent = floor(key/2), the "
+    "implicit binary-heap hierarchy) computing each node's depth to "
+    "the root and the checksum of its whole ancestor path — the "
+    "halving walk converges in O(log key) iterations, so both "
+    "engines run ~8 rounds here. This is the BOM-explosion / "
+    "org-chart / reachability query class the DataFrame API covers "
+    "only with a driver-side loop (the connected-components and "
+    "PageRank operators); WITH RECURSIVE moves the loop into the "
+    "engine, checkpointing each iteration's frontier. Identical "
+    "semantics on DuckDB, which has had the construct for years — "
+    "the oracle is the same text.",
+)(_sql_query(_RECURSIVE_WALK))
