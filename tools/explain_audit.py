@@ -436,6 +436,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # SQL UDF must INLINE: codegen aggregate, zero Python nodes
+    "q_sql_udf": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
+    # collation: one aggregate, comparison semantics in the type
+    "q_collation": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

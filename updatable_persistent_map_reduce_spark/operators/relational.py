@@ -2386,3 +2386,69 @@ register(
     "semantics on DuckDB, which has had the construct for years — "
     "the oracle is the same text.",
 )(_sql_query(_RECURSIVE_WALK))
+
+
+@register(
+    "q_sql_udf",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc="SQL-defined UDF (Spark 4 CREATE FUNCTION ... RETURN expr): "
+    "the discounted-price formula declared once as a catalog "
+    "function and reused across queries. Unlike a Python UDF, the "
+    "body INLINES into the plan at resolution time — full Catalyst "
+    "optimization and whole-stage codegen, zero serialization "
+    "boundary (the audit forbids Python nodes) — so shared business "
+    "logic gets UDF ergonomics at built-in-expression cost. The "
+    "oracle inlines the same expression by hand.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(18,6) RETURN CAST(p * (1 - d) AS DECIMAL(18,6))"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "CAST(floor(sum(disc_price(l_extendedprice, l_discount)) * 100) "
+        "AS BIGINT) AS revenue_cents "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+@register(
+    "q_collation",
+    oracle=(
+        "SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) "
+        "ELSE source END) AS src, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents "
+        "GROUP BY lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) "
+        "ELSE source END)"
+    ),
+    doc="Case-insensitive string COLLATION (Spark 4 UTF8_LCASE): a "
+    "case-mixed source column (half the rows upper-cased from the "
+    "ground truth) groups under the collation WITHOUT normalizing "
+    "the values — comparison semantics live in the type, so every "
+    "join/group/sort downstream inherits them. This is the engine-"
+    "level form of the reference's case-insensitive document-id "
+    "matching (Executer.cs:245-247 lowercases at every lookup; a "
+    "collated column does it once, in the type system). Output is "
+    "lowercased for display determinism (the group representative "
+    "under a collation is any member); the oracle groups by "
+    "lower().",
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    collated = F.collate(mixed, "UTF8_LCASE")
+    return (
+        d.select(collated.alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("src").cast("string").alias("src"), "n")
+    )
