@@ -441,9 +441,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
-    # collation: one aggregate, comparison semantics in the type
+    # collation: comparison semantics in the type — and the physical
+    # cost is visible: collated keys have no binary-stable hash, so
+    # the aggregate is SortAggregate (partial+final), not hash
     "q_collation": (
-        ["HashAggregate"],
+        ["SortAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
 }

@@ -2435,10 +2435,16 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join/group/sort downstream inherits them. This is the engine-"
     "level form of the reference's case-insensitive document-id "
     "matching (Executer.cs:245-247 lowercases at every lookup; a "
-    "collated column does it once, in the type system). Output is "
-    "lowercased for display determinism (the group representative "
-    "under a collation is any member); the oracle groups by "
-    "lower().",
+    "collated column does it once, in the type system). The physical "
+    "cost is honest and plan-audited: collated keys have no binary-"
+    "stable hash, so the aggregate is SortAggregate rather than "
+    "HashAggregate — at 100 TB, normalize-then-hash (lower() + "
+    "groupBy, the q_dedup_exact pattern) beats a collated group-by "
+    "on hot paths; collation buys correctness-by-type for the long "
+    "tail of joins/sorts that would otherwise forget to normalize. "
+    "Output is lowercased for display determinism (the group "
+    "representative under a collation is any member); the oracle "
+    "groups by lower().",
 )
 def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
