@@ -448,6 +448,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["SortAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # Python data source: the feed itself IS a Python scan (that's
+    # the surface under test); downstream agg is JVM partial+final
+    "q_python_datasource": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -123,6 +123,7 @@ _PRIORITY = [
     "q_recursive_cte",         # new: WITH RECURSIVE hierarchy walk (Spark 4)
     "q_sql_udf",               # new: SQL-defined function, inlined (Spark 4)
     "q_collation",             # new: case-insensitive collation (Spark 4)
+    "q_python_datasource",     # new: Python Data Source connector (Spark 4)
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3 ones) ------------------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",

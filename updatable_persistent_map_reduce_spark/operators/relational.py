@@ -2458,3 +2458,66 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("src").cast("string").alias("src"), "n")
     )
+
+
+_PYDS_PARTS = 8
+_PYDS_ROWS = 100  # rows per partition
+
+
+@register(
+    "q_python_datasource",
+    oracle=(
+        "WITH g AS (SELECT unnest(range(0, "
+        f"{_PYDS_PARTS * _PYDS_ROWS})) AS doc_id) "
+        f"SELECT CAST(doc_id // {_PYDS_ROWS} AS INTEGER) AS shard, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum((doc_id * 37) % 101) AS BIGINT) AS score_sum "
+        "FROM g GROUP BY 1"
+    ),
+    doc="Custom connector through Spark 4's Python Data Source API: a "
+    "partitioned synthetic-feed source (the extension point a "
+    "crawler / vendor-API / queue connector implements when no "
+    "built-in format fits) registered with spark.dataSource.register "
+    "and read like any format. The source declares its schema and "
+    "partition list up front, so Spark schedules one task per "
+    "partition and the feed parallelizes like a file scan — the "
+    "contract that matters at 100 TB is partitions() returning "
+    "enough splits. Generation is closed-form deterministic "
+    "(score = id*37 mod 101), so the DuckDB oracle reproduces it "
+    "from range() — the connector path is hash-exact attested, not "
+    "just smoke-tested.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class CorpusFeed(DataSource):
+        @classmethod
+        def name(cls):
+            return "upmr_corpus_feed"
+
+        def schema(self):
+            return "doc_id long, shard int, score long"
+
+        def reader(self, schema):
+            return CorpusFeedReader()
+
+    class CorpusFeedReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_PARTS)]
+
+        def read(self, part):
+            base = part.value * _PYDS_ROWS
+            for i in range(_PYDS_ROWS):
+                doc_id = base + i
+                yield (doc_id, part.value, (doc_id * 37) % 101)
+
+    spark.dataSource.register(CorpusFeed)
+    feed = spark.read.format("upmr_corpus_feed").load()
+    return feed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("score_sum"),
+    )
