@@ -71,61 +71,28 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. never driver-attested (added late in round 3; the r3
-    #       50-sample ended before reaching them — they pass the local
-    #       109/109 gate but need external attestation first) ---------
-    "q_scd2_history", "q_retention_cohort", "q_sketch_union",
-    "q_dedup_cross_snapshot", "q_scan_orc", "q_time_travel",
-    "q_pagerank", "q_resample_weighted", "q_unpivot", "q_udtf_surface",
-    "q_session_conversion", "q_sql_tpch_q6", "q_sql_tpch_q10",
-    "q_ingest_corrupt", "q_null_semantics", "q_argminmax",
-    "q_map_type_ops",
-    # -- 2a. implementation changed since last attestation (round-4
+    # -- 1. never driver-attested (registered in round 4; the r4/r5
+    #       50-samples ended just before reaching them — they pass the
+    #       local 146/146 gate but need external attestation first) ---
+    "q_scan_binary",           # binaryFile multimodal ingest path
+    "q_scan_xml",              # native XML round-trip (Spark 4)
+    "q_variant_type",          # VARIANT semi-structured type (Spark 4)
+    "q_recursive_cte",         # WITH RECURSIVE hierarchy walk (Spark 4)
+    "q_sql_udf",               # SQL-defined function, inlined (Spark 4)
+    "q_collation",             # case-insensitive collation (Spark 4)
+    "q_python_datasource",     # Python Data Source connector (Spark 4)
+    # -- 2a. implementation changed since last attestation (round-6
     #        changes — driver proof of the change matters most) -------
-    "q_dedup_cluster",   # convergence probe folded into label job
-    "q_sim_search",      # dropped spread() repartition (r3 regression)
-    "q_upsert_recount",  # commit-path cost shaving
+    "q_gap_fill",          # forward-fill window now per-series partition
+    "q_cross_tab",         # cardinality guard added
+    "q_join_bucketed",     # hermetic per-session warehouse db
+    "q_text_index_persisted",  # latest-wins doc replacement path
+    "q_upsert_recount",    # batched per-execute manifest commits
     # -- 2b. new this round (never driver-attested; excess past the
     #        50-sample rolls to the next round, local gate covers all)
-    "q_stream_interval_join",  # new: stream-stream join, availableNow
-    "q_stream_dedup",          # new: watermarked streaming dedup
-    "q_stream_sessionize",     # new: applyInPandasWithState, attested
-    "q_sim_index_persisted",   # new: persisted IVF index, exact mode
-    "q_text_index_persisted",  # new: persisted inverted index, BM25
-    "q_upsert_delete",         # new: delete_docs through the engine
-    "q_store_rescale",         # new: online resharding, layout-invariant
-    "q_agg_stats",             # new: stddev/var/covar/corr moments
-    "q_topk_per_group",        # new: per-group top-k reporting
-    "q_sql_tpch_q18",          # new: large-order customers (HAVING)
-    "q_cross_tab",             # new: crosstab contingency counts
-    "q_percent_change",        # new: window period-over-period delta
-    "q_minhash_containment",   # new: asymmetric containment dedup
-    "q_tfidf_vectors",         # new: sparse TF-IDF document vectors
-    "q_sim_join_threshold",    # new: all-pairs similarity join (LSH)
-    "q_dedup_url",             # new: URL canonicalization dedup
-    "q_sql_tpch_q14",          # new: promo revenue (exact-cents sums)
-    "q_sql_tpch_q19",          # new: OR-of-ANDs brand/size/qty bands
-    "q_chunk_split",           # new: overlapping context-window chunks
-    "q_char_entropy",          # new: C4/Gopher character-entropy filter
-    "q_alter_reduce",          # new: reduce evolution without re-map
-    "q_stream_view_upsert",    # new: streaming-built store, batch oracle
-    "q_simhash_incremental",   # new: engine-maintained near-dup index
-    "q_dedup_hamming",         # new: lossless banded hamming pair join
-    "q_sql_tpch_q17",          # new: correlated scalar subquery (decorrelation)
-    "q_sql_tpch_q15",          # new: top supplier (scalar over aggregate)
-    "q_sql_tpch_q7",           # new: nation-pair volume (symmetric disjunction)
-    "q_sql_tpch_q8",           # new: market share (8-relation join)
-    "q_sql_tpch_q13",          # new: order-count distribution (outer-join agg)
-    "q_scan_text",             # new: line-oriented text source round-trip
-    "q_scan_binary",           # new: binaryFile multimodal ingest path
-    "q_scan_xml",              # new: native XML round-trip (Spark 4)
-    "q_variant_type",          # new: VARIANT semi-structured type (Spark 4)
-    "q_recursive_cte",         # new: WITH RECURSIVE hierarchy walk (Spark 4)
-    "q_sql_udf",               # new: SQL-defined function, inlined (Spark 4)
-    "q_collation",             # new: case-insensitive collation (Spark 4)
-    "q_python_datasource",     # new: Python Data Source connector (Spark 4)
+    "q_stream_checkpoint_recovery",  # new: 2-run checkpoint resume, batch oracle
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
-    #       re-attest before the round-3 ones) ------------------------
+    #       re-attest before the round-3/round-5 ones) ----------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
     "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",
     "q_key_migration", "q_store_point_lookup",
@@ -138,11 +105,11 @@ _PRIORITY = [
     "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
     "q_stream_tumbling", "q_stream_session",
     "q_sql_tpch_q1", "q_sql_tpch_q3",
-    "q_join_inner", "q_join_broadcast", "q_join_bucketed",
+    "q_join_inner", "q_join_broadcast",
     "q_join_salted", "q_join_asof",
     "q_agg_multi", "q_agg_grouping_sets", "q_agg_approx_quantile",
     "q_window_rank",
-    # -- 4. unchanged, attested green in round 3 (most recent) --------
+    # -- 4. unchanged, last attested in round 3 ------------------------
     "q_scan_parquet", "q_filter_pred", "q_project_expr",
     "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
     "q_join_full", "q_agg_rollup", "q_agg_cube", "q_agg_quantile",
@@ -150,7 +117,7 @@ _PRIORITY = [
     "q_sort_limit", "q_union_all", "q_intersect", "q_except",
     "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
     "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
-    "q_string_agg", "q_gap_fill", "q_sql_exists",
+    "q_string_agg", "q_sql_exists",
     "q_doc_fingerprint", "q_batch_256", "q_shard_pack",
     "q_corpus_prep", "q_rereduce_tree", "q_decontaminate",
     "q_sample_stratified", "q_ngram_stats", "q_quality_funnel",
@@ -158,6 +125,22 @@ _PRIORITY = [
     "q_inverted_index", "q_bm25", "q_doc_len_histogram",
     "q_window_lag", "q_sql_tpch_q5", "q_window_range_frame",
     "q_anomaly_p99", "q_upsert_enriched",
+    # -- 5. unchanged, attested green in round 5 (most recent) ---------
+    "q_scd2_history", "q_retention_cohort", "q_sketch_union",
+    "q_dedup_cross_snapshot", "q_scan_orc", "q_time_travel",
+    "q_pagerank", "q_resample_weighted", "q_unpivot", "q_udtf_surface",
+    "q_session_conversion", "q_sql_tpch_q6", "q_sql_tpch_q10",
+    "q_ingest_corrupt", "q_null_semantics", "q_argminmax",
+    "q_map_type_ops", "q_dedup_cluster", "q_sim_search",
+    "q_stream_interval_join", "q_stream_dedup", "q_stream_sessionize",
+    "q_sim_index_persisted", "q_upsert_delete", "q_store_rescale",
+    "q_agg_stats", "q_topk_per_group", "q_sql_tpch_q18",
+    "q_percent_change", "q_minhash_containment", "q_tfidf_vectors",
+    "q_sim_join_threshold", "q_dedup_url", "q_sql_tpch_q14",
+    "q_sql_tpch_q19", "q_chunk_split", "q_char_entropy",
+    "q_alter_reduce", "q_stream_view_upsert", "q_simhash_incremental",
+    "q_dedup_hamming", "q_sql_tpch_q17", "q_sql_tpch_q15",
+    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13", "q_scan_text",
 ]
 
 
