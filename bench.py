@@ -3,7 +3,16 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": sec, ...}, "sf": <sf>,
+   "spread": {"q1": {"min": s, "median": s, "max": s}, ...},
+   "noise_note": "..."}
+
+``value``/``queries`` keep the historical best-of-N semantics so the
+headline stays comparable round-over-round; ``spread`` reports
+min/median/max over the N cold reps so a per-query delta can be read
+against the box's actual run-to-run noise band instead of being
+mistaken for a code effect (r4 chased a 0.67 s "regression" that r5
+measured away on identical code).
 
 Per-query time = plan construction + full execution (collect),
 measured after the session is warm (a trivial job runs first so JVM/
@@ -91,6 +100,7 @@ def main() -> None:
         if q
     ]
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     # Best of N_REPS runs per query: single-shot timings on a shared
     # box carry ±30% scheduler/IO noise, and the minimum is the
     # standard low-variance estimator of a query's true cost. Every
@@ -104,7 +114,7 @@ def main() -> None:
     from updatable_persistent_map_reduce_spark.operators import incremental
 
     for name in headline:
-        best, n = float("inf"), 0
+        reps, n = [], 0
         for _ in range(N_REPS):
             spark.catalog.clearCache()
             incremental._VIEW_CACHE.clear()
@@ -113,11 +123,27 @@ def main() -> None:
             n = df.count() if name in ("q_mm_features", "q_token_count") else len(
                 df.collect()
             )
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        times[name] = round(reps[0], 3)
+        spread[name] = {
+            "min": round(reps[0], 3),
+            "median": round(reps[len(reps) // 2], 3),
+            "max": round(reps[-1], 3),
+        }
+        print(
+            f"# {name}: {times[name]}s ({n} rows;"
+            f" median {spread[name]['median']}s, max {spread[name]['max']}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
+    # Aggregate noise band: how far the per-query max strays from the
+    # min, totalled over the headline — the scale of delta that is
+    # attributable to the box, not the code.
+    noise = round(
+        sum(s["max"] - s["min"] for s in spread.values()), 3
+    )
     print(
         json.dumps(
             {
@@ -126,6 +152,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread": spread,
+                "noise_note": (
+                    f"value/queries are best-of-{N_REPS} cold runs;"
+                    f" within-run max-min totals {noise}s across the"
+                    " headline — per-query deltas inside a query's"
+                    " [min,max] band are box noise, not code effects"
+                ),
             }
         )
     )

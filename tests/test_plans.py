@@ -9,7 +9,7 @@ import pytest
 
 from updatable_persistent_map_reduce_spark.operators import all_queries
 
-from tools.explain_audit import EXPECTATIONS
+from tools.explain_audit import EXPECTATIONS, marker_hit
 
 
 def test_cluster_edges_are_bucket_joined(spark, sf_dir):
@@ -37,8 +37,8 @@ def test_plan_shape(name, spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
-    missing = [m for m in want if m not in plan]
-    present = [m for m in avoid if m in plan]
+    missing = [m for m in want if not marker_hit(m, plan)]
+    present = [m for m in avoid if marker_hit(m, plan)]
     assert not missing and not present, (
         f"{name}: missing={missing} forbidden={present}\n{plan}"
     )

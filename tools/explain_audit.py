@@ -15,6 +15,7 @@ Usage: python tools/explain_audit.py [-v] [query ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,6 +26,11 @@ from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E40
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # query -> (must-contain markers, must-NOT-contain markers)
+# A marker starting with "re:" is a regex (re.search over the
+# formatted plan); anything else is a plain substring. Regexes exist
+# for shape assertions substrings can't express — e.g. "the Window
+# operator's partition spec names the series column" vs merely "a
+# Window exists somewhere".
 EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # pruned scan: only the 3 projected columns reach the reader
     "q_scan_parquet": (["ReadSchema: struct<l_orderkey", "l_quantity"], ["l_comment"]),
@@ -66,7 +72,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # salted skew join stays an equi-join (salt explode, no NLJ)
     "q_join_salted": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
     # dense-spine gap fill: sequence/explode + equi left join, no NLJ
-    "q_gap_fill": (["Join"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # fill window must be PARTITIONED BY the series key (event_type) —
+    # a window with an empty partition spec ("[], [day") serializes the
+    # whole spine through one task
+    "q_gap_fill": (
+        ["Join", "Window", r"re:\[event_type#\d+\], \[day#\d+ ASC"],
+        [
+            "CartesianProduct",
+            "BroadcastNestedLoop",
+            r"re:\], \[\], \[day#",
+        ],
+    ),
     # pivot compiles to conditional aggs in ONE pass — no per-value scans
     "q_pivot": (["HashAggregate"], ["Python"]),
     # grouping sets / rollup / cube: one Expand + a single aggregation
@@ -457,6 +473,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def marker_hit(marker: str, plan: str) -> bool:
+    """True when ``marker`` matches ``plan``: "re:"-prefixed markers
+    are regexes, anything else is a plain substring."""
+    if marker.startswith("re:"):
+        return re.search(marker[3:], plan) is not None
+    return marker in plan
+
+
 def main() -> int:
     verbose = "-v" in sys.argv
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(
@@ -471,8 +495,8 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
-        missing = [m for m in want if m not in plan]
-        present = [m for m in avoid if m in plan]
+        missing = [m for m in want if not marker_hit(m, plan)]
+        present = [m for m in avoid if marker_hit(m, plan)]
         ok = not missing and not present
         status = "ok  " if ok else "FAIL"
         print(f"{status} {name}"

@@ -660,34 +660,35 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketed co-located join — pre-shuffling at write time so the join
 # itself needs no exchange.
 
-_BUCKET_WAREHOUSE: dict[str, bool] = {}
+_BUCKET_WAREHOUSE: dict[str, str] = {}
 _N_BUCKETS = 8
 
 
-def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     """One-time per (session, sf): persist orders and lineitem bucketed
-    by the join key. At 100 TB this is the layout decision: both fact
-    tables written ``bucketBy(N, join_key)`` mean every subsequent join
-    on that key is exchange-free (SortMergeJoin over co-located
-    buckets) — the shuffle is paid once at ingest, not per query."""
+    by the join key, returning the database that holds them. At 100 TB
+    this is the layout decision: both fact tables written
+    ``bucketBy(N, join_key)`` mean every subsequent join on that key is
+    exchange-free (SortMergeJoin over co-located buckets) — the shuffle
+    is paid once at ingest, not per query.
+
+    The database is named per-process/per-session and sited under a
+    fresh temp dir, so two concurrent sessions (e.g. pytest and an
+    oracle-gate run) can never clobber each other's bucketed files
+    mid-read — a fixed shared ``spark-warehouse/upmr_bucketed.db``
+    location did exactly that under parallel runs."""
     key = f"{id(spark)}:{sf_dir}"
-    if _BUCKET_WAREHOUSE.get(key):
-        return
-    import shutil
-    from urllib.parse import urlparse
+    if key in _BUCKET_WAREHOUSE:
+        return _BUCKET_WAREHOUSE[key]
+    import tempfile
 
     cat = Catalog(spark, sf_dir)
-    spark.sql("CREATE DATABASE IF NOT EXISTS upmr_bucketed")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    db = f"upmr_bucketed_p{os.getpid()}_s{id(spark)}"
+    loc = tempfile.mkdtemp(prefix="upmr_bucketed_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     for table, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"upmr_bucketed.{table}_b"
-        # A previous process's managed-table dir may outlive the
-        # in-memory metastore; clear both before writing.
+        name = f"{db}.{table}_b"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(
-            os.path.join(warehouse, "upmr_bucketed.db", f"{table}_b"),
-            ignore_errors=True,
-        )
         (
             cat[table]
             .write.bucketBy(_N_BUCKETS, bucket_col)
@@ -695,7 +696,8 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
             .mode("overwrite")
             .saveAsTable(name)
         )
-    _BUCKET_WAREHOUSE[key] = True
+    _BUCKET_WAREHOUSE[key] = db
+    return db
 
 
 @register(
@@ -713,11 +715,11 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     "per-orderkey aggregation also reuses the bucketing.",
 )
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _ensure_bucketed_tables(spark, sf_dir)
-    o = spark.table("upmr_bucketed.orders_b").filter(
+    db = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(f"{db}.orders_b").filter(
         F.col("o_orderstatus") == "F"
     )
-    l = spark.table("upmr_bucketed.lineitem_b")
+    l = spark.table(f"{db}.lineitem_b")
     # hint("merge"): at test scale AQE would broadcast the filtered
     # orders side (also exchange-free, and fine); the hint pins the
     # fact-fact plan this layout exists for — SortMergeJoin directly
@@ -793,49 +795,67 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_gap_fill",
     oracle=(
-        "WITH bounds AS (SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) lo, "
-        "CAST(max(date_trunc('day', ts)) AS TIMESTAMP) hi FROM events), "
-        "days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day "
-        "FROM bounds), "
-        "daily AS (SELECT date_trunc('day', ts) AS day, "
-        "round(sum(value), 2) AS purchase_value FROM events "
-        "WHERE event_type = 'purchase' GROUP BY 1) "
-        "SELECT days.day, "
-        "coalesce(daily.purchase_value, last_value(daily.purchase_value IGNORE NULLS) "
-        "OVER (ORDER BY days.day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-        ") AS purchase_value "
-        "FROM days LEFT JOIN daily USING (day)"
+        "WITH per_type AS (SELECT event_type, "
+        "CAST(min(date_trunc('day', ts)) AS TIMESTAMP) lo, "
+        "CAST(max(date_trunc('day', ts)) AS TIMESTAMP) hi "
+        "FROM events GROUP BY 1), "
+        "spine AS (SELECT event_type, "
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day "
+        "FROM per_type), "
+        "daily AS (SELECT event_type, date_trunc('day', ts) AS day, "
+        "CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) "
+        "AS daily_cents FROM events GROUP BY 1, 2) "
+        "SELECT spine.event_type, spine.day, "
+        "coalesce(daily.daily_cents, last_value(daily.daily_cents IGNORE NULLS) "
+        "OVER (PARTITION BY spine.event_type ORDER BY spine.day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") AS daily_cents "
+        "FROM spine LEFT JOIN daily USING (event_type, day)"
     ),
-    doc="Time-series gap fill + forward fill: dense daily spine via "
-    "sequence()/explode, left join of per-day purchase totals, missing "
-    "days carry the last observed value (last_value IGNORE NULLS "
-    "window). The resample-and-ffill primitive of feature pipelines; "
-    "at scale the spine generation is O(days) and the fill window "
-    "partitions by series key.",
+    doc="Time-series gap fill + forward fill, PER SERIES: each "
+    "event_type gets a dense daily spine (sequence()/explode between "
+    "its own first and last day — no cross join, no global spine), "
+    "left-joined with per-(type, day) totals; missing days carry the "
+    "series' last observed value (last_value IGNORE NULLS over a "
+    "window PARTITIONED BY event_type). The resample-and-ffill "
+    "primitive of feature pipelines. Scale: the fill window is "
+    "per-series, so parallelism = n_series and no executor ever sorts "
+    "more than one series' O(days) rows — a global (unpartitioned) "
+    "forward-fill window would serialize the whole spine through one "
+    "task. Sums are exact DECIMAL cents so Spark and the oracle agree "
+    "bit-for-bit.",
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
-    bounds = ev.select(
+    per_type = ev.groupBy("event_type").agg(
         F.date_trunc("day", F.min("ts")).alias("lo"),
         F.date_trunc("day", F.max("ts")).alias("hi"),
     )
-    days = bounds.select(
+    spine = per_type.select(
+        "event_type",
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 day"))
-        ).alias("day")
+        ).alias("day"),
     )
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+        .cast("long")
+        .alias("daily_cents")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
-    return days.join(daily, "day", "left").select(
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
         "day",
         F.coalesce(
-            F.col("purchase_value"),
-            F.last("purchase_value", ignorenulls=True).over(w),
-        ).alias("purchase_value"),
+            F.col("daily_cents"),
+            F.last("daily_cents", ignorenulls=True).over(w),
+        ).alias("daily_cents"),
     )
 
 
@@ -1852,6 +1872,34 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # contingency table — DataFrameStatFunctions.crosstab surface.
 
+_CROSSTAB_MAX_CELLS = 10_000
+
+
+def _crosstab_guarded(
+    df: DataFrame, col1: str, col2: str, max_cells: int = _CROSSTAB_MAX_CELLS
+) -> DataFrame:
+    """``df.stat.crosstab`` with the small-x-small contract ENFORCED.
+
+    crosstab materializes the full (distinct col1) x (distinct col2)
+    cell grid on the driver, so it is only usable when that product is
+    small. One cheap approx-distinct pre-pass checks the product and
+    raises toward the scalable alternative (groupBy().pivot() with an
+    explicit value list — q_pivot) instead of letting a
+    high-cardinality pair OOM the driver at 100x the data."""
+    est = df.agg(
+        F.approx_count_distinct(col1).alias("c1"),
+        F.approx_count_distinct(col2).alias("c2"),
+    ).first()
+    cells = est["c1"] * est["c2"]
+    if cells > max_cells:
+        raise ValueError(
+            f"crosstab({col1}, {col2}) would materialize ~{cells} cells "
+            f"driver-side (> {max_cells}); use groupBy({col1!r})"
+            f".pivot({col2!r}, values=[...]) (see q_pivot) for "
+            "high-cardinality pairs"
+        )
+    return df.stat.crosstab(col1, col2)
+
 
 @register(
     "q_cross_tab",
@@ -1883,7 +1931,7 @@ def q_cross_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.concat(F.lit("h"), (F.hour("ts") % 4).cast("string")).alias("hb"),
     )
-    return hb.stat.crosstab("event_type", "hb")
+    return _crosstab_guarded(hb, "event_type", "hb")
 
 
 # ---------------------------------------------------------------------------
