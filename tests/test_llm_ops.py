@@ -331,6 +331,78 @@ def test_ivf_index_upsert_and_pruned_probe(spark, tmp_path):
     assert scanned and scanned <= allowed, (scanned, allowed)
 
 
+def test_ivf_partial_nprobe_recall_floor(spark, tmp_path):
+    """Partial-probe recall pinned on a planted corpus: nprobe <
+    n_cells is the only mode a 100 TB deployment actually runs, so
+    exactness at full probe is not enough evidence. 2000 vectors in 8
+    well-separated Gaussian blobs, 20 queries planted as tiny
+    perturbations of corpus vectors; at nprobe=2 of 8 cells the index
+    must (a) return the planted source as the top hit for nearly every
+    query and (b) keep recall@10 vs numpy brute force above a measured
+    floor, while (c) full probe stays exact."""
+    import numpy as np
+
+    from updatable_persistent_map_reduce_spark.plans.ann_index import IvfIndex
+
+    dim, n_clusters, per = 16, 8, 250
+    rng = np.random.RandomState(11)
+    centers = rng.randn(n_clusters, dim) * 5.0
+    raw = np.vstack(
+        [centers[c] + rng.randn(per, dim) for c in range(n_clusters)]
+    )
+    # random id order so the k-means seeds (first n_cells ids) span
+    # clusters instead of all landing in blob 0
+    vecs = raw[rng.permutation(len(raw))].astype("float32")
+    n = len(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_cells=n_clusters)
+    idx.build(df, kmeans_iters=3)
+
+    n_q, k = 20, 10
+    planted = rng.choice(n, n_q, replace=False)
+    queries = [
+        (10_000 + j, [float(x) for x in vecs[src] + 0.01 * rng.randn(dim)])
+        for j, src in enumerate(planted)
+    ]
+    # numpy brute-force ground truth (same float32 values the engine
+    # scores)
+    corpus = vecs.astype("float64")
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    qmat = np.array(
+        [np.array(v, dtype="float32") for _, v in queries], dtype="float64"
+    )
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = qmat @ corpus.T
+    truth = {
+        queries[j][0]: set(np.argsort(-sims[j])[:k].tolist())
+        for j in range(n_q)
+    }
+
+    got: dict[int, list[int]] = {q: [] for q, _ in queries}
+    for r in idx.search(queries, k=k, nprobe=2).collect():
+        got[r.query_id].append(r.vec_id)
+    recall = sum(
+        len(set(g) & truth[q]) / k for q, g in got.items()
+    ) / n_q
+    top1_hits = sum(
+        1 for j, (q, _) in enumerate(queries) if got[q][:1] == [planted[j]]
+    )
+    # measured 1.0/20 on this seed; floors leave margin for float
+    # near-ties, not for regressions
+    assert recall >= 0.9, f"recall@{k} at nprobe=2 fell to {recall}"
+    assert top1_hits >= 18, f"planted top-1 only {top1_hits}/20"
+
+    # full probe is exact
+    full: dict[int, set[int]] = {q: set() for q, _ in queries}
+    for r in idx.search(queries, k=k, nprobe=n_clusters).collect():
+        full[r.query_id].add(r.vec_id)
+    exact = sum(len(full[q] & truth[q]) / k for q, _ in queries) / n_q
+    assert exact >= 0.99, exact
+
+
 def test_inverted_index_upsert_and_pruned_scan(spark, tmp_path):
     """Persisted inverted-index lifecycle: build, score, incrementally
     append a new document, score again — and verify the query scan is
@@ -373,6 +445,63 @@ def test_inverted_index_upsert_and_pruned_scan(spark, tmp_path):
     allowed = set(idx._post.read(spark, spans=spans).inputFiles())
     scanned = set(idx.bm25(["join", "window", "hash"]).inputFiles())
     assert scanned and scanned <= allowed
+
+
+def test_inverted_index_replaces_doc_latest_wins(spark, tmp_path):
+    """Revising a document through upsert() must stop its OLD postings
+    from scoring (the reference's latest-wins contract,
+    Executer.cs:240-261, applied to the serving index): a doc revised
+    to drop the query terms disappears from the result, corpus stats
+    track the dl delta, and compact() physically removes the dead
+    generations without changing any score."""
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window hash join"),
+            (2, "window sort filter"),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex(spark, str(tmp_path / "inv"), n_spans=8)
+    idx.build(docs)
+    assert {r.doc_id for r in idx.bm25(["join", "window", "hash"]).collect()} == {1, 2}
+
+    # revise doc 1 to drop every query term: latest wins, so it must
+    # stop scoring even though its old postings files still exist
+    idx.upsert(
+        spark.createDataFrame(
+            [(1, "nothing relevant anymore")], "doc_id long, text string"
+        )
+    )
+    s = idx.stats()
+    assert s["n_docs"] == 3  # replacement, not growth
+    assert {r.doc_id for r in idx.bm25(["join", "window", "hash"]).collect()} == {2}
+    # the incremental scalars must equal an exact recompute
+    assert idx.refresh_stats() == s
+
+    # revise doc 2 to hit the terms HARDER; same id must re-rank, once
+    idx.upsert(
+        spark.createDataFrame(
+            [(2, "join join join window hash")], "doc_id long, text string"
+        )
+    )
+    after = {r.doc_id: r.score for r in idx.bm25(["join", "window", "hash"]).collect()}
+    assert set(after) == {2}
+
+    # compaction folds the delete vectors into the files: identical
+    # scores, empty replaced table, fewer live generations on disk
+    idx.compact()
+    compacted = {
+        r.doc_id: r.score for r in idx.bm25(["join", "window", "hash"]).collect()
+    }
+    assert compacted == after
+    assert idx._repl.read(spark) is None
+    post = idx._post.read(spark)
+    assert post.filter("doc_id = 2").select("gen").distinct().count() == 1
 
 
 def test_edge_lsh_geometry_scales():

@@ -4,25 +4,50 @@
 builds postings ONCE and scores queries against them. `InvertedIndex`
 does that with the engine's storage machinery:
 
-- **postings**: one :class:`ManifestTable` of (token, doc_id, tf, dl)
-  rows, span column = ``tspan`` = pmod(xxhash64(token), n_spans) — a
-  query's terms hash to a handful of spans, so scoring reads ONLY
+- **postings**: one :class:`ManifestTable` of (token, doc_id, tf, dl,
+  gen) rows, span column = ``tspan`` = pmod(xxhash64(token), n_spans)
+  — a query's terms hash to a handful of spans, so scoring reads ONLY
   those spans' files (manifest span pruning applied to text
   retrieval; the reference's FinalResults-point-read contract,
   Executer.cs:370-376, for search). Document frequency is computed
   from the probed postings at query time, so it is always consistent
   with the files actually read.
+- **doc_index**: (doc_id, dl, gen) clustered by doc-hash span
+  (``dspan``) — the write-side probe that makes upserts latest-wins
+  (the view's doc_index role, the reference's Executer.cs:240-261
+  semantics applied to the index): an incoming batch reads only its
+  own doc spans' files to learn which ids already exist and at what
+  generation.
+- **replaced**: (doc_id, live_gen) for docs that have EVER been
+  replaced — a merge-on-read delete vector (the Iceberg/Delta
+  pattern). Scoring left-joins the probed postings against this
+  (small, broadcast) set and keeps a row iff its doc was never
+  replaced or its ``gen`` IS the live generation, so a revised doc's
+  old postings can never score. ``compact()`` folds the dead rows out
+  of the postings files and empties this table.
 - **corpus stats**: (n_docs, total_dl) as driver-side JSON — the BM25
-  scalars, updated on append (the mergeable part of the statistics).
-- **incremental upsert**: new documents' postings APPEND under an
-  atomic manifest snapshot; no rebuild, queries immediately see them.
-  (Replacing an existing doc_id routes through a doc-index exactly
-  like the view's latest-wins path; growth-only here.)
+  scalars; replacement adjusts them by (new dl - old dl), so avgdl
+  tracks revisions, not just growth.
+- **incremental upsert**: brand-new documents' postings APPEND under
+  an atomic manifest snapshot; replacements additionally CoW-rewrite
+  the replaced ids' doc_index/replaced spans. Commit order is
+  replaced -> doc_index -> postings -> stats: a crash mid-upsert can
+  briefly hide the in-flight doc (delete-then-insert), but can never
+  double-score it — the delete vector closes the old generation
+  before anything new lands, and the doc_index entry precedes the
+  postings so a retry always sees the crashed attempt as a
+  replacement and kills its generation too. Re-running the same
+  upsert therefore converges; the only crash residue is a bounded
+  drift in the incremental (n_docs, total_dl) scalars, which
+  ``refresh_stats()`` recomputes exactly from the doc_index.
 
 At 100 TB: postings are the corpus's dominated-by-explode table —
 written once, bucketed by term-hash span; a Q-term query scans
 corpus·(Q/n_spans) worth of postings bytes, and scoring is one
-partial+final aggregate plus a top-k, never a corpus scan.
+partial+final aggregate plus a top-k, never a corpus scan. The
+replaced set is O(revised docs since last compact) — broadcast-sized
+under any sane compaction cadence, and ``compact()`` is one
+distributed filter-rewrite job when it isn't.
 """
 
 from __future__ import annotations
@@ -41,16 +66,28 @@ B = 0.75
 
 
 class InvertedIndex:
-    def __init__(self, spark: SparkSession, path: str, n_spans: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_spans: int = 32,
+        n_doc_spans: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.n_spans = n_spans
+        self.n_doc_spans = n_doc_spans
         self._post = ManifestTable(os.path.join(path, "postings"), "tspan")
+        self._docs = ManifestTable(os.path.join(path, "doc_index"), "dspan")
+        self._repl = ManifestTable(os.path.join(path, "replaced"), "dspan")
         self._stats_path = os.path.join(path, "stats.json")
 
     # ----- build / maintain ------------------------------------------------
 
-    def _postings(self, docs: DataFrame) -> DataFrame:
+    def _dspan(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_doc_spans)).cast("int")
+
+    def _postings(self, docs: DataFrame, gen: int) -> DataFrame:
         toks = docs.select(
             "doc_id", tokens_expr(F.col("text")).alias("toks")
         ).select("doc_id", F.size("toks").alias("dl"), "toks")
@@ -58,50 +95,170 @@ class InvertedIndex:
             toks.select("doc_id", "dl", F.explode("toks").alias("token"))
             .groupBy("token", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("gen", F.lit(gen).cast("long"))
             .withColumn(
                 "tspan",
                 F.pmod(F.xxhash64("token"), F.lit(self.n_spans)).cast("int"),
             )
         )
 
-    def _doc_stats(self, docs: DataFrame) -> tuple[int, int]:
-        [[n, dl]] = (
-            docs.select(F.size(tokens_expr(F.col("text"))).alias("dl"))
-            .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
-            .collect()
+    def _doc_rows(self, docs: DataFrame, gen: int) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.size(tokens_expr(F.col("text"))).alias("dl"),
+            F.lit(gen).cast("long").alias("gen"),
+            self._dspan(F.col("doc_id")).alias("dspan"),
         )
-        return int(n), int(dl)
 
     def build(self, docs: DataFrame) -> None:
         """Tokenize ``docs`` (doc_id, text) into term-hash-bucketed
-        postings; one write job, atomic publish."""
-        mapping = self._post.write_data(self._postings(docs))
-        self._post.commit(replace_all=mapping)
-        n, dl = self._doc_stats(docs)
-        with open(self._stats_path, "w") as f:
-            json.dump({"n_docs": n, "total_dl": dl}, f)
+        postings + the doc index; one write job each, atomic publish."""
+        gen = self._post.version + 1
+        self._post.commit(replace_all=self._post.write_data(self._postings(docs, gen)))
+        self._docs.commit(replace_all=self._docs.write_data(self._doc_rows(docs, gen)))
+        self._repl.commit(replace_all={})
+        self.refresh_stats()
 
     def upsert(self, new_docs: DataFrame) -> None:
-        """Append new documents' postings + merge the corpus scalars —
-        an incremental index update, crash-safe like every table."""
-        mapping = self._post.write_data(self._postings(new_docs))
-        self._post.commit(append=mapping)
-        n, dl = self._doc_stats(new_docs)
+        """Latest-wins document upsert: brand-new ids append; ids that
+        already exist are REPLACED — their old postings stop scoring
+        the moment the upsert commits (the reference's defining
+        latest-wins semantics, Executer.cs:240-261, applied to the
+        serving index). Incremental and crash-safe like every table:
+        cost is O(batch + replaced ids' doc_index spans), never a
+        rebuild."""
+        new_docs = new_docs.select("doc_id", "text")
+        gen = self._post.version + 1
+        ids = new_docs.select("doc_id").distinct()
+        dspans = sorted(
+            r[0]
+            for r in ids.select(self._dspan(F.col("doc_id")))
+            .distinct()
+            .collect()
+        )
+        # probe: which incoming ids already exist, and their old dl —
+        # manifest-pruned to the incoming ids' doc spans only
+        existing = self._docs.read(self.spark, spans=dspans)
+        old = (
+            existing.join(ids, "doc_id", "semi") if existing is not None
+            else None
+        )
+        n_replaced, old_dl = 0, 0
+        if old is not None:
+            [[n_replaced, old_dl]] = old.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+            ).collect()
+        # 1. delete vectors FIRST: once (doc_id, live_gen=gen) is
+        # committed, no generation but this upsert's can score — the
+        # old rows die now, the new rows only become live when they
+        # land. (A crash here hides the doc until the retry; it never
+        # double-scores it.)
+        if n_replaced:
+            repl_new = old.select(
+                "doc_id",
+                F.lit(gen).cast("long").alias("live_gen"),
+                self._dspan(F.col("doc_id")).alias("dspan"),
+            )
+            cur = self._repl.read(self.spark, spans=dspans)
+            surv = (
+                cur.join(ids, "doc_id", "anti") if cur is not None else None
+            )
+            out = (
+                surv.unionByName(repl_new) if surv is not None else repl_new
+            )
+            mapping = self._repl.write_data(out)
+            self._repl.commit(
+                replace=mapping,
+                drop=[s for s in dspans if s not in mapping],
+            )
+        # 2. doc index: CoW-rewrite the incoming ids' doc spans
+        # (survivors minus incoming, latest-wins) — committed BEFORE
+        # the postings so a crashed attempt's generation is always
+        # visible to the retry's probe as "exists" (and thus gets a
+        # delete vector); an index entry whose postings never landed
+        # only hides the doc until the retry, never double-scores it
+        new_idx = self._doc_rows(new_docs, gen)
+        surv_idx = (
+            existing.join(ids, "doc_id", "anti")
+            if existing is not None
+            else None
+        )
+        out_idx = (
+            surv_idx.unionByName(new_idx) if surv_idx is not None else new_idx
+        )
+        imapping = self._docs.write_data(out_idx)
+        self._docs.commit(
+            replace=imapping,
+            drop=[s for s in dspans if s not in imapping],
+        )
+        # 3. postings: pure append — every older generation of the
+        # incoming ids is already dead via the delete vectors
+        self._post.commit(append=self._post.write_data(self._postings(new_docs, gen)))
+        # 4. corpus scalars: growth plus the replaced docs' dl delta
+        [[n_new, new_dl]] = new_idx.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+        ).collect()
         s = self.stats()
         with open(self._stats_path, "w") as f:
             json.dump(
                 {
-                    "n_docs": s["n_docs"] + n,
-                    "total_dl": s["total_dl"] + dl,
+                    "n_docs": s["n_docs"] + int(n_new) - int(n_replaced),
+                    "total_dl": s["total_dl"] + int(new_dl) - int(old_dl),
                 },
                 f,
             )
+
+    def compact(self) -> None:
+        """Fold the delete vectors into the postings files: one
+        distributed filter-rewrite job dropping every dead generation,
+        then an empty ``replaced`` table. Run on a cadence (or when
+        the replaced set outgrows broadcast size); queries before,
+        during, and after see identical results — the rewrite swaps in
+        atomically."""
+        post = self._post.read(self.spark)
+        if post is None:
+            return
+        live = self._live_filter(post)
+        self._post.commit(replace_all=self._post.write_data(live))
+        self._repl.commit(replace_all={})
 
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)
 
+    def refresh_stats(self) -> dict:
+        """Recompute (n_docs, total_dl) exactly from the doc_index —
+        one columnar count+sum. The incremental per-upsert update is
+        exact in normal operation; a crash between an upsert's table
+        commits and its stats write leaves a bounded drift, and this
+        squares it away."""
+        idx = self._docs.read(self.spark)
+        [[n, dl]] = idx.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+        ).collect()
+        s = {"n_docs": int(n), "total_dl": int(dl)}
+        with open(self._stats_path, "w") as f:
+            json.dump(s, f)
+        return s
+
     # ----- serve -----------------------------------------------------------
+
+    def _live_filter(self, post: DataFrame) -> DataFrame:
+        """Drop superseded generations: left-join against the (small)
+        replaced set; a row survives iff its doc was never replaced or
+        it carries the doc's live generation."""
+        tomb = self._repl.read(self.spark)
+        if tomb is None:
+            return post
+        tomb = tomb.select("doc_id", "live_gen")
+        return (
+            post.join(F.broadcast(tomb), "doc_id", "left")
+            .filter(
+                F.col("live_gen").isNull()
+                | (F.col("gen") == F.col("live_gen"))
+            )
+            .drop("live_gen")
+        )
 
     def _term_spans(self, terms: list[str]) -> list[int]:
         rows = (
@@ -117,7 +274,8 @@ class InvertedIndex:
         """Okapi BM25 top-k over the probed postings spans only.
         Identical scoring to operators/search.q_bm25 (fixed-order
         per-term sum, rounded before ranking); df comes from the
-        probed postings, (n_docs, avgdl) from the merged stats."""
+        probed postings after the latest-wins filter, (n_docs, avgdl)
+        from the maintained stats."""
         s = self.stats()
         n_docs = int(s["n_docs"])
         avgdl = float(s["total_dl"]) / n_docs
@@ -127,7 +285,7 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double"
             )
-        tf = post.filter(F.col("token").isin(terms))
+        tf = self._live_filter(post).filter(F.col("token").isin(terms))
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         scored = tf.join(F.broadcast(dfreq), "token").select(
             "doc_id",
