@@ -391,6 +391,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # checkpoint-resume twin: same materialized-finals read; the
+    # two-run recovery protocol happens before the returned plan
+    "q_stream_checkpoint_recovery": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
     # engine-maintained fingerprint index: materialized finals read
     "q_simhash_incremental": (
         ["Scan parquet"],

@@ -263,3 +263,103 @@ def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+@register(
+    "q_stream_checkpoint_recovery",
+    oracle=(
+        "WITH latest AS (SELECT user_id, event_type, value FROM "
+        "(SELECT user_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events) WHERE rn = 1) "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="Checkpoint recovery attested end-to-end: TWO sequential "
+    "availableNow runs SHARING one checkpoint and one persisted store. "
+    "Run 1 processes the first half of the events (split by event_id); "
+    "the query stops; a producer drops the second half; a FRESH "
+    "StreamingMapReduceView (a restarted driver, as far as Spark is "
+    "concerned) resumes from the same checkpoint and must process "
+    "ONLY the new file. The result is hashed against the same "
+    "latest-wins batch oracle as q_stream_view_upsert, which attests "
+    "convergence (no loss, no duplication in the final table); the "
+    "query additionally asserts the store executed exactly 2 upsert "
+    "batches — if the checkpoint resume replayed run 1's file, "
+    "batch_seq would be 3 and the query fails loudly rather than "
+    "letting the engine's latest-wins idempotency mask the replay. "
+    "This moves checkpoint-state recovery from pytest-only "
+    "(tests/test_streaming.py) into the driver-attested column.",
+)
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import StreamingMapReduceView
+    from .incremental import _latest_event_rereducible
+
+    ev = Catalog(spark, sf_dir).events.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    [[mid]] = ev.agg(
+        F.percentile_approx("event_id", F.lit(0.5), F.lit(100))
+    ).collect()
+    base = tempfile.mkdtemp(prefix="upmr_ckptrec_")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    schema = (
+        "doc_id string, event_id bigint, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def make_view() -> StreamingMapReduceView:
+        # a fresh instance per run = a restarted driver: nothing
+        # carries over but the checkpoint dir and the store on disk
+        return StreamingMapReduceView(
+            spark,
+            os.path.join(base, "store"),
+            input_path=inbox,
+            input_schema=schema,
+            checkpoint_path=os.path.join(base, "ckpt"),
+            id_col="doc_id",
+            seq_col="event_id",
+            map_fn=_latest_event_rereducible,
+            group_cols=["event_type"],
+            agg_exprs=[
+                F.sum("cnt").alias("cnt"),
+                F.sum("value_sum").alias("value_sum"),
+            ],
+            n_key_spans=8,
+            n_doc_spans=8,
+        )
+
+    # run 1: only the early half of the events exists yet
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    make_view().run_available_now()
+
+    # the producer drops the late half AFTER run 1 stopped; run 2
+    # resumes from the shared checkpoint. Latest-wins is the batch
+    # order: every doc's run-2 events carry higher event_ids, so the
+    # converged store equals the global latest-wins oracle.
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    sv2 = make_view()
+    sv2.run_available_now()
+
+    seq = sv2.view.stats()["batch_seq"]
+    if seq != 2:
+        raise AssertionError(
+            f"checkpoint resume replayed input: batch_seq={seq}, want 2 "
+            "(one upsert per producer file; a replayed file would be "
+            "invisible in the latest-wins result, so it is checked here)"
+        )
+    return sv2.final_df().select(
+        F.col("event_type").alias("group_key"),
+        "cnt",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
