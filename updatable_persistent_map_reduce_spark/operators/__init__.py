@@ -87,7 +87,6 @@ _PRIORITY = [
     "q_cross_tab",         # cardinality guard added
     "q_join_bucketed",     # hermetic per-session warehouse db
     "q_text_index_persisted",  # latest-wins doc replacement path
-    "q_upsert_recount",    # batched per-execute manifest commits
     # -- 2b. new this round (never driver-attested; excess past the
     #        50-sample rolls to the next round, local gate covers all)
     "q_stream_checkpoint_recovery",  # new: 2-run checkpoint resume, batch oracle
@@ -134,6 +133,7 @@ _PRIORITY = [
     "q_map_type_ops", "q_dedup_cluster", "q_sim_search",
     "q_stream_interval_join", "q_stream_dedup", "q_stream_sessionize",
     "q_sim_index_persisted", "q_upsert_delete", "q_store_rescale",
+    "q_upsert_recount",
     "q_agg_stats", "q_topk_per_group", "q_sql_tpch_q18",
     "q_percent_change", "q_minhash_containment", "q_tfidf_vectors",
     "q_sim_join_threshold", "q_dedup_url", "q_sql_tpch_q14",
