@@ -435,6 +435,42 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "Python"],
     ),
+    # Q2: correlated min-over-join DECORRELATED (per-part aggregate +
+    # join-back), dims broadcast — never a per-row re-scan
+    "q_sql_tpch_q2": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # Q9: LIKE-filtered part dim still broadcasts; one fact shuffle
+    "q_sql_tpch_q9": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python", "SortMergeJoin"],
+    ),
+    # Q12: date range pushed to the lineitem scan before the join
+    "q_sql_tpch_q12": (
+        ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # Q16: NOT IN -> anti join (broadcast), two-level distinct agg
+    "q_sql_tpch_q16": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # Q20: nested INs -> chained semi joins, zero products
+    "q_sql_tpch_q20": (
+        ["LeftSemi", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # Q21: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti on orderkey
+    "q_sql_tpch_q21": (
+        ["LeftSemi", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
+    # Q22: scalar subqueries as 1-row broadcasts, anti join, never NLJ
+    "q_sql_tpch_q22": (
+        ["LeftAnti", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
     # text round-trip: scan + one aggregate, no Python, no join
     "q_scan_text": (
         ["HashAggregate"],

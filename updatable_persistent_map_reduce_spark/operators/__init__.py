@@ -90,6 +90,13 @@ _PRIORITY = [
     # -- 2b. new this round (never driver-attested; excess past the
     #        50-sample rolls to the next round, local gate covers all)
     "q_stream_checkpoint_recovery",  # new: 2-run checkpoint resume, batch oracle
+    "q_sql_tpch_q2",   # new: correlated min-over-join, suite now 22/22
+    "q_sql_tpch_q9",   # new: non-sargable LIKE dim filter
+    "q_sql_tpch_q12",  # new: CASE-pivot over latency bands
+    "q_sql_tpch_q16",  # new: NOT IN anti + count distinct
+    "q_sql_tpch_q20",  # new: nested IN subqueries
+    "q_sql_tpch_q21",  # new: EXISTS + NOT EXISTS same-fact
+    "q_sql_tpch_q22",  # new: integer-exact avg threshold + anti join
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
