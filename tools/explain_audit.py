@@ -397,6 +397,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # late-data attestation: returned plan reads the emitted-windows
+    # dir and takes latest-run-wins per window — the row_number window
+    # partitions by (win_start, event_type), never a bare ORDER BY
+    "q_stream_late_data": (
+        ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
+        ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
+    ),
     # engine-maintained fingerprint index: materialized finals read
     "q_simhash_incremental": (
         ["Scan parquet"],

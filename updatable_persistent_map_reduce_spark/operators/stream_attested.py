@@ -266,6 +266,103 @@ def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_late_data",
+    oracle=(
+        "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "event_type, value FROM events), "
+        "wm AS (SELECT date_trunc('milliseconds', max(ts)) "
+        "- INTERVAL 3541 SECOND AS w FROM ev WHERE event_id % 2 = 0), "
+        "keep AS (SELECT * FROM ev WHERE event_id % 2 = 0 "
+        "OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm)) "
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, "
+        "event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM keep GROUP BY win_start, event_type"
+    ),
+    doc="Watermark LATE-DATA DROP attested end-to-end: two availableNow "
+    "runs share one checkpoint. Run 1 aggregates the even-event_id "
+    "half of the stream into hourly windows, persisting watermark = "
+    "max(even ts, ms-truncated) - 3541 s in the checkpoint's commit "
+    "log. Run 2 (a fresh query resuming that checkpoint) feeds the "
+    "odd half — whose timestamps span the whole timeline, so roughly "
+    "half arrive with window end <= the restored watermark and MUST "
+    "be dropped (their state was evicted; at sf0.01 that is ~5k of "
+    "10k run-2 rows — the oracle proves the drops happened, not just "
+    "that on-time rows aggregated). The oracle recomputes Spark's "
+    "exact eviction rule in SQL — keep odd rows iff window_end > "
+    "watermark; the 3541 s delay is deliberately hour-unaligned so "
+    "strict-vs-inclusive boundary semantics cannot coincide by "
+    "accident, and the ms truncation mirrors Spark's event-time "
+    "watermark granularity (verified exact at sf0.001/0.01/0.1). "
+    "Update-mode emissions from both runs land tagged in a parquet "
+    "dir (memory sinks refuse checkpoint recovery); the live table "
+    "is latest-run-wins per window, so windows touched only by "
+    "dropped rows keep their run-1 values. Moves watermark/late-data "
+    "semantics from pytest-only (tests/test_streaming.py) into the "
+    "driver-attested column.",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.stream_view import streaming_windowed_agg_resumable
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="upmr_late_")
+    inbox = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    def run(tag: int) -> None:
+        streaming_windowed_agg_resumable(
+            spark,
+            input_path=inbox,
+            input_schema=schema,
+            checkpoint_path=ckpt,
+            out_path=out,
+            run_tag=tag,
+            ts_col="ts",
+            key_cols=("event_type",),
+            window="1 hour",
+            watermark="3541 seconds",
+            agg_exprs=[
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            ],
+        )
+
+    # producer drop 1: the even half, one micro-batch, sets the watermark
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    run(1)
+    # producer drop 2 AFTER run 1 stopped: the odd half, timestamps
+    # spanning the whole timeline — the late ones must be dropped by
+    # the watermark restored from the checkpoint
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    run(2)
+
+    emitted = spark.read.parquet(out)
+    return (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("win_start", "event_type").orderBy(
+                    F.col("run_tag").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("win_start", "event_type", "cnt", "value_sum")
+    )
+
+
+@register(
     "q_stream_checkpoint_recovery",
     oracle=(
         "WITH latest AS (SELECT user_id, event_type, value FROM "

@@ -204,6 +204,57 @@ def streaming_tumbling_counts(
     q.awaitTermination()
 
 
+def streaming_windowed_agg_resumable(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    out_path: str,
+    run_tag: int,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    agg_exprs: Sequence[Column] | None = None,
+) -> None:
+    """Watermarked update-mode windowed aggregation that SURVIVES a
+    restart: ``foreachBatch`` appends each trigger's updated windows
+    (tagged with ``run_tag``) to a parquet dir, so unlike the memory
+    sink — which Spark refuses to recover from a checkpoint — a second
+    call with the same ``checkpoint_path`` resumes the persisted
+    watermark and aggregation state and processes only new input.
+    The live result is, per (window, keys), the row with the highest
+    run_tag; windows whose late arrivals were watermark-dropped are
+    simply never re-emitted, so their last emission stands. At scale
+    the out dir is a keyed table (Delta/Iceberg upsert or the store's
+    dirty-span overwrite); append+latest-wins keeps this test shape
+    deterministic under at-least-once foreachBatch."""
+    aggs = list(agg_exprs) if agg_exprs else [F.count(F.lit(1)).alias("cnt")]
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    windowed = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *key_cols)
+        .agg(*aggs)
+        .withColumn("win_start", F.col("w.start"))
+        .drop("w")
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.withColumn("run_tag", F.lit(run_tag)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        windowed.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_dedup(
     spark: SparkSession,
     *,
