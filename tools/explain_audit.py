@@ -404,6 +404,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # exact substring dedup: window explode is map-side (Generate),
+    # repeated-set reduction is a semi join — all codegen, no Python,
+    # no product, no window operator anywhere
+    "q_dedup_substring": (
+        ["Generate", "LeftSemi", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop", "Window"],
+    ),
     # engine-maintained fingerprint index: materialized finals read
     "q_simhash_incremental": (
         ["Scan parquet"],

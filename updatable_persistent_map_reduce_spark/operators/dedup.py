@@ -986,3 +986,75 @@ def q_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= HAMMING_D)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+_SUBSTR_W = 32  # window length: every repeated span >= 32 chars is caught
+
+
+@register(
+    "q_dedup_substring",
+    oracle=(
+        "WITH wins AS ("
+        "  SELECT doc_id, source, substr(text, CAST(i AS INTEGER), 32) AS win"
+        "  FROM documents,"
+        "       UNNEST(generate_series(1, length(text) - 31, 1)) AS u(i)"
+        "  WHERE length(text) >= 32), "
+        "dup AS (SELECT win FROM wins GROUP BY win"
+        "        HAVING count(DISTINCT doc_id) >= 2) "
+        "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,"
+        "       CAST(count(DISTINCT win) AS BIGINT) AS dup_windows "
+        "FROM wins WHERE win IN (SELECT win FROM dup) "
+        "GROUP BY source"
+    ),
+    doc="EXACT substring-level duplication (the suffix-array dedup of "
+    "'Deduplicating Training Data Makes Language Models Better', Lee "
+    "et al. 2022, re-expressed relationally): every length-32 "
+    "character window of every document, stride 1, so ANY span >= 32 "
+    "chars repeated across two documents produces an identical window "
+    "in both — a lossless reduction of cross-document substring "
+    "detection to equality grouping, where the near-dup family "
+    "(MinHash/SimHash) is probabilistic and document-level. Plan: "
+    "explode to O(total_chars) window rows (map-side, no shuffle), "
+    "hash-shuffle on the window ONCE for the >=2-distinct-docs "
+    "aggregate, semi-join the repeated set back, tiny per-source "
+    "rollup. At 100 TB the window column is a rolling 8-byte hash "
+    "(q_doc_fingerprint's machinery) instead of the raw 32 chars — "
+    "same plan, 4x less shuffle bytes, with an in-bucket raw-string "
+    "verify against hash collisions; the registered query shuffles "
+    "the raw windows because at gate scale exactness IS the point. "
+    "The reference has no text surface; this extends its "
+    "group-by-key map/reduce contract (Executer.cs:115-137) to "
+    "subdocument granularity.",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    wins = (
+        docs.filter(F.length("text") >= _SUBSTR_W)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (_SUBSTR_W - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"substring(text, i, {_SUBSTR_W})").alias("win"),
+        )
+    )
+    repeated = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    return (
+        wins.join(repeated, "win", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_affected"),
+            F.countDistinct("win").alias("dup_windows"),
+        )
+    )
