@@ -301,6 +301,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_stream_interval_join": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_dedup": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_sessionize": ([], ["CartesianProduct", "BatchEvalPython"]),
+    "q_stream_enrich": ([], ["CartesianProduct", "BatchEvalPython"]),
     # persisted-index probe: broadcast cell equi-join over the listed
     # table's manifest-resolved files — never a cartesian/NLJ scan
     "q_sim_index_persisted": (

@@ -266,6 +266,60 @@ def q_stream_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_enrich",
+    oracle=(
+        "SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) "
+        "AS TIMESTAMP) AS win_start, n.n_name, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(e.value) AS DOUBLE), 2) AS value_sum "
+        "FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey "
+        "GROUP BY win_start, n.n_name"
+    ),
+    doc="STREAM-STATIC enrichment join on the ACTUAL streaming path: "
+    "events staged to parquet, readStream -> inner join against the "
+    "static nation dim (user_id % 25 as the foreign key — the test "
+    "schema has no natural events FK, so the key is derived "
+    "identically on both engines) -> watermarked daily windows per "
+    "nation -> availableNow -> update-mode memory sink. The join is "
+    "STATELESS (no state store): each micro-batch broadcast-hash-"
+    "joins against the dim, the staple Kafka-events-enriched-by-"
+    "reference-table deployment shape; only the downstream window "
+    "aggregate holds state. Single micro-batch replay makes the "
+    "update-mode emission set equal the batch join+aggregate the "
+    "oracle computes. Completes the streaming-join surface: "
+    "stream-stream is q_stream_interval_join, stream-static is this.",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import streaming_enriched_counts
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("event_id", "ts", "user_id", "value")
+    inp, ckpt = _stage(ev, "upmr_stream_enr_")
+    sink = f"enr_sink_{uuid.uuid4().hex[:8]}"
+    dim = cat.nation.select("n_nationkey", "n_name")
+    streaming_enriched_counts(
+        spark,
+        input_path=inp,
+        input_schema=(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        ),
+        checkpoint_path=ckpt,
+        dim_df=dim,
+        join_expr=F.col("user_id") % 25 == F.col("n_nationkey"),
+        ts_col="ts",
+        key_cols=("n_name",),
+        window="1 day",
+        watermark="1 hour",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+        sink_table=sink,
+    )
+    return spark.table(sink).select("win_start", "n_name", "cnt", "value_sum")
+
+
+@register(
     "q_stream_late_data",
     oracle=(
         "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "

@@ -255,6 +255,51 @@ def streaming_windowed_agg_resumable(
     q.awaitTermination()
 
 
+def streaming_enriched_counts(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    dim_df: DataFrame,
+    join_expr: Column,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("n_name",),
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    agg_exprs: Sequence[Column] | None = None,
+    sink_table: str = "enriched_counts",
+) -> None:
+    """STREAM-STATIC enrichment join + watermarked windowed aggregate:
+    readStream -> inner join against a static (batch) dimension ->
+    window groupBy -> update-mode memory sink. The stream-static join
+    is STATELESS — each micro-batch hash-joins against the dim with no
+    state store involvement, and Spark broadcasts the dim side when it
+    is small (the only sane shape: re-shuffling the stream per batch
+    to co-locate with a large static side is the anti-pattern). The
+    staple deployment pattern this models is Kafka events enriched
+    against a slowly-changing reference table before aggregation."""
+    aggs = list(agg_exprs) if agg_exprs else [F.count(F.lit(1)).alias("cnt")]
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    enriched = stream.join(dim_df, join_expr)
+    windowed = (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *key_cols)
+        .agg(*aggs)
+        .withColumn("win_start", F.col("w.start"))
+        .drop("w")
+    )
+    q = (
+        windowed.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_dedup(
     spark: SparkSession,
     *,
