@@ -137,6 +137,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Secondary metric: the full TPC-H suite (all 22 query shapes; Q4's
+    # correlated-EXISTS shape is q_sql_exists), one cold rep each —
+    # a scale-credibility number for the relational surface that does
+    # NOT feed the headline, so round-over-round headline comparability
+    # is preserved.
+    tpch = [
+        "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q3", "q_sql_exists",
+        "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8",
+        "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q12",
+        "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
+        "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q18",
+        "q_sql_tpch_q19", "q_sql_tpch_q20", "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+    ]
+    tpch_times: dict[str, float] = {}
+    for name in tpch:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = len(qs[name].fn(spark, sf_dir).collect())
+        tpch_times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {tpch_times[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     # Aggregate noise band: how far the per-query max strays from the
     # min, totalled over the headline — the scale of delta that is
@@ -153,6 +175,8 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spread": spread,
+                "tpch_suite_total": round(sum(tpch_times.values()), 3),
+                "tpch_queries": tpch_times,
                 "noise_note": (
                     f"value/queries are best-of-{N_REPS} cold runs;"
                     f" within-run max-min totals {noise}s across the"

@@ -159,6 +159,36 @@ def test_near_dup_planted_pair_recall(spark):
         assert r.jaccard >= 0.5, r
 
 
+def test_substring_dedup_detects_misaligned_planted_span(spark):
+    """The stride-1 guarantee q_dedup_substring rests on: a >= w-char
+    span shared by two documents is detected even when its copies sit
+    at offsets that differ by an amount not divisible by any stride —
+    the regression a 'cheaper' strided window extraction would cause.
+    Unique filler (per-doc salted tokens) shares no 32-char window, so
+    the planted span is the ONLY detection and the expected counts are
+    exact: a shared span of length L yields L - w + 1 distinct
+    windows, every one repeated across exactly the planted pair."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        repeated_window_summary,
+    )
+
+    span = "the quick brown fox jumps over the lazy dog 0123456789"  # 54
+    rows = [
+        # planted pair: span at offset 0 in doc 0, offset 37 in doc 1
+        (0, "planted", span + " eagle0 falcon0 heron0 osprey0 kestrel0"),
+        (1, "planted", "albatross1 cormorant1 sandpiper1 x " + span),
+        # clean docs: salted vocab, no shared 32-char window anywhere
+        (2, "clean", "penguin2 pelican2 puffin2 plover2 ptarmigan2 p2"),
+        (3, "clean", "swallow3 swift3 starling3 stork3 shearwater3 s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["docs_affected"], r["dup_windows"])
+        for r in repeated_window_summary(docs, w=32).collect()
+    }
+    assert got == {"planted": (2, len(span) - 32 + 1)}
+
+
 def test_sketch_union_estimate_within_5pct(spark, sf_dir):
     """Union of per-source HLL sketches estimates the corpus distinct
     count within 5% of the exact value (doc_ids are unique, so exact =

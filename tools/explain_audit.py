@@ -405,6 +405,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # parameterized SQL: the bound :cutoff date must reach the scan as
+    # an ordinary pushed literal — parameterization costs no pushdown
+    "q_sql_parameterized": (
+        ["PushedFilters: [IsNotNull(o_orderdate)", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
     # exact substring dedup: window explode is map-side (Generate),
     # repeated-set reduction is a semi join — all codegen, no Python,
     # no product, no window operator anywhere

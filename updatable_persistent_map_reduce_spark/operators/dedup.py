@@ -1027,21 +1027,31 @@ _SUBSTR_W = 32  # window length: every repeated span >= 32 chars is caught
     "subdocument granularity.",
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    return repeated_window_summary(Catalog(spark, sf_dir).documents)
+
+
+def repeated_window_summary(
+    docs: DataFrame, w: int = _SUBSTR_W
+) -> DataFrame:
+    """Per-source summary of cross-document repeated character spans:
+    stride-1 length-``w`` windows, so any span >= w chars shared by
+    two documents is detected regardless of its offset in either
+    (windows at EVERY offset exist — a stride > 1 would silently miss
+    repeats whose copies are misaligned modulo the stride)."""
     wins = (
-        docs.filter(F.length("text") >= _SUBSTR_W)
+        docs.filter(F.length("text") >= w)
         .select(
             "doc_id",
             "source",
             "text",
             F.explode(
-                F.sequence(F.lit(1), F.length("text") - (_SUBSTR_W - 1))
+                F.sequence(F.lit(1), F.length("text") - (w - 1))
             ).alias("i"),
         )
         .select(
             "doc_id",
             "source",
-            F.expr(f"substring(text, i, {_SUBSTR_W})").alias("win"),
+            F.expr(f"substring(text, i, {w})").alias("win"),
         )
     )
     repeated = (

@@ -2716,6 +2716,38 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_parameterized",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) "
+        "AS BIGINT) AS total_cents "
+        "FROM orders WHERE o_orderdate >= date '1997-01-01' "
+        "AND o_orderstatus = 'F' GROUP BY o_orderpriority"
+    ),
+    doc="Parameterized SQL (Spark 4 spark.sql(sql, args=...)): named "
+    ":placeholders bound server-side as typed literals, the "
+    "injection-safe front door for templated production queries. The "
+    "binding happens at PARSE time, so Catalyst sees ordinary "
+    "literals — the date lands in PushedFilters exactly as if "
+    "inlined, proving parameterization costs nothing in plan "
+    "quality. The oracle is the same query with the arguments "
+    "inlined by hand.",
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) "
+        "AS BIGINT) AS total_cents "
+        "FROM orders WHERE o_orderdate >= :cutoff "
+        "AND o_orderstatus = :status GROUP BY o_orderpriority",
+        args={"cutoff": datetime.date(1997, 1, 1), "status": "F"},
+    )
+
+
+@register(
     "q_collation",
     oracle=(
         "SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) "
