@@ -189,6 +189,29 @@ def test_substring_dedup_detects_misaligned_planted_span(spark):
     assert got == {"planted": (2, len(span) - 32 + 1)}
 
 
+def test_substring_dedup_hashed_path_matches_raw(spark, sf_dir):
+    """The 100 TB shuffle shape (8-byte xxhash64 window keys) must
+    produce the identical per-source summary as the exact raw-window
+    path on real data — hashing changes shuffle bytes, not results
+    (a divergence would mean a collision merged distinct windows,
+    astronomically unlikely at 2^-64 per pair and caught here)."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        repeated_window_summary,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    raw = sorted(
+        (r["source"], r["docs_affected"], r["dup_windows"])
+        for r in repeated_window_summary(docs).collect()
+    )
+    hashed = sorted(
+        (r["source"], r["docs_affected"], r["dup_windows"])
+        for r in repeated_window_summary(docs, hashed=True).collect()
+    )
+    assert raw == hashed and raw
+
+
 def test_sketch_union_estimate_within_5pct(spark, sf_dir):
     """Union of per-source HLL sketches estimates the corpus distinct
     count within 5% of the exact value (doc_ids are unique, so exact =

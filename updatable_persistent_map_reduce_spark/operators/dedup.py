@@ -1017,11 +1017,12 @@ _SUBSTR_W = 32  # window length: every repeated span >= 32 chars is caught
     "explode to O(total_chars) window rows (map-side, no shuffle), "
     "hash-shuffle on the window ONCE for the >=2-distinct-docs "
     "aggregate, semi-join the repeated set back, tiny per-source "
-    "rollup. At 100 TB the window column is a rolling 8-byte hash "
-    "(q_doc_fingerprint's machinery) instead of the raw 32 chars — "
-    "same plan, 4x less shuffle bytes, with an in-bucket raw-string "
-    "verify against hash collisions; the registered query shuffles "
-    "the raw windows because at gate scale exactness IS the point. "
+    "rollup. The 100 TB shuffle shape is IMPLEMENTED as "
+    "repeated_window_summary(hashed=True): the window reduces map-"
+    "side to its 8-byte xxhash64 so both shuffles move fixed-width "
+    "longs (4x fewer bytes), pinned result-identical to the raw path "
+    "by pytest on real data; the registered query shuffles the raw "
+    "windows because at gate scale exactness IS the point. "
     "The reference has no text surface; this extends its "
     "group-by-key map/reduce contract (Executer.cs:115-137) to "
     "subdocument granularity.",
@@ -1031,13 +1032,23 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def repeated_window_summary(
-    docs: DataFrame, w: int = _SUBSTR_W
+    docs: DataFrame, w: int = _SUBSTR_W, hashed: bool = False
 ) -> DataFrame:
     """Per-source summary of cross-document repeated character spans:
     stride-1 length-``w`` windows, so any span >= w chars shared by
     two documents is detected regardless of its offset in either
     (windows at EVERY offset exist — a stride > 1 would silently miss
-    repeats whose copies are misaligned modulo the stride)."""
+    repeats whose copies are misaligned modulo the stride).
+
+    ``hashed=True`` is the 100 TB shuffle shape: the window reduces
+    map-side to its 8-byte xxhash64, so the two shuffles move fixed-
+    width longs instead of w raw chars (4x fewer bytes at w=32) and
+    the aggregate hash table compares longs instead of strings. The
+    trade is a ~2^-64-per-pair chance a collision merges two distinct
+    windows (over-counting docs_affected, never missing a repeat);
+    the registered gate query keeps raw windows because at gate scale
+    exactness IS the point, and the equivalence of the two paths is
+    pinned by pytest on real data."""
     wins = (
         docs.filter(F.length("text") >= w)
         .select(
@@ -1054,6 +1065,8 @@ def repeated_window_summary(
             F.expr(f"substring(text, i, {w})").alias("win"),
         )
     )
+    if hashed:
+        wins = wins.select("doc_id", "source", F.xxhash64("win").alias("win"))
     repeated = (
         wins.groupBy("win")
         .agg(F.countDistinct("doc_id").alias("nd"))
