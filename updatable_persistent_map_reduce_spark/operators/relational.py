@@ -2282,9 +2282,13 @@ register(
     "relation is the distinct (partkey, suppkey) pairs observed in "
     "lineitem and the min is over s_acctbal instead of "
     "ps_supplycost; min over doubles is a SELECTION (no arithmetic), "
-    "so the float equality join is engine-exact. Dims broadcast; the "
-    "supplies CTE dedups with one hash shuffle that AQE reuses for "
-    "both the outer and subquery sides.",
+    "so the float equality join is engine-exact. Dims broadcast. The "
+    "decorrelated plan reads lineitem twice — the outer side keeps "
+    "(partkey, suppkey) pairs while the subquery side aggregates min "
+    "per partkey after its own dim joins, so the exchanges differ "
+    "and cannot be reused; that second pass is the textbook cost of "
+    "decorrelating Q2 (every engine pays it on partsupp) and is "
+    "linear, not per-row.",
 )(_sql_query(_TPCH_Q2))
 
 
