@@ -145,7 +145,7 @@ def main() -> None:
     tpch = [
         "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q3", "q_sql_exists",
         "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8",
-        "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q12",
+        "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q11", "q_sql_tpch_q12",
         "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
         "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q18",
         "q_sql_tpch_q19", "q_sql_tpch_q20", "q_sql_tpch_q21",

@@ -82,5 +82,11 @@ def test_bucketed_join_survives_concurrent_session(spark, sf_dir):
         n = all_queries()["q_join_bucketed"].fn(spark, sf_dir).count()
         assert n > 0
     finally:
-        out, _ = child.communicate(timeout=300)
+        # kill a hung child JVM instead of letting TimeoutExpired mask
+        # the primary assertion (and orphan the process)
+        try:
+            out, _ = child.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            out, _ = child.communicate()
     assert child.returncode == 0 and "CHILD_OK" in out, out[-2000:]

@@ -467,6 +467,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoop", "Python", "SortMergeJoin"],
     ),
+    # Q11: aggregate once per branch, scalar total broadcasts into
+    # the filter — no per-row re-aggregation, no product
+    "q_sql_tpch_q11": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+    ),
     # Q12: date range pushed to the lineitem scan before the join
     "q_sql_tpch_q12": (
         ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],

@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_stream_checkpoint_recovery",  # new: 2-run checkpoint resume, batch oracle
     "q_sql_tpch_q2",   # new: correlated min-over-join, suite now 22/22
     "q_sql_tpch_q9",   # new: non-sargable LIKE dim filter
+    "q_sql_tpch_q11",  # new: scalar-threshold-over-same-aggregate
     "q_sql_tpch_q12",  # new: CASE-pivot over latency bands
     "q_sql_tpch_q16",  # new: NOT IN anti + count distinct
     "q_sql_tpch_q20",  # new: nested IN subqueries

@@ -672,19 +672,28 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     exchange-free (SortMergeJoin over co-located buckets) — the shuffle
     is paid once at ingest, not per query.
 
-    The database is named per-process/per-session and sited under a
-    fresh temp dir, so two concurrent sessions (e.g. pytest and an
-    oracle-gate run) can never clobber each other's bucketed files
-    mid-read — a fixed shared ``spark-warehouse/upmr_bucketed.db``
-    location did exactly that under parallel runs."""
+    The database is named per-process/per-session/per-sf and sited
+    under a fresh temp dir, so two concurrent sessions (e.g. pytest
+    and an oracle-gate run) can never clobber each other's bucketed
+    files mid-read — a fixed shared ``spark-warehouse/upmr_bucketed.db``
+    location did exactly that under parallel runs — and two scale
+    factors in ONE session get distinct databases (a name without the
+    sf token made the second sf's write clobber the first's tables
+    while the cache kept serving the stale db name). The temp dirs
+    are removed at interpreter exit."""
     key = f"{id(spark)}:{sf_dir}"
     if key in _BUCKET_WAREHOUSE:
         return _BUCKET_WAREHOUSE[key]
+    import atexit
+    import hashlib
+    import shutil
     import tempfile
 
     cat = Catalog(spark, sf_dir)
-    db = f"upmr_bucketed_p{os.getpid()}_s{id(spark)}"
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    db = f"upmr_bucketed_p{os.getpid()}_s{id(spark)}_{sf_tag}"
     loc = tempfile.mkdtemp(prefix="upmr_bucketed_")
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     for table, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"{db}.{table}_b"
@@ -2321,6 +2330,39 @@ register(
     "revenue term only — the join topology and predicate placement "
     "under test are unchanged; exact cents.",
 )(_sql_query(_TPCH_Q9))
+
+
+_TPCH_Q11 = """
+WITH supply_value AS (
+  SELECT l_partkey,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)
+              AS BIGINT) AS value_cents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_4'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_cents
+FROM supply_value
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM supply_value)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+register(
+    "q_sql_tpch_q11",
+    oracle=_TPCH_Q11,
+    doc="TPC-H Q11 (important stock identification): per-part "
+    "aggregate filtered by a SCALAR SUBQUERY over THE SAME aggregate "
+    "— the value-concentration shape where the threshold is a "
+    "fraction of the global total. The CTE aggregates once per "
+    "branch; the scalar total reduces to one row broadcast into the "
+    "filter (no per-row re-aggregation). Restatement: supply value "
+    "is the lineitem revenue of parts supplied by one nation's "
+    "suppliers (no partsupp/ps_supplycost x ps_availqty), and the "
+    "spec's 0.0001/SF fraction is fixed at 0.1%, compared in exact "
+    "integer cents (value_cents * 1000 > sum) — a double-arithmetic "
+    "threshold would be summation-order-dependent across engines. "
+    "Dims broadcast; one shuffle per aggregate branch.",
+)(_sql_query(_TPCH_Q11))
 
 
 _TPCH_Q12 = """

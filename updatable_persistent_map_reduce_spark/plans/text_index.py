@@ -87,10 +87,17 @@ class InvertedIndex:
     def _dspan(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_doc_spans)).cast("int")
 
-    def _postings(self, docs: DataFrame, gen: int) -> DataFrame:
-        toks = docs.select(
+    def _tokenized(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, dl, toks) — tokenization happens HERE, once; both
+        the postings and the doc-index rows derive from this frame, so
+        callers persist it and each upsert pays one tokenize pass (it
+        used to run three times: doc-index write, stats aggregate,
+        postings write)."""
+        return docs.select(
             "doc_id", tokens_expr(F.col("text")).alias("toks")
         ).select("doc_id", F.size("toks").alias("dl"), "toks")
+
+    def _postings(self, toks: DataFrame, gen: int) -> DataFrame:
         return (
             toks.select("doc_id", "dl", F.explode("toks").alias("token"))
             .groupBy("token", "doc_id", "dl")
@@ -102,32 +109,83 @@ class InvertedIndex:
             )
         )
 
-    def _doc_rows(self, docs: DataFrame, gen: int) -> DataFrame:
-        return docs.select(
+    def _doc_rows(self, toks: DataFrame, gen: int) -> DataFrame:
+        return toks.select(
             "doc_id",
-            F.size(tokens_expr(F.col("text"))).alias("dl"),
+            "dl",
             F.lit(gen).cast("long").alias("gen"),
             self._dspan(F.col("doc_id")).alias("dspan"),
         )
 
-    def build(self, docs: DataFrame) -> None:
+    def _resolve_batch(
+        self, docs: DataFrame, seq_col: str | None
+    ) -> DataFrame:
+        """One row per doc_id WITHIN a batch. With ``seq_col``, the
+        highest sequence wins (the view engine's contract). Without
+        one, identical duplicate rows collapse silently, but
+        CONFLICTING revisions of one doc in a single unsequenced batch
+        raise — an arbitrary winner would silently violate the
+        latest-wins contract the index exists to uphold (and before
+        this guard, such a batch landed BOTH revisions under one
+        generation: doubled doc_index rows, merged tf, inflated
+        n_docs)."""
+        if seq_col is not None:
+            from pyspark.sql import Window as W
+
+            return (
+                docs.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("doc_id").orderBy(F.col(seq_col).desc())
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "text")
+            )
+        docs = docs.select("doc_id", "text").dropDuplicates()
+        conflict = (
+            docs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            raise ValueError(
+                f"doc_id {conflict[0]['doc_id']} appears with conflicting "
+                "texts in one unsequenced batch; pass seq_col= to define "
+                "which revision wins"
+            )
+        return docs
+
+    def build(self, docs: DataFrame, seq_col: str | None = None) -> None:
         """Tokenize ``docs`` (doc_id, text) into term-hash-bucketed
         postings + the doc index; one write job each, atomic publish."""
         gen = self._post.version + 1
-        self._post.commit(replace_all=self._post.write_data(self._postings(docs, gen)))
-        self._docs.commit(replace_all=self._docs.write_data(self._doc_rows(docs, gen)))
+        toks = self._tokenized(self._resolve_batch(docs, seq_col)).persist()
+        try:
+            self._post.commit(
+                replace_all=self._post.write_data(self._postings(toks, gen))
+            )
+            self._docs.commit(
+                replace_all=self._docs.write_data(self._doc_rows(toks, gen))
+            )
+        finally:
+            toks.unpersist()
         self._repl.commit(replace_all={})
         self.refresh_stats()
 
-    def upsert(self, new_docs: DataFrame) -> None:
+    def upsert(self, new_docs: DataFrame, seq_col: str | None = None) -> None:
         """Latest-wins document upsert: brand-new ids append; ids that
         already exist are REPLACED — their old postings stop scoring
         the moment the upsert commits (the reference's defining
         latest-wins semantics, Executer.cs:240-261, applied to the
-        serving index). Incremental and crash-safe like every table:
-        cost is O(batch + replaced ids' doc_index spans), never a
-        rebuild."""
-        new_docs = new_docs.select("doc_id", "text")
+        serving index). Within-batch duplicates resolve by ``seq_col``
+        (highest wins) or raise if conflicting and unsequenced — see
+        ``_resolve_batch``. Incremental and crash-safe like every
+        table: cost is O(batch + replaced ids' doc_index spans), never
+        a rebuild."""
+        new_docs = self._resolve_batch(new_docs, seq_col)
         gen = self._post.version + 1
         ids = new_docs.select("doc_id").distinct()
         dspans = sorted(
@@ -177,27 +235,35 @@ class InvertedIndex:
         # visible to the retry's probe as "exists" (and thus gets a
         # delete vector); an index entry whose postings never landed
         # only hides the doc until the retry, never double-scores it
-        new_idx = self._doc_rows(new_docs, gen)
-        surv_idx = (
-            existing.join(ids, "doc_id", "anti")
-            if existing is not None
-            else None
-        )
-        out_idx = (
-            surv_idx.unionByName(new_idx) if surv_idx is not None else new_idx
-        )
-        imapping = self._docs.write_data(out_idx)
-        self._docs.commit(
-            replace=imapping,
-            drop=[s for s in dspans if s not in imapping],
-        )
-        # 3. postings: pure append — every older generation of the
-        # incoming ids is already dead via the delete vectors
-        self._post.commit(append=self._post.write_data(self._postings(new_docs, gen)))
-        # 4. corpus scalars: growth plus the replaced docs' dl delta
-        [[n_new, new_dl]] = new_idx.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
-        ).collect()
+        toks = self._tokenized(new_docs).persist()
+        try:
+            new_idx = self._doc_rows(toks, gen)
+            surv_idx = (
+                existing.join(ids, "doc_id", "anti")
+                if existing is not None
+                else None
+            )
+            out_idx = (
+                surv_idx.unionByName(new_idx)
+                if surv_idx is not None
+                else new_idx
+            )
+            imapping = self._docs.write_data(out_idx)
+            self._docs.commit(
+                replace=imapping,
+                drop=[s for s in dspans if s not in imapping],
+            )
+            # 3. postings: pure append — every older generation of the
+            # incoming ids is already dead via the delete vectors
+            self._post.commit(
+                append=self._post.write_data(self._postings(toks, gen))
+            )
+            # 4. corpus scalars: growth plus the replaced docs' dl delta
+            [[n_new, new_dl]] = toks.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+            ).collect()
+        finally:
+            toks.unpersist()
         s = self.stats()
         with open(self._stats_path, "w") as f:
             json.dump(
