@@ -52,6 +52,22 @@ def test_bucketed_db_is_per_session(spark, sf_dir):
     assert "spark-warehouse" not in loc
 
 
+def test_bucketed_db_is_per_scale_factor(spark, sf_dir):
+    """Two scale factors in ONE session must get distinct databases:
+    a db name without the sf token made the second sf's write clobber
+    the first's tables while the cache kept serving the stale name —
+    q_join_bucketed(sf A) after a run at sf B then silently returned
+    sf B's rows."""
+    other = "/root/testdata/sf0.01" if "0.001" in sf_dir else "/root/testdata/sf0.001"
+    db_a = _ensure_bucketed_tables(spark, sf_dir)
+    n_a = spark.table(f"{db_a}.orders_b").count()
+    db_b = _ensure_bucketed_tables(spark, other)
+    assert db_b != db_a
+    # the first sf's tables are intact after the second sf's build
+    assert spark.table(f"{db_a}.orders_b").count() == n_a
+    assert spark.table(f"{db_b}.orders_b").count() != n_a
+
+
 def test_bucketed_join_survives_concurrent_session(spark, sf_dir):
     """A second JVM running q_join_bucketed concurrently must not break
     this session's run (the round-5 failure mode: both sessions rewrote
