@@ -418,6 +418,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "LeftSemi", "HashAggregate"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop", "Window"],
     ),
+    # hashed twin: same shape, but the shuffle key is the 8-byte
+    # xxhash64 of the window, computed map-side before the exchange
+    "q_dedup_substring_hashed": (
+        ["Generate", "LeftSemi", "HashAggregate", "xxhash64"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop", "Window"],
+    ),
     # engine-maintained fingerprint index: materialized finals read
     "q_simhash_incremental": (
         ["Scan parquet"],

@@ -1081,3 +1081,35 @@ def repeated_window_summary(
             F.countDistinct("win").alias("dup_windows"),
         )
     )
+
+
+@register(
+    "q_dedup_substring_hashed",
+    oracle=(
+        "WITH wins AS ("
+        "  SELECT doc_id, source, substr(text, CAST(i AS INTEGER), 32) AS win"
+        "  FROM documents,"
+        "       UNNEST(generate_series(1, length(text) - 31, 1)) AS u(i)"
+        "  WHERE length(text) >= 32), "
+        "dup AS (SELECT win FROM wins GROUP BY win"
+        "        HAVING count(DISTINCT doc_id) >= 2) "
+        "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,"
+        "       CAST(count(DISTINCT win) AS BIGINT) AS dup_windows "
+        "FROM wins WHERE win IN (SELECT win FROM dup) "
+        "GROUP BY source"
+    ),
+    doc="The 100 TB shuffle shape of q_dedup_substring, driver-attested "
+    "against the SAME exact oracle: each stride-1 window reduces "
+    "map-side to its 8-byte xxhash64 before either shuffle, so the "
+    ">=2-distinct-docs aggregate and the semi join move fixed-width "
+    "longs instead of raw 32-char strings (4x fewer shuffle bytes; "
+    "measured ~1.6x faster end-to-end by tools/scale_substring.py). "
+    "A green row proves hashing changed no result — the ~2^-64-per-"
+    "pair collision risk (which could only ever OVER-count, never "
+    "miss a repeat) did not fire; pytest pins the same equivalence "
+    "on planted corpora.",
+)
+def q_dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_window_summary(
+        Catalog(spark, sf_dir).documents, hashed=True
+    )
