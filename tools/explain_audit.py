@@ -405,6 +405,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # bigram fluency: pair construction is map-side (zip of slices,
+    # Generate), then one count shuffle + one join-back — no Python,
+    # no window, no product
+    "q_bigram_fluency": (
+        ["Generate", "HashAggregate", "Join"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop", "Window"],
+    ),
     # parameterized SQL: the bound :cutoff date must reach the scan as
     # an ordinary pushed literal — parameterization costs no pushdown
     "q_sql_parameterized": (

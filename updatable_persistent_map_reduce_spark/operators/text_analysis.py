@@ -427,3 +427,71 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         entropy.alias("char_entropy"),
         (entropy < ENTROPY_LOW).cast("int").alias("is_low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics fluency — the perplexity-filter pattern
+
+
+@register(
+    "q_bigram_fluency",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') "
+        "AS l FROM documents), "
+        "big AS (SELECT doc_id, l[CAST(i AS INTEGER)] AS w1, "
+        "l[CAST(i AS INTEGER) + 1] AS w2 "
+        "FROM toks, UNNEST(generate_series(1, len(l) - 1, 1)) AS u(i) "
+        "WHERE len(l) >= 2), "
+        "cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+        "FROM big GROUP BY w1, w2) "
+        "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS fluency "
+        "FROM big b JOIN cnt USING (w1, w2) "
+        "GROUP BY b.doc_id"
+    ),
+    doc="Corpus-statistics fluency scoring — the LM-perplexity-filter "
+    "pattern (CCNet/Gopher bucket documents by how 'expected' their "
+    "token sequences are) with the corpus's OWN bigram table as the "
+    "language model: each document scores the mean corpus frequency "
+    "of its adjacent token pairs, so gibberish (bigrams nobody else "
+    "produces) scores ~1 and formulaic text scores high. Kept "
+    "engine-exact by construction: the score is one division of two "
+    "exact integers (sum of BIGINT bigram counts / bigram count), "
+    "rounded once — unlike a sum of per-bigram log-probs, whose "
+    "float addition order differs between Spark partitions and "
+    "DuckDB's sequential scan. Plan: bigrams are built with ZERO "
+    "shuffle (arrays_zip of two array slices, map-side explode), "
+    "counted with one hash shuffle, joined back (second shuffle), "
+    "and reduced per doc. At 100 TB the count table is itself "
+    "corpus-scale, so both shuffles are linear and AQE-sized; a "
+    "deployment chasing constant-factor wins would cap the table to "
+    "top-K bigrams (rare ones contribute ~1 each regardless) and "
+    "broadcast it.",
+)
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", tokens_expr(F.col("text")).alias("l")
+    ).filter(F.size("l") >= 2)
+    n = F.size("l")
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, n - 1).alias("w1"),
+                F.slice(F.col("l"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        pairs.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fluency"),
+        )
+    )
