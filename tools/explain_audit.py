@@ -418,6 +418,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["PushedFilters: [IsNotNull(o_orderdate)", "HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # pipe syntax compiles to the same broadcast-join + agg plan as
+    # the nested SELECT — readable syntax costs nothing
+    "q_sql_pipe": (
+        ["BroadcastHashJoin", "HashAggregate",
+         "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["Python", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # scripting block: BEGIN..END executes EAGERLY — the returned
+    # relation is the script's materialized (tiny, aggregated) final
+    # result, so the visible plan is a LocalTableScan by design
+    "q_sql_scripting": (
+        ["LocalTableScan"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
     # exact substring dedup: window explode is map-side (Generate),
     # repeated-set reduction is a semi join — all codegen, no Python,
     # no product, no window operator anywhere

@@ -104,6 +104,8 @@ _PRIORITY = [
     "q_sql_parameterized",  # new: typed named-arg SQL binding (Spark 4)
     "q_dedup_substring_hashed",  # new: 8-byte-key scale shape, same oracle
     "q_bigram_fluency",    # new: perplexity-filter pattern, integer-exact
+    "q_sql_pipe",          # new: |> pipe-syntax front end (Spark 4)
+    "q_sql_scripting",     # new: BEGIN/DECLARE/SET script block (Spark 4)
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",

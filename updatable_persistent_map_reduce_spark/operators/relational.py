@@ -2794,6 +2794,73 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_pipe",
+    oracle=(
+        "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_type = 'PROMO' AND l_shipdate >= date '1997-01-01' "
+        "GROUP BY p_brand"
+    ),
+    doc="SQL pipe syntax (Spark 4 |> operators): the linear "
+    "dataflow-style front end — FROM |> JOIN |> WHERE |> AGGREGATE "
+    "|> ORDER BY — compiling to the IDENTICAL Catalyst plan as the "
+    "nested SELECT the oracle runs (part dim broadcasts, shipdate "
+    "pushes to the lineitem scan), so adopting the readable syntax "
+    "costs nothing. The pipe form is the API-parity proof for the "
+    "third SQL front end (after plain text and parameterized).",
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "FROM lineitem\n"
+        "|> JOIN part ON p_partkey = l_partkey\n"
+        "|> WHERE p_type = 'PROMO' AND l_shipdate >= date '1997-01-01'\n"
+        "|> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,\n"
+        "   CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)\n"
+        "   AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents\n"
+        "   GROUP BY p_brand\n"
+        "|> SELECT p_brand, n_lines, revenue_cents"
+    )
+
+
+@register(
+    "q_sql_scripting",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_above "
+        "FROM lineitem "
+        "WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) "
+        "GROUP BY l_returnflag"
+    ),
+    doc="SQL scripting (Spark 4 BEGIN...END): a multi-statement "
+    "procedural block — DECLARE a session variable, SET it from a "
+    "scalar subquery, use it in the final SELECT — the "
+    "stored-procedure-style surface for migration from warehouse "
+    "dialects. The threshold is avg(l_quantity) over INTEGRAL-valued "
+    "quantities: the double sum is exact below 2^53 regardless of "
+    "partition order, so the variable's value (and therefore the "
+    "qualifying row set) is engine-identical and the oracle can "
+    "inline the subquery. The script's last statement's result is "
+    "the block's result; note BEGIN..END executes EAGERLY (the "
+    "returned relation is the materialized final rows — here a "
+    "3-row aggregate), so a deployment script's last statement "
+    "should aggregate or INSERT, never SELECT a corpus.",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "BEGIN\n"
+        "  DECLARE threshold DOUBLE DEFAULT 0.0;\n"
+        "  SET threshold = (SELECT avg(l_quantity) FROM lineitem);\n"
+        "  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_above\n"
+        "  FROM lineitem WHERE l_quantity > threshold\n"
+        "  GROUP BY l_returnflag;\n"
+        "END"
+    )
+
+
+@register(
     "q_collation",
     oracle=(
         "SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) "
