@@ -6,10 +6,16 @@ one map-side explode, one hash shuffle on the window key, one semi
 join — and that the ``hashed=True`` path (8-byte xxhash64 keys
 instead of raw 32-char strings) buys a constant-factor shuffle
 saving with identical results. This tool measures both directly:
-synthetic corpora where 1 doc in 10 carries a globally-shared 64-char
-span (so repeated windows exist at every scale and the result is
-verifiable: exactly 33 distinct duplicated windows, n/10 affected
-docs), everything else hash-unique text.
+synthetic corpora where 1 doc in 10 carries a globally-shared span
+appended at end-of-doc (so repeated windows exist at every scale),
+everything else hash-unique text. Two invariants are ASSERTED:
+affected docs = count of planted ids exactly, and the raw and hashed
+paths return byte-identical summaries (the equivalence the hashed
+shuffle shape claims). dup_windows itself grows slowly with n and is
+only reported: every planted doc_id ends in digit 1, so ids sharing
+longer digit suffixes (…11, …211) extend the shared suffix
+"…1 " + SPAN by coincident trailing digits, minting extra distinct
+cross-doc windows — a corpus artifact, not a counting bug.
 
 Corpus generation is pure Catalyst expressions (no driver-side text
 building), so generation cost is negligible next to the
@@ -38,14 +44,14 @@ from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E40
 
 N_TOKENS = 40
 VOCAB = 100_000
-# 64 chars -> 64 - 32 + 1 = 33 distinct repeated windows, always
 SHARED = "the shared training span that repeats across corpora 0123456789"
 
 
 def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
-    """(doc_id, source, text): id%10==1 docs embed the constant SHARED
-    span mid-document; all other token content is hash-unique, so the
-    planted span is the only cross-doc repeat."""
+    """(doc_id, source, text): id%10==1 docs append the constant SHARED
+    span; all other token content is hash-unique, so planted docs are
+    the only docs with cross-doc repeats (their trailing doc-id digits
+    can extend the shared suffix — see module docstring)."""
     df = spark.range(n_docs).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -72,7 +78,9 @@ def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
-def run(spark: SparkSession, n: int, hashed: bool) -> tuple[float, int, int]:
+def run(
+    spark: SparkSession, n: int, hashed: bool
+) -> tuple[float, int, int, list[tuple]]:
     t0 = time.perf_counter()
     rows = repeated_window_summary(
         synth_corpus(spark, n), hashed=hashed
@@ -80,7 +88,10 @@ def run(spark: SparkSession, n: int, hashed: bool) -> tuple[float, int, int]:
     dt = time.perf_counter() - t0
     docs = sum(r["docs_affected"] for r in rows)
     wins = sum(r["dup_windows"] for r in rows)
-    return dt, docs, wins
+    summary = sorted(
+        (r["source"], r["docs_affected"], r["dup_windows"]) for r in rows
+    )
+    return dt, docs, wins, summary
 
 
 def main() -> None:
@@ -89,17 +100,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
     results: dict[tuple[int, bool], float] = {}
     for n in sizes:
+        summaries = {}
         for hashed in (False, True):
-            dt, docs, wins = run(spark, n, hashed)
+            dt, docs, wins, summary = run(spark, n, hashed)
             results[(n, hashed)] = dt
+            summaries[hashed] = summary
             label = "hashed" if hashed else "raw   "
-            # every id%10==1 doc holds the span; per-source sums give
-            # the global counts because each doc has one source
-            assert docs == n // 10, (docs, n)
+            # every id%10==1 doc holds the span; count of such ids in
+            # [0, n) is ceil((n-1)/10) = (n+8)//10 (== n//10 only for
+            # multiples of 10)
+            assert docs == (n + 8) // 10, (docs, n)
             print(
                 f"n={n:>9,}  {label}  {dt:7.2f}s   "
                 f"affected={docs:,}  dup_windows={wins}"
             )
+        # the hashed shuffle shape must change NO result
+        assert summaries[False] == summaries[True], "raw != hashed"
     if len(sizes) >= 2:
         a, b = sizes[0], sizes[-1]
         for hashed in (False, True):

@@ -2821,7 +2821,8 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)\n"
         "   AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents\n"
         "   GROUP BY p_brand\n"
-        "|> SELECT p_brand, n_lines, revenue_cents"
+        "|> SELECT p_brand, n_lines, revenue_cents\n"
+        "|> ORDER BY p_brand"
     )
 
 
