@@ -405,6 +405,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # drop audit: exemplars via rank-filter (row_number <= 3 per
+    # reason) — bounded per-group state, no Python, no product; the
+    # content-hash dedup window partitions by sha2(text), never empty
+    "q_drop_audit": (
+        ["Window", "HashAggregate", "Join"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # bigram fluency: pair construction is map-side (zip of slices,
     # Generate), then one count shuffle + one join-back — no Python,
     # no window, no product

@@ -106,6 +106,8 @@ _PRIORITY = [
     "q_bigram_fluency",    # new: perplexity-filter pattern, integer-exact
     "q_sql_pipe",          # new: |> pipe-syntax front end (Spark 4)
     "q_sql_scripting",     # new: BEGIN/DECLARE/SET script block (Spark 4)
+    "q_drop_audit",        # new: per-doc first-failing-stage audit
+    "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------
     "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
@@ -135,7 +137,7 @@ _PRIORITY = [
     "q_string_agg", "q_sql_exists",
     "q_doc_fingerprint", "q_batch_256", "q_shard_pack",
     "q_corpus_prep", "q_rereduce_tree", "q_decontaminate",
-    "q_sample_stratified", "q_ngram_stats", "q_quality_funnel",
+    "q_sample_stratified", "q_ngram_stats",
     "q_dedup_semantic", "q_stream_sliding", "q_embed_quantize",
     "q_inverted_index", "q_bm25", "q_doc_len_histogram",
     "q_window_lag", "q_sql_tpch_q5", "q_window_range_frame",

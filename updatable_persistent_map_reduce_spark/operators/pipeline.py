@@ -247,7 +247,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality funnel — survival counts per pipeline stage (observability).
 
 
-def _funnel_oracle() -> str:
+def _funnel_flags_sql() -> str:
+    """Shared oracle CTEs ``t``/``s``/``f``: per-doc funnel flags with
+    doc_id carried through — the SQL twin of ``_funnel_flags``, used
+    by both the funnel counts and the drop audit so the two oracles
+    can never disagree about a predicate."""
     from .text_analysis import _STOPWORDS, _hits_sql
 
     hits = ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in _STOPWORDS)
@@ -258,7 +262,7 @@ def _funnel_oracle() -> str:
         "AS toks FROM documents), "
         f"s AS (SELECT doc_id, text, n_chars, toks, {hits}, "
         "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct FROM t), "
-        "f AS (SELECT "
+        "f AS (SELECT doc_id, "
         f"(({anyhit}) > 0) AS g1, "
         "(len(toks) >= 20 AND len(toks) <= 1000 "
         "AND CAST(npunct AS DOUBLE) / greatest(n_chars, 1) < 0.1 "
@@ -266,7 +270,13 @@ def _funnel_oracle() -> str:
         "(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / "
         "greatest(len(toks), 1) <= 0.5) AS nr, "
         "(row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1) "
-        "AS fs FROM s), "
+        "AS fs FROM s)"
+    )
+
+
+def _funnel_oracle() -> str:
+    return (
+        _funnel_flags_sql() + ", "
         "g AS (SELECT CAST(count(*) AS BIGINT) AS n0, "
         "CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
         "CAST(sum(CASE WHEN g1 AND q THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
@@ -278,6 +288,48 @@ def _funnel_oracle() -> str:
         "UNION ALL SELECT 2, 'quality', n2 FROM g "
         "UNION ALL SELECT 3, 'non_repetitive', n3 FROM g "
         "UNION ALL SELECT 4, 'unique', n4 FROM g"
+    )
+
+
+def _funnel_flags(d: DataFrame) -> DataFrame:
+    """Per-doc funnel flags (doc_id, g1, q, nr, fs) — every predicate
+    the exact expression of its standalone operator; shared by the
+    funnel counts and the drop audit so the two queries reconcile."""
+    from .text_analysis import _STOPWORDS, stopword_hits
+
+    toks = tokens_expr(F.col("text"))
+    base = d.select("doc_id", "text", "n_chars", toks.alias("toks"))
+    for lang, words in _STOPWORDS.items():
+        base = base.withColumn(f"h_{lang}", stopword_hits(F.col("toks"), words))
+    ntok = F.greatest(F.size("toks"), F.lit(1))
+    npunct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    punct_ratio = npunct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = F.col("h_en").cast("double") / ntok
+    anyhit = None
+    for lang in _STOPWORDS:
+        h = F.col(f"h_{lang}")
+        anyhit = h if anyhit is None else anyhit + h
+    return base.select(
+        "doc_id",
+        (anyhit > 0).alias("g1"),
+        (
+            (F.size("toks") >= 20)
+            & (F.size("toks") <= 1000)
+            & (punct_ratio < 0.1)
+            & (stop_ratio >= 0.01)
+        ).alias("q"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / ntok
+            <= 0.5
+        ).alias("nr"),
+        (
+            F.row_number().over(
+                W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            )
+            == 1
+        ).alias("fs"),
     )
 
 
@@ -298,43 +350,7 @@ def _funnel_oracle() -> str:
     "100 TB run logs to its dashboard every batch.",
 )
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text_analysis import _STOPWORDS, stopword_hits
-
-    d = Catalog(spark, sf_dir).documents
-    toks = tokens_expr(F.col("text"))
-    base = d.select("doc_id", "text", "n_chars", toks.alias("toks"))
-    for lang, words in _STOPWORDS.items():
-        base = base.withColumn(f"h_{lang}", stopword_hits(F.col("toks"), words))
-    ntok = F.greatest(F.size("toks"), F.lit(1))
-    npunct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
-    )
-    punct_ratio = npunct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
-    stop_ratio = F.col("h_en").cast("double") / ntok
-    anyhit = None
-    for lang in _STOPWORDS:
-        h = F.col(f"h_{lang}")
-        anyhit = h if anyhit is None else anyhit + h
-    flags = base.select(
-        "doc_id",
-        (anyhit > 0).alias("g1"),
-        (
-            (F.size("toks") >= 20)
-            & (F.size("toks") <= 1000)
-            & (punct_ratio < 0.1)
-            & (stop_ratio >= 0.01)
-        ).alias("q"),
-        (
-            F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / ntok
-            <= 0.5
-        ).alias("nr"),
-        (
-            F.row_number().over(
-                W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-            )
-            == 1
-        ).alias("fs"),
-    )
+    flags = _funnel_flags(Catalog(spark, sf_dir).documents)
     g = flags.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum(F.col("g1").cast("int")).alias("n1"),
@@ -359,6 +375,82 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+_DROP_REASON_SQL = (
+    "CASE WHEN NOT g1 THEN 'lang_unknown' "
+    "WHEN NOT q THEN 'low_quality' "
+    "WHEN NOT nr THEN 'repetitive' "
+    "WHEN NOT fs THEN 'duplicate' "
+    "ELSE 'kept' END"
+)
+
+
+def _drop_audit_oracle() -> str:
+    return (
+        _funnel_flags_sql() + ", "
+        f"r AS (SELECT doc_id, {_DROP_REASON_SQL} AS reason FROM f), "
+        "cnt AS (SELECT reason, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM r GROUP BY reason), "
+        "rk AS (SELECT reason, doc_id, row_number() OVER "
+        "(PARTITION BY reason ORDER BY doc_id) AS rn FROM r), "
+        "ex AS (SELECT reason, "
+        "array_to_string(list_sort(list(doc_id)), ',') AS exemplars "
+        "FROM rk WHERE rn <= 3 GROUP BY reason) "
+        "SELECT reason, n_docs, exemplars "
+        "FROM cnt JOIN ex USING (reason)"
+    )
+
+
+@register(
+    "q_drop_audit",
+    oracle=_drop_audit_oracle(),
+    doc="Pipeline explainability: WHY was each document dropped — the "
+    "per-doc complement of q_quality_funnel's aggregate counts. Each "
+    "doc is assigned its FIRST failing stage (lang_unknown -> "
+    "low_quality -> repetitive -> duplicate -> kept), reusing the "
+    "funnel's exact flag expressions (_funnel_flags, shared code, so "
+    "audit and funnel can never disagree about a predicate); output "
+    "is per-reason counts plus the 3 smallest doc_ids as "
+    "deterministic exemplars — the 'show me dropped samples' "
+    "debugging loop every corpus pipeline needs. Exemplars come from "
+    "a rank-filtered frame (row_number <= 3 per reason), NOT a "
+    "collect_list over all members — per-group state stays O(3) at "
+    "any corpus size; counts aggregate separately and join back on "
+    "the tiny reason domain.",
+)
+def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = _funnel_flags(Catalog(spark, sf_dir).documents)
+    reason = (
+        F.when(~F.col("g1"), F.lit("lang_unknown"))
+        .when(~F.col("q"), F.lit("low_quality"))
+        .when(~F.col("nr"), F.lit("repetitive"))
+        .when(~F.col("fs"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    r = flags.select("doc_id", reason.alias("reason"))
+    cnt = r.groupBy("reason").agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = (
+        r.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("reason").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") <= 3)
+        .groupBy("reason")
+        .agg(
+            # numeric sort FIRST, then stringify — a string sort would
+            # order "10" before "2"; CSV string because the driver's
+            # hash canonicalization has no array representation
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("exemplars")
+        )
+    )
+    return cnt.join(ex, "reason")
 
 
 # ---------------------------------------------------------------------------
