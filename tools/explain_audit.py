@@ -405,6 +405,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # EXISTS projected as a flag compiles to ExistenceJoin — a hash
+    # join emitting the match bit, never a per-row probe
+    "q_join_existence": (
+        ["ExistenceJoin", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # LATERAL top-1: decorrelated to window rank + broadcast join —
+    # never one subquery execution per outer row
+    "q_join_lateral": (
+        ["Window", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # drop audit: exemplars via rank-filter (row_number <= 3 per
     # reason) — bounded per-group state, no Python, no product; the
     # content-hash dedup window partitions by sha2(text), never empty

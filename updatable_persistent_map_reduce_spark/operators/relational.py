@@ -2793,6 +2793,60 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXISTENCE_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_urgent,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM (SELECT c_custkey, c_mktsegment,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT') AS has_urgent
+      FROM customer)
+GROUP BY c_mktsegment
+"""
+
+register(
+    "q_join_existence",
+    oracle=_EXISTENCE_SQL,
+    doc="EXISTS as a PROJECTED BOOLEAN (not a filter): every customer "
+    "row survives, annotated with whether an urgent order exists — "
+    "the third and last decorrelation target after the semi join "
+    "(q_sql_exists, EXISTS in WHERE) and anti join (NOT EXISTS): "
+    "Catalyst plans this as an ExistenceJoin, a left join variant "
+    "that emits the match flag instead of dropping or keeping rows. "
+    "One hash join on custkey, never a per-row probe; the flag feeds "
+    "a conditional aggregate per segment.",
+)(_sql_query(_EXISTENCE_SQL))
+
+
+_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, t.total_cents
+FROM customer,
+     LATERAL (SELECT o_orderkey,
+                     CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100)
+                          AS BIGINT) AS total_cents
+              FROM orders WHERE o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS t
+WHERE c_custkey < 50
+ORDER BY c_custkey
+"""
+
+register(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT — the "
+    "'top-1 related row per outer row' idiom written the way SQL "
+    "users write it. The naive reading is one sorted subquery "
+    "execution PER customer; Catalyst decorrelates it into a window "
+    "rank over orders plus one broadcast hash join (plan-audited: "
+    "Window + BroadcastHashJoin, no nested loop, no product) — the "
+    "same physical plan q_topk_per_group builds by hand with "
+    "row_number, proving the declarative form costs nothing. "
+    "Deterministic under ties via the orderkey tiebreak.",
+)(_sql_query(_LATERAL_SQL))
+
+
 @register(
     "q_sql_pipe",
     oracle=(
