@@ -75,6 +75,33 @@ def test_vacuum_reclaims_only_unreferenced(spark, table):
     assert len(os.listdir(vdir)) == 1
 
 
+def test_compact_folds_spans_preserves_rows_and_history(spark, table):
+    """Table-level OPTIMIZE: three appends accrete 3 files in span 0;
+    compact folds them to 1 with the identical row multiset, the
+    pre-compaction snapshot stays time-travelable, a below-threshold
+    span is untouched, and vacuum then reclaims the dead files."""
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a"), (1, "x")])))
+    table.commit(append=table.write_data(mk_df(spark, [(0, "b")])))
+    table.commit(append=table.write_data(mk_df(spark, [(0, "c")])))
+    pre_version = table.version
+    assert len(table.spans()[0]) == 3
+    r = table.compact(spark, min_files=2)
+    assert r["spans_compacted"] == 1
+    assert (r["files_before"], r["files_after"]) == (3, 1)
+    # row multiset identical; single-file span untouched
+    assert read_vals(table, spark) == [(0, "a"), (0, "b"), (0, "c"), (1, "x")]
+    assert len(table.spans()[0]) == 1 and len(table.spans()[1]) == 1
+    # pre-compaction snapshot still resolves to the old files
+    assert read_vals(table, spark, version=pre_version) == [
+        (0, "a"), (0, "b"), (0, "c"), (1, "x"),
+    ]
+    # idempotent: nothing left above threshold
+    assert table.compact(spark, min_files=2)["spans_compacted"] == 0
+    # vacuum reclaims exactly the superseded span-0 files
+    assert table.vacuum() == 3
+    assert read_vals(table, spark) == [(0, "a"), (0, "b"), (0, "c"), (1, "x")]
+
+
 def test_empty_write_yields_empty_mapping(spark, table):
     m = table.write_data(mk_df(spark, []))
     assert m == {}

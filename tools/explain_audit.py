@@ -317,6 +317,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # engine-store reads: materialized finals = manifest-pruned scans
     "q_upsert_delete": (["Scan parquet"], ["Python", "CartesianProduct"]),
     "q_store_rescale": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # compacted store serves the same manifest-resolved parquet read
+    "q_store_compaction": (["Scan parquet"], ["Python", "CartesianProduct"]),
     # moments family: one partial+final aggregate, no window/join
     "q_agg_stats": (
         ["HashAggregate"],

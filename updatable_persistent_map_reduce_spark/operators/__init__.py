@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_drop_audit",        # new: per-doc first-failing-stage audit
     "q_join_existence",    # new: EXISTS as projected flag (ExistenceJoin)
     "q_join_lateral",      # new: LATERAL top-1, decorrelated to window
+    "q_store_compaction",  # new: OPTIMIZE attested mid-lifecycle
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------

@@ -181,6 +181,68 @@ def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.final_df().select("group_key", "cnt")
 
 
+@register(
+    "q_store_compaction",
+    oracle=(
+        "SELECT CAST(CASE WHEN c_custkey % 10 = 0 "
+        "THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS INTEGER) AS group_key, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM customer GROUP BY 1"
+    ),
+    doc="Small-file compaction attested mid-lifecycle (the OPTIMIZE "
+    "maintenance job append-mode ingest needs at 100 TB): three disjoint "
+    "insert-only batches accrete one map file per touched pair per batch; "
+    "ManifestTable.compact folds them 1-per-span (asserted, so a no-op "
+    "compaction fails the gate loudly); a migration batch then runs "
+    "INCREMENTALLY on the compacted store — proving compaction changed "
+    "the file layout and nothing else, including the dirty-span "
+    "bookkeeping the next Execute depends on (Executer.cs:305-367).",
+)
+def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    store = tempfile.mkdtemp(prefix="upmr_compact_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="doc_id",
+        group_cols=["group_key"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=8,
+        n_doc_spans=8,
+    )
+    # Three disjoint insert-only batches: new docs in already-populated
+    # pspans take the append commit path, accreting files per span.
+    for b in range(3):
+        view.execute(
+            c.filter(F.col("c_custkey") % 3 == b).select(
+                F.col("c_custkey").cast("string").alias("doc_id"),
+                F.col("c_nationkey").cast("int").alias("group_key"),
+            )
+        )
+    pre = view._map_t.stats()
+    result = view._map_t.compact(spark, min_files=2)
+    if result["spans_compacted"] == 0 or not (
+        result["files_after"] < result["files_before"]
+    ):
+        raise RuntimeError(
+            f"compaction was a no-op: {pre} -> {result}; the append "
+            "ingest path no longer accretes files, so this query is "
+            "not attesting what it claims"
+        )
+    view.compact_index()
+    reclaimed = view.vacuum()
+    if reclaimed == 0:
+        raise RuntimeError("vacuum after compaction reclaimed nothing")
+    # Post-compaction incremental revision: every 10th customer
+    # migrates group — runs against the compacted layout.
+    migrated = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("group_key"),
+    )
+    view.execute(migrated)
+    return view.final_df().select("group_key", "cnt")
+
+
 def _latest_event_rereducible(df: DataFrame) -> DataFrame:
     """Like :func:`_latest_event_per_user` but emitting columns named
     after the aggregate outputs (cnt=1, value_sum=value) so sum-based

@@ -281,6 +281,59 @@ class ManifestTable:
 
     # ----- maintenance -----------------------------------------------------
 
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        min_files: int = 2,
+        spans: Iterable[int] | None = None,
+    ) -> dict:
+        """OPTIMIZE for the table: rewrite every span whose committed
+        file set has at least ``min_files`` files into one file per
+        span, publishing the swap as a normal :meth:`commit`.
+
+        Append-mode writers (the view's doc index and clean-pspan map
+        appends, the text index's postings, the ANN index's vector
+        lists) accrete one file per span per batch; at ingest rates
+        that is the classic small-file problem — O(batches) parquet
+        footers to open per span read. Compaction is pure maintenance:
+        it rewrites the same row multiset span-by-span, so every query
+        answer (and every incremental-maintenance read) is unchanged,
+        which is exactly what q_store_compaction attests end-to-end.
+
+        Crash-safe by construction: the rewrite lands in a fresh
+        ``data-*/`` dir, invisible until the one atomic commit; a kill
+        mid-rewrite leaves orphans for :meth:`vacuum`. Pre-compaction
+        snapshots stay time-travelable (old files are referenced by
+        archived manifests until vacuumed). Returns
+        ``{spans_compacted, files_before, files_after, version}``.
+        """
+        m = self._load()
+        todo = {
+            int(s): fs for s, fs in m["spans"].items() if len(fs) >= min_files
+        }
+        if spans is not None:
+            keep = set(spans)
+            todo = {s: fs for s, fs in todo.items() if s in keep}
+        if not todo:
+            return {
+                "spans_compacted": 0,
+                "files_before": 0,
+                "files_after": 0,
+                "version": m["version"],
+            }
+        df = self.read(spark, spans=list(todo))
+        mapping = self.write_data(df)
+        version = self.commit(
+            replace={s: mapping.get(s, []) for s in todo}
+        )
+        return {
+            "spans_compacted": len(todo),
+            "files_before": sum(len(fs) for fs in todo.values()),
+            "files_after": sum(len(mapping.get(s, [])) for s in todo),
+            "version": version,
+        }
+
     def stats(self) -> dict:
         m = self._load()
         files = [f for fs in m["spans"].values() for f in fs]

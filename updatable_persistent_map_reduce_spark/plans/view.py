@@ -1455,14 +1455,9 @@ class MapReduceView:
         unreferenced (reclaim via ``vacuum()``). Returns the number of
         pairs compacted. At 100 TB scale this is the maintenance job a
         table service would schedule off-peak."""
-        spans = self._map_t.spans()
-        todo = {s for s, fs in spans.items() if len(fs) >= min_files}
-        if not todo:
-            return 0
-        df = self._map_t.read(self.spark, spans=todo)
-        mapping = self._map_t.write_data(df)
-        self._map_t.commit(replace=mapping, drop=todo - set(mapping))
-        return len(todo)
+        return self._map_t.compact(self.spark, min_files=min_files)[
+            "spans_compacted"
+        ]
 
     def compact_index(self) -> None:
         """Rewrite doc_index from the map_results source of truth,
