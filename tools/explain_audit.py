@@ -319,6 +319,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_store_rescale": (["Scan parquet"], ["Python", "CartesianProduct"]),
     # compacted store serves the same manifest-resolved parquet read
     "q_store_compaction": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # z-ordered read: filter pushed to the clustered scan, no Python
+    "q_layout_zorder": (
+        ["PushedFilters: [", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
+    # the whole point: a runtime dynamicpruning PartitionFilter on the
+    # fact scan, fed by the broadcast dim — and never a sort-merge
+    "q_dpp_prune": (
+        ["dynamicpruning", "BroadcastHashJoin"],
+        ["Python", "SortMergeJoin", "CartesianProduct"],
+    ),
     # moments family: one partial+final aggregate, no window/join
     "q_agg_stats": (
         ["HashAggregate"],

@@ -110,6 +110,8 @@ _PRIORITY = [
     "q_join_existence",    # new: EXISTS as projected flag (ExistenceJoin)
     "q_join_lateral",      # new: LATERAL top-1, decorrelated to window
     "q_store_compaction",  # new: OPTIMIZE attested mid-lifecycle
+    "q_layout_zorder",     # new: Morton-curve clustering, measured skip
+    "q_dpp_prune",         # new: runtime partition pruning, star shape
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------
@@ -179,6 +181,7 @@ def all_queries() -> dict[str, Query]:
     from . import search  # noqa: F401
     from . import graph  # noqa: F401
     from . import stream_attested  # noqa: F401
+    from . import layout  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
