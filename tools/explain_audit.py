@@ -324,6 +324,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["PushedFilters: [", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # mix scheduler: tiny threshold table broadcasts onto the corpus
+    # scan; the sampling predicate is pure codegen, never Python
+    "q_data_mix": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct", "SortMergeJoin"],
+    ),
     # the whole point: a runtime dynamicpruning PartitionFilter on the
     # fact scan, fed by the broadcast dim — and never a sort-merge
     "q_dpp_prune": (

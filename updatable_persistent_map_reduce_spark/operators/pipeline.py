@@ -638,3 +638,99 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mix scheduler — hit a target source mixture, deterministically.
+
+# Target mixture over source groups, in integer weight units (sum 100).
+# Groups bucket the 20 synthetic sources the way a recipe buckets
+# crawl/curated/reference corpora.
+_MIX_WEIGHTS = [("web", 60), ("curated", 25), ("reference", 15)]
+_MIX_D = 1_000_000  # hash-bucket denominator for the sampling predicate
+
+_MIX_GRP_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web' "
+    "WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'curated' "
+    "ELSE 'reference' END"
+)
+
+
+@register(
+    "q_data_mix",
+    oracle=(
+        "WITH g AS (SELECT " + _MIX_GRP_SQL + " AS grp, doc_id, n_chars "
+        "FROM documents), "
+        "tok AS (SELECT grp, SUM(n_chars) AS tokens FROM g GROUP BY grp), "
+        "w AS (SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {wt})" for g, wt in _MIX_WEIGHTS)
+        + ") AS t(grp, wt)), "
+        "b AS (SELECT MIN(tokens * 100 // wt) AS budget FROM tok "
+        "JOIN w USING (grp)), "
+        "thr AS (SELECT grp, "
+        f"({_MIX_D} * (budget * wt // 100) // tokens) AS threshold "
+        "FROM tok JOIN w USING (grp) CROSS JOIN b) "
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_kept, "
+        "CAST(max(threshold) AS BIGINT) AS threshold "
+        "FROM g JOIN thr USING (grp) "
+        f"WHERE (doc_id * {_KNUTH}) % {_M32} % {_MIX_D} < threshold "
+        "GROUP BY grp"
+    ),
+    doc="Data-mix scheduler (the pretraining recipe knob): given target "
+    "weights over source groups (web 60 / curated 25 / reference 15), "
+    "derive the LARGEST total char budget reachable without upsampling "
+    "(B = min over groups of tokens*W/w), each group's char target, and "
+    "an integer hash threshold per group — then apply the same "
+    "deterministic multiplicative-hash predicate as q_sample_hash. "
+    "Every derived quantity is integer floor-division (DuckDB // = "
+    "Spark div on positives), so thresholds and the selected doc set "
+    "are engine-exact — no float rate ever exists. Upsampling groups "
+    "above 1x composes via q_resample_weighted. At extreme scale "
+    "reorder the threshold product (D*t div tokens) to keep "
+    "intermediates under 2^63; with char counts <= 1e14 it fits as "
+    "written.",
+)
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    src_num = F.substring("source", 4, 10).cast("int")
+    grp = (
+        F.when(src_num < 10, "web")
+        .when(src_num < 15, "curated")
+        .otherwise("reference")
+    )
+    g = d.select(grp.alias("grp"), "doc_id", "n_chars")
+    tok = g.groupBy("grp").agg(F.sum("n_chars").alias("tokens"))
+    # inline VALUES, not createDataFrame: a LocalRelation keeps the
+    # plan 100% JVM-side (a parallelized python list would audit as a
+    # Python scan)
+    wdf = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{g}', {wt})" for g, wt in _MIX_WEIGHTS)
+        + " AS t(grp, wt)"
+    )
+    joined = tok.join(F.broadcast(wdf), "grp")
+    budget = joined.agg(
+        F.min(F.expr("tokens * 100 div wt")).alias("budget")
+    )
+    thr = (
+        joined.join(F.broadcast(budget))
+        .withColumn(
+            "threshold",
+            F.expr(f"{_MIX_D} * (budget * wt div 100) div tokens"),
+        )
+        .select("grp", "threshold")
+    )
+    keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(
+        _MIX_D
+    ) < F.col("threshold")
+    return (
+        g.join(F.broadcast(thr), "grp")
+        .filter(keep)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.max("threshold").cast("bigint").alias("threshold"),
+        )
+    )
