@@ -102,6 +102,47 @@ def test_compact_folds_spans_preserves_rows_and_history(spark, table):
     assert read_vals(table, spark) == [(0, "a"), (0, "b"), (0, "c"), (1, "x")]
 
 
+def test_manifest_stats_prune_and_lifecycle(spark, tmp_path):
+    """Per-file min/max bounds ride the manifest: where= prunes files
+    without footer reads, unknown columns never prune, appends merge
+    new bounds, and replacing a span drops its files' stale stats."""
+    t = ManifestTable(str(tmp_path / "s"), "kspan", stat_cols=("v",))
+    df1 = spark.createDataFrame([(0, i) for i in range(10)], "kspan int, v int")
+    df2 = spark.createDataFrame([(0, i) for i in range(100, 110)], "kspan int, v int")
+    t.commit(replace=t.write_data(df1))
+    t.commit(append=t.write_data(df2))
+    assert len(t.select_files()) == 2
+    # bounds prune: only the file covering [100, 109] survives
+    assert len(t.select_files(where=("v", 105, 200))) == 1
+    # disjoint range prunes everything
+    assert t.read(spark, where=("v", 500, 600)) is None
+    # a column with no recorded bounds never prunes (safe default)
+    assert len(t.select_files(where=("nope", 0, 0))) == 2
+    # pruned read + residual filter == full read + filter
+    full = t.read(spark).filter("v >= 105").count()
+    pruned = t.read(spark, where=("v", 105, 200)).filter("v >= 105").count()
+    assert full == pruned == 5
+    # replace drops the span's old stats and installs the new bounds
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, 7)], "kspan int, v int")))
+    assert len(t.select_files(where=("v", 100, 110))) == 0
+    assert len(t.select_files(where=("v", 7, 7))) == 1
+
+
+def test_sorted_write_splits_files_with_tight_bounds(spark, tmp_path):
+    """sort_cols + max_records_per_file: one span splits into files
+    covering contiguous key runs, so a narrow range resolves to a
+    fraction of the files — the layout q_store_stats_prune relies on."""
+    t = ManifestTable(str(tmp_path / "s"), "kspan", stat_cols=("v",))
+    df = spark.createDataFrame([(0, i) for i in range(400)], "kspan int, v int")
+    t.commit(replace=t.write_data(df, sort_cols=["v"], max_records_per_file=100))
+    n = len(t.select_files())
+    assert n == 4
+    assert len(t.select_files(where=("v", 150, 160))) == 1
+    # the conf did not leak into the session
+    assert spark.conf.get("spark.sql.files.maxRecordsPerFile", None) in (None, "0")
+
+
 def test_empty_write_yields_empty_mapping(spark, table):
     m = table.write_data(mk_df(spark, []))
     assert m == {}

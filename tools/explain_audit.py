@@ -319,6 +319,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_store_rescale": (["Scan parquet"], ["Python", "CartesianProduct"]),
     # compacted store serves the same manifest-resolved parquet read
     "q_store_compaction": (["Scan parquet"], ["Python", "CartesianProduct"]),
+    # stat-pruned manifest read: residual filter pushed to the scan
+    "q_store_stats_prune": (
+        ["Scan parquet", "PushedFilters: ["],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

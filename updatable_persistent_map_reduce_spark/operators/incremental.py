@@ -11,12 +11,14 @@ dirty-span recompute, persisted finals), not just a one-shot plan.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import MapReduceView
+from ..plans.store import ManifestTable
 from ..sources import Catalog
 from . import register
 
@@ -241,6 +243,75 @@ def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view.execute(migrated)
     return view.final_df().select("group_key", "cnt")
+
+
+# days from the 1990-01-01 epoch the o_day stat column counts from
+_DAY_1997_LO = 2557  # (1997-01-01 - 1990-01-01).days
+_DAY_1998_LO = 2922  # (1998-01-01 - 1990-01-01).days
+
+
+@register(
+    "q_store_stats_prune",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) "
+        "AS BIGINT) AS price_cents "
+        "FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY o_orderpriority"
+    ),
+    doc="Manifest-level file skipping (the Iceberg-manifest trick in "
+    "OUR store): orders land hash-spanned but SORTED by day within "
+    "each span and split by max_records_per_file, so each file covers "
+    "a contiguous day run whose min/max bounds ride in the manifest; "
+    "a one-year read then resolves to a fraction of the files with "
+    "ZERO footer opens or listings at read time (asserted <= 3/4 of "
+    "the files, so a stats regression fails the gate). Oracle = the "
+    "same range filter on the raw table — pruning shrinks the file "
+    "set, never the answer. This is the second pruning axis next to "
+    "span membership: span = WHICH key, stats = WHICH range.",
+)
+def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="upmr_statsprune_")
+    t = ManifestTable(
+        os.path.join(base, "orders"), "ospan", stat_cols=("o_day",)
+    )
+    df = o.select(
+        (F.col("o_orderkey") % 8).alias("ospan"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).alias("o_day"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    total = df.count()
+    t.commit(
+        replace=t.write_data(
+            df,
+            sort_cols=["o_day"],
+            max_records_per_file=max(50, total // 32),
+        )
+    )
+    lo, hi = _DAY_1997_LO, _DAY_1998_LO - 1
+    n_all = len(t.select_files())
+    sel = t.select_files(where=("o_day", lo, hi))
+    if not (0 < len(sel) <= n_all * 3 // 4):
+        raise RuntimeError(
+            f"manifest stats pruned {n_all} files to {len(sel)} — the "
+            "sort-within-span layout or the stat capture is broken, so "
+            "this query would be attesting nothing"
+        )
+    return (
+        t.read(spark, where=("o_day", lo, hi))
+        .filter(F.col("o_day").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
 
 
 def _latest_event_rereducible(df: DataFrame) -> DataFrame:

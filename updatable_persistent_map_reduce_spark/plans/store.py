@@ -45,7 +45,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,9 +79,18 @@ class ManifestTable:
     (the highest committed version wins).
     """
 
-    def __init__(self, path: str, span_col: str):
+    def __init__(
+        self, path: str, span_col: str, stat_cols: tuple[str, ...] = ()
+    ):
         self.path = path
         self.span_col = span_col
+        # Columns whose per-file min/max ride in the manifest (the
+        # Iceberg-manifest trick): captured from parquet footers at
+        # write time (driver-side, O(new files)), consulted by
+        # ``read(where=...)`` so a range predicate skips files without
+        # opening a single footer at read time. Only int/float/string
+        # columns (JSON-portable bounds).
+        self.stat_cols = tuple(stat_cols)
         self._manifest_path = os.path.join(path, _MANIFEST)
         # File schema, learned from the first write or read. A manifest
         # table's schema is fixed for its lifetime (every writer lands
@@ -89,6 +98,9 @@ class ManifestTable:
         # parquet footer inference — measured ~0.2 s of driver time per
         # read on the incremental view's per-batch map_results read.
         self._schema = None
+        # relpath -> {col: [min, max]} for files written by THIS
+        # object, merged into the manifest at commit time
+        self._pending_stats: dict[str, dict[str, list]] = {}
 
     # ----- manifest io -----------------------------------------------------
 
@@ -143,7 +155,12 @@ class ManifestTable:
 
     # ----- write path ------------------------------------------------------
 
-    def write_data(self, df: DataFrame) -> dict[int, list[str]]:
+    def write_data(
+        self,
+        df: DataFrame,
+        sort_cols: Sequence[str] = (),
+        max_records_per_file: int | None = None,
+    ) -> dict[int, list[str]]:
         """Run one Spark write job landing ``df`` as immutable files in
         a fresh ``data-*/`` subdir; return span -> relative file paths.
 
@@ -153,9 +170,15 @@ class ManifestTable:
         itself stays *in* the files as a data column for filter
         pushdown on read. ``repartition(span)`` makes each span one
         task writing one file — at 100 TB scale pair it with
-        ``spark.sql.files.maxRecordsPerFile`` (and more spans) to bound
-        file sizes. Files are unreferenced (invisible) until
-        :meth:`commit`."""
+        ``max_records_per_file`` (and more spans) to bound file sizes.
+        Files are unreferenced (invisible) until :meth:`commit`.
+
+        ``sort_cols`` orders rows within each span before the write, so
+        with ``max_records_per_file`` each span splits into files each
+        covering a CONTIGUOUS run of the sort key — which makes the
+        per-file ``stat_cols`` bounds tight and :meth:`read`'s
+        ``where=`` pruning effective (the Iceberg sort-order layout).
+        """
         dirname = f"data-{uuid.uuid4().hex[:12]}"
         target = os.path.join(self.path, dirname)
         # partitionBy drops __span from the data files, so the file
@@ -164,7 +187,21 @@ class ManifestTable:
         out = df.withColumn("__span", F.col(self.span_col)).repartition(
             F.col("__span")
         )
-        out.write.mode("overwrite").partitionBy("__span").parquet(target)
+        if sort_cols:
+            out = out.sortWithinPartitions("__span", *sort_cols)
+        spark = df.sparkSession
+        conf_key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(conf_key, None)
+        try:
+            if max_records_per_file is not None:
+                spark.conf.set(conf_key, str(max_records_per_file))
+            out.write.mode("overwrite").partitionBy("__span").parquet(target)
+        finally:
+            if max_records_per_file is not None:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
         mapping: dict[int, list[str]] = {}
         prefix = "__span="
         for entry in sorted(os.listdir(target)):
@@ -186,7 +223,48 @@ class ManifestTable:
             ]
             if files:
                 mapping[span] = files
+        if self.stat_cols:
+            self._capture_stats(mapping)
         return mapping
+
+    def _capture_stats(self, mapping: dict[int, list[str]]) -> None:
+        """Read the just-written files' parquet footers once (driver-
+        side, O(new files)) and remember min/max per ``stat_cols`` for
+        the next :meth:`commit`. Columns with absent/non-JSON-portable
+        statistics are skipped — a file without bounds is simply never
+        pruned (always safe)."""
+        import pyarrow.parquet as pq
+
+        for files in mapping.values():
+            for rel in files:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                names = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                st: dict[str, list] = {}
+                for c in self.stat_cols:
+                    idx = names.get(c)
+                    if idx is None:
+                        continue
+                    mins, maxs = [], []
+                    for g in range(md.num_row_groups):
+                        s = md.row_group(g).column(idx).statistics
+                        if s is None or not s.has_min_max:
+                            mins = []
+                            break
+                        mins.append(s.min)
+                        maxs.append(s.max)
+                    if not mins:
+                        continue
+                    bounds = [min(mins), max(maxs)]
+                    try:
+                        json.dumps(bounds)
+                    except TypeError:
+                        continue
+                    st[c] = bounds
+                if st:
+                    self._pending_stats[rel] = st
 
     def commit(
         self,
@@ -215,6 +293,17 @@ class ManifestTable:
                 spans.pop(str(s), None)
         spans = {s: fs for s, fs in spans.items() if fs}
         new = {"version": m["version"] + 1, "spans": spans}
+        # carry forward stats for retained files, attach pending stats
+        # for newly-referenced ones, drop stats of removed files
+        live = {f for fs in spans.values() for f in fs}
+        stats = {
+            f: s for f, s in m.get("stats", {}).items() if f in live
+        }
+        for f in list(self._pending_stats):
+            if f in live:
+                stats[f] = self._pending_stats.pop(f)
+        if stats:
+            new["stats"] = stats
         os.makedirs(self.path, exist_ok=True)
         vdir = os.path.join(self.path, _VERSIONS)
         os.makedirs(vdir, exist_ok=True)
@@ -253,24 +342,52 @@ class ManifestTable:
 
     # ----- read path -------------------------------------------------------
 
+    def select_files(
+        self,
+        spans: Iterable[int] | None = None,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> list[str]:
+        """Resolve a snapshot to absolute file paths, pruned driver-
+        side by span membership AND by manifest min/max stats:
+        ``where=(col, lo, hi)`` drops every file whose recorded
+        ``col`` bounds cannot intersect ``[lo, hi]`` — no footer is
+        opened (the manifest carries the bounds), no listing happens.
+        Files without recorded bounds are always kept (safe). The
+        predicate itself must still be applied to the surviving rows;
+        pruning only shrinks the file set, exactly like a parquet
+        scan's row-group skipping one level up."""
+        m = self._load(version)
+        mapping = {int(s): fs for s, fs in m["spans"].items()}
+        if spans is not None:
+            keep = set(spans)
+            mapping = {s: fs for s, fs in mapping.items() if s in keep}
+        files = [f for fs in mapping.values() for f in fs]
+        if where is not None:
+            col, lo, hi = where
+            stats = m.get("stats", {})
+
+            def survives(f: str) -> bool:
+                b = stats.get(f, {}).get(col)
+                return b is None or not (b[1] < lo or b[0] > hi)
+
+            files = [f for f in files if survives(f)]
+        return [os.path.join(self.path, f) for f in files]
+
     def read(
         self,
         spark: SparkSession,
         spans: Iterable[int] | None = None,
         version: int | None = None,
+        where: tuple[str, object, object] | None = None,
     ) -> DataFrame | None:
         """DataFrame over the snapshot's files (optionally pruned to
-        ``spans`` driver-side, optionally an archived ``version``);
-        ``None`` if the selection is empty. The returned plan holds a
-        fixed file list, so concurrent commits/appends never change
-        what it reads."""
-        mapping = self.spans(version)
-        if spans is not None:
-            keep = set(spans)
-            mapping = {s: fs for s, fs in mapping.items() if s in keep}
-        files = [
-            os.path.join(self.path, f) for fs in mapping.values() for f in fs
-        ]
+        ``spans`` driver-side, optionally an archived ``version``,
+        optionally stat-pruned via ``where`` — see
+        :meth:`select_files`); ``None`` if the selection is empty. The
+        returned plan holds a fixed file list, so concurrent
+        commits/appends never change what it reads."""
+        files = self.select_files(spans=spans, version=version, where=where)
         if not files:
             return None
         if self._schema is not None:
