@@ -143,6 +143,68 @@ def test_sorted_write_splits_files_with_tight_bounds(spark, tmp_path):
     assert spark.conf.get("spark.sql.files.maxRecordsPerFile", None) in (None, "0")
 
 
+def test_merge_update_insert_delete_and_cow_spans(spark, tmp_path):
+    """MERGE semantics end to end: matched rows replaced by source
+    (latest-wins), unmatched source rows inserted, delete_where rows
+    deleted when matched / ignored when not — and only the spans the
+    source names are rewritten (untouched spans keep the exact same
+    files), with the pre-merge snapshot time-travelable."""
+    t = ManifestTable(str(tmp_path / "m"), "kspan")
+    base = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (1, 11, "c"), (2, 21, "d")],
+        "kspan int, k int, v string",
+    )
+    t.commit(replace=t.write_data(base))
+    pre_version = t.version
+    span2_before = t.select_files(spans=[2])
+    src = spark.createDataFrame(
+        [
+            (0, 1, "A", False),   # matched -> update
+            (0, 2, "_", True),    # matched + delete_where -> delete
+            (0, 3, "N", False),   # unmatched -> insert
+            (1, 12, "_", True),   # unmatched + delete_where -> no-op
+        ],
+        "kspan int, k int, v string, dead boolean",
+    )
+    stats = t.merge(src, on=["k"], delete_where="dead")
+    assert (stats["updated"], stats["inserted"], stats["deleted"]) == (1, 1, 1)
+    assert stats["spans_touched"] == 2
+    got = sorted((r["kspan"], r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(0, 1, "A"), (0, 3, "N"), (1, 11, "c"), (2, 21, "d")]
+    # extra source column never lands in the table
+    assert t.read(spark).columns == ["kspan", "k", "v"]
+    # copy-on-write: span 2 was not in the source, its files are the same
+    assert t.select_files(spans=[2]) == span2_before
+    # pre-merge snapshot still reads
+    old = sorted(
+        (r["kspan"], r["k"], r["v"])
+        for r in t.read(spark, version=pre_version).collect()
+    )
+    assert old == [(0, 1, "a"), (0, 2, "b"), (1, 11, "c"), (2, 21, "d")]
+
+
+def test_merge_into_empty_table_inserts(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "m0"), "kspan")
+    src = spark.createDataFrame([(0, 1, "a"), (1, 2, "b")], "kspan int, k int, v string")
+    stats = t.merge(src, on=["k"])
+    assert (stats["updated"], stats["inserted"], stats["deleted"]) == (0, 2, 0)
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_merge_span_emptied_by_delete_disappears(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "md"), "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, 1, "a"), (1, 2, "b")], "kspan int, k int, v string")))
+    src = spark.createDataFrame([(0, 1, "a", True)],
+                                "kspan int, k int, v string, dead boolean")
+    stats = t.merge(src, on=["k"], delete_where="dead")
+    assert stats["deleted"] == 1
+    assert t.read(spark, spans=[0]) is None
+    assert [r["k"] for r in t.read(spark).collect()] == [2]
+
+
 def test_empty_write_yields_empty_mapping(spark, table):
     m = table.write_data(mk_df(spark, []))
     assert m == {}

@@ -324,6 +324,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "PushedFilters: ["],
         ["Python", "CartesianProduct"],
     ),
+    # post-merge read is a plain pruned scan + aggregate
+    "q_store_merge": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

@@ -314,6 +314,100 @@ def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_store_merge",
+    oracle=(
+        "WITH t AS ("
+        "  SELECT c_custkey AS k,"
+        "         CAST(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        "           AS bal_cents,"
+        "         c_mktsegment AS seg"
+        "  FROM customer"
+        "), s AS ("
+        "  SELECT k, bal_cents + 1000 AS bal_cents, 'UPDATED' AS seg,"
+        "         bal_cents < 0 AS dead"
+        "  FROM t WHERE k % 3 = 0 AND k % 8 < 3"
+        "  UNION ALL"
+        "  SELECT k + 10000000 AS k, bal_cents, 'NEW' AS seg, FALSE AS dead"
+        "  FROM t WHERE k % 7 = 0 AND k % 8 < 3"
+        "), merged AS ("
+        "  SELECT COALESCE(s.seg, t.seg) AS seg,"
+        "         COALESCE(s.bal_cents, t.bal_cents) AS bal_cents"
+        "  FROM t FULL OUTER JOIN s ON t.k = s.k"
+        "  WHERE NOT COALESCE(s.dead, FALSE)"
+        ") "
+        "SELECT seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(bal_cents) AS BIGINT) AS bal_total "
+        "FROM merged GROUP BY seg"
+    ),
+    doc="Row-level MERGE INTO on the engine's own store (Delta "
+    "semantics, the reference's latest-wins update rule "
+    "Executer.cs:240-261 generalized to arbitrary tables): one merge "
+    "carries updates (+1000 cents, segment relabel), inserts (shifted "
+    "keys), and conditional deletes (negative balances) against a "
+    "spanned customer table. Span-granular copy-on-write is asserted "
+    "in-query: the source only names spans 0-2, so spans 3-7's files "
+    "must survive byte-identical and spans_touched must be exactly 3 "
+    "— a merge that rewrites the whole table fails the gate. Oracle = "
+    "the same merge expressed as FULL OUTER JOIN + COALESCE in SQL. "
+    "All balance math in integer cents (floor(decimal*100)) so both "
+    "engines agree exactly.",
+)
+def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    base = tempfile.mkdtemp(prefix="upmr_merge_")
+    t = ManifestTable(os.path.join(base, "customers"), "cspan")
+    tgt = c.select(
+        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t.commit(replace=t.write_data(tgt))
+    untouched_before = {
+        s: fs for s, fs in t.spans().items() if s >= 3
+    }
+    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        "k",
+        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
+        F.lit("UPDATED").alias("seg"),
+        (F.col("bal_cents") < 0).alias("dead"),
+    )
+    # 10_000_000 % 8 == 0, so the shifted insert key keeps its span —
+    # the merge contract (span is a pure function of the key)
+    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        (F.col("k") + F.lit(10_000_000)).alias("k"),
+        "bal_cents",
+        F.lit("NEW").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    stats = t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    untouched_after = {s: fs for s, fs in t.spans().items() if s >= 3}
+    if (
+        stats["spans_touched"] != 3
+        or untouched_after != untouched_before
+        or stats["updated"] == 0
+        or stats["inserted"] == 0
+    ):
+        raise RuntimeError(
+            f"merge copy-on-write contract violated: {stats}; untouched "
+            "spans changed or no rows merged — the query is not "
+            "attesting what it claims"
+        )
+    return (
+        t.read(spark)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").cast("bigint").alias("bal_total"),
+        )
+    )
+
+
 def _latest_event_rereducible(df: DataFrame) -> DataFrame:
     """Like :func:`_latest_event_per_user` but emitting columns named
     after the aggregate outputs (cnt=1, value_sum=value) so sum-based

@@ -396,6 +396,91 @@ class ManifestTable:
         self._schema = df.schema
         return df
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: Sequence[str],
+        *,
+        delete_where: str | None = None,
+    ) -> dict:
+        """MERGE INTO for the store (Delta semantics, span-granular
+        copy-on-write): matched target rows are REPLACED by their
+        source row (latest-wins, the engine's update rule,
+        Executer.cs:240-261 generalized to arbitrary row-level
+        tables), unmatched source rows are INSERTED, and rows whose
+        source satisfies ``delete_where`` are DELETED when matched and
+        ignored when not. Only the spans named by the source are read,
+        merged, and rewritten — cost scales with the touched spans'
+        data, never with the table; every other span's files carry
+        into the new snapshot byte-for-byte (and the pre-merge
+        snapshot stays time-travelable).
+
+        Contract — each clause an invariant every engine table already
+        holds: ``on`` keys are non-null and unique within the source;
+        the span column is the same pure function of the keys on both
+        sides (hash(key) % n_spans), so a key's target row can only
+        live in the span its source row names. ``source`` must contain
+        every table column; extra columns may be referenced by
+        ``delete_where`` and are dropped before the write. Two jobs
+        run over the touched spans (one to count actions, one to
+        write); both read the same pinned file list, so the counts
+        always describe the committed result. Returns ``{updated,
+        inserted, deleted, spans_touched, version}``.
+        """
+        spark = source.sparkSession
+        touched = sorted(
+            r[0]
+            for r in source.select(self.span_col).distinct().collect()
+        )
+        tgt = self.read(spark, spans=touched)
+        cols = (
+            list(self._schema.names)
+            if self._schema is not None
+            else list(source.columns)
+        )
+        src = source.withColumn("__s_present", F.lit(True)).withColumn(
+            "__del",
+            F.expr(delete_where) if delete_where is not None else F.lit(False),
+        )
+        if tgt is None:
+            joined = src
+            for c in cols:
+                joined = joined.withColumn(f"__t_{c}", F.lit(None))
+            joined = joined.withColumn("__t_present", F.lit(None).cast("boolean"))
+        else:
+            t = tgt.select(
+                *[F.col(c).alias(f"__t_{c}") for c in cols]
+            ).withColumn("__t_present", F.lit(True))
+            cond = [t[f"__t_{k}"] == src[k] for k in (self.span_col, *on)]
+            joined = t.join(src, cond, "full_outer")
+        tp = F.coalesce(F.col("__t_present"), F.lit(False))
+        sp = F.coalesce(F.col("__s_present"), F.lit(False))
+        dl = F.coalesce(F.col("__del"), F.lit(False))
+        counts = joined.select(
+            F.sum((tp & sp & ~dl).cast("bigint")).alias("updated"),
+            F.sum(((~tp) & sp & ~dl).cast("bigint")).alias("inserted"),
+            F.sum((tp & sp & dl).cast("bigint")).alias("deleted"),
+        ).collect()[0]
+        merged = joined.filter(~sp | ~dl).select(
+            *[
+                F.when(sp, F.col(c))
+                .otherwise(F.col(f"__t_{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        mapping = self.write_data(merged)
+        version = self.commit(
+            replace={s: mapping.get(s, []) for s in touched}
+        )
+        return {
+            "updated": int(counts["updated"] or 0),
+            "inserted": int(counts["inserted"] or 0),
+            "deleted": int(counts["deleted"] or 0),
+            "spans_touched": len(touched),
+            "version": version,
+        }
+
     # ----- maintenance -----------------------------------------------------
 
     def compact(
