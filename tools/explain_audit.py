@@ -434,6 +434,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # un-windowed update-mode attestation: returned plan reads the
+    # emitted-keys dir, latest-emission-wins per key (partitioned
+    # row_number, never a bare ORDER BY)
+    "q_stream_update_mode": (
+        ["Scan parquet", "Window", r"re:\[event_type#\d+\]"],
+        ["Python", "CartesianProduct"],
+    ),
     # EXISTS projected as a flag compiles to ExistenceJoin — a hash
     # join emitting the match bit, never a per-row probe
     "q_join_existence": (

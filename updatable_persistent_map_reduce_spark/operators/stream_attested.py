@@ -417,6 +417,87 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_update_mode",
+    oracle=(
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="UN-WINDOWED update-mode running aggregation on the ACTUAL "
+    "streaming path — the purest form of the reference's architecture "
+    "(per-group state accumulated across every Execute call, "
+    "Executer.cs:305-367, with no window and no watermark because "
+    "running totals never close): events staged as three producer "
+    "files, readStream with maxFilesPerTrigger=1 so availableNow "
+    "replays them as three micro-batches, groupBy(event_type) running "
+    "count/sum, each trigger's updated keys appended tagged to a "
+    "parquet dir. The query asserts in-query that every key was "
+    "emitted by >= 3 distinct micro-batches AND that its count GREW "
+    "across emissions — a single-batch recompute or a lost state "
+    "store fails loudly; the attested result is the latest emission "
+    "per key, hashed against the whole-corpus batch aggregate. State "
+    "is one row per distinct key (cardinality-bounded, never "
+    "stream-length-bounded) — the scale contract of update-mode "
+    "state. Moves un-windowed update-mode state from pytest-only "
+    "into the driver-attested column.",
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.stream_view import streaming_running_agg
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="upmr_updmode_")
+    inbox = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+    streaming_running_agg(
+        spark,
+        input_path=inbox,
+        input_schema="event_id bigint, event_type string, value double",
+        checkpoint_path=os.path.join(base, "ckpt"),
+        out_path=out,
+        key_cols=("event_type",),
+        agg_exprs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("value_sum"),
+        ],
+    )
+    emitted = spark.read.parquet(out)
+    probe = emitted.groupBy("event_type").agg(
+        F.countDistinct("batch_id").alias("n_batches"),
+        (F.max("cnt") > F.min("cnt")).alias("grew"),
+    ).collect()
+    if not probe or any(r["n_batches"] < 3 or not r["grew"] for r in probe):
+        raise RuntimeError(
+            f"running-state accumulation not observed: {probe}; the "
+            "producer staging or maxFilesPerTrigger replay collapsed "
+            "to fewer micro-batches, so this query would attest a "
+            "plain batch aggregate"
+        )
+    return (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("group_key"),
+            "cnt",
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+    )
+
+
+@register(
     "q_stream_checkpoint_recovery",
     oracle=(
         "WITH latest AS (SELECT user_id, event_type, value FROM "

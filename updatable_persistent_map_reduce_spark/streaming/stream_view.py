@@ -255,6 +255,55 @@ def streaming_windowed_agg_resumable(
     q.awaitTermination()
 
 
+def streaming_running_agg(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    out_path: str,
+    key_cols: Sequence[str] = ("event_type",),
+    agg_exprs: Sequence[Column] | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Un-windowed, un-watermarked update-mode running aggregation —
+    the PURE cross-micro-batch key state the reference's repeated
+    Execute loop maintains (dirty groups re-reduced per batch,
+    Executer.cs:305-367): state is one row per distinct key, grows
+    with key cardinality only (never with stream length), and each
+    trigger emits exactly the keys that batch touched, with totals
+    accumulated over EVERY batch so far. ``foreachBatch`` appends each
+    trigger's updated keys (tagged with the batch id) to a parquet
+    dir; the live table is latest-emission-wins per key. With
+    ``maxFilesPerTrigger=1`` an availableNow run replays a staged
+    multi-file producer as that many micro-batches, making the
+    accumulation observable (per-key counts must grow across
+    emissions). At scale the out dir is a keyed upsert table and the
+    source is Kafka; the plan shape — shuffle by key into the state
+    store, no watermark because totals never close — is identical."""
+    aggs = list(agg_exprs) if agg_exprs else [F.count(F.lit(1)).alias("cnt")]
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    running = stream.groupBy(*key_cols).agg(*aggs)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        running.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_enriched_counts(
     spark: SparkSession,
     *,
