@@ -205,6 +205,32 @@ def test_merge_span_emptied_by_delete_disappears(spark, tmp_path):
     assert [r["k"] for r in t.read(spark).collect()] == [2]
 
 
+def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
+    """Add-column evolution: a later batch lands files with a new
+    column; the manifest schema widens, old files read with NULL
+    backfill, time travel keeps each snapshot's own schema, and a
+    type CHANGE is rejected at commit."""
+    path = str(tmp_path / "e")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, 1)], "kspan int, a int")))
+    v1 = t.version
+    t2 = ManifestTable(path, "kspan")
+    t2.commit(append=t2.write_data(
+        spark.createDataFrame([(0, 2, "x")], "kspan int, a int, b string")))
+    df = t2.read(spark)
+    assert df.columns == ["kspan", "a", "b"]
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+        (1, None), (2, "x"),
+    ]
+    assert t2.read(spark, version=v1).columns == ["kspan", "a"]
+    t3 = ManifestTable(path, "kspan")
+    with pytest.raises(ValueError, match="may only ADD"):
+        t3.commit(append=t3.write_data(
+            spark.createDataFrame([(0, "s", "y")],
+                                  "kspan int, a string, b string")))
+
+
 def test_empty_write_yields_empty_mapping(spark, table):
     m = table.write_data(mk_df(spark, []))
     assert m == {}

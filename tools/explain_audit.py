@@ -329,6 +329,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # union-schema read: one scan, NULL backfill happens in the reader
+    "q_store_schema_evolution": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

@@ -408,6 +408,69 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_store_schema_evolution",
+    oracle=(
+        "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END "
+        "AS priority, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100)) "
+        "AS BIGINT) AS price_cents "
+        "FROM orders GROUP BY 1"
+    ),
+    doc="Add-column schema evolution on the store with ZERO rewrites "
+    "(Iceberg semantics): a legacy batch lands orders without the "
+    "priority column; a later batch appends files THAT HAVE it, which "
+    "widens the schema recorded in the manifest; the read resolves "
+    "every file under the union schema — legacy files NULL-backfilled "
+    "by the parquet reader, no data file touched. Asserted in-query: "
+    "the current read carries the new column, time travel to the "
+    "pre-evolution snapshot still reads the OLD schema (archived "
+    "manifests keep their own), so a widening that rewrote history "
+    "fails the gate. The NULL priority group in the result IS the "
+    "legacy half — the oracle derives the same split from parity.",
+)
+def q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="upmr_evolve_")
+    t = ManifestTable(os.path.join(base, "orders"), "ospan")
+    cents = (
+        F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("price_cents")
+    )
+    legacy = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        (F.col("o_orderkey") % 8).cast("int").alias("ospan"),
+        F.col("o_orderkey").alias("k"),
+        cents,
+    )
+    t.commit(replace=t.write_data(legacy))
+    v1 = t.version
+    widened = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_orderkey") % 8).cast("int").alias("ospan"),
+        F.col("o_orderkey").alias("k"),
+        cents,
+        F.col("o_orderpriority").alias("priority"),
+    )
+    t.commit(append=t.write_data(widened))
+    old_cols = t.read(spark, version=v1).columns
+    cur = t.read(spark)
+    if old_cols != ["ospan", "k", "price_cents"] or cur.columns != [
+        "ospan",
+        "k",
+        "price_cents",
+        "priority",
+    ]:
+        raise RuntimeError(
+            f"schema evolution broke snapshot isolation: v{v1} reads "
+            f"{old_cols}, current reads {cur.columns} — the archived "
+            "manifest no longer keeps its own schema"
+        )
+    return cur.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("price_cents").cast("bigint").alias("price_cents"),
+    )
+
+
 def _latest_event_rereducible(df: DataFrame) -> DataFrame:
     """Like :func:`_latest_event_per_user` but emitting columns named
     after the aggregate outputs (cnt=1, value_sum=value) so sum-based

@@ -293,6 +293,37 @@ class ManifestTable:
                 spans.pop(str(s), None)
         spans = {s: fs for s, fs in spans.items() if fs}
         new = {"version": m["version"] + 1, "spans": spans}
+        # The committed SCHEMA rides in the manifest (Iceberg-style
+        # schema evolution, add-column only): the table's read schema
+        # is the union of every live file's columns, so a batch that
+        # lands files with NEW columns widens it and older files read
+        # with NULL backfill (Spark's parquet reader fills columns
+        # absent from a file when given an explicit schema). Archived
+        # manifests keep their own schema, so time travel reads each
+        # snapshot exactly as it was committed. Type changes and drops
+        # are rejected — the evolutions that CAN'T be answered by
+        # NULL backfill fail at commit, not silently at read.
+        schema_json = m.get("schema")
+        if self._schema is not None:
+            merged = (
+                json.loads(schema_json)["fields"] if schema_json else []
+            )
+            have = {f["name"]: f for f in merged}
+            for f in json.loads(self._schema.json())["fields"]:
+                old = have.get(f["name"])
+                if old is None:
+                    merged.append(f)
+                elif old["type"] != f["type"]:
+                    raise ValueError(
+                        f"schema evolution on {self.path} may only ADD "
+                        f"columns: {f['name']} changed type "
+                        f"{old['type']} -> {f['type']}"
+                    )
+            schema_json = json.dumps(
+                {"type": "struct", "fields": merged}
+            )
+        if schema_json is not None:
+            new["schema"] = schema_json
         # carry forward stats for retained files, attach pending stats
         # for newly-referenced ones, drop stats of removed files
         live = {f for fs in spans.values() for f in fs}
@@ -357,7 +388,14 @@ class ManifestTable:
         predicate itself must still be applied to the surviving rows;
         pruning only shrinks the file set, exactly like a parquet
         scan's row-group skipping one level up."""
-        m = self._load(version)
+        return self._select_from(self._load(version), spans, where)
+
+    def _select_from(
+        self,
+        m: dict,
+        spans: Iterable[int] | None,
+        where: tuple[str, object, object] | None,
+    ) -> list[str]:
         mapping = {int(s): fs for s, fs in m["spans"].items()}
         if spans is not None:
             keep = set(spans)
@@ -386,10 +424,24 @@ class ManifestTable:
         optionally stat-pruned via ``where`` — see
         :meth:`select_files`); ``None`` if the selection is empty. The
         returned plan holds a fixed file list, so concurrent
-        commits/appends never change what it reads."""
-        files = self.select_files(spans=spans, version=version, where=where)
+        commits/appends never change what it reads.
+
+        The snapshot's manifest schema (when recorded) is the read
+        schema: files written before a column was added simply lack
+        it and Spark's parquet reader backfills NULL — add-column
+        schema evolution with zero rewrites. Time travel reads each
+        archived snapshot under ITS schema."""
+        m = self._load(version)
+        files = self._select_from(m, spans, where)
         if not files:
             return None
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if version is None:
+                self._schema = schema
+            return spark.read.schema(schema).parquet(*files)
         if self._schema is not None:
             return spark.read.schema(self._schema).parquet(*files)
         df = spark.read.parquet(*files)
