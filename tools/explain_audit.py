@@ -334,6 +334,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # exact recount plan: candidate broadcast join + hash agg + top-k;
+    # the MG candidate pass is mapInPandas (Arrow), never row-Python
+    "q_heavy_hitters": (
+        ["MapInPandas", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

@@ -117,6 +117,7 @@ _PRIORITY = [
     "q_store_merge",        # new: row-level MERGE, span-granular CoW
     "q_stream_update_mode",  # new: un-windowed running state, 3 batches
     "q_store_schema_evolution",  # new: add-column, NULL backfill, no rewrite
+    "q_heavy_hitters",      # new: MG candidates + exact recount, certified
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------

@@ -495,3 +495,80 @@ def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fluency"),
         )
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=(
+        "WITH tok AS (SELECT unnest(list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '')) AS tok FROM documents), "
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM tok GROUP BY tok) "
+        "SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20"
+    ),
+    doc="PROVABLY-EXACT top-k tokens by frequency (vocabulary heavy "
+    "hitters, the vocab-construction / stopword-discovery op) in two "
+    "passes that never shuffle the full vocabulary: pass 1 runs a "
+    "Misra-Gries summary per partition (Arrow-batched mapInPandas, "
+    "capacity 2048; per-batch Counter at C speed, MG merge = add "
+    "counts, subtract the (c+1)-th largest, drop <=0), whose union is "
+    "a candidate set guaranteed to contain every token with true "
+    "count > N/c; pass 2 recounts ONLY candidates exactly (explode -> "
+    "broadcast semi-join -> hash agg), so the shuffle carries "
+    "candidate tokens instead of the whole vocab. The exactness "
+    "certificate is checked in-query: the k-th recounted frequency "
+    "must exceed N/c (then no non-candidate can displace the top-k) "
+    "— a corpus where the guarantee fails raises rather than "
+    "returning a silently-approximate answer. Tie-break (cnt DESC, "
+    "tok ASC) pinned on both engines. At 100 TB: pass-1 state is "
+    "c per partition, pass-2 shuffle is |candidates| — both "
+    "independent of vocabulary size; the naive groupBy ships every "
+    "distinct token through the exchange.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import Counter
+    from itertools import chain
+
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(tokens_expr(F.col("text")).alias("toks"))
+    capacity = 2048
+    k = 20
+
+    def mg_candidates(batches):
+        counters: Counter = Counter()
+        for pdf in batches:
+            counters.update(chain.from_iterable(pdf["toks"]))
+            if len(counters) > capacity:
+                # MG merge-trim: subtract the (c+1)-th largest count,
+                # drop non-positive — coverage error grows by at most
+                # (tokens seen)/c, preserving the N/c guarantee
+                kth = sorted(counters.values(), reverse=True)[capacity]
+                counters = Counter(
+                    {t: n - kth for t, n in counters.items() if n > kth}
+                )
+        yield pd.DataFrame({"tok": pd.Series(list(counters), dtype="object")})
+
+    candidates = (
+        toks.mapInPandas(mg_candidates, "tok string").distinct()
+    )
+    exact = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+    )
+    top = exact.collect()
+    [[n_tokens]] = toks.select(F.sum(F.size("toks"))).collect()
+    kth_cnt = top[-1]["cnt"] if len(top) == k else 0
+    if kth_cnt * capacity <= n_tokens:
+        raise RuntimeError(
+            f"heavy-hitter certificate failed: k-th count {kth_cnt} <= "
+            f"N/c = {n_tokens}/{capacity} — a non-candidate token could "
+            "outrank the tail of this top-k, so the two-pass answer is "
+            "not provably exact on this corpus; raise the capacity"
+        )
+    return exact
