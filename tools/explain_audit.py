@@ -340,6 +340,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "BroadcastHashJoin", "TakeOrderedAndProject"],
         ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
     ),
+    # returned plan reads the materialized result; the bloom-filtered
+    # join plan is asserted in-query (bloom_filter_agg + might_contain)
+    "q_join_bloom_runtime": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

@@ -3017,3 +3017,89 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("score").alias("score_sum"),
     )
+
+
+@register(
+    "q_join_bloom_runtime",
+    oracle=(
+        "SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(floor(CAST(l.l_extendedprice AS DECIMAL(18,6)) * 100)) "
+        "AS BIGINT) AS price_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderpriority = '1-URGENT' "
+        "GROUP BY l.l_returnflag"
+    ),
+    doc="RUNTIME BLOOM-FILTER join (Catalyst's injected row-level "
+    "runtime filter): a selective dimension filter (1-URGENT orders, "
+    "~20%) builds a bloom_filter_agg over its join keys, and Catalyst "
+    "rewrites the FACT scan's condition to might_contain(xxhash64("
+    "l_orderkey)) — probe-side rows that cannot join are dropped AT "
+    "THE SCAN, before the shuffle, which at 100 TB is the difference "
+    "between shuffling the whole fact table and ~the matching "
+    "fraction. The at-scale conditions (fact too big to broadcast "
+    "the dim against, scan big enough to be worth filtering) are "
+    "pinned via session confs for the test corpus and RESTORED "
+    "before returning (the join runs to completion inside the "
+    "pinned scope via a temp-parquet materialization). The executed "
+    "plan is asserted in-query to contain BOTH bloom_filter_agg and "
+    "might_contain — if a Spark upgrade or conf drift stops the "
+    "injection, the query fails loudly instead of silently "
+    "regressing to a full-fact shuffle. Oracle = the plain join; the "
+    "runtime filter is semantics-free by construction.",
+)
+def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    lit = cat.lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = (
+        lit.join(o, lit.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").cast("bigint").alias("price_cents"),
+        )
+    )
+    pinned = {
+        # the dim is broadcast-able at test scale; at 100 TB it is not
+        # — pin the shuffle-join shape the bloom filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # qualify the test-scale sides for injection (defaults are
+        # sized for clusters: creation side <=10MB, probe scan >=10GB)
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    out = tempfile.mkdtemp(prefix="upmr_bloom_") + "/result"
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan or "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter was NOT injected into the join "
+                "plan — the probe-side scan would shuffle the full "
+                "fact table; refusing to attest a plan this query "
+                "exists to rule out"
+            )
+        # the action must run inside the pinned scope: optimization
+        # happens at execution, not at DataFrame definition
+        agg.write.parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)
