@@ -205,6 +205,41 @@ def test_merge_span_emptied_by_delete_disappears(spark, tmp_path):
     assert [r["k"] for r in t.read(spark).collect()] == [2]
 
 
+def test_changes_append_replace_and_cancellation(spark, tmp_path):
+    """CDF semantics: appends surface as inserts reading only the
+    appended files; a replace that rewrites a row identically cancels
+    out; updates surface as delete(old)+insert(new); compaction (same
+    multiset, new files) yields an EMPTY feed."""
+    t = ManifestTable(str(tmp_path / "c"), "kspan")
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "a"), (1, "b")])))
+    v1 = t.version
+    t.commit(append=t.write_data(mk_df(spark, [(0, "a2")])))
+    v2 = t.version
+    got = sorted(
+        (r["kspan"], r["v"], r["_change_type"])
+        for r in t.changes(spark, v1).collect()
+    )
+    assert got == [(0, "a2", "insert")]
+    # replace span 0 with (a -> A, a2 kept identical): a2 cancels
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "A"), (0, "a2")])))
+    got = sorted(
+        (r["kspan"], r["v"], r["_change_type"])
+        for r in t.changes(spark, v2).collect()
+    )
+    assert got == [(0, "A", "insert"), (0, "a", "delete")]
+    # compaction rewrites files, not rows: empty feed
+    v3 = t.version
+    t.commit(append=t.write_data(mk_df(spark, [(0, "z")])))
+    t.compact(spark, min_files=2)
+    feed = t.changes(spark, v3).collect()
+    assert sorted((r["v"], r["_change_type"]) for r in feed) == [
+        ("z", "insert")
+    ]
+    # full-range feed from v1 never reads untouched span 1
+    all_chg = t.changes(spark, v1)
+    assert not [r for r in all_chg.collect() if r["kspan"] == 1]
+
+
 def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
     """Add-column evolution: a later batch lands files with a new
     column; the manifest schema widens, old files read with NULL

@@ -346,6 +346,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # CDF: multiset diff of changed files only (exceptAll -> hash agg)
+    "q_store_cdc": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

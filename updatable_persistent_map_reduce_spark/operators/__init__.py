@@ -119,6 +119,7 @@ _PRIORITY = [
     "q_store_schema_evolution",  # new: add-column, NULL backfill, no rewrite
     "q_heavy_hitters",      # new: MG candidates + exact recount, certified
     "q_join_bloom_runtime",  # new: injected runtime filter, asserted
+    "q_store_cdc",          # new: change data feed from manifests
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------

@@ -409,6 +409,99 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_store_cdc",
+    oracle=(
+        "WITH t AS ("
+        "  SELECT c_custkey AS k,"
+        "         CAST(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        "           AS bal_cents,"
+        "         c_mktsegment AS seg"
+        "  FROM customer"
+        "), m AS (SELECT * FROM t WHERE k % 3 = 0 AND k % 8 < 3), "
+        "ins AS ("
+        "  SELECT k, bal_cents + 1000 AS bal_cents, 'UPDATED' AS seg"
+        "  FROM m WHERE NOT (bal_cents < 0)"
+        "  UNION ALL"
+        "  SELECT k + 10000000 AS k, bal_cents, 'NEW' AS seg"
+        "  FROM t WHERE k % 7 = 0 AND k % 8 < 3"
+        "), chg AS ("
+        "  SELECT 'insert' AS change_type, seg, bal_cents FROM ins"
+        "  UNION ALL"
+        "  SELECT 'delete' AS change_type, seg, bal_cents FROM m"
+        ") "
+        "SELECT change_type, seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(bal_cents) AS BIGINT) AS bal_total "
+        "FROM chg GROUP BY change_type, seg"
+    ),
+    doc="CHANGE DATA FEED from the store's manifests (Delta CDF "
+    "semantics without a log): after the q_store_merge scenario runs "
+    "(updates+inserts+deletes on spans 0-2), changes(from_version) "
+    "returns the delta an incremental downstream consumer needs — "
+    "updates as delete(old image)+insert(new image), rows rewritten "
+    "identically by the span rewrite cancelled out by the multiset "
+    "diff. Cost is CHANGED FILES only (asserted in-query: the span "
+    "set whose file lists differ between the versions is exactly "
+    "{0,1,2} — a CDC that reads untouched spans fails the gate). The "
+    "oracle derives the same delta from the merge's parity "
+    "definitions: deletes = every matched source key's old image, "
+    "inserts = surviving updates' new image plus the shifted-key "
+    "inserts. Integer-cents math both sides.",
+)
+def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    base = tempfile.mkdtemp(prefix="upmr_cdc_")
+    t = ManifestTable(os.path.join(base, "customers"), "cspan")
+    tgt = c.select(
+        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t.commit(replace=t.write_data(tgt))
+    v1 = t.version
+    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        "k",
+        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
+        F.lit("UPDATED").alias("seg"),
+        (F.col("bal_cents") < 0).alias("dead"),
+    )
+    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        (F.col("k") + F.lit(10_000_000)).alias("k"),
+        "bal_cents",
+        F.lit("NEW").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    before, after = t.spans(version=v1), t.spans()
+    diff_spans = {
+        s
+        for s in set(before) | set(after)
+        if before.get(s) != after.get(s)
+    }
+    if diff_spans != {0, 1, 2}:
+        raise RuntimeError(
+            f"CDC would read spans {sorted(diff_spans)}, expected "
+            "exactly [0, 1, 2] — the merge stopped being span-granular "
+            "so this query no longer attests changed-files-only cost"
+        )
+    return (
+        t.changes(spark, from_version=v1)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            "seg",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").cast("bigint").alias("bal_total"),
+        )
+    )
+
+
+@register(
     "q_store_schema_evolution",
     oracle=(
         "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END "
