@@ -351,6 +351,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # assignment step: centroid literals, codegen distances — one scan,
+    # one agg, never a cross join against the centroid set
+    "q_kmeans_assign": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

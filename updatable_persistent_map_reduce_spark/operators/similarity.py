@@ -439,3 +439,99 @@ def q_sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     ]
     return idx.search(queries, k=TOP_K, nprobe=N_CELLS)
+
+
+_KM_K = 4  # clusters for the attested assignment step
+
+
+@register(
+    "q_kmeans_assign",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS code "
+        "FROM (SELECT vec_id, embedding, gmax / 127 AS sc "
+        "FROM embeddings, mx)), "
+        "cr AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, "
+        f"code AS ccode FROM q ORDER BY vec_id LIMIT {_KM_K}), "
+        "d AS (SELECT q.vec_id, cr.cluster, "
+        "CAST(list_sum(list_transform(list_zip(q.code, cr.ccode), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist "
+        "FROM q CROSS JOIN cr), "
+        "a AS (SELECT vec_id, cluster, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d) "
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(dist) AS BIGINT) AS inertia "
+        "FROM a WHERE rn = 1 GROUP BY cluster"
+    ),
+    doc="EXACT k-means assignment step (the Lloyd inner loop the IVF "
+    "index's fit_kmeans runs in numpy — here as pure Catalyst integer "
+    "arithmetic so both engines agree bit-for-bit): embeddings are "
+    "quantized to int codes under ONE GLOBAL scale (max|x|/127 over "
+    "the corpus — per-vector scales would make cross-vector distances "
+    "meaningless), centroids are the codes of the 4 smallest vec_ids "
+    "(deterministic seeding, same rule as fit_kmeans), every vector "
+    "gets argmin squared-L2 over the k centroids with ties to the "
+    "lowest cluster index, and the result is per-cluster size + "
+    "integer inertia. Plan: the k distance expressions are zip_with/"
+    "aggregate codegen against centroid LITERALS (k x dim ints, "
+    "driver state like IVF's centroid matrix) — one scan, one hash "
+    "agg, NO cross join and NO Python; at 100 TB this is exactly the "
+    "assignment job of a distributed Lloyd iteration, and the oracle "
+    "proves its semantics the numpy path is trusted to share.",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / 127
+    code_expr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.lit(scale) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    codes = e.select("vec_id", code_expr.alias("code"))
+    seed_rows = codes.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [
+        F.array(*[F.lit(int(v)) for v in r["code"]]) for r in seed_rows
+    ]
+    dists = [
+        F.aggregate(
+            F.zip_with("code", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    scored = codes.select(
+        "vec_id", *[d.alias(f"d{i}") for i, d in enumerate(dists)]
+    )
+    cluster = F.when(
+        (F.col("d0") <= F.col("d1"))
+        & (F.col("d0") <= F.col("d2"))
+        & (F.col("d0") <= F.col("d3")),
+        F.lit(0),
+    ).when(
+        (F.col("d1") <= F.col("d2")) & (F.col("d1") <= F.col("d3")), F.lit(1)
+    ).when(F.col("d2") <= F.col("d3"), F.lit(2)).otherwise(F.lit(3))
+    return (
+        scored.select(
+            cluster.alias("cluster"),
+            F.least("d0", "d1", "d2", "d3").alias("dist"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+    )
