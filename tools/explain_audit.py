@@ -357,6 +357,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # MV refresh: base rollup + signed delta agg, no table re-scan
+    "q_cdc_incremental_rollup": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
     # z-ordered read: filter pushed to the clustered scan, no Python
     "q_layout_zorder": (
         ["PushedFilters: [", "HashAggregate"],

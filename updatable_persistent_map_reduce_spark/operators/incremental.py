@@ -502,6 +502,112 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_incremental_rollup",
+    oracle=(
+        "WITH t AS ("
+        "  SELECT c_custkey AS k,"
+        "         CAST(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        "           AS bal_cents,"
+        "         c_mktsegment AS seg"
+        "  FROM customer"
+        "), s AS ("
+        "  SELECT k, bal_cents + 1000 AS bal_cents, 'UPDATED' AS seg,"
+        "         bal_cents < 0 AS dead"
+        "  FROM t WHERE k % 3 = 0 AND k % 8 < 3"
+        "  UNION ALL"
+        "  SELECT k + 10000000 AS k, bal_cents, 'NEW' AS seg, FALSE AS dead"
+        "  FROM t WHERE k % 7 = 0 AND k % 8 < 3"
+        "), merged AS ("
+        "  SELECT COALESCE(s.seg, t.seg) AS seg,"
+        "         COALESCE(s.bal_cents, t.bal_cents) AS bal_cents"
+        "  FROM t FULL OUTER JOIN s ON t.k = s.k"
+        "  WHERE NOT COALESCE(s.dead, FALSE)"
+        ") "
+        "SELECT seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(bal_cents) AS BIGINT) AS bal_total "
+        "FROM merged GROUP BY seg"
+    ),
+    doc="Incremental DOWNSTREAM rollup maintained from the change data "
+    "feed — the reason changes() exists: a consumer holds a per-"
+    "segment (count, balance-total) aggregate; after the merge runs "
+    "upstream, the consumer applies ONLY the CDC delta (inserts add, "
+    "deletes subtract — count and sum are re-reducible with signed "
+    "weights, the reference's own Reduce contract MapReduceTask.cs:10 "
+    "applied across tables) instead of re-scanning the table. The "
+    "oracle is the FULL RECOMPUTE of the post-merge table, so a green "
+    "row IS the incremental==full invariant at the CDC level. "
+    "Segments the merge never touched survive only via the base "
+    "snapshot's rollup — if the feed leaked phantom rows or dropped "
+    "real ones, their totals would drift and the hash would fail. "
+    "Cost: base rollup once, then O(changed files) per refresh — the "
+    "materialized-view maintenance loop a 100 TB deployment runs "
+    "instead of nightly full rebuilds.",
+)
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    base = tempfile.mkdtemp(prefix="upmr_cdcroll_")
+    t = ManifestTable(os.path.join(base, "customers"), "cspan")
+    tgt = c.select(
+        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t.commit(replace=t.write_data(tgt))
+    v1 = t.version
+    # the consumer's base rollup, materialized BEFORE the merge
+    rollup_path = os.path.join(base, "rollup")
+    t.read(spark).groupBy("seg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("bal_cents").alias("bal_total"),
+    ).write.parquet(rollup_path)
+    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        "k",
+        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
+        F.lit("UPDATED").alias("seg"),
+        (F.col("bal_cents") < 0).alias("dead"),
+    )
+    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        (F.col("k") + F.lit(10_000_000)).alias("k"),
+        "bal_cents",
+        F.lit("NEW").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    # refresh = base rollup + signed CDC delta; no table re-scan
+    delta = t.changes(spark, from_version=v1).select(
+        "seg",
+        "bal_cents",
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    refreshed = (
+        spark.read.parquet(rollup_path)
+        .select("seg", "cnt", "bal_total")
+        .unionByName(
+            delta.groupBy("seg").agg(
+                F.sum("w").cast("bigint").alias("cnt"),
+                F.sum(F.col("bal_cents") * F.col("w"))
+                .cast("bigint")
+                .alias("bal_total"),
+            )
+        )
+        .groupBy("seg")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("bal_total").cast("bigint").alias("bal_total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return refreshed
+
+
+@register(
     "q_store_schema_evolution",
     oracle=(
         "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END "
