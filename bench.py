@@ -159,6 +159,29 @@ def main() -> None:
         tpch_times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {tpch_times[name]}s ({n} rows)", file=sys.stderr)
 
+    # Secondary metric: the STORE lifecycle suite (merge, CDC feed +
+    # incremental rollup, stat-pruned read, schema evolution,
+    # compaction) — one cold rep each; each query performs real writes
+    # + commits + reads under a fresh temp store, so this is the
+    # end-to-end cost of the table-format features, not just reads.
+    # Does not feed the headline.
+    store = [
+        "q_store_merge",
+        "q_store_cdc",
+        "q_cdc_incremental_rollup",
+        "q_store_stats_prune",
+        "q_store_schema_evolution",
+        "q_store_compaction",
+    ]
+    store_times: dict[str, float] = {}
+    for name in store:
+        spark.catalog.clearCache()
+        incremental._VIEW_CACHE.clear()
+        t0 = time.perf_counter()
+        n = len(qs[name].fn(spark, sf_dir).collect())
+        store_times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {store_times[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     # Aggregate noise band: how far the per-query max strays from the
     # min, totalled over the headline — the scale of delta that is
@@ -177,6 +200,8 @@ def main() -> None:
                 "spread": spread,
                 "tpch_suite_total": round(sum(tpch_times.values()), 3),
                 "tpch_queries": tpch_times,
+                "store_suite_total": round(sum(store_times.values()), 3),
+                "store_queries": store_times,
                 "noise_note": (
                     f"value/queries are best-of-{N_REPS} cold runs;"
                     f" within-run max-min totals {noise}s across the"
