@@ -122,6 +122,9 @@ def test_manifest_stats_prune_and_lifecycle(spark, tmp_path):
     full = t.read(spark).filter("v >= 105").count()
     pruned = t.read(spark, where=("v", 105, 200)).filter("v >= 105").count()
     assert full == pruned == 5
+    # multiple predicates AND: second range contradicts the first
+    assert t.select_files(where=[("v", 105, 200), ("v", 0, 50)]) == []
+    assert len(t.select_files(where=[("v", 105, 200), ("v", 0, 500)])) == 1
     # replace drops the span's old stats and installs the new bounds
     t.commit(replace=t.write_data(
         spark.createDataFrame([(0, 7)], "kspan int, v int")))

@@ -377,12 +377,15 @@ class ManifestTable:
         self,
         spans: Iterable[int] | None = None,
         version: int | None = None,
-        where: tuple[str, object, object] | None = None,
+        where: tuple[str, object, object]
+        | list[tuple[str, object, object]]
+        | None = None,
     ) -> list[str]:
         """Resolve a snapshot to absolute file paths, pruned driver-
         side by span membership AND by manifest min/max stats:
-        ``where=(col, lo, hi)`` drops every file whose recorded
-        ``col`` bounds cannot intersect ``[lo, hi]`` — no footer is
+        ``where=(col, lo, hi)`` (or a LIST of such triples, ANDed)
+        drops every file whose recorded ``col`` bounds cannot
+        intersect ``[lo, hi]`` — no footer is
         opened (the manifest carries the bounds), no listing happens.
         Files without recorded bounds are always kept (safe). The
         predicate itself must still be applied to the surviving rows;
@@ -394,7 +397,9 @@ class ManifestTable:
         self,
         m: dict,
         spans: Iterable[int] | None,
-        where: tuple[str, object, object] | None,
+        where: tuple[str, object, object]
+        | list[tuple[str, object, object]]
+        | None,
     ) -> list[str]:
         mapping = {int(s): fs for s, fs in m["spans"].items()}
         if spans is not None:
@@ -402,12 +407,18 @@ class ManifestTable:
             mapping = {s: fs for s, fs in mapping.items() if s in keep}
         files = [f for fs in mapping.values() for f in fs]
         if where is not None:
-            col, lo, hi = where
+            # one (col, lo, hi) or a list of them (ANDed — a file must
+            # be possible under EVERY range to survive)
+            preds = [where] if isinstance(where, tuple) else list(where)
             stats = m.get("stats", {})
 
             def survives(f: str) -> bool:
-                b = stats.get(f, {}).get(col)
-                return b is None or not (b[1] < lo or b[0] > hi)
+                fstats = stats.get(f, {})
+                for col, lo, hi in preds:
+                    b = fstats.get(col)
+                    if b is not None and (b[1] < lo or b[0] > hi):
+                        return False
+                return True
 
             files = [f for f in files if survives(f)]
         return [os.path.join(self.path, f) for f in files]
@@ -417,7 +428,9 @@ class ManifestTable:
         spark: SparkSession,
         spans: Iterable[int] | None = None,
         version: int | None = None,
-        where: tuple[str, object, object] | None = None,
+        where: tuple[str, object, object]
+        | list[tuple[str, object, object]]
+        | None = None,
     ) -> DataFrame | None:
         """DataFrame over the snapshot's files (optionally pruned to
         ``spans`` driver-side, optionally an archived ``version``,
