@@ -40,6 +40,17 @@ def test_zorder_value_is_morton_interleave(spark):
     assert got == {(x, y): model(x, y) for x, y in rows}
 
 
+def test_zorder_value_rejects_sign_bit_overflow(spark):
+    """bits * k > 63 would interleave into the long's sign bit and
+    corrupt the sort order globally — rejected at construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_value([F.col(f"c{i}") for i in range(8)], bits=8)
+    # 7 cols x 9 bits = 63 is the last legal width
+    zorder_value([F.col(f"c{i}") for i in range(7)], bits=9)
+
+
 def test_zorder_prunes_both_dims_linear_prunes_one(spark, tmp_path):
     """Dense 64x64 grid, 16 files. The y-linear layout answers a
     point-x predicate by reading EVERY file; the z-ordered layout

@@ -461,6 +461,19 @@ def test_ivf_partial_nprobe_recall_floor(spark, tmp_path):
     assert exact >= 0.99, exact
 
 
+def test_inverted_index_empty_returns_empty_not_div0(spark, tmp_path):
+    """BM25 over an empty index returns an empty frame — never a
+    ZeroDivisionError from avgdl = total_dl / n_docs."""
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    idx = InvertedIndex(spark, str(tmp_path / "inv0"), n_spans=4)
+    idx.build(spark.createDataFrame([], "doc_id long, text string"))
+    out = idx.bm25(["anything"]).collect()
+    assert out == []
+
+
 def test_inverted_index_upsert_and_pruned_scan(spark, tmp_path):
     """Persisted inverted-index lifecycle: build, score, incrementally
     append a new document, score again — and verify the query scan is

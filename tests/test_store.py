@@ -196,6 +196,52 @@ def test_merge_into_empty_table_inserts(spark, tmp_path):
     ]
 
 
+def test_merge_fresh_table_with_delete_where_rejected(spark, tmp_path):
+    """On a never-written table the source's columns define the schema,
+    so condition-only extras would leak into it — rejected loudly."""
+    t = ManifestTable(str(tmp_path / "mf"), "kspan")
+    src = spark.createDataFrame([(0, 1, "a", False)],
+                                "kspan int, k int, v string, dead boolean")
+    with pytest.raises(ValueError, match="never-written"):
+        t.merge(src, on=["k"], delete_where="dead")
+    # but an EMPTY table with a committed schema drops extras fine
+    t2 = ManifestTable(str(tmp_path / "me"), "kspan")
+    t2.commit(replace=t2.write_data(
+        spark.createDataFrame([(0, 9, "x")], "kspan int, k int, v string")))
+    t2.commit(drop=[0])
+    t3 = ManifestTable(str(tmp_path / "me"), "kspan")
+    t3.merge(src, on=["k"], delete_where="dead")
+    assert t3.read(spark).columns == ["kspan", "k", "v"]
+
+
+def test_compact_detects_concurrent_commit(spark, tmp_path):
+    """compact() pins its base snapshot: a commit landing between its
+    read and its replace raises ConcurrentCommitError instead of
+    silently dropping the interleaved append."""
+    from updatable_persistent_map_reduce_spark.plans.store import (
+        ConcurrentCommitError,
+    )
+
+    t = ManifestTable(str(tmp_path / "cc"), "kspan")
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "a")])))
+    t.commit(append=t.write_data(mk_df(spark, [(0, "b")])))
+    real_write = t.write_data
+
+    def write_and_race(df, **kw):
+        mapping = real_write(df, **kw)
+        # another writer appends AFTER compact read its snapshot
+        t2 = ManifestTable(str(tmp_path / "cc"), "kspan")
+        t2.commit(append=t2.write_data(mk_df(spark, [(0, "late")])))
+        return mapping
+
+    t.write_data = write_and_race
+    with pytest.raises(ConcurrentCommitError):
+        t.compact(spark, min_files=2)
+    t.write_data = real_write
+    # the racing append survived
+    assert (0, "late") in (read_vals(t, spark) or [])
+
+
 def test_merge_span_emptied_by_delete_disappears(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "md"), "kspan")
     t.commit(replace=t.write_data(

@@ -472,7 +472,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # row_number, never a bare ORDER BY)
     "q_stream_update_mode": (
         ["Scan parquet", "Window", r"re:\[event_type#\d+\]"],
-        ["Python", "CartesianProduct"],
+        # an unpartitioned row_number would show Window [..], [], [batch_id
+        ["Python", "CartesianProduct", r"re:\[\], \[batch_id"],
     ),
     # EXISTS projected as a flag compiles to ExistenceJoin — a hash
     # join emitting the match bit, never a per-row probe

@@ -30,6 +30,15 @@ def zorder_value(cols: list[Column], bits: int = 8) -> Column:
     if not cols:
         raise ValueError("zorder_value needs at least one column")
     k = len(cols)
+    if bits * k > 63:
+        # position bits*k - 1 would be the long's sign bit: rows with
+        # it set would sort NEGATIVE, globally corrupting the curve
+        # (not merely degrading locality) — refuse loudly
+        raise ValueError(
+            f"zorder_value: {k} columns x {bits} bits = {bits * k} "
+            "interleaved bits does not fit a signed 64-bit long; "
+            "lower bits or split the key set"
+        )
     lo, hi = F.lit(0).cast("long"), F.lit((1 << bits) - 1).cast("long")
     clamped = [F.greatest(lo, F.least(hi, c.cast("long"))) for c in cols]
     z = F.lit(0).cast("long")

@@ -314,6 +314,48 @@ def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_scenario(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[ManifestTable, DataFrame, DataFrame]:
+    """Shared target+source construction for the MERGE family
+    (q_store_merge / q_store_cdc / q_cdc_incremental_rollup): a
+    spanned customer table in integer cents, a source of updates
+    (+1000 cents, relabel to UPDATED; dead when the ORIGINAL balance
+    is negative) and inserts (keys shifted by 10_000_000, which is
+    ≡ 0 mod 8 so the span is preserved), both restricted to spans
+    0-2. All three queries' oracles encode exactly these parity
+    rules, so the scenario lives in ONE place — drifting one copy
+    would silently desynchronize the other two attestations.
+    Returns (table-with-v1-committed, target_df, source_df)."""
+    c = Catalog(spark, sf_dir).customer
+    base = tempfile.mkdtemp(prefix=prefix)
+    t = ManifestTable(os.path.join(base, "customers"), "cspan")
+    tgt = c.select(
+        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t.commit(replace=t.write_data(tgt))
+    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        "k",
+        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
+        F.lit("UPDATED").alias("seg"),
+        (F.col("bal_cents") < 0).alias("dead"),
+    )
+    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
+        "cspan",
+        (F.col("k") + F.lit(10_000_000)).alias("k"),
+        "bal_cents",
+        F.lit("NEW").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    return t, tgt, upd.unionByName(ins)
+
+
 @register(
     "q_store_merge",
     oracle=(
@@ -354,38 +396,11 @@ def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines agree exactly.",
 )
 def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir).customer
-    base = tempfile.mkdtemp(prefix="upmr_merge_")
-    t = ManifestTable(os.path.join(base, "customers"), "cspan")
-    tgt = c.select(
-        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
-        F.col("c_custkey").alias("k"),
-        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
-        .cast("bigint")
-        .alias("bal_cents"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    t.commit(replace=t.write_data(tgt))
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_merge_")
     untouched_before = {
         s: fs for s, fs in t.spans().items() if s >= 3
     }
-    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        "k",
-        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
-        F.lit("UPDATED").alias("seg"),
-        (F.col("bal_cents") < 0).alias("dead"),
-    )
-    # 10_000_000 % 8 == 0, so the shifted insert key keeps its span —
-    # the merge contract (span is a pure function of the key)
-    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        (F.col("k") + F.lit(10_000_000)).alias("k"),
-        "bal_cents",
-        F.lit("NEW").alias("seg"),
-        F.lit(False).alias("dead"),
-    )
-    stats = t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    stats = t.merge(src, on=["k"], delete_where="dead")
     untouched_after = {s: fs for s, fs in t.spans().items() if s >= 3}
     if (
         stats["spans_touched"] != 3
@@ -448,34 +463,9 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inserts. Integer-cents math both sides.",
 )
 def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir).customer
-    base = tempfile.mkdtemp(prefix="upmr_cdc_")
-    t = ManifestTable(os.path.join(base, "customers"), "cspan")
-    tgt = c.select(
-        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
-        F.col("c_custkey").alias("k"),
-        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
-        .cast("bigint")
-        .alias("bal_cents"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    t.commit(replace=t.write_data(tgt))
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_cdc_")
     v1 = t.version
-    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        "k",
-        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
-        F.lit("UPDATED").alias("seg"),
-        (F.col("bal_cents") < 0).alias("dead"),
-    )
-    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        (F.col("k") + F.lit(10_000_000)).alias("k"),
-        "bal_cents",
-        F.lit("NEW").alias("seg"),
-        F.lit(False).alias("dead"),
-    )
-    t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    t.merge(src, on=["k"], delete_where="dead")
     before, after = t.spans(version=v1), t.spans()
     diff_spans = {
         s
@@ -544,40 +534,15 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of nightly full rebuilds.",
 )
 def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir).customer
-    base = tempfile.mkdtemp(prefix="upmr_cdcroll_")
-    t = ManifestTable(os.path.join(base, "customers"), "cspan")
-    tgt = c.select(
-        (F.col("c_custkey") % 8).cast("int").alias("cspan"),
-        F.col("c_custkey").alias("k"),
-        F.floor(F.col("c_acctbal").cast("decimal(18,6)") * 100)
-        .cast("bigint")
-        .alias("bal_cents"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    t.commit(replace=t.write_data(tgt))
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_cdcroll_")
     v1 = t.version
     # the consumer's base rollup, materialized BEFORE the merge
-    rollup_path = os.path.join(base, "rollup")
+    rollup_path = os.path.join(t.path, "..", "rollup")
     t.read(spark).groupBy("seg").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("bal_cents").alias("bal_total"),
     ).write.parquet(rollup_path)
-    upd = tgt.filter((F.col("k") % 3 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        "k",
-        (F.col("bal_cents") + F.lit(1000)).alias("bal_cents"),
-        F.lit("UPDATED").alias("seg"),
-        (F.col("bal_cents") < 0).alias("dead"),
-    )
-    ins = tgt.filter((F.col("k") % 7 == 0) & (F.col("k") % 8 < 3)).select(
-        "cspan",
-        (F.col("k") + F.lit(10_000_000)).alias("k"),
-        "bal_cents",
-        F.lit("NEW").alias("seg"),
-        F.lit(False).alias("dead"),
-    )
-    t.merge(upd.unionByName(ins), on=["k"], delete_where="dead")
+    t.merge(src, on=["k"], delete_where="dead")
     # refresh = base rollup + signed CDC delta; no table re-scan
     delta = t.changes(spark, from_version=v1).select(
         "seg",

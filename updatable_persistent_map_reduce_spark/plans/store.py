@@ -273,14 +273,27 @@ class ManifestTable:
         append: dict[int, list[str]] | None = None,
         drop: Iterable[int] = (),
         replace_all: dict[int, list[str]] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Publish the next snapshot: ``replace`` swaps a span's file
         set, ``append`` extends it, ``drop`` removes the span,
         ``replace_all`` substitutes the entire table. The previous
         manifest is archived for time travel, then the new one is
         published with one atomic ``os.replace``. Returns the new
-        version."""
+        version.
+
+        ``base_version`` pins read-modify-write commits (compaction's
+        replace was derived from a snapshot read): if the table has
+        advanced past it, the commit raises
+        :class:`ConcurrentCommitError` instead of silently replacing a
+        span's file list that another commit extended in between."""
         m = self._load()
+        if base_version is not None and m["version"] != base_version:
+            raise ConcurrentCommitError(
+                f"table {self.path} advanced to version {m['version']} "
+                f"past this commit's base snapshot {base_version}; "
+                "re-derive the commit from current state"
+            )
         if replace_all is not None:
             spans = {str(s): list(fs) for s, fs in replace_all.items()}
         else:
@@ -333,6 +346,14 @@ class ManifestTable:
         for f in list(self._pending_stats):
             if f in live:
                 stats[f] = self._pending_stats.pop(f)
+        # Entries still pending belong to files this commit did not
+        # reference — abandoned writes (a raced-out or failed commit's
+        # leftovers). Drop them: on the rare write-write-commit-commit
+        # interleave the second commit's files lose their bounds, and
+        # a file without bounds is merely never pruned (always safe),
+        # while keeping them would leak driver memory per abandoned
+        # file for the object's lifetime.
+        self._pending_stats.clear()
         if stats:
             new["stats"] = stats
         os.makedirs(self.path, exist_ok=True)
@@ -486,11 +507,18 @@ class ManifestTable:
         sides (hash(key) % n_spans), so a key's target row can only
         live in the span its source row names. ``source`` must contain
         every table column; extra columns may be referenced by
-        ``delete_where`` and are dropped before the write. Two jobs
-        run over the touched spans (one to count actions, one to
-        write); both read the same pinned file list, so the counts
-        always describe the committed result. Returns ``{updated,
-        inserted, deleted, spans_touched, version}``.
+        ``delete_where`` and are dropped before the write — except on
+        a NEVER-WRITTEN table, whose schema is defined by this first
+        merge, so a fresh-table merge with ``delete_where`` is
+        rejected (the extras would be indistinguishable from table
+        columns; land an initial batch first). ``source`` must be
+        DETERMINISTIC (no rand/unordered limit): it is evaluated once
+        per job (touched spans, counts, write), and a source that
+        changes between evaluations can route rows to spans outside
+        the pinned ``touched`` set, which the commit would then drop.
+        Every engine source is a pure projection of committed data,
+        which satisfies both clauses. Returns ``{updated, inserted,
+        deleted, spans_touched, version}``.
         """
         spark = source.sparkSession
         touched = sorted(
@@ -498,11 +526,26 @@ class ManifestTable:
             for r in source.select(self.span_col).distinct().collect()
         )
         tgt = self.read(spark, spans=touched)
-        cols = (
-            list(self._schema.names)
-            if self._schema is not None
-            else list(source.columns)
-        )
+        cols = list(self._schema.names) if self._schema is not None else None
+        if cols is None:
+            # empty touched spans but a committed schema still defines
+            # the table's columns (read() only learns from files)
+            m_cur = self._load()
+            if "schema" in m_cur:
+                cols = [
+                    f["name"]
+                    for f in json.loads(m_cur["schema"])["fields"]
+                ]
+        if cols is None:
+            if delete_where is not None:
+                raise ValueError(
+                    f"merge into never-written table {self.path} with "
+                    "delete_where: the source's condition-only columns "
+                    "would become table columns (the first write "
+                    "defines the schema); commit an initial batch "
+                    "first or drop delete_where"
+                )
+            cols = list(source.columns)
         src = source.withColumn("__s_present", F.lit(True)).withColumn(
             "__del",
             F.expr(delete_where) if delete_where is not None else F.lit(False),
@@ -662,10 +705,27 @@ class ManifestTable:
                 "files_after": 0,
                 "version": m["version"],
             }
-        df = self.read(spark, spans=list(todo))
+        # Read the PINNED snapshot's files (not a fresh manifest load)
+        # and carry its version into the commit: a commit landing
+        # between this read and the replace would otherwise have its
+        # span appends silently dropped by the rewrite. Single-writer
+        # engines never hit this; the guard turns a latent lost-update
+        # into a loud ConcurrentCommitError.
+        files = self._select_from(m, list(todo), None)
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            df = spark.read.schema(
+                StructType.fromJson(json.loads(m["schema"]))
+            ).parquet(*files)
+        elif self._schema is not None:
+            df = spark.read.schema(self._schema).parquet(*files)
+        else:
+            df = spark.read.parquet(*files)
         mapping = self.write_data(df)
         version = self.commit(
-            replace={s: mapping.get(s, []) for s in todo}
+            replace={s: mapping.get(s, []) for s in todo},
+            base_version=m["version"],
         )
         return {
             "spans_compacted": len(todo),

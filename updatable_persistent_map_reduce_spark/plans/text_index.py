@@ -299,9 +299,12 @@ class InvertedIndex:
         commits and its stats write leaves a bounded drift, and this
         squares it away."""
         idx = self._docs.read(self.spark)
-        [[n, dl]] = idx.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
-        ).collect()
+        if idx is None:
+            n, dl = 0, 0  # empty index: no doc_index files at all
+        else:
+            [[n, dl]] = idx.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+            ).collect()
         s = {"n_docs": int(n), "total_dl": int(dl)}
         with open(self._stats_path, "w") as f:
             json.dump(s, f)
@@ -344,13 +347,16 @@ class InvertedIndex:
         from the maintained stats."""
         s = self.stats()
         n_docs = int(s["n_docs"])
-        avgdl = float(s["total_dl"]) / n_docs
         spans = self._term_spans(terms)
-        post = self._post.read(self.spark, spans=spans)
+        post = self._post.read(self.spark, spans=spans) if n_docs else None
         if post is None:
+            # empty index (fresh build, or every doc replaced away) or
+            # no postings in the probed spans: empty result, and never
+            # a division by n_docs == 0 below
             return self.spark.createDataFrame(
                 [], "doc_id long, score double"
             )
+        avgdl = float(s["total_dl"]) / n_docs
         tf = self._live_filter(post).filter(F.col("token").isin(terms))
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         scored = tf.join(F.broadcast(dfreq), "token").select(
