@@ -73,7 +73,7 @@ def register(
 _PRIORITY = [
     # -- 1. never driver-attested (registered in round 4; the r4/r5
     #       50-samples ended just before reaching them — they pass the
-    #       local 146/146 gate but need external attestation first) ---
+    #       local full oracle gate but need external attestation first) ---
     "q_scan_binary",           # binaryFile multimodal ingest path
     "q_scan_xml",              # native XML round-trip (Spark 4)
     "q_variant_type",          # VARIANT semi-structured type (Spark 4)
