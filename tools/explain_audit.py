@@ -467,6 +467,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "Window", r"re:\[win_start#\d+, event_type#\d+\]"],
         ["Python", "CartesianProduct", r"re:\[\], \[run_tag"],
     ),
+    # outer-join attestation: returned plan reads the drained sink dir
+    "q_stream_outer_join": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
     # un-windowed update-mode attestation: returned plan reads the
     # emitted-keys dir, latest-emission-wins per key (partitioned
     # row_number, never a bare ORDER BY)

@@ -417,6 +417,86 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_outer_join",
+    oracle=(
+        "SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id, "
+        "CAST(c.ts AS TIMESTAMP) AS click_ts, "
+        "CAST(b.ts AS TIMESTAMP) AS buy_ts "
+        "FROM events c LEFT JOIN events b ON c.user_id = b.user_id "
+        "AND b.event_type = 'purchase' "
+        "AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE "
+        "WHERE c.event_type = 'click'"
+    ),
+    doc="LEFT OUTER stream-stream interval join attested end-to-end "
+    "(the outer half q_stream_interval_join's inner join can't show): "
+    "matches emit eagerly in run 1; the null-extended unmatched "
+    "clicks can only emit once the GLOBAL watermark — the MIN across "
+    "both sides' watermark operators — passes click_ts + interval, so "
+    "run 2 resumes the checkpoint and feeds one far-future dummy row "
+    "PER SIDE (a click alone leaves the purchase side's watermark "
+    "pinned at run-1's max and nothing would ever flush — verified "
+    "while building this query). After run 2 every real unmatched "
+    "click has flushed exactly once and the drained sink equals the "
+    "batch LEFT JOIN the oracle computes; the dummies themselves "
+    "stay in state (their own windows never close) and carry "
+    "negative user_ids that are filtered out defensively. State "
+    "notes: watermark + interval bound the retained rows on both "
+    "sides; the quiet-side-pins-the-watermark behavior this query "
+    "encodes is the thing to monitor in a deployment.",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import streaming_interval_join_outer
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="upmr_outer_")
+    inbox = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+    def run() -> None:
+        streaming_interval_join_outer(
+            spark,
+            input_path=inbox,
+            input_schema=schema,
+            checkpoint_path=ckpt,
+            out_path=out,
+            within="30 minutes",
+            watermark="1 hour",
+        )
+
+    ev.coalesce(2).write.mode("append").parquet(inbox)
+    run()
+    # one dummy per side, 30 days past everything: advances BOTH
+    # watermark operators so every real click's join window closes
+    [[mx]] = ev.agg(F.max("ts")).collect()
+    dummies = spark.createDataFrame(
+        [(-1, mx, -1, "click"), (-2, mx, -2, "purchase")], schema
+    ).withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
+    dummies.coalesce(1).write.mode("append").parquet(inbox)
+    run()
+
+    emitted = spark.read.parquet(out).filter(F.col("c_user") >= 0)
+    n_unmatched = emitted.filter(F.col("buy_id").isNull()).count()
+    if n_unmatched == 0:
+        raise RuntimeError(
+            "no null-extended rows flushed — the two-run watermark "
+            "advance stopped working, so this query degenerated to "
+            "the inner join it exists to go beyond"
+        )
+    return emitted.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "buy_id",
+        "click_ts",
+        "buy_ts",
+    )
+
+
+@register(
     "q_stream_update_mode",
     oracle=(
         "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "

@@ -490,6 +490,69 @@ def streaming_sessionize(
     q.awaitTermination()
 
 
+def streaming_interval_join_outer(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    out_path: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`streaming_interval_join` but clicks with NO purchase within
+    ``within`` are ALSO emitted (null-extended) — once the global
+    watermark proves no future purchase can still match. The global
+    watermark is the MIN across both sides' watermark operators, so an
+    outer result only flushes after BOTH sides observe later event
+    time; a side that goes quiet pins the watermark and holds every
+    unmatched row in state (the documented stream-stream outer-join
+    behavior, and why the attested query advances both sides before
+    draining). foreachBatch parquet sink: memory sinks refuse
+    checkpoint recovery, and the two-run protocol needs a resumed
+    query."""
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {within}"
+        ),
+        "leftOuter",
+    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_interval_join(
     spark: SparkSession,
     *,
