@@ -472,6 +472,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    # two chained Arrow kernels (synth producer + feature decode); the
+    # one Exchange is spread()'s deliberate width-repartition of the
+    # narrow test scan, not a key shuffle — no agg, no row-Python
+    "q_mm_audio_features": (
+        ["MapInPandas"],
+        ["BatchEvalPython", "CartesianProduct", "HashAggregate"],
+    ),
     # un-windowed update-mode attestation: returned plan reads the
     # emitted-keys dir, latest-emission-wins per key (partitioned
     # row_number, never a bare ORDER BY)

@@ -287,3 +287,91 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_fingerprint int"
         ),
     )
+
+
+_AUDIO_N = 1024  # PCM samples per synthetic clip
+
+
+def _synth_pcm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'audio file' producer: an 8-bit unsigned PCM
+    sawtooth synthesized from doc_id (sample_i = (doc_id*31 + i*7) %
+    256), packed as REAL bytes — stands in for reading .wav/.flac
+    blobs, exactly as decode_image's fake stands in for codecs. The
+    downstream feature kernel sees only the bytes."""
+    for pdf in batches:
+        payloads = [
+            bytes((int(did) * 31 + i * 7) % 256 for i in range(_AUDIO_N))
+            for did in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _audio_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Audio feature kernel over real bytes: numpy-decode unsigned PCM
+    to centered int samples, then integer energy, peak amplitude and
+    zero-crossing count per clip — the vectorized per-clip features an
+    audio curation pipeline gates on (silence/clipping/noise checks).
+    Integer math end to end so the oracle can recompute it exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        ns, energy, peak, zc = [], [], [], []
+        for b in pdf["payload"]:
+            x = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64) - 128
+            ns.append(len(x))
+            energy.append(int((x * x).sum()))
+            peak.append(int(np.abs(x).max()) if len(x) else 0)
+            zc.append(int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "energy": pd.Series(energy, dtype="int64"),
+                "peak": pd.Series(peak, dtype="int32"),
+                "zero_crossings": pd.Series(zc, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "q_mm_audio_features",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST({_AUDIO_N} AS INTEGER) AS n_samples, "
+        f"CAST(list_sum(list_transform(range(0, {_AUDIO_N}), i -> "
+        "((doc_id*31 + i*7) % 256 - 128) * ((doc_id*31 + i*7) % 256 - 128)"
+        ")) AS BIGINT) AS energy, "
+        f"CAST(list_max(list_transform(range(0, {_AUDIO_N}), i -> "
+        "abs((doc_id*31 + i*7) % 256 - 128))) AS INTEGER) AS peak, "
+        f"CAST(len(list_filter(range(1, {_AUDIO_N}), i -> "
+        "((doc_id*31 + (i-1)*7) % 256 - 128) * "
+        "((doc_id*31 + i*7) % 256 - 128) < 0)) AS INTEGER) "
+        "AS zero_crossings "
+        "FROM documents"
+    ),
+    doc="AUDIO feature extraction attested end-to-end through a real "
+    "binary decode path: a deterministic synthetic PCM producer packs "
+    "each clip as actual bytes (the codec stand-in, like "
+    "q_mm_features' image fake), and a SEPARATE numpy kernel decodes "
+    "those bytes and computes integer energy / peak amplitude / "
+    "zero-crossing count — the silence/clipping/noise gates an audio "
+    "curation pipeline runs. The oracle recomputes the features in "
+    "closed form from doc_id, so a green row proves the Spark side's "
+    "bytes->numpy->features path exactly (all-integer math; no float "
+    "drift possible). Plan: two chained Arrow-batched mapInPandas "
+    "stages, per-partition map only, no shuffle — at 100 TB this is "
+    "the same single-pass scan shape with real .wav blobs and a real "
+    "codec in the second kernel.",
+)
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+    clips = d.mapInPandas(_synth_pcm_batch, schema="doc_id long, payload binary")
+    return clips.mapInPandas(
+        _audio_features_batch,
+        schema=(
+            "doc_id long, n_samples int, energy bigint, peak int, "
+            "zero_crossings int"
+        ),
+    )
