@@ -289,6 +289,53 @@ def test_changes_append_replace_and_cancellation(spark, tmp_path):
     assert not [r for r in all_chg.collect() if r["kspan"] == 1]
 
 
+def test_delete_keys_mor_lifecycle(spark, tmp_path):
+    """Merge-on-read deletes: tombstones hide rows with ZERO data
+    files rewritten; time travel shows the pre-delete rows; appends
+    keep tombstones; a span rewrite (compaction) MATERIALIZES them
+    and clears the tombstones; vacuum never reaps live tombstones."""
+    t = ManifestTable(str(tmp_path / "dv"), "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame(
+            [(0, 1, "a"), (0, 2, "b"), (1, 11, "c")],
+            "kspan int, k int, v string",
+        )))
+    v1 = t.version
+    files_before = t.select_files()
+    res = t.delete_keys(
+        spark.createDataFrame([(0, 2)], "kspan int, k int"), on=["k"]
+    )
+    assert res["tombstone_files"] == 1
+    # zero data files rewritten; the row is hidden at read time
+    assert t.select_files() == files_before
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 11]
+    assert sorted(
+        r["k"] for r in t.read(spark, version=v1).collect()
+    ) == [1, 2, 11]
+    # an append does not disturb tombstones
+    t.commit(append=t.write_data(
+        spark.createDataFrame([(0, 3, "d")], "kspan int, k int, v string")))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
+    # vacuum must keep the live tombstone file
+    t.vacuum()
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
+    # compaction materializes: tombstones cleared, answers unchanged
+    t.compact(spark, min_files=2)
+    m = t._load()
+    assert "deletes" not in m
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
+    # a second delete keyed differently is rejected only while
+    # tombstones exist; after materialization any key set is fine
+    t.delete_keys(
+        spark.createDataFrame([(1, "c")], "kspan int, v string"), on=["v"]
+    )
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3]
+    with pytest.raises(ValueError, match="already keyed"):
+        t.delete_keys(
+            spark.createDataFrame([(0, 1)], "kspan int, k int"), on=["k"]
+        )
+
+
 def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
     """Add-column evolution: a later batch lands files with a new
     column; the manifest schema widens, old files read with NULL

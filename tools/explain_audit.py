@@ -351,6 +351,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # post-materialization read: tombstones cleared, plain scan + agg
+    "q_store_delete_vectors": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
     # assignment step: centroid literals, codegen distances — one scan,
     # one agg, never a cross join against the centroid set
     "q_kmeans_assign": (

@@ -124,6 +124,7 @@ _PRIORITY = [
     "q_cdc_incremental_rollup",  # new: downstream MV refresh from CDC
     "q_stream_outer_join",  # new: outer interval join, 2-run flush
     "q_mm_audio_features",  # new: bytes->numpy audio gates, closed-form oracle
+    "q_store_delete_vectors",  # new: MoR tombstones, zero-rewrite asserted
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------

@@ -573,6 +573,71 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_store_delete_vectors",
+    oracle=(
+        "SELECT o_orderpriority AS priority, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100)) "
+        "AS BIGINT) AS price_cents "
+        "FROM orders WHERE o_orderpriority <> '1-URGENT' "
+        "GROUP BY o_orderpriority"
+    ),
+    doc="MERGE-ON-READ deletes (Delta deletion-vectors / Iceberg "
+    "equality-deletes semantics in OUR store): deleting every "
+    "1-URGENT order (~20% of rows, spread across ALL spans) writes "
+    "only tombstone key files — asserted in-query: the data-file "
+    "lists are BYTE-IDENTICAL after the delete, which is the property "
+    "that makes small deletes affordable at 100 TB (the copy-on-write "
+    "path would rewrite every span). Readers apply the tombstones as "
+    "an anti-join; time travel to the pre-delete snapshot still shows "
+    "the rows. Compaction then MATERIALIZES the deletes (rewrites "
+    "spans minus deleted rows, clears tombstones — also asserted) and "
+    "the answer is unchanged, which is the MoR contract: write fast "
+    "now, restore zero read-time overhead later. Oracle = the plain "
+    "filtered aggregate; integer cents both sides.",
+)
+def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="upmr_dv_")
+    t = ManifestTable(os.path.join(base, "orders"), "ospan")
+    tgt = o.select(
+        (F.col("o_orderkey") % 8).cast("int").alias("ospan"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    t.commit(replace=t.write_data(tgt))
+    files_before = t.select_files()
+    urgent_keys = tgt.filter(F.col("priority") == "1-URGENT").select(
+        "ospan", "k"
+    )
+    t.delete_keys(urgent_keys, on=["k"])
+    if t.select_files() != files_before:
+        raise RuntimeError(
+            "MoR delete rewrote data files — the zero-rewrite property "
+            "this query exists to attest is gone"
+        )
+    hidden = t.read(spark).filter(F.col("priority") == "1-URGENT").count()
+    if hidden != 0:
+        raise RuntimeError(f"{hidden} tombstoned rows survived the read")
+    result = t.compact(spark, min_files=1)
+    if "deletes" in t._load() or result["spans_compacted"] == 0:
+        raise RuntimeError(
+            "compaction did not materialize the tombstones"
+        )
+    return (
+        t.read(spark)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+    )
+
+
+@register(
     "q_store_schema_evolution",
     oracle=(
         "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END "

@@ -356,6 +356,22 @@ class ManifestTable:
         self._pending_stats.clear()
         if stats:
             new["stats"] = stats
+        # Tombstones (MoR deletes) carry forward — EXCEPT for spans
+        # this commit replaces or drops: the new file set is the
+        # span's authoritative content (a merge/compaction already
+        # read the live view, tombstones applied), and stale
+        # tombstones would re-delete keys the rewrite re-inserted.
+        deletes = dict(m.get("deletes", {}))
+        if replace_all is not None:
+            deletes = {}
+        else:
+            for s in list(replace or {}):
+                deletes.pop(str(s), None)
+            for s in drop:
+                deletes.pop(str(s), None)
+        if deletes:
+            new["deletes"] = deletes
+            new["delete_on"] = m["delete_on"]
         os.makedirs(self.path, exist_ok=True)
         vdir = os.path.join(self.path, _VERSIONS)
         os.makedirs(vdir, exist_ok=True)
@@ -475,12 +491,13 @@ class ManifestTable:
             schema = StructType.fromJson(json.loads(m["schema"]))
             if version is None:
                 self._schema = schema
-            return spark.read.schema(schema).parquet(*files)
-        if self._schema is not None:
-            return spark.read.schema(self._schema).parquet(*files)
-        df = spark.read.parquet(*files)
-        self._schema = df.schema
-        return df
+            df = spark.read.schema(schema).parquet(*files)
+        elif self._schema is not None:
+            df = spark.read.schema(self._schema).parquet(*files)
+        else:
+            df = spark.read.parquet(*files)
+            self._schema = df.schema
+        return self._apply_tombstones(df, m, spans)
 
     def merge(
         self,
@@ -589,6 +606,117 @@ class ManifestTable:
             "version": version,
         }
 
+    def delete_keys(
+        self, keys: DataFrame, on: Sequence[str]
+    ) -> dict:
+        """MERGE-ON-READ delete (Delta deletion-vectors / Iceberg
+        equality-deletes semantics): record the keys as TOMBSTONE
+        files and commit — zero data files rewritten, so a small
+        delete against a huge span costs O(deleted keys), not a span
+        rewrite (the copy-on-write alternative :meth:`merge` pays).
+        Readers apply tombstones as a read-time anti-join;
+        :meth:`compact` MATERIALIZES them (rewrites the span minus the
+        deleted rows and clears the tombstones), restoring zero
+        read-time overhead — the standard MoR write-fast/read-fix-up
+        trade. ``keys`` must carry the span column plus the ``on``
+        columns (span a pure function of the keys, as everywhere).
+        Tombstones accumulate per span until compaction; the manifest
+        records them under ``deletes`` with the key columns pinned
+        (one key-column set per table — mixed delete keys would make
+        the anti-join ambiguous and are rejected)."""
+        m = self._load()
+        prev_on = m.get("delete_on")
+        if prev_on is not None and list(prev_on) != list(on):
+            raise ValueError(
+                f"tombstones on {self.path} already keyed by {prev_on}; "
+                f"cannot add deletes keyed by {list(on)} — compact() "
+                "first to materialize and clear them"
+            )
+        # tombstone files are NOT data files: don't let their narrow
+        # (span, keys) schema displace the table's learned read schema
+        saved_schema = self._schema
+        mapping = self.write_data(keys.select(self.span_col, *on))
+        self._schema = saved_schema
+        base = m["version"]
+        deletes = {
+            s: fs for s, fs in m.get("deletes", {}).items()
+        }
+        for s, fs in mapping.items():
+            deletes[str(s)] = deletes.get(str(s), []) + fs
+        version = self._commit_meta(
+            base, deletes=deletes, delete_on=list(on)
+        )
+        return {
+            "spans_touched": len(mapping),
+            "tombstone_files": sum(len(fs) for fs in mapping.values()),
+            "version": version,
+        }
+
+    def _commit_meta(self, base_version: int, **meta) -> int:
+        """Commit a metadata-only snapshot (same spans, updated
+        ``deletes``/``delete_on``) through the normal commit protocol
+        so tombstones get the identical atomicity, archive, and OCC
+        guarantees as data commits."""
+        m = self._load()
+        if m["version"] != base_version:
+            raise ConcurrentCommitError(
+                f"table {self.path} advanced past {base_version}"
+            )
+        new = {
+            "version": m["version"] + 1,
+            "spans": m["spans"],
+            **{k: v for k, v in m.items() if k in ("stats", "schema")},
+            **meta,
+        }
+        new = {k: v for k, v in new.items() if v or k in ("version", "spans")}
+        os.makedirs(self.path, exist_ok=True)
+        vdir = os.path.join(self.path, _VERSIONS)
+        os.makedirs(vdir, exist_ok=True)
+        basef = os.path.join(vdir, f"{m['version']}.json")
+        if m["version"] > 0 and not os.path.exists(basef):
+            btmp = basef + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(btmp, "w") as f:
+                json.dump(m, f)
+            os.replace(btmp, basef)
+        target = os.path.join(vdir, f"{new['version']}.json")
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new, f)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {new['version']} of {self.path} was committed "
+                "by another writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        self._publish_pointer(new)
+        return new["version"]
+
+    def _apply_tombstones(
+        self, df: DataFrame, m: dict, spans: Iterable[int] | None
+    ) -> DataFrame:
+        """Anti-join the snapshot's tombstones (if any intersect the
+        read's spans) — the MoR read-time fix-up. Tombstone file sets
+        are tiny relative to data (they hold deleted KEYS), so Spark
+        broadcasts the build side in the usual case."""
+        deletes = m.get("deletes", {})
+        if not deletes:
+            return df
+        keep = None if spans is None else {int(s) for s in spans}
+        files = [
+            os.path.join(self.path, f)
+            for s, fs in deletes.items()
+            if keep is None or int(s) in keep
+            for f in fs
+        ]
+        if not files:
+            return df
+        on = list(m["delete_on"])
+        tomb = df.sparkSession.read.parquet(*files).select(*on).distinct()
+        return df.join(tomb, on=on, how="left_anti")
+
     def changes(
         self,
         spark: SparkSession,
@@ -692,8 +820,15 @@ class ManifestTable:
         ``{spans_compacted, files_before, files_after, version}``.
         """
         m = self._load()
+        # a span with tombstones is compactable regardless of file
+        # count — compaction is also what MATERIALIZES MoR deletes
+        # (rewrites the span minus the deleted rows, clears the
+        # tombstones via commit's replace rule)
+        tombstoned = set(m.get("deletes", {}))
         todo = {
-            int(s): fs for s, fs in m["spans"].items() if len(fs) >= min_files
+            int(s): fs
+            for s, fs in m["spans"].items()
+            if len(fs) >= min_files or s in tombstoned
         }
         if spans is not None:
             keep = set(spans)
@@ -722,6 +857,7 @@ class ManifestTable:
             df = spark.read.schema(self._schema).parquet(*files)
         else:
             df = spark.read.parquet(*files)
+        df = self._apply_tombstones(df, m, list(todo))
         mapping = self.write_data(df)
         version = self.commit(
             replace={s: mapping.get(s, []) for s in todo},
@@ -806,6 +942,12 @@ class ManifestTable:
         m = self._load()
         live = {
             os.path.normpath(f) for fs in m["spans"].values() for f in fs
+        }
+        # tombstone files of the current snapshot are live too
+        live |= {
+            os.path.normpath(f)
+            for fs in m.get("deletes", {}).values()
+            for f in fs
         }
         removed = 0
         for entry in os.listdir(self.path):
