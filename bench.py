@@ -171,6 +171,7 @@ def main() -> None:
         "q_cdc_incremental_rollup",
         "q_store_stats_prune",
         "q_store_schema_evolution",
+        "q_store_delete_vectors",
         "q_store_compaction",
     ]
     store_times: dict[str, float] = {}

@@ -24,11 +24,15 @@ op = st.one_of(
     st.tuples(st.just("put"), st.integers(1, 12), st.integers(-50, 50)),
     st.tuples(st.just("del"), st.integers(1, 12)),
 )
-merges = st.lists(
+# a step is a merge batch, a merge-on-read tombstone delete of some
+# keys, or a compaction (which must materialize tombstones and change
+# no answers)
+step = st.one_of(
     st.lists(op, min_size=1, max_size=8),
-    min_size=1,
-    max_size=4,
+    st.tuples(st.just("mor"), st.lists(st.integers(1, 12), min_size=1, max_size=4)),
+    st.just("compact"),
 )
+merges = st.lists(step, min_size=1, max_size=5)
 
 
 def table_rows(t: ManifestTable, spark) -> dict[int, int]:
@@ -57,35 +61,79 @@ def test_merge_and_cdc_match_model(spark):
                 )
             )
         )
-        model: dict[int, int] = {0: 0}
-        versions: list[tuple[int, dict[int, int]]] = [
-            (t.version, dict(model))
+        # two model layers: `physical` = rows in data files (what CDC
+        # diffs), `tombs` = MoR-deleted keys; the LIVE view every read
+        # must return is physical minus tombs
+        physical: dict[int, int] = {0: 0}
+        tombs: set[int] = set()
+
+        def live() -> dict[int, int]:
+            return {k: v for k, v in physical.items() if k not in tombs}
+
+        versions: list[tuple[int, dict[int, int], dict[int, int]]] = [
+            (t.version, dict(physical), live())
         ]
-        for batch in seq:
-            # last op per key wins inside a batch (merge requires
-            # key-unique sources, like every engine batch)
-            per_key: dict[int, tuple] = {}
-            for o in batch:
-                per_key[o[1]] = o
-            rows = []
-            for k, o in sorted(per_key.items()):
-                if o[0] == "put":
-                    rows.append((k % N_SPANS, k, o[2], False))
-                else:
-                    rows.append((k % N_SPANS, k, 0, True))
-            src = spark.createDataFrame(
-                rows, "span int, k int, v int, dead boolean"
-            )
-            t.merge(src, on=["k"], delete_where="dead")
-            for k, o in per_key.items():
-                if o[0] == "put":
-                    model[k] = o[2]
-                else:
-                    model.pop(k, None)
-            assert table_rows(t, spark) == model
-            versions.append((t.version, dict(model)))
-        # CDC between every consecutive snapshot equals the model diff
-        for (v_from, m_from), (v_to, m_to) in zip(versions, versions[1:]):
+        for stp in seq:
+            if stp == "compact":
+                physical = live()
+                tombs = set()
+                t.compact(spark, min_files=2)
+            elif isinstance(stp, tuple) and stp[0] == "mor":
+                keys = sorted(set(stp[1]))
+                t.delete_keys(
+                    spark.createDataFrame(
+                        [(k % N_SPANS, k) for k in keys], "span int, k int"
+                    ),
+                    on=["k"],
+                )
+                tombs |= set(keys)
+            else:
+                # last op per key wins inside a batch (merge requires
+                # key-unique sources, like every engine batch)
+                per_key: dict[int, tuple] = {}
+                for o in stp:
+                    per_key[o[1]] = o
+                rows = []
+                for k, o in sorted(per_key.items()):
+                    if o[0] == "put":
+                        rows.append((k % N_SPANS, k, o[2], False))
+                    else:
+                        rows.append((k % N_SPANS, k, 0, True))
+                src = spark.createDataFrame(
+                    rows, "span int, k int, v int, dead boolean"
+                )
+                t.merge(src, on=["k"], delete_where="dead")
+                # merge operates on the LIVE view and rewrites the
+                # touched spans with it: those spans' physical content
+                # becomes the merged live rows, their tombstones clear
+                touched = {k % N_SPANS for k in per_key}
+                new_live = live()
+                for k, o in per_key.items():
+                    if o[0] == "put":
+                        new_live[k] = o[2]
+                    else:
+                        new_live.pop(k, None)
+                physical = {
+                    k: v
+                    for k, v in physical.items()
+                    if k % N_SPANS not in touched
+                }
+                physical.update(
+                    {
+                        k: v
+                        for k, v in new_live.items()
+                        if k % N_SPANS in touched
+                    }
+                )
+                tombs = {k for k in tombs if k % N_SPANS not in touched}
+            assert table_rows(t, spark) == live()
+            versions.append((t.version, dict(physical), live()))
+        # CDC between consecutive snapshots equals the PHYSICAL diff
+        # (tombstone commits feed nothing until materialized — the
+        # deferred-visibility contract)
+        for (v_from, p_from, _), (v_to, p_to, _) in zip(
+            versions, versions[1:]
+        ):
             feed = t.changes(spark, v_from, v_to).collect()
             got_ins = {
                 (r["k"], r["v"])
@@ -98,23 +146,22 @@ def test_merge_and_cdc_match_model(spark):
                 if r["_change_type"] == "delete"
             }
             want_ins = {
-                (k, v)
-                for k, v in m_to.items()
-                if m_from.get(k) != v
+                (k, v) for k, v in p_to.items() if p_from.get(k) != v
             }
             want_del = {
-                (k, v)
-                for k, v in m_from.items()
-                if m_to.get(k) != v
+                (k, v) for k, v in p_from.items() if p_to.get(k) != v
             }
             assert got_ins == want_ins, (v_from, v_to)
             assert got_del == want_del, (v_from, v_to)
-        # time travel: every archived snapshot still reads as its model
-        for ver, m in versions:
-            got = {
-                r["k"]: r["v"]
-                for r in (t.read(spark, version=ver) or spark.createDataFrame([], "k int, v int")).collect()
-            }
-            assert got == m, ver
+        # time travel: every archived snapshot reads as ITS live view
+        # (each version's own tombstones apply)
+        for ver, _, lv in versions:
+            df = t.read(spark, version=ver)
+            got = (
+                {r["k"]: r["v"] for r in df.collect()}
+                if df is not None
+                else {}
+            )
+            assert got == lv, ver
 
     run()

@@ -623,7 +623,10 @@ class ManifestTable:
         Tombstones accumulate per span until compaction; the manifest
         records them under ``deletes`` with the key columns pinned
         (one key-column set per table — mixed delete keys would make
-        the anti-join ambiguous and are rejected)."""
+        the anti-join ambiguous and are rejected). :meth:`changes`
+        diffs data files, so a MoR delete surfaces in the change feed
+        when compaction materializes it — the same deferred-visibility
+        trade Delta's CDF makes for deletion vectors."""
         m = self._load()
         prev_on = m.get("delete_on")
         if prev_on is not None and list(prev_on) != list(on):
