@@ -484,6 +484,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas"],
         ["BatchEvalPython", "CartesianProduct", "HashAggregate"],
     ),
+    # bytes->aHash kernel then (band, val)-bucketed candidate join —
+    # a real equi-join (broadcast at test scale, shuffled at 100 TB),
+    # never an all-pairs nested loop
+    "q_mm_image_phash_dedup": (
+        ["MapInPandas", "HashJoin"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # un-windowed update-mode attestation: returned plan reads the
     # emitted-keys dir, latest-emission-wins per key (partitioned
     # row_number, never a bare ORDER BY)

@@ -375,3 +375,129 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_crossings int"
         ),
     )
+
+
+_IMG_PX = 32       # pixels per synthetic grayscale "image"
+_PHASH_D = 2       # max differing bits for a near-dup pair
+# 3 bands over 32 bits: by pigeonhole a pair within hamming 2 agrees
+# on >= 1 whole band (same lossless geometry as q_dedup_hamming)
+_PHASH_BANDS = [(0, 11), (11, 11), (22, 10)]
+
+
+def _synth_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake image producer with PLANTED near-duplicates:
+    doc_id's image derives from base = doc_id // 2, so every even/odd
+    pair shares an image except one brightness-shifted pixel — the
+    re-encoded/slightly-edited duplicate an image-dedup pass exists to
+    catch. Packed as real bytes; the hash kernel sees only those."""
+    for pdf in batches:
+        payloads = []
+        for did in pdf["doc_id"]:
+            b = int(did) // 2
+            px = [
+                (b * (2 * i + 3) + (b * b % 251) * i + i * i * 3) % 256
+                for i in range(_IMG_PX)
+            ]
+            if int(did) % 2 == 1:
+                px[0] = (px[0] + 96) % 256
+            payloads.append(bytes(px))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash kernel over real image bytes: decode to numpy
+    grayscale, bit i = (pixel_i * N > sum) — the integer form of
+    'pixel above mean', so the oracle can recompute it exactly — and
+    pack the 32 bits into a long. With real codecs the decode line is
+    PIL + resize to 8x8 + grayscale; the hash math is identical."""
+    import numpy as np
+
+    for pdf in batches:
+        hashes = []
+        for bts in pdf["payload"]:
+            x = np.frombuffer(bytes(bts), dtype=np.uint8).astype(np.int64)
+            bits = (x * len(x)) > x.sum()
+            hashes.append(int((bits << np.arange(len(x))).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "ahash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "q_mm_image_phash_dedup",
+    oracle=(
+        "WITH base AS (SELECT doc_id, (doc_id - doc_id % 2) // 2 AS b, "
+        "doc_id % 2 AS odd FROM documents), "
+        f"px AS (SELECT doc_id, list_transform(range(0, {_IMG_PX}), i -> "
+        "CASE WHEN i = 0 AND odd = 1 THEN ((b*3) % 256 + 96) % 256 "
+        "ELSE (b*(2*i+3) + (b*b % 251)*i + i*i*3) % 256 END) AS ps "
+        "FROM base), "
+        "t AS (SELECT doc_id, ps, list_sum(ps) AS total FROM px), "
+        "h AS (SELECT doc_id, CAST(list_sum(list_transform("
+        f"range(0, {_IMG_PX}), i -> CASE WHEN ps[i+1] * {_IMG_PX} > total "
+        "THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS ah FROM t) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming "
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.ah, b.ah)) <= {_PHASH_D}"
+    ),
+    doc="IMAGE near-duplicate detection via perceptual hash, end to "
+    "end through real bytes: a synthetic producer plants brightness-"
+    "shifted duplicate pairs (base image = doc_id//2, odd docs get "
+    "one edited pixel — the re-encode/resize duplicates image dedup "
+    "exists to catch), an average-hash kernel decodes the BYTES and "
+    "packs 32 'pixel above mean' bits (integer form: pixel*N > sum, "
+    "so both engines agree exactly), and qualifying pairs (hamming "
+    f"<= {_PHASH_D}) are found with the same pigeonhole-lossless "
+    "3-band equi-join as q_dedup_hamming — shuffle keys are (band, "
+    "value) buckets, NEVER all-pairs; at 100 TB the lever is hash "
+    "width (64/256-bit pHash, wider bands), same geometry. The "
+    "oracle recomputes hashes in closed form and takes the true "
+    "O(n^2) join, so a green row proves both the bytes->hash kernel "
+    "and the banded join's lossless recall. Completes the dedup "
+    "modality matrix: text exact/near/substring, embedding, URL, "
+    "and now images.",
+)
+def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+    clips = d.mapInPandas(
+        _synth_image_batch, schema="doc_id long, payload binary"
+    )
+    hashes = clips.mapInPandas(_ahash_batch, schema="doc_id long, ahash long")
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("ahash", lo)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("val"),
+                    )
+                    for i, (lo, width) in enumerate(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", F.col("bv.band"), F.col("bv.val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("h_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("h_b"),
+        "band", "val",
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    out = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(hamming <= _PHASH_D)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+    return out
