@@ -312,24 +312,40 @@ def test_delete_keys_mor_lifecycle(spark, tmp_path):
     assert sorted(
         r["k"] for r in t.read(spark, version=v1).collect()
     ) == [1, 2, 11]
-    # an append does not disturb tombstones
+    # an append into the TOMBSTONED span is rejected loudly (keyed
+    # tombstones would hide re-inserted rows and compaction would
+    # then destroy them); other spans append freely
+    with pytest.raises(ValueError, match="tombstoned span"):
+        t.commit(append=t.write_data(
+            spark.createDataFrame([(0, 3, "d")],
+                                  "kspan int, k int, v string")))
     t.commit(append=t.write_data(
-        spark.createDataFrame([(0, 3, "d")], "kspan int, k int, v string")))
-    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
+        spark.createDataFrame([(1, 12, "e")], "kspan int, k int, v string")))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 11, 12]
     # vacuum must keep the live tombstone file
     t.vacuum()
-    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
-    # compaction materializes: tombstones cleared, answers unchanged
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 11, 12]
+    # compaction materializes: tombstones cleared, answers unchanged,
+    # and the span accepts appends again — even of the deleted key
     t.compact(spark, min_files=2)
     m = t._load()
     assert "deletes" not in m
-    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3, 11]
+    t.commit(append=t.write_data(
+        spark.createDataFrame([(0, 2, "b2")], "kspan int, k int, v string")))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 11, 12]
+    # deleting a key in a span with NO data files records nothing
+    # (would be unmaterializable and pin delete_on forever)
+    res2 = t.delete_keys(
+        spark.createDataFrame([(7, 99)], "kspan int, k int"), on=["k"]
+    )
+    assert res2["spans_touched"] == 0
+    assert "deletes" not in t._load()
     # a second delete keyed differently is rejected only while
     # tombstones exist; after materialization any key set is fine
     t.delete_keys(
         spark.createDataFrame([(1, "c")], "kspan int, v string"), on=["v"]
     )
-    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3]
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 12]
     with pytest.raises(ValueError, match="already keyed"):
         t.delete_keys(
             spark.createDataFrame([(0, 1)], "kspan int, k int"), on=["k"]

@@ -52,6 +52,14 @@ def test_merge_and_cdc_match_model(spark):
     @given(merges)
     def run(seq):
         base = tempfile.mkdtemp(prefix="upmr_model_")
+        try:
+            _run_example(seq, base)
+        finally:
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+
+    def _run_example(seq, base):
         t = ManifestTable(base + "/t", "span")
         # seed so the schema exists before delete_where merges
         t.commit(

@@ -500,4 +500,15 @@ def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= _PHASH_D)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+    # non-degeneracy: the pass must actually catch planted twins —
+    # an empty result matching an empty oracle would attest nothing
+    twins = out.filter(
+        F.floor(F.col("doc_a") / 2) == F.floor(F.col("doc_b") / 2)
+    ).count()
+    if twins == 0:
+        raise RuntimeError(
+            "image near-dup pass found zero planted twin pairs — the "
+            "synth planting or the hash/banding kernel regressed, so "
+            "this query would be attesting an empty join"
+        )
     return out

@@ -361,10 +361,25 @@ class ManifestTable:
         # span's authoritative content (a merge/compaction already
         # read the live view, tombstones applied), and stale
         # tombstones would re-delete keys the rewrite re-inserted.
+        # An APPEND into a tombstoned span is rejected loudly: the
+        # tombstones are keyed, so they would hide (and compaction
+        # would then destroy) any re-inserted row in the appended
+        # files — materialize first (compact) or route the rows
+        # through merge, whose replace clears the span's tombstones.
         deletes = dict(m.get("deletes", {}))
         if replace_all is not None:
             deletes = {}
         else:
+            clobbered = [
+                s for s in (append or {}) if str(s) in deletes
+            ]
+            if clobbered:
+                raise ValueError(
+                    f"append into tombstoned span(s) {sorted(clobbered)} "
+                    f"of {self.path}: keyed tombstones would hide the "
+                    "appended rows and compaction would drop them — "
+                    "compact() first to materialize, or use merge()"
+                )
             for s in list(replace or {}):
                 deletes.pop(str(s), None)
             for s in drop:
@@ -372,6 +387,13 @@ class ManifestTable:
         if deletes:
             new["deletes"] = deletes
             new["delete_on"] = m["delete_on"]
+        return self._publish_new(m, new)
+
+    def _publish_new(self, m: dict, new: dict) -> int:
+        """The commit protocol's publish step, shared by data commits
+        (:meth:`commit`) and metadata-only commits
+        (:meth:`_commit_meta`) so the delicate atomicity code exists
+        exactly once."""
         os.makedirs(self.path, exist_ok=True)
         vdir = os.path.join(self.path, _VERSIONS)
         os.makedirs(vdir, exist_ok=True)
@@ -481,6 +503,10 @@ class ManifestTable:
         it and Spark's parquet reader backfills NULL — add-column
         schema evolution with zero rewrites. Time travel reads each
         archived snapshot under ITS schema."""
+        # materialize once: `spans` is consumed by BOTH file selection
+        # and tombstone application — a one-shot iterable would arrive
+        # at the second pass exhausted and silently skip tombstones
+        spans = list(spans) if spans is not None else None
         m = self._load(version)
         files = self._select_from(m, spans, where)
         if not files:
@@ -538,6 +564,7 @@ class ManifestTable:
         deleted, spans_touched, version}``.
         """
         spark = source.sparkSession
+        base_v = self.version
         touched = sorted(
             r[0]
             for r in source.select(self.span_col).distinct().collect()
@@ -595,8 +622,13 @@ class ManifestTable:
             ]
         )
         mapping = self.write_data(merged)
+        # pin the snapshot the merge READ (incl. its tombstone state):
+        # a commit landing in between — e.g. a delete_keys whose
+        # tombstones this replace would pop unapplied — turns into a
+        # loud ConcurrentCommitError, like compact()
         version = self.commit(
-            replace={s: mapping.get(s, []) for s in touched}
+            replace={s: mapping.get(s, []) for s in touched},
+            base_version=base_v,
         )
         return {
             "updated": int(counts["updated"] or 0),
@@ -645,13 +677,26 @@ class ManifestTable:
             s: fs for s, fs in m.get("deletes", {}).items()
         }
         for s, fs in mapping.items():
+            # a tombstone for a span with no committed data files is a
+            # no-op forever AND compaction (which walks data spans)
+            # could never materialize it away — skip it (its files are
+            # orphans, vacuum reclaims them) so the delete_on pin can
+            # always be cleared by one compact()
+            if str(s) not in m["spans"]:
+                continue
             deletes[str(s)] = deletes.get(str(s), []) + fs
+        recorded = {
+            s: fs for s, fs in mapping.items() if str(s) in m["spans"]
+        }
         version = self._commit_meta(
-            base, deletes=deletes, delete_on=list(on)
+            base,
+            deletes=deletes,
+            # never pin the key-column set without live tombstones
+            delete_on=list(on) if deletes else None,
         )
         return {
-            "spans_touched": len(mapping),
-            "tombstone_files": sum(len(fs) for fs in mapping.values()),
+            "spans_touched": len(recorded),
+            "tombstone_files": sum(len(fs) for fs in recorded.values()),
             "version": version,
         }
 
@@ -672,30 +717,7 @@ class ManifestTable:
             **meta,
         }
         new = {k: v for k, v in new.items() if v or k in ("version", "spans")}
-        os.makedirs(self.path, exist_ok=True)
-        vdir = os.path.join(self.path, _VERSIONS)
-        os.makedirs(vdir, exist_ok=True)
-        basef = os.path.join(vdir, f"{m['version']}.json")
-        if m["version"] > 0 and not os.path.exists(basef):
-            btmp = basef + f".{uuid.uuid4().hex[:8]}.tmp"
-            with open(btmp, "w") as f:
-                json.dump(m, f)
-            os.replace(btmp, basef)
-        target = os.path.join(vdir, f"{new['version']}.json")
-        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(new, f)
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {new['version']} of {self.path} was committed "
-                "by another writer"
-            ) from None
-        finally:
-            os.remove(tmp)
-        self._publish_pointer(new)
-        return new["version"]
+        return self._publish_new(m, new)
 
     def _apply_tombstones(
         self, df: DataFrame, m: dict, spans: Iterable[int] | None

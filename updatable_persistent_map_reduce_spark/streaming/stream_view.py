@@ -490,6 +490,47 @@ def streaming_sessionize(
     q.awaitTermination()
 
 
+def _interval_join_frames(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    within: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared click->purchase attribution join for the inner and
+    left-outer streaming interval-join entries: one definition of the
+    sides, watermarks, and event-time-bounded condition, so the two
+    registered queries can never drift apart."""
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {within}"
+        ),
+        how,
+    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
+
+
 def streaming_interval_join_outer(
     spark: SparkSession,
     *,
@@ -512,33 +553,9 @@ def streaming_interval_join_outer(
     draining). foreachBatch parquet sink: memory sinks refuse
     checkpoint recovery, and the two-run protocol needs a resumed
     query."""
-    stream = spark.readStream.schema(input_schema).parquet(input_path)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", watermark)
+    joined = _interval_join_frames(
+        spark, input_path, input_schema, within, watermark, "leftOuter"
     )
-    buys = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("ts").alias("buy_ts"),
-            F.col("event_id").alias("buy_id"),
-        )
-        .withWatermark("buy_ts", watermark)
-    )
-    joined = clicks.join(
-        buys,
-        F.expr(
-            "c_user = b_user AND buy_ts >= click_ts "
-            f"AND buy_ts <= click_ts + interval {within}"
-        ),
-        "leftOuter",
-    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_path)
@@ -571,32 +588,9 @@ def streaming_interval_join(
     the state store); an unbounded stream-stream join would grow state
     forever. Append mode: a match emits once both sides are final.
     """
-    stream = spark.readStream.schema(input_schema).parquet(input_path)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", watermark)
+    joined = _interval_join_frames(
+        spark, input_path, input_schema, within, watermark, "inner"
     )
-    buys = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("ts").alias("buy_ts"),
-            F.col("event_id").alias("buy_id"),
-        )
-        .withWatermark("buy_ts", watermark)
-    )
-    joined = clicks.join(
-        buys,
-        F.expr(
-            "c_user = b_user AND buy_ts >= click_ts "
-            f"AND buy_ts <= click_ts + interval {within}"
-        ),
-    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
