@@ -292,8 +292,10 @@ def test_changes_append_replace_and_cancellation(spark, tmp_path):
 def test_delete_keys_mor_lifecycle(spark, tmp_path):
     """Merge-on-read deletes: tombstones hide rows with ZERO data
     files rewritten; time travel shows the pre-delete rows; appends
-    keep tombstones; a span rewrite (compaction) MATERIALIZES them
-    and clears the tombstones; vacuum never reaps live tombstones."""
+    into a tombstoned span are rejected loudly (keyed tombstones
+    would destroy re-inserted rows at materialization) while other
+    spans append freely; compaction MATERIALIZES and clears the
+    tombstones; vacuum never reaps live tombstones."""
     t = ManifestTable(str(tmp_path / "dv"), "kspan")
     t.commit(replace=t.write_data(
         spark.createDataFrame(
