@@ -354,6 +354,37 @@ def test_delete_keys_mor_lifecycle(spark, tmp_path):
         )
 
 
+def test_clone_is_zero_copy_and_diverges_independently(spark, tmp_path):
+    """Shallow clone: hardlinked files (same inode — zero bytes
+    copied), fresh history, and writes to either branch never show on
+    the other; vacuuming one branch cannot break the other's reads."""
+    t = ManifestTable(str(tmp_path / "orig"), "kspan")
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "a"), (1, "b")])))
+    c = t.clone_to(str(tmp_path / "branch"))
+    assert c.version == 1
+    # zero-copy proof: same inode
+    f_orig, f_clone = t.select_files()[0], c.select_files()[0]
+    assert os.path.basename(f_orig) == os.path.basename(f_clone)
+    assert os.stat(f_orig).st_ino == os.stat(
+        os.path.join(str(tmp_path / "branch"),
+                     os.path.relpath(f_orig, str(tmp_path / "orig")))
+    ).st_ino
+    assert read_vals(c, spark) == [(0, "a"), (1, "b")]
+    # diverge the clone; the original is untouched
+    c.commit(replace=c.write_data(mk_df(spark, [(0, "CHANGED")])))
+    assert read_vals(c, spark) == [(0, "CHANGED"), (1, "b")]
+    assert read_vals(t, spark) == [(0, "a"), (1, "b")]
+    # diverge the original; the clone is untouched
+    t.commit(append=t.write_data(mk_df(spark, [(1, "b2")])))
+    assert read_vals(c, spark) == [(0, "CHANGED"), (1, "b")]
+    # the clone's rewrite orphaned its copy of span 0's file; its
+    # vacuum unlinks only the clone's name — the original still reads
+    c.vacuum()
+    assert read_vals(t, spark) == [(0, "a"), (1, "b"), (1, "b2")]
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone_to(str(tmp_path / "branch"))
+
+
 def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
     """Add-column evolution: a later batch lands files with a new
     column; the manifest schema widens, old files read with NULL

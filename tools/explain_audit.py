@@ -356,6 +356,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # two-branch union of plain pruned scans + aggregates
+    "q_store_clone": (
+        ["Scan parquet", "HashAggregate", "Union"],
+        ["Python", "CartesianProduct"],
+    ),
     # assignment step: centroid literals, codegen distances — one scan,
     # one agg, never a cross join against the centroid set
     "q_kmeans_assign": (

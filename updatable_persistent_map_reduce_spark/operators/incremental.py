@@ -573,6 +573,80 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_store_clone",
+    oracle=(
+        "WITH t AS ("
+        "  SELECT c_custkey AS k,"
+        "         CAST(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        "           AS bal_cents,"
+        "         c_mktsegment AS seg"
+        "  FROM customer"
+        "), s AS ("
+        "  SELECT k, bal_cents + 1000 AS bal_cents, 'UPDATED' AS seg,"
+        "         bal_cents < 0 AS dead"
+        "  FROM t WHERE k % 3 = 0 AND k % 8 < 3"
+        "  UNION ALL"
+        "  SELECT k + 10000000 AS k, bal_cents, 'NEW' AS seg, FALSE AS dead"
+        "  FROM t WHERE k % 7 = 0 AND k % 8 < 3"
+        "), merged AS ("
+        "  SELECT COALESCE(s.seg, t.seg) AS seg,"
+        "         COALESCE(s.bal_cents, t.bal_cents) AS bal_cents"
+        "  FROM t FULL OUTER JOIN s ON t.k = s.k"
+        "  WHERE NOT COALESCE(s.dead, FALSE)"
+        ") "
+        "SELECT 'base' AS branch, seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(bal_cents) AS BIGINT) AS bal_total FROM t GROUP BY seg "
+        "UNION ALL "
+        "SELECT 'merged' AS branch, seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(bal_cents) AS BIGINT) AS bal_total "
+        "FROM merged GROUP BY seg"
+    ),
+    doc="ZERO-COPY shallow clone with branch isolation attested: the "
+    "customer table is cloned (every file HARDLINKED — inode equality "
+    "asserted in-query, so a clone that copied bytes fails the gate), "
+    "the q_store_merge scenario runs against THE CLONE ONLY, and the "
+    "result reads both branches — the base must still answer as the "
+    "un-merged table (its span file lists asserted byte-identical) "
+    "while the clone answers as the merged one. This is the Delta "
+    "SHALLOW CLONE workflow: at 100 TB an experiment/staging branch "
+    "costs O(files) metadata, never a data copy, and the store's "
+    "immutability contract (no in-place writes, per-branch vacuum "
+    "unlinks only its own name) is what makes hardlink sharing safe. "
+    "Oracle = base aggregate UNION merged aggregate.",
+)
+def q_store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_clone_")
+    c = t.clone_to(t.path + "_branch")
+    f_orig = t.select_files()[0]
+    f_branch = os.path.join(c.path, os.path.relpath(f_orig, t.path))
+    if os.stat(f_orig).st_ino != os.stat(f_branch).st_ino:
+        raise RuntimeError(
+            "clone copied bytes instead of hardlinking — the zero-copy "
+            "property this query attests is gone"
+        )
+    base_spans = t.spans()
+    c.merge(src, on=["k"], delete_where="dead")
+    if t.spans() != base_spans:
+        raise RuntimeError(
+            "merging the CLONE changed the base table's manifest — "
+            "branch isolation is broken"
+        )
+
+    def agg(tab: ManifestTable, label: str) -> DataFrame:
+        return (
+            tab.read(spark)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("bal_cents").cast("bigint").alias("bal_total"),
+            )
+            .select(F.lit(label).alias("branch"), "seg", "cnt", "bal_total")
+        )
+
+    return agg(t, "base").unionByName(agg(c, "merged"))
+
+
+@register(
     "q_store_delete_vectors",
     oracle=(
         "SELECT o_orderpriority AS priority, "

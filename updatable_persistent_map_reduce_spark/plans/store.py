@@ -815,6 +815,40 @@ class ManifestTable:
             )
         )
 
+    def clone_to(self, dest: str) -> "ManifestTable":
+        """ZERO-COPY shallow clone (Delta SHALLOW CLONE semantics): a
+        new table at ``dest`` whose data (and tombstone) files are
+        HARDLINKS of this snapshot's — no bytes copied, the clone is
+        O(files) driver metadata. Safe by the store's own immutability
+        contract: no writer ever modifies a committed file in place,
+        and each side's ``vacuum`` only unlinks its own name, so the
+        branches cannot corrupt each other. The clone starts a fresh
+        history (version 1 = this snapshot) and diverges independently
+        — the cheap test/staging/experiment branch a 100 TB table
+        cannot afford to copy. Requires ``dest`` on the same
+        filesystem (hardlinks); raises if ``dest`` already exists."""
+        m = self._load()
+        clone = ManifestTable(dest, self.span_col, self.stat_cols)
+        if os.path.exists(os.path.join(dest, _MANIFEST)) or os.path.isdir(
+            os.path.join(dest, _VERSIONS)
+        ):
+            raise ValueError(f"clone destination {dest} already exists")
+        all_files = [f for fs in m["spans"].values() for f in fs] + [
+            f for fs in m.get("deletes", {}).values() for f in fs
+        ]
+        for rel in all_files:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        new = {"version": 1, "spans": m["spans"]}
+        for k in ("schema", "stats", "deletes", "delete_on"):
+            if k in m:
+                new[k] = m[k]
+        clone._publish_new({"version": 0, "spans": {}}, new)
+        clone._schema = self._schema
+        return clone
+
     # ----- maintenance -----------------------------------------------------
 
     def compact(
