@@ -482,6 +482,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Python", "CartesianProduct"],
     ),
+    "q_stream_full_outer_join": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
     # two chained Arrow kernels (synth producer + feature decode); the
     # one Exchange is spread()'s deliberate width-repartition of the
     # narrow test scan, not a key shuffle — no agg, no row-Python

@@ -127,6 +127,7 @@ _PRIORITY = [
     "q_store_delete_vectors",  # new: MoR tombstones, zero-rewrite asserted
     "q_mm_image_phash_dedup",  # new: planted-twin aHash, banded hamming
     "q_store_clone",        # new: hardlink shallow clone, isolation attested
+    "q_stream_full_outer_join",  # new: both-sided flush, join matrix done
     "q_quality_funnel",    # changed: flags refactored into shared helper
     # -- 3. unchanged, last attested in round 2 (oldest green rows —
     #       re-attest before the round-3/round-5 ones) ----------------

@@ -497,6 +497,85 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_full_outer_join",
+    oracle=(
+        "SELECT c.user_id AS click_user, b.user_id AS buy_user, "
+        "c.event_id AS click_id, b.event_id AS buy_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
+        "ON c.user_id = b.user_id "
+        "AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+    doc="FULL OUTER stream-stream interval join — completes the "
+    "streaming join matrix (inner = q_stream_interval_join, left = "
+    "q_stream_outer_join): BOTH sides' unmatched rows must flush "
+    "(clicks with no purchase in-window AND purchases attributable "
+    "to no click), each only when the global min-across-sides "
+    "watermark proves no future match can arrive. Same two-run "
+    "protocol: run 1 feeds the events and emits eager matches, run 2 "
+    "resumes the checkpoint with one far-future dummy per side and "
+    "drains every real unmatched row from both state stores. The "
+    "oracle is the batch FULL JOIN of the filtered sides; dummies "
+    "carry negative user ids and are filtered from the drained sink "
+    "(their own windows never close, so they also never emit). The "
+    "in-query guard requires null-extended rows from BOTH sides — "
+    "degenerating to the left or inner behavior fails the gate.",
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import streaming_interval_join_outer
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="upmr_fouter_")
+    inbox = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+    def run() -> None:
+        streaming_interval_join_outer(
+            spark,
+            input_path=inbox,
+            input_schema=schema,
+            checkpoint_path=ckpt,
+            out_path=out,
+            within="30 minutes",
+            watermark="1 hour",
+            how="fullOuter",
+        )
+
+    ev.coalesce(2).write.mode("append").parquet(inbox)
+    run()
+    [[mx]] = ev.agg(F.max("ts")).collect()
+    spark.createDataFrame(
+        [(-1, mx, -1, "click"), (-2, mx, -2, "purchase")], schema
+    ).withColumn("ts", F.col("ts") + F.expr("interval 30 days")).coalesce(
+        1
+    ).write.mode("append").parquet(inbox)
+    run()
+
+    emitted = spark.read.parquet(out).filter(
+        F.coalesce(F.col("c_user"), F.lit(0)) >= 0
+    ).filter(F.coalesce(F.col("b_user"), F.lit(0)) >= 0)
+    n_left = emitted.filter(F.col("buy_id").isNull()).count()
+    n_right = emitted.filter(F.col("click_id").isNull()).count()
+    if n_left == 0 or n_right == 0:
+        raise RuntimeError(
+            f"full-outer flush incomplete: {n_left} unmatched clicks, "
+            f"{n_right} unmatched purchases — one side's state never "
+            "drained, so this degenerated to a one-sided join"
+        )
+    return emitted.select(
+        F.col("c_user").alias("click_user"),
+        F.col("b_user").alias("buy_user"),
+        "click_id",
+        "buy_id",
+    )
+
+
+@register(
     "q_stream_update_mode",
     oracle=(
         "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "

@@ -528,7 +528,7 @@ def _interval_join_frames(
             f"AND buy_ts <= click_ts + interval {within}"
         ),
         how,
-    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts")
+    ).select("c_user", "b_user", "click_id", "buy_id", "click_ts", "buy_ts")
 
 
 def streaming_interval_join_outer(
@@ -540,8 +540,10 @@ def streaming_interval_join_outer(
     out_path: str,
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "leftOuter",
 ) -> None:
-    """LEFT OUTER stream-stream interval join: like
+    """LEFT OUTER (or, with ``how="fullOuter"``, FULL OUTER)
+    stream-stream interval join: like
     :func:`streaming_interval_join` but clicks with NO purchase within
     ``within`` are ALSO emitted (null-extended) — once the global
     watermark proves no future purchase can still match. The global
@@ -554,7 +556,7 @@ def streaming_interval_join_outer(
     checkpoint recovery, and the two-run protocol needs a resumed
     query."""
     joined = _interval_join_frames(
-        spark, input_path, input_schema, within, watermark, "leftOuter"
+        spark, input_path, input_schema, within, watermark, how
     )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
