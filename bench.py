@@ -1,18 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+stdout ends with ONE COMPACT JSON line (< 2 KB — the driver keeps
+only the final ~2000 chars of stdout, which is what truncated
+BENCH_r06 into ``parsed: null``):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>,
-   "spread": {"q1": {"min": s, "median": s, "max": s}, ...},
-   "noise_note": "..."}
+   "sf": <sf>, "queries": {"q1": sec, ...},
+   "median_total": <sec>, "noise_sec": <sec>}
+
+The full detail (per-query min/median/max spread over the N cold
+reps, the TPC-H 22-shape suite, the store-lifecycle suite, the long
+noise note) goes to STDERR as a separate JSON line prefixed
+``# detail:`` so a human/judge can still read it from the round log
+without it ever displacing the driver's parseable line.
 
 ``value``/``queries`` keep the historical best-of-N semantics so the
-headline stays comparable round-over-round; ``spread`` reports
-min/median/max over the N cold reps so a per-query delta can be read
-against the box's actual run-to-run noise band instead of being
-mistaken for a code effect (r4 chased a 0.67 s "regression" that r5
-measured away on identical code).
+headline stays comparable round-over-round; ``median_total`` is the
+round's noise-robust signal (the r6 verdict: within-run max-min
+totalled 10.4 s on an 11.5 s headline, so best-of-3 deltas under
+~±20% are box noise, not code effects).
 
 Per-query time = plan construction + full execution (collect),
 measured after the session is warm (a trivial job runs first so JVM/
@@ -107,10 +113,12 @@ def main() -> None:
     # rep is a cold run of the query itself: the Spark cache and the
     # engine's store cache are cleared first, so internal persists and
     # the incremental view's multi-batch build are re-done, not reused.
-    # Best-of-3: this box shows ±50% noisy-neighbor variance at times;
-    # the minimum over three cold runs is a stabler estimate of true
-    # query cost than best-of-two.
-    N_REPS = 3
+    # Best-of-5 (r6 verdict item 3, was 3): this box shows ±50%
+    # noisy-neighbor variance at times; with n=5 the median becomes a
+    # usable second signal (median-of-3 is itself noise-dominated),
+    # while the minimum stays the headline for round-over-round
+    # comparability.
+    N_REPS = 5
     from updatable_persistent_map_reduce_spark.operators import incremental
 
     for name in headline:
@@ -184,20 +192,19 @@ def main() -> None:
         print(f"# {name}: {store_times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    median_total = round(sum(s["median"] for s in spread.values()), 3)
     # Aggregate noise band: how far the per-query max strays from the
     # min, totalled over the headline — the scale of delta that is
     # attributable to the box, not the code.
     noise = round(
         sum(s["max"] - s["min"] for s in spread.values()), 3
     )
+    # Full detail to STDERR (judge-readable from the round log);
+    # stdout carries ONLY the compact driver line below it.
     print(
-        json.dumps(
+        "# detail: "
+        + json.dumps(
             {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spread": spread,
                 "tpch_suite_total": round(sum(tpch_times.values()), 3),
                 "tpch_queries": tpch_times,
@@ -207,11 +214,28 @@ def main() -> None:
                     f"value/queries are best-of-{N_REPS} cold runs;"
                     f" within-run max-min totals {noise}s across the"
                     " headline — per-query deltas inside a query's"
-                    " [min,max] band are box noise, not code effects"
+                    " [min,max] band are box noise, not code effects;"
+                    " median_total is the noise-robust companion"
                 ),
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    compact = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": times,
+            "median_total": median_total,
+            "noise_sec": noise,
+            "reps": N_REPS,
+        }
+    )
+    # Hard guarantee the driver's 2000-char stdout tail can parse it.
+    assert len(compact) < 1900, f"compact bench line too long: {len(compact)}"
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -71,115 +71,67 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. never driver-attested (registered in round 4; the r4/r5
-    #       50-samples ended just before reaching them — they pass the
-    #       local full oracle gate but need external attestation first) ---
-    "q_scan_binary",           # binaryFile multimodal ingest path
-    "q_scan_xml",              # native XML round-trip (Spark 4)
-    "q_variant_type",          # VARIANT semi-structured type (Spark 4)
-    "q_recursive_cte",         # WITH RECURSIVE hierarchy walk (Spark 4)
-    "q_sql_udf",               # SQL-defined function, inlined (Spark 4)
-    "q_collation",             # case-insensitive collation (Spark 4)
-    "q_python_datasource",     # Python Data Source connector (Spark 4)
-    # -- 2a. implementation changed since last attestation (round-6
-    #        changes — driver proof of the change matters most) -------
-    "q_gap_fill",          # forward-fill window now per-series partition
-    "q_cross_tab",         # cardinality guard added
-    "q_join_bucketed",     # hermetic per-session warehouse db
-    "q_text_index_persisted",  # latest-wins doc replacement path
-    # -- 2b. new this round (never driver-attested; excess past the
-    #        50-sample rolls to the next round, local gate covers all)
-    "q_stream_checkpoint_recovery",  # new: 2-run checkpoint resume, batch oracle
-    "q_sql_tpch_q2",   # new: correlated min-over-join, suite now 22/22
-    "q_sql_tpch_q9",   # new: non-sargable LIKE dim filter
-    "q_sql_tpch_q11",  # new: scalar-threshold-over-same-aggregate
-    "q_sql_tpch_q12",  # new: CASE-pivot over latency bands
-    "q_sql_tpch_q16",  # new: NOT IN anti + count distinct
-    "q_sql_tpch_q20",  # new: nested IN subqueries
-    "q_sql_tpch_q21",  # new: EXISTS + NOT EXISTS same-fact
-    "q_sql_tpch_q22",  # new: integer-exact avg threshold + anti join
-    "q_stream_late_data",  # new: watermark drop attested via 2-run resume
-    "q_dedup_substring",   # new: exact repeated-span detection, stride 1
-    "q_stream_enrich",     # new: stream-static broadcast enrichment join
-    "q_sql_parameterized",  # new: typed named-arg SQL binding (Spark 4)
-    "q_dedup_substring_hashed",  # new: 8-byte-key scale shape, same oracle
-    "q_bigram_fluency",    # new: perplexity-filter pattern, integer-exact
-    "q_sql_pipe",          # new: |> pipe-syntax front end (Spark 4)
-    "q_sql_scripting",     # new: BEGIN/DECLARE/SET script block (Spark 4)
-    "q_drop_audit",        # new: per-doc first-failing-stage audit
-    "q_join_existence",    # new: EXISTS as projected flag (ExistenceJoin)
-    "q_join_lateral",      # new: LATERAL top-1, decorrelated to window
-    "q_store_compaction",  # new: OPTIMIZE attested mid-lifecycle
-    "q_layout_zorder",     # new: Morton-curve clustering, measured skip
-    "q_dpp_prune",         # new: runtime partition pruning, star shape
-    "q_data_mix",          # new: target-mixture scheduler, integer-exact
-    "q_store_stats_prune",  # new: manifest min/max file skipping
-    "q_store_merge",        # new: row-level MERGE, span-granular CoW
-    "q_stream_update_mode",  # new: un-windowed running state, 3 batches
-    "q_store_schema_evolution",  # new: add-column, NULL backfill, no rewrite
-    "q_heavy_hitters",      # new: MG candidates + exact recount, certified
-    "q_join_bloom_runtime",  # new: injected runtime filter, asserted
-    "q_store_cdc",          # new: change data feed from manifests
-    "q_kmeans_assign",      # new: exact Lloyd assignment, int-quantized
-    "q_cdc_incremental_rollup",  # new: downstream MV refresh from CDC
-    "q_stream_outer_join",  # new: outer interval join, 2-run flush
-    "q_mm_audio_features",  # new: bytes->numpy audio gates, closed-form oracle
-    "q_store_delete_vectors",  # new: MoR tombstones, zero-rewrite asserted
-    "q_mm_image_phash_dedup",  # new: planted-twin aHash, banded hamming
-    "q_store_clone",        # new: hardlink shallow clone, isolation attested
-    "q_stream_full_outer_join",  # new: both-sided flush, join matrix done
-    "q_quality_funnel",    # changed: flags refactored into shared helper
-    # -- 3. unchanged, last attested in round 2 (oldest green rows —
-    #       re-attest before the round-3/round-5 ones) ----------------
-    "q_source_batch", "q_map_project", "q_map_flat", "q_group_count",
-    "q_rereduce", "q_bucket_hash", "q_distinct_ids", "q_point_lookup",
-    "q_key_migration", "q_store_point_lookup",
-    "q_dedup_exact", "q_dedup_incremental",
-    "q_text_stats", "q_sample_hash",
-    "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
-    "q_sim_search_lsh", "q_sim_search_ivf",
-    "q_token_count", "q_lang_id", "q_quality_score", "q_pii_scrub",
-    "q_repetition_filter",
-    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
-    "q_stream_tumbling", "q_stream_session",
-    "q_sql_tpch_q1", "q_sql_tpch_q3",
-    "q_join_inner", "q_join_broadcast",
-    "q_join_salted", "q_join_asof",
-    "q_agg_multi", "q_agg_grouping_sets", "q_agg_approx_quantile",
-    "q_window_rank",
-    # -- 4. unchanged, last attested in round 3 ------------------------
-    "q_scan_parquet", "q_filter_pred", "q_project_expr",
-    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
-    "q_join_full", "q_agg_rollup", "q_agg_cube", "q_agg_quantile",
-    "q_approx_distinct", "q_window_frame", "q_window_ntile",
-    "q_sort_limit", "q_union_all", "q_intersect", "q_except",
-    "q_scalar_funcs", "q_array_map_funcs", "q_json_struct",
-    "q_udf_surface", "q_scan_json", "q_scan_csv", "q_pivot",
-    "q_string_agg", "q_sql_exists",
-    "q_doc_fingerprint", "q_batch_256", "q_shard_pack",
-    "q_corpus_prep", "q_rereduce_tree", "q_decontaminate",
-    "q_sample_stratified", "q_ngram_stats",
-    "q_dedup_semantic", "q_stream_sliding", "q_embed_quantize",
-    "q_inverted_index", "q_bm25", "q_doc_len_histogram",
-    "q_window_lag", "q_sql_tpch_q5", "q_window_range_frame",
-    "q_anomaly_p99", "q_upsert_enriched",
-    # -- 5. unchanged, attested green in round 5 (most recent) ---------
-    "q_scd2_history", "q_retention_cohort", "q_sketch_union",
-    "q_dedup_cross_snapshot", "q_scan_orc", "q_time_travel",
-    "q_pagerank", "q_resample_weighted", "q_unpivot", "q_udtf_surface",
-    "q_session_conversion", "q_sql_tpch_q6", "q_sql_tpch_q10",
-    "q_ingest_corrupt", "q_null_semantics", "q_argminmax",
-    "q_map_type_ops", "q_dedup_cluster", "q_sim_search",
-    "q_stream_interval_join", "q_stream_dedup", "q_stream_sessionize",
-    "q_sim_index_persisted", "q_upsert_delete", "q_store_rescale",
-    "q_upsert_recount",
-    "q_agg_stats", "q_topk_per_group", "q_sql_tpch_q18",
-    "q_percent_change", "q_minhash_containment", "q_tfidf_vectors",
-    "q_sim_join_threshold", "q_dedup_url", "q_sql_tpch_q14",
-    "q_sql_tpch_q19", "q_chunk_split", "q_char_entropy",
-    "q_alter_reduce", "q_stream_view_upsert", "q_simhash_incremental",
-    "q_dedup_hamming", "q_sql_tpch_q17", "q_sql_tpch_q15",
-    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13", "q_scan_text",
+    # -- 1. implementation changed in round 7 since the last green
+    #       driver row (re-attestation is most valuable first) ------
+    "q_sql_tpch_q2",  # r7 single-scan rewrite (shared lineitem projection)
+    "q_dedup_near",  # r7 exact-verified LSH config, now oracle-backed
+    "q_text_index_persisted",  # r7 replaced-set auto-compact trigger
+    "q_sim_index_persisted",  # r7 centroid rebuild path added
+    "q_layout_zorder",  # r7 None-stats guard (ADVICE fix)
+    "q_cross_tab",  # r7 padded cardinality-guard estimate (ADVICE fix)
+    # -- 2. new in round 7, never driver-attested (filled in as
+    #       queries are added; excess past the 50-sample rolls) -----
+    # (appended by round-7 commits)
+    # -- unchanged, last attested round 2 (39 ids; oldest first) --
+    "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
+    "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",
+    "q_dedup_simhash", "q_distinct_ids", "q_group_count", "q_join_asof",
+    "q_join_broadcast", "q_join_inner", "q_join_salted", "q_key_migration",
+    "q_lang_id", "q_map_flat", "q_map_project", "q_mm_features",
+    "q_mm_frame_sample", "q_mm_resize", "q_pii_scrub", "q_point_lookup",
+    "q_quality_score", "q_repetition_filter", "q_rereduce", "q_sample_hash",
+    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",
+    "q_sql_tpch_q3", "q_store_point_lookup", "q_stream_session", "q_stream_tumbling",
+    "q_text_stats", "q_token_count", "q_window_rank",
+    # -- unchanged, last attested round 3 (47 ids; oldest first) --
+    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_p99",
+    "q_approx_distinct", "q_array_map_funcs", "q_batch_256", "q_bm25",
+    "q_corpus_prep", "q_decontaminate", "q_dedup_semantic", "q_doc_fingerprint",
+    "q_doc_len_histogram", "q_embed_quantize", "q_except", "q_filter_pred",
+    "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
+    "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",
+    "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel",
+    "q_rereduce_tree", "q_sample_stratified", "q_scalar_funcs", "q_scan_csv",
+    "q_scan_json", "q_scan_parquet", "q_shard_pack", "q_sort_limit",
+    "q_sql_exists", "q_sql_tpch_q5", "q_stream_sliding", "q_string_agg",
+    "q_udf_surface", "q_union_all", "q_upsert_enriched", "q_window_frame",
+    "q_window_lag", "q_window_ntile", "q_window_range_frame",
+    # -- unchanged, last attested round 5 (47 ids; oldest first) --
+    "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
+    "q_chunk_split", "q_dedup_cluster", "q_dedup_cross_snapshot", "q_dedup_hamming",
+    "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops", "q_minhash_containment",
+    "q_null_semantics", "q_pagerank", "q_percent_change", "q_resample_weighted",
+    "q_retention_cohort", "q_scan_orc", "q_scan_text", "q_scd2_history",
+    "q_session_conversion", "q_sim_join_threshold", "q_sim_search", "q_simhash_incremental",
+    "q_sketch_union", "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14",
+    "q_sql_tpch_q15", "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19",
+    "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_store_rescale",
+    "q_stream_dedup", "q_stream_interval_join", "q_stream_sessionize", "q_stream_view_upsert",
+    "q_tfidf_vectors", "q_time_travel", "q_topk_per_group", "q_udtf_surface",
+    "q_unpivot", "q_upsert_delete", "q_upsert_recount",
+    # -- unchanged, last attested round 6 (46 ids; oldest first) --
+    "q_bigram_fluency", "q_cdc_incremental_rollup", "q_collation", "q_data_mix",
+    "q_dedup_substring", "q_dedup_substring_hashed", "q_dpp_prune", "q_drop_audit",
+    "q_gap_fill", "q_heavy_hitters", "q_join_bloom_runtime", "q_join_bucketed",
+    "q_join_existence", "q_join_lateral", "q_kmeans_assign", "q_mm_audio_features",
+    "q_mm_image_phash_dedup", "q_python_datasource", "q_recursive_cte", "q_scan_binary",
+    "q_scan_xml", "q_sql_parameterized", "q_sql_pipe", "q_sql_scripting",
+    "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20",
+    "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9", "q_sql_udf",
+    "q_store_cdc", "q_store_clone", "q_store_compaction", "q_store_delete_vectors",
+    "q_store_merge", "q_store_schema_evolution", "q_store_stats_prune", "q_stream_checkpoint_recovery",
+    "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
+    "q_stream_update_mode", "q_variant_type",
 ]
 
 
