@@ -446,6 +446,141 @@ def test_concurrent_commit_detected(spark, table):
     assert read_vals(other, spark) == [(0, "v2-won")]
 
 
+# ----- retry_commit: OCC retry-with-rebase (two writers both land) --------
+
+
+def _race_once(victim: ManifestTable, rival_op):
+    """Patch ``victim.write_data`` so its FIRST call runs ``rival_op``
+    (a second writer's complete commit) after the victim has pinned its
+    base snapshot but before its own commit — the deterministic
+    compaction-daemon-vs-ingest interleaving. Subsequent calls (the
+    rebased retry) run clean."""
+    real = victim.write_data
+    fired = {"done": False}
+
+    def write_and_race(df, **kw):
+        mapping = real(df, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            rival_op()
+        return mapping
+
+    victim.write_data = write_and_race
+
+
+def test_retry_commit_compact_vs_append_both_land(spark, tmp_path):
+    """The real deployment race: a compaction daemon loses to an
+    interleaved ingest append, rebases via retry_commit, and BOTH
+    commits land — the appended row survives and ends up compacted."""
+    from updatable_persistent_map_reduce_spark.plans.store import retry_commit
+
+    path = str(tmp_path / "rc")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "a")])))
+    t.commit(append=t.write_data(mk_df(spark, [(0, "b")])))
+
+    def rival():
+        t2 = ManifestTable(path, "kspan")
+        t2.commit(append=t2.write_data(mk_df(spark, [(0, "late")])))
+
+    _race_once(t, rival)
+    stats = retry_commit(lambda: t.compact(spark, min_files=2))
+    assert stats["spans_compacted"] == 1
+    # the rebased rewrite saw the rival's append: all three rows live
+    assert read_vals(t, spark) == [(0, "a"), (0, "b"), (0, "late")]
+    # and the span is genuinely compacted to one file
+    assert [len(fs) for fs in t.spans().values()] == [1]
+    # base(2) + rival append(3) + retried compact(4); the lost first
+    # attempt never committed
+    assert t.version == 4
+
+
+def test_retry_commit_merge_vs_delete_keys_both_land(spark, tmp_path):
+    """merge loses to an interleaved MoR delete, rebases, and both
+    effects are visible: the merged row is updated, the rival-deleted
+    key is gone."""
+    from updatable_persistent_map_reduce_spark.plans.store import retry_commit
+
+    path = str(tmp_path / "rm")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame(
+            [(0, 1, "a"), (1, 2, "b")], "kspan int, k int, v string"
+        )
+    ))
+
+    def rival():
+        t2 = ManifestTable(path, "kspan")
+        t2.delete_keys(
+            spark.createDataFrame([(1, 2)], "kspan int, k int"), on=["k"]
+        )
+
+    _race_once(t, rival)
+    src = spark.createDataFrame([(0, 1, "a2")], "kspan int, k int, v string")
+    stats = retry_commit(lambda: t.merge(src, on=["k"]))
+    assert stats["updated"] == 1
+    rows = sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, "a2")]  # k=2 tombstoned by the rival, k=1 merged
+    assert t.version == 3  # base(1) + rival delete(2) + retried merge(3)
+
+
+def test_retry_commit_exhaustion_reraises(spark, tmp_path):
+    """Under unbounded contention the loop gives up loudly after
+    ``attempts`` losses (livelock guard)."""
+    from updatable_persistent_map_reduce_spark.plans.store import (
+        ConcurrentCommitError,
+        retry_commit,
+    )
+
+    calls = {"n": 0}
+
+    def always_loses():
+        calls["n"] += 1
+        raise ConcurrentCommitError("stale")
+
+    with pytest.raises(ConcurrentCommitError):
+        retry_commit(always_loses, attempts=3)
+    assert calls["n"] == 3
+
+
+def test_retry_commit_threaded_appends_both_land(spark, tmp_path):
+    """Two REAL concurrent writers (threads, barrier-released) racing
+    plain appends: whichever loses the exclusive-create commit point
+    rebases and lands — no rows lost, versions strictly ordered."""
+    import threading
+
+    from updatable_persistent_map_reduce_spark.plans.store import retry_commit
+
+    path = str(tmp_path / "rt")
+    t0 = ManifestTable(path, "kspan")
+    t0.commit(replace=t0.write_data(mk_df(spark, [(0, "base")])))
+    # Spark jobs run serially up front; only the commit protocol races.
+    writers = []
+    for tag in ("w1", "w2"):
+        ti = ManifestTable(path, "kspan")
+        writers.append((ti, ti.write_data(mk_df(spark, [(0, tag)]))))
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def go(ti, mapping):
+        try:
+            barrier.wait(timeout=10)
+            retry_commit(lambda: ti.commit(append=mapping))
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=w) for w in writers]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=30)
+    assert not errs
+    assert read_vals(t0, spark) == [(0, "base"), (0, "w1"), (0, "w2")]
+    assert t0.version == 3
+
+
 def test_pointer_crash_self_heals(spark, table):
     """Crash between the commit point (_versions/<N>.json) and the
     pointer update: the next load adopts the committed version and

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import tempfile
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F  # noqa: F401
 
@@ -25,12 +25,20 @@ op = st.one_of(
     st.tuples(st.just("del"), st.integers(1, 12)),
 )
 # a step is a merge batch, a merge-on-read tombstone delete of some
-# keys, or a compaction (which must materialize tombstones and change
-# no answers)
+# keys, a compaction (which must materialize tombstones and change no
+# answers), or a RACED merge: a rival writer's MoR delete lands between
+# the merge's base-snapshot read and its commit — the merge must lose,
+# rebase via retry_commit, and re-land on top of the rival (both
+# effects visible, model order: rival first, then the batch)
 step = st.one_of(
     st.lists(op, min_size=1, max_size=8),
     st.tuples(st.just("mor"), st.lists(st.integers(1, 12), min_size=1, max_size=4)),
     st.just("compact"),
+    st.tuples(
+        st.just("race"),
+        st.lists(op, min_size=1, max_size=4),
+        st.lists(st.integers(1, 12), min_size=1, max_size=3),
+    ),
 )
 merges = st.lists(step, min_size=1, max_size=5)
 
@@ -50,6 +58,17 @@ def test_merge_and_cdc_match_model(spark):
         suppress_health_check=list(HealthCheck),
     )
     @given(merges)
+    # guaranteed raced-merge coverage regardless of what the 5
+    # derandomized draws generate: put 2 keys, then a merge raced by a
+    # rival MoR delete (one raced key overlaps the batch, one doesn't),
+    # then compact to materialize the survivor's tombstone
+    @example(
+        seq=[
+            [("put", 2, 3), ("put", 5, 7)],
+            ("race", [("put", 5, 9), ("del", 2)], [5, 11]),
+            "compact",
+        ]
+    )
     def run(seq):
         base = tempfile.mkdtemp(prefix="upmr_model_")
         try:
@@ -96,10 +115,16 @@ def test_merge_and_cdc_match_model(spark):
                 )
                 tombs |= set(keys)
             else:
+                raced_keys: list[int] | None = None
+                if isinstance(stp, tuple) and stp[0] == "race":
+                    _, batch, raced_keys = stp
+                    raced_keys = sorted(set(raced_keys))
+                else:
+                    batch = stp
                 # last op per key wins inside a batch (merge requires
                 # key-unique sources, like every engine batch)
                 per_key: dict[int, tuple] = {}
-                for o in stp:
+                for o in batch:
                     per_key[o[1]] = o
                 rows = []
                 for k, o in sorted(per_key.items()):
@@ -110,7 +135,44 @@ def test_merge_and_cdc_match_model(spark):
                 src = spark.createDataFrame(
                     rows, "span int, k int, v int, dead boolean"
                 )
-                t.merge(src, on=["k"], delete_where="dead")
+                if raced_keys is None:
+                    t.merge(src, on=["k"], delete_where="dead")
+                else:
+                    # rival MoR delete fires after the merge pinned its
+                    # base snapshot (inside write_data) and before its
+                    # commit: the merge MUST lose once, rebase, re-land
+                    from updatable_persistent_map_reduce_spark.plans.store import (
+                        retry_commit,
+                    )
+
+                    real_write = t.write_data
+                    fired = [False]
+
+                    def write_and_race(df, _rw=real_write, _f=fired, **kw):
+                        mapping = _rw(df, **kw)
+                        if not _f[0]:
+                            _f[0] = True
+                            rival = ManifestTable(t.path, "span")
+                            rival.delete_keys(
+                                spark.createDataFrame(
+                                    [(k % N_SPANS, k) for k in raced_keys],
+                                    "span int, k int",
+                                ),
+                                on=["k"],
+                            )
+                        return mapping
+
+                    t.write_data = write_and_race
+                    try:
+                        retry_commit(
+                            lambda: t.merge(src, on=["k"], delete_where="dead")
+                        )
+                    finally:
+                        t.write_data = real_write
+                    assert fired[0]
+                    # model: the rival landed FIRST (the merge rebased
+                    # on top of it)
+                    tombs |= set(raced_keys)
                 # merge operates on the LIVE view and rewrites the
                 # touched spans with it: those spans' physical content
                 # becomes the merged live rows, their tombstones clear

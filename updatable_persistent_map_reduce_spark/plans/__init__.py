@@ -1,2 +1,6 @@
-from .store import ConcurrentCommitError, ManifestTable  # noqa: F401
+from .store import (  # noqa: F401
+    ConcurrentCommitError,
+    ManifestTable,
+    retry_commit,
+)
 from .view import MapReduceView  # noqa: F401

@@ -59,7 +59,43 @@ class ConcurrentCommitError(RuntimeError):
     writer's data files are unreferenced (vacuum reclaims them); retry
     by re-reading state and re-deriving the commit — the optimistic-
     concurrency contract of a Delta/Iceberg commit log, reduced to
-    exclusive-create on a filesystem."""
+    exclusive-create on a filesystem. :func:`retry_commit` is that
+    retry loop packaged."""
+
+
+def retry_commit(op, *, attempts: int = 5):
+    """Run ``op`` — a zero-argument callable performing ONE complete
+    read → derive → commit cycle against a table (e.g. ``lambda:
+    t.merge(src, on=["k"])``, ``lambda: t.compact(spark)``, ``lambda:
+    t.delete_keys(keys, on=["k"])``) — retrying WITH REBASE on
+    :class:`ConcurrentCommitError`.
+
+    Rebase is automatic because every commit path in this module
+    re-loads the manifest at entry and re-pins ``base_version`` from
+    that fresh read: invoking ``op`` again re-derives the whole commit
+    against the winning writer's snapshot (the losing attempt's data
+    files are unreferenced orphans that :meth:`ManifestTable.vacuum`
+    reclaims). This is the optimistic-concurrency loop of a
+    Delta/Iceberg writer — read snapshot, derive, attempt commit, on
+    conflict rebase and retry — and it is what lets a compaction
+    daemon coexist with an ingest writer instead of one of them dying
+    loudly. Bounded: after ``attempts`` consecutive losses the last
+    ``ConcurrentCommitError`` propagates (livelock guard; under that
+    much contention the deployment should serialize its writers).
+
+    ``op`` MUST be the full cycle. Passing a pre-derived commit (a
+    closure over an already-computed ``replace=`` mapping built from a
+    stale read) would retry the publish without the rebase and can
+    reintroduce the lost update the OCC check exists to prevent;
+    plain ``append=`` commits are safe either way (order-independent).
+    """
+    last: ConcurrentCommitError | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return op()
+        except ConcurrentCommitError as e:
+            last = e
+    raise last
 
 
 class ManifestTable:
@@ -622,6 +658,21 @@ class ManifestTable:
             ]
         )
         mapping = self.write_data(merged)
+        # Enforce (not just document) the determinism clause above: if
+        # the source changed between the touched-span collect and the
+        # write job, rows can land in spans outside the pinned
+        # ``touched`` set — and the replace commit below would silently
+        # drop them. Fail loudly instead; the stray files are orphans
+        # vacuum reclaims.
+        stray = sorted(set(mapping) - set(touched))
+        if stray:
+            raise ValueError(
+                f"merge into {self.path}: write landed rows in span(s) "
+                f"{stray} outside the pinned touched set {touched} — "
+                "the source is non-deterministic (rand()/unordered "
+                "limit?), violating merge's determinism contract; "
+                "aborting before the commit could drop those rows"
+            )
         # pin the snapshot the merge READ (incl. its tombstone state):
         # a commit landing in between — e.g. a delete_keys whose
         # tombstones this replace would pop unapplied — turns into a
@@ -655,7 +706,13 @@ class ManifestTable:
         Tombstones accumulate per span until compaction; the manifest
         records them under ``deletes`` with the key columns pinned
         (one key-column set per table — mixed delete keys would make
-        the anti-join ambiguous and are rejected). :meth:`changes`
+        the anti-join ambiguous and are rejected). Like merge/compact
+        this is a read-modify-write under OCC: the commit pins the
+        version loaded at entry, so of two concurrent ``delete_keys``
+        calls (or a delete racing any other commit) exactly one lands
+        and the loser raises :class:`ConcurrentCommitError` — loud,
+        never a silent union of tombstone sets; wrap the call in
+        :func:`retry_commit` to rebase and reapply. :meth:`changes`
         diffs data files, so a MoR delete surfaces in the change feed
         when compaction materializes it — the same deferred-visibility
         trade Delta's CDF makes for deletion vectors."""
