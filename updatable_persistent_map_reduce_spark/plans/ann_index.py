@@ -16,9 +16,11 @@ does exactly that with the engine's own storage machinery:
   APPENDED to the manifest (atomic snapshot swap, crash-safe like
   every other table) — the index stays serviceable during growth, and
   `compact()`-style maintenance is the store's normal file folding.
-  Centroids drift as the corpus grows; rebuild them on a schedule (the
-  listed table re-spans under new centroids via one write), exactly
-  like the view's `rescale()`.
+  Centroids drift as the corpus grows; :meth:`IvfIndex.rebuild` refits
+  them from the live table and re-spans it in one pinned commit,
+  exactly like the view's `rescale()` — tested by planting drifted
+  appends, watching partial-nprobe recall decay, and pinning its
+  recovery after rebuild (tests/test_llm_ops.py).
 
 Correctness: with ``nprobe >= n_cells`` the probe covers every cell, so
 search is EXACT brute force — the registered `q_sim_index_persisted`
@@ -91,6 +93,62 @@ class IvfIndex:
         )
         mapping = self._listed.write_data(assigned)
         self._listed.commit(append=mapping)
+
+    def rebuild(self, kmeans_iters: int = 2) -> dict:
+        """Refit centroids on the CURRENT corpus and re-span the listed
+        table under them — the maintenance step for centroid drift.
+
+        After heavy :meth:`upsert` growth the stored centroids describe
+        the corpus the index was BUILT on, not the one it serves:
+        appended vectors pile into whichever old cell is nearest, cells
+        go unbalanced, and partial-``nprobe`` recall decays (full probe
+        stays exact regardless — it scans every cell). Rebuild is the
+        view's ``rescale()`` applied to vector search: one k-means
+        refit over the live table, one write job re-assigning every
+        vector to its new cell, one pinned ``replace_all`` commit
+        (OCC: a concurrent upsert makes this raise
+        :class:`~.store.ConcurrentCommitError` rather than silently
+        dropping its rows — wrap in :func:`~.store.retry_commit` to
+        coexist with ingest). The pre-rebuild snapshot stays
+        time-travelable like any other commit.
+
+        Centroids are published (atomic ``os.replace``) only AFTER the
+        table commit lands, so a crash mid-rebuild leaves the old
+        index fully intact; a crash in the tiny window between commit
+        and centroid publish leaves new spans probed by old centroids —
+        degraded partial-probe recall, never wrong results (the probe
+        set is a recall choice; scoring is exact), and re-running
+        ``rebuild()`` heals it. Returns ``{version, cells}``.
+        """
+        from ..operators.similarity import fit_kmeans, make_assign_udf
+
+        base_v = self._listed.version
+        cur = self._listed.read(self.spark)
+        if cur is None:
+            raise ValueError(
+                f"rebuild of never-built/empty index at {self.path}"
+            )
+        e = cur.select("vec_id", "embedding")
+        centroids = fit_kmeans(
+            self.spark, e, n_cells=self.n_cells, iters=kmeans_iters
+        )
+        listed = e.select(
+            "vec_id",
+            "embedding",
+            make_assign_udf(self.spark, centroids)("embedding").alias(
+                "cell"
+            ),
+        )
+        mapping = self._listed.write_data(listed)
+        version = self._listed.commit(
+            replace_all=mapping, base_version=base_v
+        )
+        tmp = self._centroid_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(centroids.tolist(), f)
+        os.replace(tmp, self._centroid_path)
+        self._centroids = centroids
+        return {"version": version, "cells": len(mapping)}
 
     def centroids(self) -> np.ndarray:
         if self._centroids is None:
