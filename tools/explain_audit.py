@@ -605,11 +605,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "Python"],
     ),
-    # Q2: correlated min-over-join DECORRELATED (per-part aggregate +
-    # join-back), dims broadcast — never a per-row re-scan
+    # Q2: single-scan window rewrite — the per-part min is min() OVER
+    # (PARTITION BY partkey) on the one pass, dims broadcast, and the
+    # negative regex pins that lineitem is scanned exactly ONCE (two
+    # Location lines naming it = the decorrelated double read came
+    # back)
     "q_sql_tpch_q2": (
-        ["HashAggregate", "BroadcastHashJoin"],
-        ["CartesianProduct", "BroadcastNestedLoop", "Python"],
+        ["Window", "HashAggregate", "BroadcastHashJoin"],
+        [
+            "CartesianProduct",
+            "BroadcastNestedLoop",
+            "Python",
+            r"re:(?s)lineitem\.parquet.*lineitem\.parquet",
+        ],
     ),
     # Q9: LIKE-filtered part dim still broadcasts; one fact shuffle
     "q_sql_tpch_q9": (

@@ -2278,27 +2278,57 @@ WHERE p_partkey = sp_partkey AND s_suppkey = sp_suppkey
 ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
 """
 
+# Spark-side form of Q2: the correlated min rewritten as a WINDOW MIN
+# over one pass. Decorrelating the subquery (what Catalyst does to the
+# oracle form above, and what r6 shipped) reads lineitem TWICE — the
+# outer side keeps (partkey, suppkey) pairs while the subquery side
+# aggregates min per partkey after its own dim joins, and the two
+# exchanges differ so no reuse fires. But min-per-part-then-keep-the-
+# rows-that-attain-it is exactly min() OVER (PARTITION BY partkey):
+# one distinct over lineitem's pairs, the dim chain broadcast onto it
+# once, one window shuffle keyed by partkey — the fact is scanned ONCE
+# (the plan audit forbids a second lineitem scan). The part filter
+# joins BEFORE the window: it only drops whole partkeys, never a
+# supplier row within a surviving part, so the per-part min is
+# unchanged and the window sees less data. min over doubles is a
+# SELECTION (no arithmetic), so s_acctbal = min_bal is engine-exact.
+_TPCH_Q2_SPARK = """
+WITH regional AS (
+  SELECT sp.sp_partkey, s.s_acctbal, s.s_name, n.n_name
+  FROM (SELECT DISTINCT l_partkey AS sp_partkey,
+                        l_suppkey AS sp_suppkey FROM lineitem) sp
+  JOIN supplier s ON s.s_suppkey = sp.sp_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, p_name
+FROM (SELECT rg.s_acctbal, rg.s_name, rg.n_name, p.p_partkey, p.p_name,
+             min(rg.s_acctbal) OVER (PARTITION BY rg.sp_partkey)
+               AS min_bal
+      FROM regional rg
+      JOIN part p ON p.p_partkey = rg.sp_partkey
+      WHERE p.p_size <= 15 AND p.p_type = 'LARGE') q
+WHERE s_acctbal = min_bal
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+"""
+
 register(
     "q_sql_tpch_q2",
     oracle=_TPCH_Q2,
     doc="TPC-H Q2 (minimum cost supplier): the CORRELATED SCALAR "
     "SUBQUERY OVER A JOIN shape — each qualifying part compares its "
     "suppliers against the min over THAT PART's regional suppliers. "
-    "Catalyst decorrelates into a per-part min aggregate joined back "
-    "on partkey (one extra pass, never a per-row re-scan — the same "
-    "decorrelation q_sql_tpch_q17 tests over one table, here over a "
-    "4-way join). Restatement: no partsupp table, so the supply "
-    "relation is the distinct (partkey, suppkey) pairs observed in "
-    "lineitem and the min is over s_acctbal instead of "
-    "ps_supplycost; min over doubles is a SELECTION (no arithmetic), "
-    "so the float equality join is engine-exact. Dims broadcast. The "
-    "decorrelated plan reads lineitem twice — the outer side keeps "
-    "(partkey, suppkey) pairs while the subquery side aggregates min "
-    "per partkey after its own dim joins, so the exchanges differ "
-    "and cannot be reused; that second pass is the textbook cost of "
-    "decorrelating Q2 (every engine pays it on partsupp) and is "
-    "linear, not per-row.",
-)(_sql_query(_TPCH_Q2))
+    "The ORACLE keeps the correlated form (DuckDB decorrelates it "
+    "itself); the Spark side runs the single-scan window rewrite "
+    "above — same rows, one lineitem pass instead of the two a "
+    "decorrelated aggregate-plus-join-back pays (r6's acknowledged "
+    "double read, closed this round; the audit marker pins the "
+    "single fact scan). Restatement: no partsupp table, so the "
+    "supply relation is the distinct (partkey, suppkey) pairs "
+    "observed in lineitem and the min is over s_acctbal instead of "
+    "ps_supplycost. Dims broadcast.",
+)(_sql_query(_TPCH_Q2_SPARK))
 
 
 _TPCH_Q9 = """
