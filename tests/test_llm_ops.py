@@ -667,6 +667,77 @@ def test_inverted_index_replaces_doc_latest_wins(spark, tmp_path):
     assert post.filter("doc_id = 2").select("gen").distinct().count() == 1
 
 
+def test_inverted_index_auto_compact_keeps_read_cost_flat(spark, tmp_path):
+    """60 single-doc revision batches against a live index: without a
+    compaction cadence the postings table gains one file per touched
+    span per batch and the replaced set grows with every revision —
+    read cost O(revisions). With the view-style trigger
+    (auto_compact_files_per_span) the file count must stay under a
+    FLAT bound across all 60 batches, compactions must actually fire
+    (file counts drop), the replaced set stays bounded by the trigger
+    window, and the final scores equal a fresh index built from the
+    final corpus state."""
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    vocab = ["join", "window", "hash", "sort", "filter", "scan"]
+    state = {
+        d: f"{vocab[d % 6]} {vocab[(d + 1) % 6]} base text {d}"
+        for d in range(1, 7)
+    }
+    idx = InvertedIndex(
+        spark,
+        str(tmp_path / "invac"),
+        n_spans=4,
+        n_doc_spans=2,
+        auto_compact_files_per_span=4,
+    )
+    idx.build(
+        spark.createDataFrame(
+            [(d, t) for d, t in state.items()], "doc_id long, text string"
+        )
+    )
+
+    def n_post_files() -> int:
+        return sum(len(v) for v in idx._post.spans().values())
+
+    history = [n_post_files()]
+    for i in range(60):
+        d = 1 + (i % 6)
+        state[d] = f"{vocab[i % 6]} {vocab[(i + 2) % 6]} rev {i} doc {d}"
+        idx.upsert(
+            spark.createDataFrame(
+                [(d, state[d])], "doc_id long, text string"
+            )
+        )
+        history.append(n_post_files())
+
+    k, n_spans = 4, 4
+    # flat bound: the trigger fires at >= k files/span average, so the
+    # count can never exceed the threshold plus one batch's appends
+    assert max(history) <= k * n_spans + n_spans, history
+    # compactions genuinely fired: appends only grow the count, so any
+    # drop in the series is a compaction
+    assert any(b < a for a, b in zip(history, history[1:])), history
+    # replaced set bounded by the trigger window, not by 60 revisions
+    tomb = idx._repl.read(spark)
+    assert (tomb.count() if tomb is not None else 0) < 20
+    # scoring identical to a fresh build of the final state
+    fresh = InvertedIndex(
+        spark, str(tmp_path / "invfresh"), n_spans=4, n_doc_spans=2
+    )
+    fresh.build(
+        spark.createDataFrame(
+            [(d, t) for d, t in state.items()], "doc_id long, text string"
+        )
+    )
+    terms = ["join", "window", "hash"]
+    got = {(r.doc_id, r.score) for r in idx.bm25(terms).collect()}
+    want = {(r.doc_id, r.score) for r in fresh.bm25(terms).collect()}
+    assert got == want
+
+
 def test_inverted_index_within_batch_duplicates(spark, tmp_path):
     """One batch containing two revisions of the same doc: with a
     seq_col the highest sequence wins (the view engine's contract);

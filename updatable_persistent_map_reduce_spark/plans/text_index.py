@@ -72,11 +72,23 @@ class InvertedIndex:
         path: str,
         n_spans: int = 32,
         n_doc_spans: int = 16,
+        auto_compact_files_per_span: int | None = 16,
     ):
         self.spark = spark
         self.path = path
         self.n_spans = n_spans
         self.n_doc_spans = n_doc_spans
+        # Self-compaction threshold (the view's trigger applied to the
+        # serving index): every upsert appends one postings file per
+        # touched term span and grows the replaced set by its revised
+        # ids, so WITHOUT a cadence both read costs creep with
+        # revision count — O(files) footer opens and an O(revisions)
+        # broadcast anti-join. When the postings table averages this
+        # many files per span, upsert() triggers compact(), which
+        # folds dead generations out and empties the replaced set in
+        # one rewrite. The trigger reads ONLY the manifest (no Spark
+        # job). None disables (manual cadence).
+        self.auto_compact_files_per_span = auto_compact_files_per_span
         self._post = ManifestTable(os.path.join(path, "postings"), "tspan")
         self._docs = ManifestTable(os.path.join(path, "doc_index"), "dspan")
         self._repl = ManifestTable(os.path.join(path, "replaced"), "dspan")
@@ -273,6 +285,23 @@ class InvertedIndex:
                 },
                 f,
             )
+        self._maybe_auto_compact()
+
+    def _maybe_auto_compact(self) -> None:
+        """Post-upsert trigger: when the postings table averages
+        ``auto_compact_files_per_span`` files per live span, fold dead
+        generations + slivers and clear the replaced set. Manifest
+        reads only decide the trigger; the work itself is one
+        distributed rewrite whose swap-in is atomic, so a query racing
+        the compaction sees identical results either side of it."""
+        k = self.auto_compact_files_per_span
+        if not k:
+            return
+        mapping = self._post.spans()
+        n_spans = len(mapping)
+        n_files = sum(len(v) for v in mapping.values())
+        if n_spans and n_files >= k * n_spans:
+            self.compact()
 
     def compact(self) -> None:
         """Fold the delete vectors into the postings files: one
