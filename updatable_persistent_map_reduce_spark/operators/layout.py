@@ -48,14 +48,18 @@ def _minmax_matching_files(
         total += 1
         md = pq.ParquetFile(os.path.join(path, name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
-        fmin = min(
-            md.row_group(g).column(idx).statistics.min
+        stats = [
+            md.row_group(g).column(idx).statistics
             for g in range(md.num_row_groups)
-        )
-        fmax = max(
-            md.row_group(g).column(idx).statistics.max
-            for g in range(md.num_row_groups)
-        )
+        ]
+        if any(s is None or not s.has_min_max for s in stats):
+            # a row group without bounds (e.g. all-null column) can
+            # never be ruled out — count the file as matching, the
+            # same always-safe fallback store._capture_stats takes
+            match += 1
+            continue
+        fmin = min(s.min for s in stats)
+        fmax = max(s.max for s in stats)
         if not (fmax < lo or fmin > hi):
             match += 1
     return match, total

@@ -660,7 +660,16 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketed co-located join — pre-shuffling at write time so the join
 # itself needs no exchange.
 
-_BUCKET_WAREHOUSE: dict[str, str] = {}
+# Keyed on the LIVE SparkSession object (weakly): id(spark) keys can
+# be recycled by CPython after a session is garbage-collected, which
+# would serve a cached db name whose tables live in the dead session's
+# metastore. A weak key dies with its session, so a recycled id can
+# only ever rebuild fresh. Values: {sf_dir: db_name}.
+import itertools
+import weakref
+
+_BUCKET_WAREHOUSE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_BUCKET_SEQ = itertools.count()
 _N_BUCKETS = 8
 
 
@@ -681,9 +690,9 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     sf token made the second sf's write clobber the first's tables
     while the cache kept serving the stale db name). The temp dirs
     are removed at interpreter exit."""
-    key = f"{id(spark)}:{sf_dir}"
-    if key in _BUCKET_WAREHOUSE:
-        return _BUCKET_WAREHOUSE[key]
+    per_session = _BUCKET_WAREHOUSE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
     import atexit
     import hashlib
     import shutil
@@ -691,7 +700,9 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
 
     cat = Catalog(spark, sf_dir)
     sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    db = f"upmr_bucketed_p{os.getpid()}_s{id(spark)}_{sf_tag}"
+    # name uniqueness among LIVE sessions comes from the monotonic
+    # sequence (never reused within a process), not from id()
+    db = f"upmr_bucketed_p{os.getpid()}_s{next(_BUCKET_SEQ)}_{sf_tag}"
     loc = tempfile.mkdtemp(prefix="upmr_bucketed_")
     atexit.register(shutil.rmtree, loc, ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
@@ -705,7 +716,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .saveAsTable(name)
         )
-    _BUCKET_WAREHOUSE[key] = db
+    per_session[sf_dir] = db
     return db
 
 
@@ -1894,13 +1905,22 @@ def _crosstab_guarded(
     small. One cheap approx-distinct pre-pass checks the product and
     raises toward the scalable alternative (groupBy().pivot() with an
     explicit value list — q_pivot) instead of letting a
-    high-cardinality pair OOM the driver at 100x the data."""
+    high-cardinality pair OOM the driver at 100x the data.
+
+    The estimate is approximate (HLL, default ~5% rsd per side), so
+    the comparison pads it by 10%: a pair slightly OVER the budget
+    whose estimate ran low still trips the guard. The cost of the
+    padding is that a pair within ~10% under the budget may be
+    spuriously rejected — the right failure direction for a guard
+    whose job is protecting driver memory; callers that need the
+    exact boundary should count exactly and call df.stat.crosstab
+    themselves."""
     est = df.agg(
         F.approx_count_distinct(col1).alias("c1"),
         F.approx_count_distinct(col2).alias("c2"),
     ).first()
     cells = est["c1"] * est["c2"]
-    if cells > max_cells:
+    if cells * 1.1 > max_cells:
         raise ValueError(
             f"crosstab({col1}, {col2}) would materialize ~{cells} cells "
             f"driver-side (> {max_cells}); use groupBy({col1!r})"
