@@ -696,6 +696,38 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # null-safe equality is still a HASH join key — never a
+    # nested-loop fallback for the NULL handling
+    "q_join_null_safe": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop",
+         "SortMergeJoin"],
+    ),
+    # both distribution functions share ONE Window node / one shuffle
+    "q_window_distribution": (
+        ["Window"],
+        # the node-detail headers "(N) Window" appear once per physical
+        # Window node — two of them = the functions stopped sharing a
+        # single window spec
+        ["Python", "Join", "CartesianProduct",
+         r"re:(?s)\(\d+\) Window.*\(\d+\) Window"],
+    ),
+    # codegen boolean aggregates, map-side partials, no joins
+    "q_agg_boolean": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
+    # packing: token count in the scan stage, one window shuffle keyed
+    # by shard, bounded sequence explode, partial+final agg — pure JVM
+    "q_pack_tokens": (
+        ["Window", "Generate", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
+    # restored snapshot read: plain pruned scan + aggregate
+    "q_store_restore": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -81,7 +81,11 @@ _PRIORITY = [
     "q_cross_tab",  # r7 padded cardinality-guard estimate (ADVICE fix)
     # -- 2. new in round 7, never driver-attested (filled in as
     #       queries are added; excess past the 50-sample rolls) -----
-    # (appended by round-7 commits)
+    "q_pack_tokens",      # new: GPT-style concat-and-chunk packing
+    "q_store_restore",    # new: RESTORE TO VERSION as forward commit
+    "q_join_null_safe",   # new: <=> join, NULL keys match, still BHJ
+    "q_window_distribution",  # new: percent_rank + cume_dist, 1 Window
+    "q_agg_boolean",      # new: count_if / bool_and / bool_or
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

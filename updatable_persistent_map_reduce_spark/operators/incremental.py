@@ -647,6 +647,59 @@ def q_store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_store_restore",
+    oracle=(
+        "SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100)) "
+        "AS BIGINT) AS bal_total "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    doc="RESTORE TABLE TO VERSION (Delta RESTORE semantics): after the "
+    "merge scenario mutates the customer table (v2), restore(v1) "
+    "commits a NEW version whose state equals the original — rollback "
+    "as a forward-moving commit, not history rewriting. Asserted "
+    "in-query: (a) zero data movement — the restored manifest's "
+    "span->file lists are IDENTICAL to v1's (re-referenced, not "
+    "rewritten), the property that makes restoring a 100 TB table "
+    "O(manifest); (b) history preserved — the version advances to 3 "
+    "and the rolled-back v2 snapshot still time-travels to the merged "
+    "state (its spans differ from v1's). Oracle = the ORIGINAL "
+    "customer aggregate, because a correct restore erases the merge "
+    "from the serving state; integer cents both sides. Reference "
+    "tie-in: the engine's recompute-from-durable-state contract "
+    "(Executer.cs:165-203) extended to point-in-time recovery.",
+)
+def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_restore_")
+    v1 = t.version
+    t.merge(src, on=["k"], delete_where="dead")
+    v2 = t.version
+    v3 = t.restore(v1)
+    if v3 != v2 + 1 or t.version != v3:
+        raise RuntimeError(
+            f"restore must be a forward commit: v1={v1} v2={v2} v3={v3}"
+        )
+    if t.spans() != t.spans(version=v1):
+        raise RuntimeError(
+            "restored manifest re-references different files than the "
+            "target snapshot — restore is not zero-copy"
+        )
+    if t.spans(version=v2) == t.spans(version=v1):
+        raise RuntimeError(
+            "rolled-back version lost its own membership — history "
+            "was rewritten, not preserved"
+        )
+    return (
+        t.read(spark)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").cast("bigint").alias("bal_total"),
+        )
+    )
+
+
+@register(
     "q_store_delete_vectors",
     oracle=(
         "SELECT o_orderpriority AS priority, "

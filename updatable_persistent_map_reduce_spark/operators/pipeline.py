@@ -734,3 +734,78 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("threshold").cast("bigint").alias("threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concat-and-chunk token packing into fixed budgets.
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_SHARDS = 16
+
+
+@register(
+    "q_pack_tokens",
+    oracle=(
+        "WITH d AS (SELECT doc_id, doc_id % 16 AS shard, "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '')) AS dl FROM documents), "
+        "r AS (SELECT shard, dl, sum(dl) OVER (PARTITION BY shard "
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin "
+        "FROM d WHERE dl > 0), "
+        "e AS (SELECT shard, dl, fin, "
+        f"unnest(range(CAST((fin - dl) // {_PACK_BUDGET} AS BIGINT), "
+        f"CAST((fin - 1) // {_PACK_BUDGET} + 1 AS BIGINT))) AS seq_id "
+        "FROM r) "
+        "SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(least(fin, (seq_id + 1) * {_PACK_BUDGET}) - "
+        f"greatest(fin - dl, seq_id * {_PACK_BUDGET})) AS BIGINT) "
+        "AS n_tokens "
+        "FROM e GROUP BY shard, seq_id"
+    ),
+    doc="GPT-style sequence packing (concat-and-chunk): documents are "
+    "concatenated in deterministic order and cut into fixed "
+    f"{_PACK_BUDGET}-token training sequences; the output maps each "
+    "(shard, sequence) to how many documents contribute and how many "
+    "tokens it holds (== budget except each shard's ragged tail — an "
+    "in-query invariant a wrong window frame would break). Packing is "
+    "computed WITHIN hash shards, not globally: a single global "
+    "running sum would serialize the corpus through one partition, "
+    "while per-shard prefix sums are embarrassingly parallel and are "
+    "what real pretraining pipelines ship (each shard becomes a "
+    "training-data file). Plan: one scan -> token count (pure "
+    "codegen) -> one window shuffle keyed by shard -> explode of each "
+    "doc's [first,last] sequence range (F.sequence, bounded by "
+    "dl/budget + 2 elements) -> partial+final aggregate. No Python, "
+    "no join, no product; the window's partition count = shard count "
+    "scales freely at 100 TB.",
+)
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens_expr(F.col("text"))).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = d.select("shard", "dl", F.sum("dl").over(w).alias("fin"))
+    start = F.col("fin") - F.col("dl")
+    first_seq = F.floor(start / _PACK_BUDGET)
+    last_seq = F.floor((F.col("fin") - 1) / _PACK_BUDGET)
+    e = r.select(
+        "shard",
+        "dl",
+        "fin",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    tok_in_seq = F.least(
+        F.col("fin"), (F.col("seq_id") + 1) * _PACK_BUDGET
+    ) - F.greatest(F.col("fin") - F.col("dl"), F.col("seq_id") * _PACK_BUDGET)
+    return e.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok_in_seq).cast("bigint").alias("n_tokens"),
+    )

@@ -3153,3 +3153,125 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join — the join-matrix entry where NULL keys MATCH.
+
+
+@register(
+    "q_join_null_safe",
+    oracle=(
+        "WITH e AS (SELECT CASE WHEN event_type = 'click' THEN NULL "
+        "ELSE event_type END AS k, value FROM events), "
+        "dim AS (SELECT * FROM (VALUES (NULL, 'untyped'), "
+        "('view', 'passive'), ('purchase', 'active')) AS d(k, category)) "
+        "SELECT category, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) "
+        "AS value_cents "
+        "FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k "
+        "GROUP BY category"
+    ),
+    doc="NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): the one "
+    "join-matrix entry where NULL keys MATCH instead of silently "
+    "dropping — the semantics a dimension with an explicit "
+    "'unknown' NULL member needs (a plain equi-join discards every "
+    "NULL fact row; an outer join mislabels them). EqualNullSafe is "
+    "still a HASH join key in Spark (null hashes to a bucket like any "
+    "value), so the plan is the same broadcast hash join as q_join_"
+    "broadcast — no nested-loop penalty for the null handling, which "
+    "is what makes it usable on a 100 TB fact side. Integer-cents sum "
+    "so both engines agree exactly.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.select(
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "value",
+    )
+    # VALUES via SQL (not createDataFrame): a LocalTableScan with no
+    # applySchemaToPythonRDD residue, so the plan audit can forbid
+    # Python outright
+    dim = spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS STRING), 'untyped'), "
+        "('view', 'passive'), ('purchase', 'active') AS d(k, category)"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["k"].eqNullSafe(dim["k"]))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions — percent_rank / cume_dist.
+
+
+@register(
+    "q_window_distribution",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "round(percent_rank() OVER w, 6) AS pr, "
+        "round(cume_dist() OVER w, 6) AS cd "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice, o_orderkey)"
+    ),
+    doc="Relative-position window functions: percent_rank ( (rank-1)/"
+    "(n-1) ) and cume_dist ( rank_from_end/n ) of each order's price "
+    "within its status group — the normalized-score shape quantile "
+    "feature engineering uses (a model wants 'this order is at the "
+    "97th percentile of its segment', not the raw price). The order "
+    "key carries o_orderkey as a tiebreak so ranks are total and the "
+    "float ratios are IDENTICAL small-integer divisions in both "
+    "engines (rounded 6dp only as belt-and-braces). One shuffle on "
+    "the partition key; both functions share a single Window node.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boolean / conditional aggregate family.
+
+
+@register(
+    "q_agg_boolean",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big, "
+        "bool_and(value >= 0) AS all_nonneg, "
+        "bool_or(value > 1000) AS any_huge "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="Boolean/conditional aggregates: count_if, bool_and (ANSI "
+    "EVERY), bool_or (ANSI ANY/SOME) per event type — the data-quality "
+    "assertion shape ('every value non-negative, any outlier "
+    "present?') that turns a full-scan validation suite into one "
+    "partial+final aggregate pass. All three are codegen aggregates "
+    "with map-side partials; exact by construction (no floats in the "
+    "output), so the oracle is bit-identical FILTER/bool_and/bool_or "
+    "SQL.",
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 1000).alias("any_huge"),
+    )

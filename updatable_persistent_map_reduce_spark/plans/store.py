@@ -872,6 +872,34 @@ class ManifestTable:
             )
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION (Delta RESTORE semantics): commit a
+        NEW snapshot whose membership, tombstone state, schema, and
+        stats equal the archived ``version`` — rollback as a
+        forward-moving commit. Zero data movement: the restore
+        re-references the old snapshot's files (immutable by the
+        store's contract, still on disk until vacuumed), so restoring
+        a 100 TB table is O(manifest). History is preserved — the
+        rolled-back versions stay time-travelable, and the restore
+        itself appears in :meth:`history` like any commit (the
+        difference from time-travel READS: subsequent writers build on
+        the restored state). Raises if ``version``'s manifest was
+        vacuumed away (``ValueError`` from the archive load); OCC
+        applies as usual — a concurrent commit between load and
+        publish loses one side loudly."""
+        m = self._load()
+        old = self._load(version)
+        new = {"version": m["version"] + 1, "spans": old["spans"]}
+        for k in ("schema", "stats", "deletes", "delete_on"):
+            if k in old:
+                new[k] = old[k]
+        out = self._publish_new(m, new)
+        if "schema" in old:
+            from pyspark.sql.types import StructType
+
+            self._schema = StructType.fromJson(json.loads(old["schema"]))
+        return out
+
     def clone_to(self, dest: str) -> "ManifestTable":
         """ZERO-COPY shallow clone (Delta SHALLOW CLONE semantics): a
         new table at ``dest`` whose data (and tombstone) files are
