@@ -728,6 +728,27 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # banded interval join: computed band key -> HASH join, the exact
+    # range predicate is a residual filter; the NLJ q_join_range
+    # tolerates for its 10-row dim is the bug here
+    "q_join_range_banded": (
+        ["Generate", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # ordered funnel: first-touch aggregate + EQUI-join on user_id
+    # (time bounds as residual filter) + the sanctioned 1-row scalar
+    # crossJoin; a time-range NLJ over the fact would drop the
+    # required hash-join marker
+    "q_event_funnel": (
+        ["HashAggregate", "re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct"],
+    ),
+    # cogrouped-map UDF: Arrow FlatMapCoGroupsInPandas, one shuffle
+    # per side — never row-pickled Python
+    "q_cogroup_udf": (
+        ["FlatMapCoGroupsInPandas"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

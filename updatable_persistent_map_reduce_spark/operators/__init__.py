@@ -86,6 +86,9 @@ _PRIORITY = [
     "q_join_null_safe",   # new: <=> join, NULL keys match, still BHJ
     "q_window_distribution",  # new: percent_rank + cume_dist, 1 Window
     "q_agg_boolean",      # new: count_if / bool_and / bool_or
+    "q_join_range_banded",  # new: interval join banded to equi-join
+    "q_event_funnel",     # new: ordered click->purchase attribution
+    "q_cogroup_udf",      # new: cogrouped applyInPandas surface
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

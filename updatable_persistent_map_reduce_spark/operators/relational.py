@@ -3275,3 +3275,199 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 1000).alias("any_huge"),
     )
+
+
+# ---------------------------------------------------------------------------
+# banded interval join — the equi-join scale path for range predicates.
+
+_RJB_N_IV = 5000
+_RJB_W = 2000  # band width == interval length -> each interval spans <= 2 bands
+
+
+@register(
+    "q_join_range_banded",
+    oracle=(
+        f"WITH iv AS (SELECT i AS interval_id, (i * 9973) % 550000 AS lo, "
+        f"(i * 9973) % 550000 + {_RJB_W} AS hi FROM range({_RJB_N_IV}) t(i)) "
+        "SELECT interval_id, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) "
+        "AS BIGINT) AS price_cents "
+        "FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice < hi "
+        "GROUP BY interval_id"
+    ),
+    doc="Point-in-interval join BANDED into an equi-join — the scale "
+    "path q_join_range's docstring promises: 5000 price intervals "
+    "(too many to nested-loop against a 100 TB fact side) and the "
+    "orders table meet on a computed band key (floor(value/W); each "
+    "interval explodes to its <= 2 covering bands, each point to "
+    "exactly one), then the exact range predicate filters the banded "
+    "candidates. Every qualifying (point, interval) pair meets in "
+    "precisely the point's band, so no dedup is needed — the join is "
+    "a plain hash join whose volume is true-match count plus the "
+    "band-boundary near-misses, never |points| x |intervals|. The "
+    "audit forbids BroadcastNestedLoop outright (the plan q_join_range "
+    "accepts for its 10-row dim is the one this query exists to rule "
+    "out). Interval set generated by identical arithmetic in both "
+    "engines; integer-cents sum.",
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    iv = spark.range(_RJB_N_IV).select(
+        F.col("id").alias("interval_id"),
+        ((F.col("id") * 9973) % 550000).alias("lo"),
+    ).withColumn("hi", F.col("lo") + _RJB_W)
+    iv_b = iv.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _RJB_W),
+                F.floor((F.col("hi") - 1) / _RJB_W),
+            )
+        ),
+    )
+    pts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _RJB_W).alias("band"),
+    )
+    j = pts.join(iv_b, "band").filter(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel — step B strictly after step A, bounded window.
+
+
+@register(
+    "q_event_funnel",
+    oracle=(
+        "WITH c AS (SELECT user_id, min(ts) AS t0 FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "conv AS (SELECT DISTINCT c.user_id FROM c JOIN events e "
+        "ON e.user_id = c.user_id AND e.event_type = 'purchase' "
+        "AND e.ts > c.t0 AND e.ts <= c.t0 + INTERVAL 1 HOUR) "
+        "SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_users, "
+        "CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted, "
+        "round(CAST((SELECT count(*) FROM conv) AS DOUBLE) / "
+        "(SELECT count(*) FROM c), 4) AS conv_rate"
+    ),
+    doc="ORDERED conversion funnel: a user converts iff a purchase "
+    "lands STRICTLY AFTER their first click and within one hour of it "
+    "— the sequencing constraint q_session_conversion's unordered "
+    "has-click-and-buy flags cannot express (a purchase-then-click "
+    "session counts there, not here). Two-phase plan: per-user "
+    "min(click ts) aggregate (one shuffle), then the purchase stream "
+    "joins that compact per-user table on user_id with the time "
+    "bounds as a residual filter — an equi-join, never a time-range "
+    "product — and a distinct-user count. At 100 TB the first-touch "
+    "table is |users|-sized (broadcastable or co-partitioned with the "
+    "fact), the classic attribution-join shape. Counts are integers; "
+    "the one rate division is the same small-integer ratio in both "
+    "engines.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # two 1-row aggregates joined by the broadcast scalar crossJoin
+    # pattern (the repo's only sanctioned crossJoin shape) — the whole
+    # funnel stays one declarative plan, no driver-side counts
+    a = clicks.agg(F.count(F.lit(1)).alias("n_click_users"))
+    b = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_click_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_click_users"), 4
+        ).alias("conv_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped-map UDF surface — applyInPandas over a two-sided cogroup.
+
+
+@register(
+    "q_cogroup_udf",
+    oracle=(
+        "WITH thr AS (SELECT i AS user_id, "
+        "CAST(50 + (i % 7) * 25 AS DOUBLE) AS threshold "
+        "FROM range(200) t(i)) "
+        "SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CASE WHEN value > COALESCE(threshold, 100.0) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_above "
+        "FROM events e LEFT JOIN thr ON e.user_id = thr.user_id "
+        "GROUP BY e.user_id"
+    ),
+    doc="COGROUPED map UDF (df.groupBy(k).cogroup(other.groupBy(k))"
+    ".applyInPandas): both sides of a key arrive as one Arrow batch "
+    "pair per group — the two-table custom-logic surface (custom "
+    "joins, per-entity model scoring against per-entity config) that "
+    "neither mapInPandas (one table) nor applyInPandas (one group "
+    "stream) covers; completes the repo's Python-surface matrix "
+    "alongside q_udf_surface / q_udtf_surface / q_mm_* mapInPandas. "
+    "Per user: event count and count above the user's personal "
+    "threshold (default 100.0 when the config side is empty — the "
+    "per-group empty-frame case the API contract requires handling). "
+    "Here the kernel is deliberately SQL-expressible so the whole "
+    "surface is oracle-checked; production kernels are arbitrary "
+    "Python. Plan: one shuffle per side on the cogroup key, "
+    "FlatMapCoGroupsInPandas (Arrow), never row-pickled Python.",
+)
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.select("user_id", "value")
+    thr = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        (F.lit(50.0) + (F.col("id") % 7).cast("double") * 25.0).alias(
+            "threshold"
+        ),
+    )
+
+    def fn(key, ev_pdf: pd.DataFrame, thr_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(ev_pdf):
+            # config-only users produce no output row (oracle groups
+            # FROM events, so they must not appear)
+            return pd.DataFrame(
+                {"user_id": [], "n_events": [], "n_above": []}
+            )
+        t = (
+            float(thr_pdf["threshold"].iloc[0])
+            if len(thr_pdf)
+            else 100.0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(len(ev_pdf))],
+                "n_above": [int((ev_pdf["value"] > t).sum())],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(thr.groupBy("user_id"))
+        .applyInPandas(
+            fn, "user_id bigint, n_events bigint, n_above bigint"
+        )
+    )
