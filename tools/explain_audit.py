@@ -749,6 +749,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapCoGroupsInPandas"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # OHLC: one window shuffle keyed by (series, hour) — parallel per
+    # bucket, never a SinglePartition gather — then partial+final agg
+    "q_ohlc_rollup": (
+        ["Window", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # time-weighted avg: one lead() window keyed by series + agg
+    "q_time_weighted_avg": (
+        ["Window", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
 }
 
 

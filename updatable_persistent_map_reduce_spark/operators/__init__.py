@@ -89,6 +89,8 @@ _PRIORITY = [
     "q_join_range_banded",  # new: interval join banded to equi-join
     "q_event_funnel",     # new: ordered click->purchase attribution
     "q_cogroup_udf",      # new: cogrouped applyInPandas surface
+    "q_ohlc_rollup",      # new: hypertable OHLC candlestick rollup
+    "q_time_weighted_avg",  # new: locf time-weighted mean per series
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

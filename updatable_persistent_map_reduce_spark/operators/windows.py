@@ -166,3 +166,142 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(converted).cast("double") / F.sum("has_click"), 4
         ).alias("conv_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hypertable-style time-series rollups — OHLC and time-weighted average.
+
+
+@register(
+    "q_ohlc_rollup",
+    oracle=(
+        "WITH b AS (SELECT event_type, "
+        "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, value, ts, "
+        "event_id FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr "
+        "ORDER BY ts, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY event_type, hr "
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
+        "SELECT event_type, hr, "
+        "CAST(floor(CAST(max(CASE WHEN rn_a = 1 THEN value END) "
+        "AS DECIMAL(18,6)) * 100) AS BIGINT) AS open_cents, "
+        "CAST(floor(CAST(max(value) AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "AS high_cents, "
+        "CAST(floor(CAST(min(value) AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "AS low_cents, "
+        "CAST(floor(CAST(max(CASE WHEN rn_d = 1 THEN value END) "
+        "AS DECIMAL(18,6)) * 100) AS BIGINT) AS close_cents, "
+        "CAST(count(*) AS BIGINT) AS volume "
+        "FROM r GROUP BY event_type, hr"
+    ),
+    doc="OHLC candlestick rollup (the hypertable continuous-aggregate "
+    "staple): per (event_type, hour) — open = value at the FIRST "
+    "event, close = at the LAST, high/low/volume — the shape every "
+    "time-series store (Timescale candlestick_agg, kdb xbar) bakes "
+    "in. First/last are selected by row_number over the total order "
+    "(ts, event_id) — a tie-broken total order, because first_value "
+    "over a ts-only order is nondeterministic under equal timestamps "
+    "and DuckDB has no composite-key arg_min to mirror it. Every "
+    "output is a SELECTED value in integer cents (floor(decimal*100), "
+    "no arithmetic on doubles), so the hash compare is exact. One "
+    "window shuffle keyed by (type, hour) feeding the partial+final "
+    "aggregate — at 100 TB this parallelizes per series-bucket, and "
+    "OHLC re-aggregates hierarchically (hour -> day) because "
+    "open/close/min/max/count are all mergeable, the same "
+    "re-reducible contract as the engine's Reduce "
+    "(MapReduceTask.cs:10).",
+)
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_a = W.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    w_d = W.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    cents = lambda c: F.floor(  # noqa: E731
+        c.cast("decimal(18,6)") * 100
+    ).cast("bigint")
+    return r.groupBy("event_type", "hr").agg(
+        cents(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias(
+            "open_cents"
+        ),
+        cents(F.max("value")).alias("high_cents"),
+        cents(F.min("value")).alias("low_cents"),
+        cents(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias(
+            "close_cents"
+        ),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=(
+        "WITH o AS (SELECT user_id, value, epoch_us(ts) AS t_us, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt_us FROM events), "
+        "d AS (SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v, "
+        "nxt_us - t_us AS dt_us FROM o WHERE nxt_us IS NOT NULL) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(sum(dt_us) AS BIGINT) AS span_us, "
+        "CAST(floor(CAST(sum(v * dt_us) AS DOUBLE) / sum(dt_us) "
+        "* 10000) AS BIGINT) AS twa_e4 "
+        "FROM d GROUP BY user_id"
+    ),
+    doc="TIME-WEIGHTED average per user (Timescale time_weight / "
+    "industrial-historian semantics, locf interpolation): each "
+    "observation holds until the next one, so its weight is the "
+    "microseconds until the successor (the series' last point has no "
+    "duration and drops — the standard locf convention). Plain avg() "
+    "over irregular samples over-weights bursts; the time-weighted "
+    "form is the correct mean for sensor/price series. Exactness "
+    "path: the numerator sum(DECIMAL(18,6) value x BIGINT dt_us) is "
+    "EXACT in both engines, the denominator is an exact integer, and "
+    "the single double division of identical inputs is identical "
+    "IEEE, published through floor(x*1e4) — floor of an identical "
+    "double, immune to the engines' round() convention drift. One "
+    "lead() window keyed by user (parallel per series), one "
+    "partial+final aggregate.",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast to
+        # (tz-aware) TIMESTAMP is the identity mapping in both engines
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp")))
+        .over(w)
+        .alias("nxt_us"),
+    )
+    d = o.filter(F.col("nxt_us").isNotNull()).select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("nxt_us") - F.col("t_us")).alias("dt_us"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.floor(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("twa_e4"),
+    )
