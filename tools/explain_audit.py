@@ -762,6 +762,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Python", "Join", "CartesianProduct",
          "Exchange SinglePartition"],
     ),
+    # epoch shuffle: codegen hash in the scan stage, window keyed by
+    # (epoch, shard) — never a global-order SinglePartition sort
+    "q_epoch_shuffle": (
+        ["Window"],
+        ["Python", "CartesianProduct", "Exchange SinglePartition"],
+    ),
 }
 
 

@@ -809,3 +809,62 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tok_in_seq).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch-aware training-order shuffle — deterministic corpus permutation.
+
+_EPOCH_STRIDE = 7919  # prime: decorrelates epoch hash streams
+_SHUF_SHARDS = 8
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=(
+        "WITH e AS (SELECT i AS epoch FROM range(2) t(i)), "
+        "h AS (SELECT epoch, doc_id, "
+        f"((doc_id + epoch * {_EPOCH_STRIDE}) * {_KNUTH}) % {_M32} AS hv "
+        "FROM documents CROSS JOIN e) "
+        "SELECT epoch, CAST(hv % 8 AS BIGINT) AS shard, "
+        "CAST(row_number() OVER (PARTITION BY epoch, hv % 8 "
+        "ORDER BY hv, doc_id) AS BIGINT) AS pos, doc_id "
+        "FROM h"
+    ),
+    doc="EPOCH-AWARE deterministic training-order shuffle: each epoch "
+    "permutes the corpus by a multiplicative hash of (doc_id + "
+    "epoch*prime) — different epochs give decorrelated orders (the "
+    "'reshuffle every epoch' contract of a pretraining loader) yet "
+    "any (epoch, doc) position is reproducible from the ids alone: "
+    "no RNG state to checkpoint, no coordination across 1000 "
+    "executors, resumable mid-epoch by position. Spark's own "
+    "df.sample/shuffle are seed-per-partition and change with "
+    "partitioning; this is partitioning-invariant by construction. "
+    "Output maps every (epoch, doc) to its (shard, position). Plan: "
+    "hash is scan-stage codegen; one window shuffle keyed by (epoch, "
+    "shard) — at 100 TB the physical form is repartitionByRange on "
+    "(shard, hv) writing one ordered file per shard per epoch, same "
+    "math, no window needed. The 2-row epoch side is the sanctioned "
+    "broadcast cross join.",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    h = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            ((F.col("doc_id") + F.col("epoch") * _EPOCH_STRIDE) * _KNUTH)
+            % _M32
+        ).alias("hv"),
+    )
+    w = W.partitionBy("epoch", (F.col("hv") % _SHUF_SHARDS)).orderBy(
+        "hv", "doc_id"
+    )
+    return h.select(
+        "epoch",
+        (F.col("hv") % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
