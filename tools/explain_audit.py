@@ -768,6 +768,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["Python", "CartesianProduct", "Exchange SinglePartition"],
     ),
+    # edit-distance ER: blocked pair generation is a HASH join on the
+    # block key — never corpus x corpus
+    "q_dedup_edit": (
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
 }
 
 

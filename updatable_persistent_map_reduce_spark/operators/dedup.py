@@ -1185,3 +1185,67 @@ def q_dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_window_summary(
         Catalog(spark, sf_dir).documents, hashed=True
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup — the entity-resolution modality: blocking +
+# bounded-prefix Levenshtein.
+
+_EDIT_PREFIX = 100  # chars compared — bounds the O(p^2) DP per pair
+_EDIT_MAX = 50      # report pairs at or under this distance
+
+
+@register(
+    "q_dedup_edit",
+    oracle=(
+        f"WITH d AS (SELECT doc_id, lang, source, "
+        f"substr(lower(text), 1, {_EDIT_PREFIX}) AS p FROM documents) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist "
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE levenshtein(a.p, b.p) <= {_EDIT_MAX}"
+    ),
+    doc="EDIT-DISTANCE near-dup detection — the entity-resolution "
+    "modality the dedup matrix lacked (exact / MinHash / SimHash / "
+    "n-gram / embedding / substring / hamming / URL cover set- and "
+    "vector-similarity; character-level typo/ocr variants need "
+    "Levenshtein). Standard ER shape at scale: BLOCK first (equi-join "
+    "on (lang, source) — the same blocking-key discipline record "
+    "linkage uses; the pair generator is a hash join on the block "
+    "key, never corpus x corpus), then score each blocked pair with "
+    "Levenshtein over a BOUNDED 100-char prefix, capping the O(p^2) "
+    "DP per pair. Cost is sum(block^2) x O(prefix^2) — declared and "
+    "controlled by blocking granularity, the knob every ER deployment "
+    "tunes; blocks here are <= ~16 docs. levenshtein() is the same "
+    "classic DP integer in both engines, so the oracle is exact.",
+)
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.lower(F.col("text")), 1, _EDIT_PREFIX).alias("p"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("p").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("p").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= _EDIT_MAX)
+    )
