@@ -774,6 +774,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # exact-quota split: ONE window exchange keyed by the stratum
+    # (rank and count ride it together), never a global sort
+    "q_split_exact": (
+        ["Window", r"re:hashpartitioning\(lang"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # cumulative reach: the per-user first-touch window must be
+    # hash-partitioned (parallel); the only SinglePartition frame is
+    # the per-DAY running sum over ~dozens of rows — allowed by design
+    "q_cumulative_distinct": (
+        ["Window", r"re:hashpartitioning\(user_id"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -93,6 +93,8 @@ _PRIORITY = [
     "q_time_weighted_avg",  # new: locf time-weighted mean per series
     "q_epoch_shuffle",    # new: deterministic per-epoch training order
     "q_dedup_edit",       # new: blocked bounded-prefix Levenshtein ER
+    "q_split_exact",      # new: exact-quota stratified train/val/test
+    "q_cumulative_distinct",  # new: first-touch cumulative reach
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

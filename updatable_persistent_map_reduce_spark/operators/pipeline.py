@@ -868,3 +868,70 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-count stratified split — train/val/test with exact quotas.
+
+_SPLIT_VAL_PCT = 10   # exact ceil-quota percentages per stratum
+_SPLIT_TEST_PCT = 10
+
+
+@register(
+    "q_split_exact",
+    oracle=(
+        f"WITH r AS (SELECT doc_id, lang, "
+        f"row_number() OVER (PARTITION BY lang "
+        f"ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) AS rk, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        "SELECT lang, CASE "
+        f"WHEN rk <= ceil(n * {_SPLIT_TEST_PCT} / 100.0) THEN 'test' "
+        f"WHEN rk <= ceil(n * {_SPLIT_TEST_PCT} / 100.0) "
+        f"  + ceil(n * {_SPLIT_VAL_PCT} / 100.0) THEN 'val' "
+        "ELSE 'train' END AS split, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc, "
+        "CAST(max(doc_id) AS BIGINT) AS max_doc "
+        "FROM r GROUP BY 1, 2"
+    ),
+    doc="EXACT-COUNT stratified train/val/test split: within each "
+    "language stratum, docs are ranked by the deterministic "
+    "multiplicative hash (tie-broken by id — a total order) and the "
+    "first ceil(10%) become test, the next ceil(10%) val, the rest "
+    "train. Rate-predicate sampling (q_sample_hash/stratified) gives "
+    "only EXPECTED proportions — a 30-doc tail language can land 0 "
+    "eval docs; quota ranking guarantees every stratum contributes "
+    "exactly its ceil share, which is what a benchmark-holdout "
+    "builder actually needs. Hash-ordered ranking keeps membership "
+    "deterministic and REFRESH-STABLE in the common case (a new doc "
+    "displaces at most the quota-boundary docs, not the whole split, "
+    "unlike random ranking). One window shuffle keyed by stratum; "
+    "count(*) OVER the same partition rides the same exchange.",
+)
+def q_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(
+        (F.col("doc_id") * _KNUTH) % _M32, "doc_id"
+    )
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    q_test = F.ceil(F.col("n") * _SPLIT_TEST_PCT / 100.0)
+    q_val = F.ceil(F.col("n") * _SPLIT_VAL_PCT / 100.0)
+    split = (
+        F.when(F.col("rk") <= q_test, "test")
+        .when(F.col("rk") <= q_test + q_val, "val")
+        .otherwise("train")
+    )
+    return (
+        r.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -305,3 +305,48 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("twa_e4"),
     )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle=(
+        "WITH f AS (SELECT user_id, CAST(date_trunc('day', ts) AS "
+        "TIMESTAMP) AS day, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users "
+        "FROM f WHERE rn = 1 GROUP BY day) "
+        "SELECT day, new_users, CAST(sum(new_users) OVER ("
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS cum_users FROM d"
+    ),
+    doc="RUNNING DISTINCT count (cumulative reach): distinct users per "
+    "day and cumulatively — the DAU/total-reach curve. count(DISTINCT) "
+    "OVER a running frame is unsupported (and would be quadratic "
+    "state); the standard rewrite is first-touch attribution: rank "
+    "each user's events over the tie-broken total order, keep rn=1 "
+    "(their FIRST event ever), count first-touches per day, then a "
+    "running sum over the tiny per-day series. Two window shuffles: "
+    "one keyed by user (parallel), one over the per-DAY frame whose "
+    "input is days-count rows — the single-partition running sum is "
+    "over ~dozens of rows, not the corpus, which is why this form "
+    "scales and the naive one cannot.",
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.row_number().over(w_u).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w_d = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w_d).cast("bigint").alias("cum_users"),
+    )
