@@ -788,6 +788,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", r"re:hashpartitioning\(user_id"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # post-vacuum read: plain pruned scan + aggregate (GC must never
+    # change the current snapshot's plan or content)
+    "q_store_vacuum": (
+        ["Scan parquet", "HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -1318,3 +1318,65 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     view.execute(revised)
     return view.final_df().select("simhash", "keep_doc_id", "n_docs")
 
+
+
+@register(
+    "q_store_vacuum",
+    oracle=(
+        "SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(floor(CAST(c_acctbal AS DECIMAL(18,6)) * 100)) "
+        "AS BIGINT) AS bal_total "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    doc="VACUUM lifecycle (retention + orphan reclamation): after the "
+    "merge scenario leaves (a) pre-merge files superseded by the "
+    "rewrite, (b) a deliberately CRASHED write's orphan files "
+    "(write_data with no commit — invisible by the manifest "
+    "contract), and (c) a restore back to v1, vacuum(keep_versions=1) "
+    "must delete the orphans and every unreferenced data file, prune "
+    "the archived manifests past retention, and leave the CURRENT "
+    "snapshot byte-identical — asserted in-query: files removed > 0, "
+    "the current span->file lists unchanged across the vacuum, "
+    "time travel to a pruned version now raises (the retention "
+    "contract made loud), and the post-vacuum read equals the "
+    "pre-merge aggregate the oracle computes. This is the GC half of "
+    "the reference's durability story (Executer.cs:165-203 persists "
+    "forever; a real deployment must reclaim) — the exact trade "
+    "Delta's VACUUM/retention makes.",
+)
+def q_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, tgt, src = _merge_scenario(spark, sf_dir, "upmr_vacuum_")
+    v1 = t.version
+    t.merge(src, on=["k"], delete_where="dead")
+    # a crashed write: files land, no commit references them
+    t.write_data(tgt.limit(50))
+    t.restore(v1)
+    before_spans = t.spans()
+    removed = t.vacuum(keep_versions=1)
+    if removed <= 0:
+        raise RuntimeError(
+            "vacuum reclaimed nothing despite superseded merge files "
+            "and a crashed write's orphans — the GC path is dead"
+        )
+    if t.spans() != before_spans:
+        raise RuntimeError(
+            "vacuum changed the CURRENT snapshot's membership — it "
+            "may only ever delete unreferenced files"
+        )
+    try:
+        t.read(spark, version=v1 + 1)  # the merge snapshot, now pruned
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError(
+            "time travel to a vacuumed version still resolved — "
+            "retention pruning did not happen"
+        )
+    return (
+        t.read(spark)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").cast("bigint").alias("bal_total"),
+        )
+    )
