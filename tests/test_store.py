@@ -581,6 +581,29 @@ def test_retry_commit_threaded_appends_both_land(spark, tmp_path):
     assert t0.version == 3
 
 
+def test_restore_is_forward_commit(spark, table):
+    """restore(v) republishes the archived snapshot as a NEW version:
+    content rolls back, history (incl. the rolled-back version) stays
+    time-travelable, files are re-referenced not rewritten, and a
+    vacuumed-away target version raises."""
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v1")])))
+    v1 = table.version
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "v2")])))
+    v2_spans = table.spans()
+    v3 = table.restore(v1)
+    assert v3 == 3 and table.version == 3
+    assert read_vals(table, spark) == [(0, "v1")]
+    assert table.spans() == table.spans(version=v1)  # zero-copy
+    assert table.spans(version=2) == v2_spans  # history preserved
+    # restoring the CURRENT state is a valid (no-op content) commit
+    assert table.restore(3) == 4
+    assert read_vals(table, spark) == [(0, "v1")]
+    # a pruned target raises loudly
+    table.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="no archived manifest"):
+        table.restore(2)
+
+
 def test_pointer_crash_self_heals(spark, table):
     """Crash between the commit point (_versions/<N>.json) and the
     pointer update: the next load adopts the committed version and
