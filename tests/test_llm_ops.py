@@ -819,3 +819,49 @@ def test_edge_lsh_geometry_scales():
             assert n / (2**planes) <= 2 * EDGE_TARGET_BUCKET
         # recall pinned: miss probability under target
         assert (1.0 - p**planes) ** tables <= EDGE_MISS_TARGET
+
+
+def test_pack_tokens_invariants(spark, sf_dir):
+    """Packing invariants the oracle's equality can't articulate on
+    its own terms: within every shard, each sequence holds EXACTLY the
+    256-token budget except the single ragged tail, and the shard's
+    token total equals the sum of its documents' token counts — no
+    token lost or double-counted across sequence boundaries."""
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.functions.text import (
+        tokens_expr,
+    )
+    from updatable_persistent_map_reduce_spark.operators import all_queries
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    rows = all_queries()["q_pack_tokens"].fn(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert by_shard
+    for shard, rs in by_shard.items():
+        tail = max(r["seq_id"] for r in rs)
+        for r in rs:
+            if r["seq_id"] == tail:
+                assert 1 <= r["n_tokens"] <= _PACK_BUDGET, r
+            else:
+                assert r["n_tokens"] == _PACK_BUDGET, r
+    want = {
+        r["shard"]: r["total"]
+        for r in Catalog(spark, sf_dir)
+        .documents.select(
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.size(tokens_expr(F.col("text"))).alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+        .groupBy("shard")
+        .agg(F.sum("dl").alias("total"))
+        .collect()
+    }
+    got = {s: sum(r["n_tokens"] for r in rs) for s, rs in by_shard.items()}
+    assert got == want
