@@ -171,13 +171,17 @@ def _near_dup_scored(
     # executor memory, but the shape is the same — materialize once,
     # never recompute per consumer.
     docs.persist()
-    sigs = docs.select("doc_id", "shingles", "mh")
+    sigs = docs.select(
+        "doc_id", F.size("shingles").alias("sz"), "shingles", "mh"
+    )
     rows_per_band = n_perm // n_bands
-    # Bands WITHOUT the shingle payload: the 8x banding explode and the
-    # bucket shuffle move only (doc_id, band, sig) — shingle arrays are
-    # joined back onto the (sparse) candidate pairs afterwards.
+    # Bands WITHOUT the shingle payload: the banding explode and the
+    # bucket shuffle move only (doc_id, set size, band, sig) — shingle
+    # arrays are joined back onto the (sparse) candidate pairs after
+    # the length filter below.
     bands = sigs.select(
         "doc_id",
+        "sz",
         F.explode(
             F.array(
                 *[
@@ -195,7 +199,7 @@ def _near_dup_scored(
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    ).select("doc_id", "sz", "bs.band", "bs.sig")
     # Pair generation by bucket grouping (one shuffle, no self-join):
     # collect each bucket's member list, emit ordered pairs. Degenerate
     # buckets are capped — a bucket with > MAX_BUCKET members is a
@@ -203,11 +207,24 @@ def _near_dup_scored(
     MAX_BUCKET = 1000
     buckets = (
         bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "sz"))
+            ).alias("members")
+        )
         .filter(
             (F.size("members") > 1) & (F.size("members") <= MAX_BUCKET)
         )
     )
+    # The classic LENGTH FILTER, applied BEFORE the shingle-array join:
+    # J = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so any pair that could
+    # clear the 0.5 threshold must satisfy 2*min >= max. LOSSLESS by
+    # that inequality (slack factor 9999/10000 also covers
+    # near_dup_pairs' ROUNDED >= 0.5 filter, which admits true J down
+    # to 0.49995). This is what keeps the exact-attestation banding
+    # (16x1: coarse single-hash buckets, ~157k raw candidates on the
+    # 5000-doc sf0.1 corpus) affordable: size pairs are pruned as
+    # integers; only survivors ever shuffle a shingle array.
     pairs = (
         buckets.select(
             F.explode(
@@ -221,14 +238,22 @@ def _near_dup_scored(
                                 F.size(F.col("members")),
                             ),
                             lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
+                                x["doc_id"].alias("doc_a"),
+                                x["sz"].alias("sz_a"),
+                                y["doc_id"].alias("doc_b"),
+                                y["sz"].alias("sz_b"),
                             ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.sz_a", "p.doc_b", "p.sz_b")
+        .filter(
+            F.least("sz_a", "sz_b") * 2 * 10000
+            >= F.greatest("sz_a", "sz_b") * 9999
+        )
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sh = docs.select(F.col("doc_id"), F.col("shingles"))
