@@ -794,6 +794,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet", "HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # the skew=true attestation happens in-query under pinned confs;
+    # the RETURNED frame recomputes under defaults (dim broadcasts)
+    "q_join_skew_aqe": (
+        ["HashAggregate"],
+        ["Python", "CartesianProduct"],
+    ),
 }
 
 

@@ -3474,3 +3474,109 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn, "user_id bigint, n_events bigint, n_above bigint"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join mitigation — runtime replan attested in-query.
+
+
+@register(
+    "q_join_skew_aqe",
+    oracle=(
+        "WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 "
+        "ELSE l_orderkey % 64 END AS skew_key, l_quantity FROM lineitem), "
+        "d AS (SELECT i AS skew_key, i + 1 AS weight FROM range(64) t(i)) "
+        "SELECT f.skew_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,6)) * weight) * 100) "
+        "AS BIGINT) AS wq_cents "
+        "FROM f JOIN d ON f.skew_key = d.skew_key GROUP BY f.skew_key"
+    ),
+    doc="ADAPTIVE skew-join mitigation, asserted at runtime: 70% of "
+    "the fact lands on one join key (the planted whale every real "
+    "key distribution has), broadcast is disabled so the join MUST "
+    "shuffle on the skewed key, and AQE's skew-join rule must split "
+    "the whale partition into parallel sub-joins — the query checks "
+    "the EXECUTED plan (AQE replans at runtime, so only the "
+    "post-action plan is evidence) for the 'skew=true' marker and "
+    "fails loudly if mitigation did not fire. This is the automatic "
+    "counterpart of q_join_salted's manual salting: at 100 TB you "
+    "salt the joins you know about and rely on AQE for the whales "
+    "you don't. Thresholds are pinned low only to make the 60k-row "
+    "gate corpus exhibit cluster-scale skew; the plan shape is "
+    "identical at size. Exact integer-cents aggregate both engines.",
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    # The gate corpus is one parquet file -> ONE scan task -> the
+    # whale's shuffle partition would be a single map-output block,
+    # which AQE cannot split (skew mitigation splits BY MAPPER
+    # BLOCKS). A 100 TB fact always arrives from thousands of map
+    # tasks; the round-robin repartition restores that shape so the
+    # mitigation under test is actually reachable.
+    fact = li.repartition(32).select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 64)
+        .cast("long")
+        .alias("skew_key"),
+        "l_quantity",
+    )
+    dim = spark.range(64).select(
+        F.col("id").alias("skew_key"), (F.col("id") + 1).alias("weight")
+    )
+    joined = fact.join(dim, "skew_key").groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.floor(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)") * F.col("weight"))
+            * 100
+        )
+        .cast("bigint")
+        .alias("wq_cents"),
+    )
+    pinned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # force the shuffle join (the dim would broadcast otherwise)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # qualify gate-scale skew (defaults are sized for clusters:
+        # 256MB threshold / factor 5 over a 64MB advisory target)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # coalescing can fold the split partitions straight back
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the per-key aggregate downstream REUSES the join's hash
+        # partitioning, so splitting the whale adds a shuffle — by
+        # default AQE then declines the optimization entirely (one
+        # straggler is chosen over one extra exchange); force the
+        # trade the skewed side actually wants
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        # AQE decides skew handling DURING execution and only this
+        # DataFrame's own action finalizes its adaptive plan (a
+        # .write wraps a different QueryExecution and leaves
+        # isFinalPlan=false), so attest via collect — 64 aggregate
+        # rows, attestation-scale
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if "isFinalPlan=true" not in plan or "skew=true" not in plan:
+            raise RuntimeError(
+                "AQE did not mark the whale partition skew=true — the "
+                "join ran with one straggler task doing 70% of the "
+                "work, which is exactly what this query exists to "
+                "rule out"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the attested values are the plan-invariant join result; the
+    # returned frame recomputes them under default confs (the dim
+    # broadcasts again) for the oracle/driver to consume
+    return joined
