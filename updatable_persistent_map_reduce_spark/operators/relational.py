@@ -3539,10 +3539,12 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         # qualify gate-scale skew (defaults are sized for clusters:
-        # 256MB threshold / factor 5 over a 64MB advisory target)
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        # 256MB threshold / factor 5 over a 64MB advisory target).
+        # 2KB/4KB so even the sf0.001 smoke corpus's whale (~4k rows)
+        # clears the bar; factor 2 keeps ordinary partitions exempt
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
         # coalescing can fold the split partitions straight back
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         # the per-key aggregate downstream REUSES the join's hash

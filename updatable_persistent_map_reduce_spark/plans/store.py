@@ -176,7 +176,15 @@ class ManifestTable:
         return m
 
     def _publish_pointer(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
+        # Unique temp name per publish: a FIXED .tmp name let two
+        # concurrent publishers (e.g. both retry_commit winners of
+        # successive versions, or a reader's self-heal racing a
+        # writer) os.replace each other's temp file away — the loser
+        # died with FileNotFoundError. Found by the threaded
+        # two-writer append test. The pointer itself stays atomic and
+        # self-healing: whichever replace lands last wins, and _load
+        # adopts the highest committed version regardless.
+        tmp = f"{self._manifest_path}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)
