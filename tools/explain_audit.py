@@ -800,6 +800,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "CartesianProduct"],
     ),
+    # gaps-and-islands: every stage keyed by user — never a global
+    # window
+    "q_streak_days": (
+        ["Window", "HashAggregate", r"re:hashpartitioning\(user_id"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # nearest-event join: EQUI-join on the entity key + per-click
+    # window — never a time-theta nested loop
+    "q_join_asof_nearest": (
+        ["Window",
+         r"re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
 }
 
 

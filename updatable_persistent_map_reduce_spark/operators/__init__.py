@@ -97,6 +97,8 @@ _PRIORITY = [
     "q_cumulative_distinct",  # new: first-touch cumulative reach
     "q_store_vacuum",     # new: GC/retention lifecycle attested
     "q_join_skew_aqe",    # new: AQE whale-split attested skew=true
+    "q_streak_days",      # new: gaps-and-islands calendar streaks
+    "q_join_asof_nearest",  # new: bidirectional nearest-event join
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

@@ -3582,3 +3582,65 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned frame recomputes them under default confs (the dim
     # broadcasts again) for the oracle/driver to consume
     return joined
+
+
+# ---------------------------------------------------------------------------
+# nearest-event time join — the bidirectional as-of variant.
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle=(
+        "WITH c AS (SELECT event_id AS click_id, user_id, "
+        "epoch_us(ts) AS ct FROM events WHERE event_type = 'click'), "
+        "b AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS bt "
+        "FROM events WHERE event_type = 'purchase'), "
+        "j AS (SELECT c.click_id, c.user_id, b.buy_id, b.bt - c.ct AS "
+        "dt_us, row_number() OVER (PARTITION BY c.click_id ORDER BY "
+        "abs(b.bt - c.ct), b.bt, b.buy_id) AS rn "
+        "FROM c JOIN b ON c.user_id = b.user_id) "
+        "SELECT click_id, user_id, buy_id, CAST(dt_us AS BIGINT) AS dt_us "
+        "FROM j WHERE rn = 1"
+    ),
+    doc="NEAREST-event time join (bidirectional as-of): each click "
+    "pairs with the user's temporally CLOSEST purchase, before or "
+    "after — the sensor-alignment/entity-matching variant that "
+    "backward-only as-of (q_join_asof) cannot answer (a reading just "
+    "after the probe is a better match than one long before). "
+    "Deterministic under ties by (earlier purchase, id) — a total "
+    "order, so the oracle is exact; the signed dt_us output keeps "
+    "the direction visible. Plan: the candidate join is an EQUI-join "
+    "on user_id (co-partitioned at scale — per-entity candidate sets "
+    "are the bounded blocks, the same discipline as q_dedup_edit's "
+    "blocking), then one window keyed by click picks the minimum "
+    "|dt|; never a time-theta nested loop over the fact. Clicks of "
+    "users with no purchases drop (inner semantics), matching the "
+    "oracle.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("ct")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user"),
+        us.alias("bt"),
+    )
+    j = c.join(b, c["user_id"] == b["b_user"]).select(
+        "click_id", "user_id", "buy_id", (F.col("bt") - F.col("ct")).alias("dt_us")
+    )
+    # within one click, ordering by signed dt_us == ordering by the
+    # purchase timestamp (bt = ct + dt_us with ct fixed) — the
+    # oracle's (abs, bt, buy_id) tie-break expressed on the delta
+    w = W.partitionBy("click_id").orderBy(
+        F.abs(F.col("dt_us")), F.col("dt_us"), F.col("buy_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("click_id", "user_id", "buy_id", F.col("dt_us").cast("bigint").alias("dt_us"))
+    )

@@ -350,3 +350,55 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w_d).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "q_streak_days",
+    oracle=(
+        "WITH days AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+        "grp AS (SELECT user_id, d, "
+        "d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) "
+        "AS INTEGER) AS anchor FROM days), "
+        "runs AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) "
+        "AS run_len FROM grp GROUP BY user_id, anchor) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks, "
+        "CAST(max(run_len) AS BIGINT) AS longest_streak, "
+        "CAST(sum(run_len) AS BIGINT) AS active_days "
+        "FROM runs GROUP BY user_id"
+    ),
+    doc="Consecutive-day activity streaks per user — the classic "
+    "GAPS-AND-ISLANDS rank-difference trick: over each user's "
+    "distinct active days, day MINUS row_number is constant exactly "
+    "within a consecutive run (each next day advances both by one), "
+    "so grouping by that anchor materializes the runs without any "
+    "self-join or iteration. Distinct from the engine's time-gap "
+    "sessionization (session_window/q_session_conversion, which "
+    "break on elapsed-time gaps): streaks are CALENDAR-granular and "
+    "the run structure comes from arithmetic on ranks, not "
+    "wall-clock deltas. Three stages, all keyed by user (parallel at "
+    "any scale): distinct days (one shuffle), rank window + anchor "
+    "grouping (reuses the same hash partitioning), per-user rollup. "
+    "All-integer output — engine-exact by construction.",
+)
+def q_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("active_days"),
+    )
