@@ -814,6 +814,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
          r"re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # hour->day re-merge: consumes the hour rollup's frame, one more
+    # tiny aggregate — never re-touches raw events via a join
+    "q_ohlc_remerge": (
+        ["Window", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
 }
 
 

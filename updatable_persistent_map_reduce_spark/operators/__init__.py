@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_join_skew_aqe",    # new: AQE whale-split attested skew=true
     "q_streak_days",      # new: gaps-and-islands calendar streaks
     "q_join_asof_nearest",  # new: bidirectional nearest-event join
+    "q_ohlc_remerge",     # new: hour->day candle re-merge == direct
     # -- unchanged, last attested round 2 (39 ids; oldest first) --
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",

@@ -402,3 +402,58 @@ def q_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_streak"),
         F.sum("run_len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "q_ohlc_remerge",
+    oracle=(
+        # direct day-level rollup from raw events — which the hour->day
+        # RE-AGGREGATION the Spark side performs must equal exactly
+        "WITH b AS (SELECT event_type, "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value, ts, "
+        "event_id FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, day "
+        "ORDER BY ts, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY event_type, day "
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
+        "SELECT event_type, day, "
+        "CAST(floor(CAST(max(CASE WHEN rn_a = 1 THEN value END) "
+        "AS DECIMAL(18,6)) * 100) AS BIGINT) AS open_cents, "
+        "CAST(floor(CAST(max(value) AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "AS high_cents, "
+        "CAST(floor(CAST(min(value) AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "AS low_cents, "
+        "CAST(floor(CAST(max(CASE WHEN rn_d = 1 THEN value END) "
+        "AS DECIMAL(18,6)) * 100) AS BIGINT) AS close_cents, "
+        "CAST(count(*) AS BIGINT) AS volume "
+        "FROM r GROUP BY event_type, day"
+    ),
+    doc="HIERARCHICAL re-aggregation of OHLC — the continuous-"
+    "aggregate contract proved, not asserted: day candles computed "
+    "ONLY from the hour candles (open = the earliest hour's open via "
+    "min_by, close = the latest hour's close via max_by, high/low/"
+    "volume by max/min/sum) must hash-equal the oracle's DIRECT "
+    "day rollup from raw events. This is the reference's re-reducible "
+    "Reduce requirement (MapReduceTask.cs:10 — aggregates closed "
+    "under re-application) instantiated on time-series: because it "
+    "holds, a 100 TB deployment materializes hours once and serves "
+    "days/weeks/months from O(hours) partials instead of re-scanning "
+    "raw events — the same persisted-partial economics as the view's "
+    "reduce_l1 tree. Plan: the hour rollup's window + aggregate, then "
+    "one more tiny aggregate over hour rows; the day pass never "
+    "touches the raw table (enforced by construction: it consumes "
+    "q_ohlc_rollup's frame).",
+)
+def q_ohlc_remerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hours = q_ohlc_rollup(spark, sf_dir)
+    return (
+        hours.withColumn("day", F.date_trunc("day", F.col("hr")))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("open_cents", "hr").alias("open_cents"),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max_by("close_cents", "hr").alias("close_cents"),
+            F.sum("volume").cast("bigint").alias("volume"),
+        )
+    )
