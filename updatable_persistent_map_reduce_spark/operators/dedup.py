@@ -151,7 +151,10 @@ def _shingle_minhash_udf(n_perm: int):
 
 
 def _near_dup_scored(
-    d: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
+    d: DataFrame,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    strict: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with EXACT integer evidence: every
     (doc_a, doc_b) sharing at least one band bucket, scored with the
@@ -159,7 +162,19 @@ def _near_dup_scored(
     choose the threshold arithmetic — :func:`near_dup_pairs` keeps the
     historical rounded-double jaccard; q_dedup_near derives exact
     integer basis points so its oracle comparison has no float-rounding
-    convention in it at all."""
+    convention in it at all.
+
+    ``strict`` governs the degenerate-bucket cap: the production path
+    (strict=False) silently drops buckets with > MAX_BUCKET members
+    (a near-constant signature, quadratic blowup risk — recall there
+    is probabilistic anyway); the exact-attestation path (strict=True,
+    q_dedup_near's 16x1 config, whose docstring PROMISES output equal
+    to brute force) instead FAILS LOUDLY at execution time via
+    assert_true, because silently dropping an oversized bucket could
+    drop true pairs and break the exactness contract without any
+    signal. r=1 bucket populations grow with corpus scale, so this is
+    the tripwire that turns 'exact stopped being exact' from a silent
+    wrong answer into an error."""
     docs = d.select(
         "doc_id", _shingle_minhash_udf(n_perm)("text").alias("sm")
     ).select(
@@ -212,10 +227,34 @@ def _near_dup_scored(
                 F.collect_set(F.struct("doc_id", "sz"))
             ).alias("members")
         )
-        .filter(
-            (F.size("members") > 1) & (F.size("members") <= MAX_BUCKET)
-        )
+        .filter(F.size("members") > 1)
     )
+    if strict:
+        # Exactness contract: an overflow bucket must raise, not be
+        # silently filtered (dropping it could drop true pairs). The
+        # assert_true-in-filter form keeps the check inside the plan
+        # (null on pass -> row kept; raises on violation) where a
+        # dangling withColumn would be pruned away.
+        buckets = buckets.filter(
+            F.assert_true(
+                F.size("members") <= MAX_BUCKET,
+                F.concat(
+                    F.lit(
+                        "q_dedup_near exact banding: LSH bucket "
+                        "overflow (members > "
+                    ),
+                    F.lit(str(MAX_BUCKET)),
+                    F.lit(
+                        ") — the exact-attestation contract cannot "
+                        "be maintained silently; re-band (r=2) or "
+                        "raise MAX_BUCKET. band="
+                    ),
+                    F.col("band").cast("string"),
+                ),
+            ).isNull()
+        )
+    else:
+        buckets = buckets.filter(F.size("members") <= MAX_BUCKET)
     # The classic LENGTH FILTER, applied BEFORE the shingle-array join:
     # J = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so any pair that could
     # clear the 0.5 threshold must satisfy 2*min >= max. LOSSLESS by
@@ -293,7 +332,10 @@ def near_dup_pairs(
 # construction mirrors the Arrow kernel exactly, including the <= 3
 # token degenerate case (whole text = the one shingle) and the
 # empty-text case (the '' shingle). O(n^2) is the oracle's price, not
-# the engine's: documents is 500 docs at every sf.
+# the engine's: documents is 500 docs at sf0.001 and sf0.01 (the
+# driver's gate scale: ~125k ordered pairs) and 5000 docs at sf0.1
+# (~12.5M pairs — the largest scale any gate runs this oracle at;
+# DuckDB handles it in seconds, but it is firmly oracle-only cost).
 _NEAR_DUP_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -340,17 +382,97 @@ FROM pairs WHERE 2 * i_ >= u_
     "candidate volume proportional to true-pair density) — that "
     "configuration stays recall-tested by the planted-pair pytest "
     "and tools/scale_dedup.py; the banding math is identical code, "
-    "parameterized.",
+    "parameterized. The exact config runs strict=True: an LSH bucket "
+    "exceeding MAX_BUCKET raises in-plan (assert_true) instead of "
+    "being silently capped, so the exactness contract degrades "
+    "LOUDLY at corpus scales where r=1 buckets overflow; only the "
+    "production 8x2 path keeps the silent cap (recall there is "
+    "probabilistic by declaration).",
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _near_dup_scored(
-        spread(Catalog(spark, sf_dir).documents), n_perm=16, n_bands=16
+        spread(Catalog(spark, sf_dir).documents),
+        n_perm=16,
+        n_bands=16,
+        strict=True,
     )
     return scored.filter(2 * F.col("inter") >= F.col("uni")).select(
         "doc_a",
         "doc_b",
         F.expr("inter * 10000L DIV uni").alias("jaccard_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band index — build once, probe batches
+# (plans/neardup_index.py).
+
+_NDI_MOD = 5  # doc_id % 5: 0 -> probe batch, 4 -> appended, else built
+
+
+@register(
+    "q_neardup_index_persisted",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS i_,
+         len(list_distinct(list_concat(a.sh, b.sh))) AS u_
+  FROM sh a JOIN sh b
+    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+SELECT doc_a, doc_b, CAST(i_ * 10000 // u_ AS BIGINT) AS jaccard_bp
+FROM pairs WHERE 2 * i_ >= u_
+""",
+    doc="Near-dup detection through a PERSISTED MinHash band index "
+    "(plans/neardup_index.py): band-bucket postings live as a "
+    "ManifestTable keyed by (band, signature)-hash span, shingle "
+    "payloads by doc-hash span — built ONCE over the corpus, then an "
+    "incoming batch is probed against it reading ONLY the batch's "
+    "own band signatures' spans plus the candidates' shingle spans "
+    "(manifest span pruning — the q_sim_index_persisted / "
+    "q_text_index_persisted recipe applied to the LSH modality, and "
+    "the piece the incremental-dedup story was missing: "
+    "q_dedup_incremental maintains the exact-hash index under "
+    "revisions, this serves the NEAR-dup question per ingest batch "
+    "without a corpus re-scan). This run attests the full lifecycle: "
+    "build on 3/5 of the corpus, APPEND another 1/5 atomically "
+    "(appended docs must be probeable), probe the remaining 1/5 as "
+    "the batch — output is every (batch doc, corpus doc) pair with "
+    "exact integer shingle Jaccard >= 1/2 in basis points, equal to "
+    "the brute-force batch x corpus oracle because banding is the "
+    "16x1 exact-attestation configuration (escape prob (1-J)^16, "
+    "empirically zero here) and candidates come from an equi-JOIN on "
+    "(band, sig) — no bucket collect, hence no silent cap anywhere — "
+    "then exact-verified with the lossless 2*min(sz) >= max(sz) "
+    "length prune first. Probe-cost pinning lives in "
+    "tests/test_neardup_index.py (span reads < table spans).",
+)
+def q_neardup_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.neardup_index import NearDupIndex
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    built = d.filter((F.col("doc_id") % _NDI_MOD).isin(1, 2, 3))
+    appended = d.filter(F.col("doc_id") % _NDI_MOD == 4)
+    batch = d.filter(F.col("doc_id") % _NDI_MOD == 0)
+    idx = NearDupIndex(
+        spark, tempfile.mkdtemp(prefix="upmr_ndi_"), n_perm=16, n_bands=16
+    )
+    idx.build(built)
+    idx.append(appended)
+    return idx.probe(batch)
 
 
 # ---------------------------------------------------------------------------
@@ -714,25 +836,23 @@ SEM_TAU = 0.3
 SEM_MAX_CELL = 4096  # greedy pass cap per cell — raise n_cells instead
 
 
-@register(
-    "q_dedup_semantic",
-    oracle=None,
-    doc="Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): "
-    "cluster embeddings with distributed spherical k-means (shared "
-    "fit_kmeans — the IVF index and this op see the same cells), then "
-    "WITHIN each cell greedily keep vectors in (centroid-similarity "
-    "desc, vec_id) order, dropping any whose cosine to an already-kept "
-    "cell member is >= SEM_TAU and recording which keeper shadowed it. "
-    "Rows-only by design (k-means is iterative, not SQL), but fully "
-    "deterministic: seeded centroids, fixed iterations, total greedy "
-    "order. Scale shape: ONE applyInPandas shuffle keyed by cell; "
-    "pairwise work is bounded per cell (n_cells grows with the corpus "
-    "so cells stay ~constant-size; a cell past SEM_MAX_CELL fails "
-    "loudly rather than degrading quadratically), and the per-cell "
-    "greedy is one incremental numpy matmul per member batch — never "
-    "corpus x corpus.",
-)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION semantic-dedup variant (float cosine, greedy
+    kept-chain): cluster embeddings with distributed spherical k-means
+    (shared fit_kmeans — the IVF index and this op see the same
+    cells), then WITHIN each cell greedily keep vectors in
+    (centroid-similarity desc, vec_id) order, dropping any whose
+    cosine to an already-KEPT cell member is >= SEM_TAU and recording
+    which keeper shadowed it. Fully deterministic (seeded centroids,
+    fixed iterations, total greedy order) but float — so it stays the
+    pytest-attested production path while the REGISTERED
+    q_dedup_semantic runs the integer-exact dominance form under a
+    full SQL oracle. Scale shape: ONE applyInPandas shuffle keyed by
+    cell; pairwise work is bounded per cell (n_cells grows with the
+    corpus so cells stay ~constant-size; a cell past SEM_MAX_CELL
+    fails loudly rather than degrading quadratically), and the
+    per-cell greedy is one incremental numpy matmul per member batch
+    — never corpus x corpus."""
     import numpy as np
 
     from .similarity import fit_kmeans, make_assign_udf
@@ -790,6 +910,186 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_cell,
         "vec_id long, cell int, centroid_sim double, kept boolean, "
         "kept_by long",
+    )
+
+
+# Integer-exact SemDeDup: all arithmetic below is BIGINT so DuckDB
+# replicates it bit-for-bit. tau = 3/10 (== SEM_TAU): cos(u,v) >= 3/10
+# <=> dot >= 0 AND 100*dot^2 >= 9*|u|^2*|v|^2 — cross-multiplied, no
+# sqrt, no float. Bounds: |code| <= 127, dim 64 => dot <= ~1.04e6,
+# 100*dot^2 <= ~1.1e14 and 9*nrm^2 <= ~9.6e12, both far under int64.
+_SEM_NUM2 = 9    # tau numerator squared
+_SEM_DEN2 = 100  # tau denominator squared
+_SEM_K = 4       # seed cells — mirrors q_kmeans_assign's _KM_K
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS code "
+        "FROM (SELECT vec_id, embedding, gmax / 127 AS sc "
+        "FROM embeddings, mx)), "
+        "cr AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INTEGER) AS cell, code AS ccode FROM q ORDER BY vec_id LIMIT {_SEM_K}), "
+        "d AS (SELECT q.vec_id, q.code, cr.cell, "
+        "CAST(list_sum(list_transform(list_zip(q.code, cr.ccode), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist "
+        "FROM q CROSS JOIN cr), "
+        "m AS (SELECT vec_id, code, cell, dist AS cdist, "
+        "CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS nrm, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+        "FROM d), "
+        "mm AS (SELECT vec_id, code, cell, cdist, nrm FROM m WHERE rn = 1), "
+        "doms0 AS (SELECT v.vec_id, u.vec_id AS dom_id, u.nrm AS nu, "
+        "v.nrm AS nv, "
+        "CAST(list_sum(list_transform(list_zip(u.code, v.code), "
+        "p -> p[1] * p[2])) AS BIGINT) AS dot, "
+        "CAST(list_sum(list_transform(list_zip(u.code, v.code), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS pdist "
+        "FROM mm v JOIN mm u ON u.cell = v.cell "
+        "AND (u.cdist > v.cdist OR (u.cdist = v.cdist AND u.vec_id < v.vec_id))), "
+        "doms AS (SELECT vec_id, dom_id, pdist FROM doms0 "
+        "WHERE nu > 0 AND nv > 0 AND dot >= 0 "
+        f"AND {_SEM_DEN2} * dot * dot >= {_SEM_NUM2} * nu * nv), "
+        "best AS (SELECT vec_id, dom_id, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY pdist, dom_id) AS brn FROM doms) "
+        "SELECT mm.vec_id, mm.cell, mm.cdist, "
+        "CAST(b.dom_id IS NULL AS BOOLEAN) AS kept, "
+        "CAST(coalesce(b.dom_id, mm.vec_id) AS BIGINT) AS kept_by "
+        "FROM mm LEFT JOIN (SELECT vec_id, dom_id FROM best WHERE brn = 1) b "
+        "USING (vec_id)"
+    ),
+    doc="Semantic dedup — the SemDeDup recipe (Abbas et al. 2023), "
+    "ORACLE-BACKED (promoted r8 from rows-only): the paper's actual "
+    "published form is the upper-triangle threshold — within a "
+    "k-means cell, order members by centroid similarity and DROP any "
+    "item whose cosine to ANY earlier-ordered item exceeds tau, "
+    "whether or not that item was itself kept ('dominance', which is "
+    "pure relational algebra) — not a kept-chain greedy. That makes "
+    "it exactly SQL-expressible, and every quantity here is exact "
+    "INTEGER arithmetic shared with q_kmeans_assign: global-scale "
+    "int8-style codes (max|x|/127), centroid = codes of the 4 "
+    "smallest vec_ids, integer squared-L2 cell assignment (tie to "
+    "lowest cell), keep-priority = farther-from-centroid first "
+    "(integer cdist DESC, vec_id ASC — the paper keeps "
+    "low-centroid-similarity items), and tau as the cross-multiplied "
+    "cosine test 100*dot^2 >= 9*|u|^2|v|^2 with dot >= 0 — no sqrt, "
+    "no float anywhere, so the DuckDB hash compare is exact. "
+    "kept_by = the nearest (integer L2, tie lowest id) dominator. "
+    "Plan: quantization/assignment are pure codegen against centroid "
+    "literals; ONE self-join shuffle keyed by cell generates in-cell "
+    "pairs; argmin-dominator is min(struct) partial+final agg; no "
+    "Python. This attested config pins k=4 cells for oracle "
+    "determinism (in-cell pair volume is the gate corpus's price); "
+    "the production path is semantic_dedup_greedy — float cosine, "
+    "fit_kmeans cells that GROW with the corpus so cells stay "
+    "constant-size, greedy kept-chain — pytest-attested against "
+    "numpy ground truth, same structure, scale knob live.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / 127
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.lit(scale) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("code"),
+    )
+    seed_rows = codes.orderBy("vec_id").limit(_SEM_K).collect()
+    cents = [
+        F.array(*[F.lit(int(v)) for v in r["code"]]) for r in seed_rows
+    ]
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    darr = F.array(*[sq_l2(F.col("code"), c) for c in cents])
+    mm = codes.select(
+        "vec_id",
+        "code",
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias(
+            "cell"
+        ),
+        F.array_min(darr).alias("cdist"),
+        F.aggregate(
+            F.transform("code", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nrm"),
+    )
+    v = mm.select(
+        F.col("vec_id"),
+        F.col("code").alias("v_code"),
+        "cell",
+        F.col("cdist").alias("v_cdist"),
+        F.col("nrm").alias("nv"),
+    )
+    u = mm.select(
+        F.col("vec_id").alias("dom_id"),
+        F.col("code").alias("u_code"),
+        F.col("cell").alias("u_cell"),
+        F.col("cdist").alias("u_cdist"),
+        F.col("nrm").alias("nu"),
+    )
+    dot = F.aggregate(
+        F.zip_with("u_code", "v_code", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    doms = (
+        v.join(
+            u,
+            (F.col("cell") == F.col("u_cell"))
+            & (
+                (F.col("u_cdist") > F.col("v_cdist"))
+                | (
+                    (F.col("u_cdist") == F.col("v_cdist"))
+                    & (F.col("dom_id") < F.col("vec_id"))
+                )
+            ),
+        )
+        .withColumn("dot", dot)
+        .withColumn("pdist", sq_l2(F.col("u_code"), F.col("v_code")))
+        .filter(
+            (F.col("nu") > 0)
+            & (F.col("nv") > 0)
+            & (F.col("dot") >= 0)
+            & (
+                F.lit(_SEM_DEN2) * F.col("dot") * F.col("dot")
+                >= F.lit(_SEM_NUM2) * F.col("nu") * F.col("nv")
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("pdist", "dom_id")).alias("best"))
+    )
+    return (
+        mm.join(doms, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cdist",
+            F.col("best").isNull().alias("kept"),
+            F.coalesce(F.col("best.dom_id"), F.col("vec_id")).alias(
+                "kept_by"
+            ),
+        )
     )
 
 
@@ -1218,6 +1518,64 @@ def q_dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_PREFIX = 100  # chars compared — bounds the O(p^2) DP per pair
 _EDIT_MAX = 50      # report pairs at or under this distance
+# Length-band width for the lossless blocking refinement. Any pair
+# with levenshtein(pa, pb) <= _EDIT_MAX satisfies
+# |len(pa) - len(pb)| <= _EDIT_MAX (each unit of length drift costs
+# at least one insert/delete), so with bands of width W > _EDIT_MAX
+# the two prefixes land in the SAME or ADJACENT floor(len/W) bands:
+# a band gap of >= 2 would force a length gap > W > _EDIT_MAX.
+# Composing the band into the blocking key is therefore provably
+# lossless for the <= 50 threshold while bounding block populations
+# by length-locality instead of whole-corpus (lang, source) mass.
+_EDIT_BAND_W = _EDIT_MAX + 1
+
+
+def edit_blocked_pairs(d: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b, pa, pb) pairs under the composite
+    blocking key (lang, source, floor(prefix_len / W)) with a
+    same+adjacent band join — the reusable generator behind
+    q_dedup_edit, also driven at synthetic corpus sizes by
+    tools/scale_edit.py.
+
+    ``d`` must carry (doc_id, lang, source, p). Probe side explodes
+    each doc to bands {b-1, b, b+1}; build side keeps its own band.
+    For any qualifying pair the probe set of EACH endpoint contains
+    the other endpoint's band exactly once, and the doc_a < doc_b
+    filter keeps exactly one of the two orientations — so every
+    lossless-eligible pair is emitted exactly once, no dedup pass.
+    An integer |len diff| <= _EDIT_MAX prune runs before the DP.
+    """
+    d = d.withColumn("lp", F.length("p")).withColumn(
+        "band", (F.col("lp") / _EDIT_BAND_W).cast("int")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("p").alias("pa"),
+        F.col("lp").alias("lp_a"),
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("jband"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("p").alias("pb"),
+        F.col("lp").alias("lp_b"),
+        F.col("band").alias("jband"),
+    )
+    return (
+        a.join(b, ["lang", "source", "jband"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.col("lp_a") - F.col("lp_b")) <= F.lit(_EDIT_MAX)
+        )
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
 
 
 @register(
@@ -1235,15 +1593,24 @@ _EDIT_MAX = 50      # report pairs at or under this distance
     "modality the dedup matrix lacked (exact / MinHash / SimHash / "
     "n-gram / embedding / substring / hamming / URL cover set- and "
     "vector-similarity; character-level typo/ocr variants need "
-    "Levenshtein). Standard ER shape at scale: BLOCK first (equi-join "
-    "on (lang, source) — the same blocking-key discipline record "
-    "linkage uses; the pair generator is a hash join on the block "
-    "key, never corpus x corpus), then score each blocked pair with "
-    "Levenshtein over a BOUNDED 100-char prefix, capping the O(p^2) "
-    "DP per pair. Cost is sum(block^2) x O(prefix^2) — declared and "
-    "controlled by blocking granularity, the knob every ER deployment "
-    "tunes; blocks here are <= ~16 docs. levenshtein() is the same "
-    "classic DP integer in both engines, so the oracle is exact.",
+    "Levenshtein). Standard ER shape at scale: BLOCK first, then "
+    "score each blocked pair with Levenshtein over a BOUNDED "
+    "100-char prefix, capping the O(p^2) DP per pair. The blocking "
+    "key is the COMPOSITE (lang, source, floor(prefix_len/51)) with "
+    "a same+adjacent length-band join — provably LOSSLESS for the "
+    "<= 50 threshold (Levenshtein bounds length drift to <= 50 < 51, "
+    "see _EDIT_BAND_W), so the oracle is the unblocked brute force "
+    "and the answer is identical; an integer |len diff| <= 50 prune "
+    "runs before any DP. Unlike the r7 (lang, source)-only key "
+    "(whose block populations grew linearly with the corpus, making "
+    "pair volume ~corpus²/|blocks|), band populations are bounded by "
+    "length-locality: tools/scale_edit.py measures candidate pairs "
+    "per corpus octave flat while brute-force pairs quadruple. "
+    "Corpus note: (lang, source) blocks alone are <= 16 docs at the "
+    "sf0.01 gate corpus (500 docs) but <= 112 at sf0.1 (5000 docs) — "
+    "exactly the unbounded growth the band composite removes. "
+    "levenshtein() is the same classic DP integer in both engines, "
+    "so the oracle is exact.",
 )
 def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.select(
@@ -1252,21 +1619,8 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.substring(F.lower(F.col("text")), 1, _EDIT_PREFIX).alias("p"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "source",
-        F.col("p").alias("pa"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
-        F.col("p").alias("pb"),
-    )
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        edit_blocked_pairs(d)
         .select(
             "doc_a",
             "doc_b",
