@@ -141,10 +141,30 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Window"],
         ["Python", "CartesianProduct"],
     ),
-    # semantic dedup: ONE Arrow-batched grouped-map shuffle by cell,
-    # never row-at-a-time Python or a pairwise product
+    # semantic dedup (r8: integer-exact dominance form, oracle-backed):
+    # quantization/assignment are codegen against centroid literals;
+    # in-cell pair generation is ONE hash/merge self-join keyed by
+    # cell; argmin-dominator is a partial+final agg. NO Python at all
+    # (the float greedy production variant, semantic_dedup_greedy,
+    # keeps the one-Arrow-shuffle shape and is pytest-attested).
     "q_dedup_semantic": (
-        ["FlatMapGroupsInPandas"],
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # BPE tokenizer: merges run over the DISTINCT vocab (two hash
+    # aggs) against 8 broadcast rule literals, then ONE join back to
+    # per-doc occurrences — pure Catalyst HOFs, no Python, no product
+    "q_tokenize_bpe": (
+        ["HashAggregate",
+         "re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # persisted MinHash band index probe: Arrow-batched signature UDF
+    # (never row-at-a-time), candidates via (band, sig) equi-join over
+    # span-pruned manifest reads, exact verify joins — no product
+    "q_neardup_index_persisted": (
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+         "ArrowEvalPython"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoop"],
     ),
     # sliding windows: map-side window assignment feeding one
@@ -751,9 +771,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # OHLC: one window shuffle keyed by (series, hour) — parallel per
     # bucket, never a SinglePartition gather — then partial+final agg
+    # OHLC: min_by/max_by selection over struct(ts, event_id) — one
+    # partial+final aggregate, Window-free by requirement (r8:
+    # replaced two opposite-order row_number sorts). The struct
+    # ordering buffer forces SortAggregate (not hash), but
+    # partial_min_by proves map-side combine: the exchange moves
+    # candles, not events.
     "q_ohlc_rollup": (
-        ["Window", "HashAggregate"],
-        ["Python", "Join", "CartesianProduct",
+        ["SortAggregate", "partial_min_by"],
+        ["Window", "Python", "Join", "CartesianProduct",
          "Exchange SinglePartition"],
     ),
     # time-weighted avg: one lead() window keyed by series + agg

@@ -815,20 +815,73 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epoch-aware training-order shuffle — deterministic corpus permutation.
 
 _EPOCH_STRIDE = 7919  # prime: decorrelates epoch hash streams
-_SHUF_SHARDS = 8
+# Target shard population for the derived shard count. A shard is a
+# training-data file AND the unit of window/sort parallelism, so its
+# count must grow with the corpus: shards = 2^ceil(log2(n / target)),
+# computed IN-PLAN from count(*) (a 1-row broadcast, no driver
+# action) so one task never sorts more than ~2x target rows at any
+# corpus size. The gate corpus (500 docs) derives 2 shards; sf0.1
+# (5000) derives 32; a 100 TB corpus derives millions — the r7 form's
+# compile-time `_SHUF_SHARDS = 8` made one task sort corpus/8 rows
+# forever. Overridable via spark.upmr.epochShuffle.shards (power of
+# two recommended; any positive int works — the value only changes
+# which shard each doc lands in, determinism is per-configuration).
+_SHUF_TARGET = 250
+_SHUF_CONF = "spark.upmr.epochShuffle.shards"
+
+
+def epoch_hash_frame(
+    d: DataFrame, n_epochs: int, shards: int | None = None
+) -> DataFrame:
+    """(epoch, doc_id, hv, shard, sh) for every (epoch, doc) — the
+    deterministic multiplicative-hash epoch streams behind
+    q_epoch_shuffle, reused by tools/scale_shuffle.py's writer form.
+    ``shards=None`` derives the count from corpus size in-plan."""
+    spark = d.sparkSession
+    epochs = spark.range(n_epochs).select(F.col("id").alias("epoch"))
+    if shards is None:
+        sh = d.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.pow(
+                    F.lit(2.0),
+                    F.ceil(F.log2(F.count(F.lit(1)) / F.lit(_SHUF_TARGET))),
+                ).cast("bigint"),
+            ).alias("sh")
+        )
+    else:
+        sh = spark.range(1).select(F.lit(int(shards)).cast("bigint").alias("sh"))
+    h = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .crossJoin(F.broadcast(sh))
+        .select(
+            "epoch",
+            "doc_id",
+            (
+                ((F.col("doc_id") + F.col("epoch") * _EPOCH_STRIDE) * _KNUTH)
+                % _M32
+            ).alias("hv"),
+            "sh",
+        )
+    )
+    return h.withColumn("shard", (F.col("hv") % F.col("sh")).cast("bigint"))
 
 
 @register(
     "q_epoch_shuffle",
     oracle=(
         "WITH e AS (SELECT i AS epoch FROM range(2) t(i)), "
+        "s AS (SELECT greatest(1, CAST(power(2, ceil(log2("
+        f"count(*) / {_SHUF_TARGET}.0))) AS BIGINT)) AS sh "
+        "FROM documents), "
         "h AS (SELECT epoch, doc_id, "
         f"((doc_id + epoch * {_EPOCH_STRIDE}) * {_KNUTH}) % {_M32} AS hv "
         "FROM documents CROSS JOIN e) "
-        "SELECT epoch, CAST(hv % 8 AS BIGINT) AS shard, "
-        "CAST(row_number() OVER (PARTITION BY epoch, hv % 8 "
+        "SELECT epoch, CAST(hv % sh AS BIGINT) AS shard, "
+        "CAST(row_number() OVER (PARTITION BY epoch, hv % sh "
         "ORDER BY hv, doc_id) AS BIGINT) AS pos, doc_id "
-        "FROM h"
+        "FROM h CROSS JOIN s"
     ),
     doc="EPOCH-AWARE deterministic training-order shuffle: each epoch "
     "permutes the corpus by a multiplicative hash of (doc_id + "
@@ -839,32 +892,34 @@ _SHUF_SHARDS = 8
     "executors, resumable mid-epoch by position. Spark's own "
     "df.sample/shuffle are seed-per-partition and change with "
     "partitioning; this is partitioning-invariant by construction. "
-    "Output maps every (epoch, doc) to its (shard, position). Plan: "
-    "hash is scan-stage codegen; one window shuffle keyed by (epoch, "
-    "shard) — at 100 TB the physical form is repartitionByRange on "
-    "(shard, hv) writing one ordered file per shard per epoch, same "
-    "math, no window needed. The 2-row epoch side is the sanctioned "
-    "broadcast cross join.",
+    "Output maps every (epoch, doc) to its (shard, position). Shard "
+    "count is NOT a constant: it derives from corpus size in-plan "
+    "(2^ceil(log2(n/250)), a 1-row broadcast — no driver action; "
+    "override via spark.upmr.epochShuffle.shards), so the window's "
+    "partition count — and therefore the largest single-task sort — "
+    "scales with the corpus instead of pinning one task at corpus/8 "
+    "rows (the r7 bug; the oracle derives the same count in SQL). "
+    "Plan: hash is scan-stage codegen; one window shuffle keyed by "
+    "(epoch, shard) — at 100 TB the physical form is "
+    "repartitionByRange on (epoch, shard, hv) writing ordered files "
+    "per shard per epoch, same math, no window; tools/scale_shuffle.py "
+    "runs THAT form and asserts it reproduces this query's order. "
+    "The tiny epoch/count sides are the sanctioned broadcast cross "
+    "joins.",
 )
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = Catalog(spark, sf_dir).documents.select("doc_id")
-    epochs = spark.range(2).select(F.col("id").alias("epoch"))
-    h = d.crossJoin(F.broadcast(epochs)).select(
-        "epoch",
-        "doc_id",
-        (
-            ((F.col("doc_id") + F.col("epoch") * _EPOCH_STRIDE) * _KNUTH)
-            % _M32
-        ).alias("hv"),
+    conf = spark.conf.get(_SHUF_CONF, None)
+    h = epoch_hash_frame(
+        Catalog(spark, sf_dir).documents,
+        n_epochs=2,
+        shards=int(conf) if conf else None,
     )
-    w = W.partitionBy("epoch", (F.col("hv") % _SHUF_SHARDS)).orderBy(
-        "hv", "doc_id"
-    )
+    w = W.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
     return h.select(
         "epoch",
-        (F.col("hv") % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
     )

@@ -198,49 +198,48 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staple): per (event_type, hour) — open = value at the FIRST "
     "event, close = at the LAST, high/low/volume — the shape every "
     "time-series store (Timescale candlestick_agg, kdb xbar) bakes "
-    "in. First/last are selected by row_number over the total order "
-    "(ts, event_id) — a tie-broken total order, because first_value "
-    "over a ts-only order is nondeterministic under equal timestamps "
-    "and DuckDB has no composite-key arg_min to mirror it. Every "
-    "output is a SELECTED value in integer cents (floor(decimal*100), "
-    "no arithmetic on doubles), so the hash compare is exact. One "
-    "window shuffle keyed by (type, hour) feeding the partial+final "
-    "aggregate — at 100 TB this parallelizes per series-bucket, and "
-    "OHLC re-aggregates hierarchically (hour -> day) because "
-    "open/close/min/max/count are all mergeable, the same "
+    "in. First/last are selected by min_by/max_by over the tie-broken "
+    "total order struct(ts, event_id) — a SINGLE partial+final "
+    "aggregate, no Window at all (the r7 form paid two opposite-order "
+    "row_number sorts over FULL un-combined rows; the audit now "
+    "REQUIRES the plan be Window-free and carry partial_min_by). The "
+    "struct ordering buffer is not UnsafeRow-mutable, so Spark plans "
+    "SortAggregate rather than HashAggregate — the deliberate choice: "
+    "the partial agg still combines map-side to one candle per "
+    "(type, hour) per task, so the exchange moves candles, not "
+    "events; the alternative that reaches HashAggregate (two-level "
+    "agg keyed first by (type, hour, ts) to keep orderings atomic) "
+    "shuffles nearly-uncombined rows when timestamps are mostly "
+    "distinct, which loses at 100 TB where shuffle bytes dominate a "
+    "map-side sort. The oracle keeps DuckDB's row_number formulation "
+    "because DuckDB has no composite-key arg_min — same selection, "
+    "different engine idiom. "
+    "Every output is a SELECTED value in integer cents "
+    "(floor(decimal*100), no arithmetic on doubles), so the hash "
+    "compare is exact. One hash shuffle keyed by (type, hour) — at "
+    "100 TB this parallelizes per series-bucket with map-side partial "
+    "candles, and OHLC re-aggregates hierarchically (hour -> day) "
+    "because open/close/min/max/count are all mergeable — the same "
+    "min_by/max_by merge q_ohlc_remerge consumes, and the same "
     "re-reducible contract as the engine's Reduce "
     "(MapReduceTask.cs:10).",
 )
 def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = Catalog(spark, sf_dir).events
     b = ev.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hr"),
         "value",
-        "ts",
-        "event_id",
-    )
-    w_a = W.partitionBy("event_type", "hr").orderBy("ts", "event_id")
-    w_d = W.partitionBy("event_type", "hr").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    r = b.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
-        "rn_d", F.row_number().over(w_d)
+        F.struct("ts", "event_id").alias("ord"),
     )
     cents = lambda c: F.floor(  # noqa: E731
         c.cast("decimal(18,6)") * 100
     ).cast("bigint")
-    return r.groupBy("event_type", "hr").agg(
-        cents(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias(
-            "open_cents"
-        ),
+    return b.groupBy("event_type", "hr").agg(
+        cents(F.min_by("value", "ord")).alias("open_cents"),
         cents(F.max("value")).alias("high_cents"),
         cents(F.min("value")).alias("low_cents"),
-        cents(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias(
-            "close_cents"
-        ),
+        cents(F.max_by("value", "ord")).alias("close_cents"),
         F.count(F.lit(1)).alias("volume"),
     )
 
