@@ -604,6 +604,28 @@ def test_restore_is_forward_commit(spark, table):
         table.restore(2)
 
 
+def test_restore_to_pre_schema_version_drops_cached_schema(
+    spark, tmp_path
+):
+    """Restoring to a version whose manifest predates schema recording
+    must also drop the evolved StructType cached on the object —
+    otherwise the NEXT commit re-merges the stale evolved schema into
+    the manifest and reads resurrect the rolled-back column."""
+    path = str(tmp_path / "rs")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace_all={})  # v1: empty commit, no schema recorded
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, 1)], "kspan int, a int")))
+    t.commit(append=t.write_data(
+        spark.createDataFrame([(0, 2, "x")], "kspan int, a int, b string")))
+    assert t.read(spark).columns == ["kspan", "a", "b"]
+    t.restore(1)  # v1's manifest predates any schema
+    assert t._schema is None
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, 9)], "kspan int, a int")))
+    assert t.read(spark).columns == ["kspan", "a"]  # b must NOT resurrect
+
+
 def test_pointer_crash_self_heals(spark, table):
     """Crash between the commit point (_versions/<N>.json) and the
     pointer update: the next load adopts the committed version and

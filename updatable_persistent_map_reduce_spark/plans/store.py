@@ -906,6 +906,13 @@ class ManifestTable:
             from pyspark.sql.types import StructType
 
             self._schema = StructType.fromJson(json.loads(old["schema"]))
+        else:
+            # Restoring to a version that PREDATES schema evolution:
+            # the evolved StructType cached on this object no longer
+            # describes the restored snapshot, and a subsequent merge()
+            # would derive its column list from the stale cache. Drop
+            # it; readers re-derive from the restored snapshot's files.
+            self._schema = None
         return out
 
     def clone_to(self, dest: str) -> "ManifestTable":
