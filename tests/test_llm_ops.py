@@ -14,7 +14,15 @@ QUERIES = all_queries()
 
 @pytest.fixture(scope="module")
 def semdedup(spark, sf_dir):
-    rows = QUERIES["q_dedup_semantic"].fn(spark, sf_dir).collect()
+    # The float greedy kept-chain PRODUCTION variant — the registered
+    # q_dedup_semantic is the integer-exact dominance form (oracle-
+    # backed by the driver gate; ground-truth-checked below by
+    # test_semdedup_registered_matches_numpy_dominance).
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        semantic_dedup_greedy,
+    )
+
+    rows = semantic_dedup_greedy(spark, sf_dir).collect()
     emb = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
@@ -59,10 +67,65 @@ def test_semdedup_kept_set_is_an_independent_set(semdedup):
 
 
 def test_semdedup_deterministic(spark, sf_dir, semdedup):
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        semantic_dedup_greedy,
+    )
+
     rows, _ = semdedup
-    again = QUERIES["q_dedup_semantic"].fn(spark, sf_dir).collect()
+    again = semantic_dedup_greedy(spark, sf_dir).collect()
     key = lambda r: r.vec_id  # noqa: E731
     assert sorted(rows, key=key) == sorted(again, key=key)
+
+
+def test_semdedup_registered_matches_numpy_dominance(spark, sf_dir):
+    """The registered (oracle-backed) q_dedup_semantic recomputed in
+    numpy from the raw parquet: global int quantization, 4 seed
+    centroids, integer L2 cells, farther-from-centroid-first
+    dominance with the cross-multiplied integer cosine — every row
+    must agree with the engine exactly (ground truth independent of
+    both Spark and DuckDB)."""
+    emb_rows = sorted(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in emb_rows], dtype=np.int64)
+    m = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb_rows]
+    )
+    gmax = np.abs(m).max()
+    code = np.floor(m / (gmax / 127) + 0.5).astype(np.int64)
+    cents = code[:4]
+    d = ((code[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)  # argmin ties to lowest index, per spec
+    cdist = d.min(axis=1)
+    nrm = (code**2).sum(axis=1)
+    expect = {}
+    for i in range(len(ids)):
+        # dominators: same cell, earlier priority (cdist desc, id asc)
+        pri = (cdist > cdist[i]) | ((cdist == cdist[i]) & (ids < ids[i]))
+        cand = np.where((cell == cell[i]) & pri)[0]
+        dot = code[cand] @ code[i]
+        ok = (
+            (nrm[cand] > 0)
+            & (nrm[i] > 0)
+            & (dot >= 0)
+            & (100 * dot * dot >= 9 * nrm[cand] * nrm[i])
+        )
+        doms = cand[ok]
+        if len(doms) == 0:
+            expect[int(ids[i])] = (int(cell[i]), int(cdist[i]), True, int(ids[i]))
+        else:
+            pd_ = ((code[doms] - code[i]) ** 2).sum(axis=1)
+            j = doms[np.lexsort((ids[doms], pd_))[0]]
+            expect[int(ids[i])] = (
+                int(cell[i]), int(cdist[i]), False, int(ids[j]),
+            )
+    got = {
+        int(r.vec_id): (int(r.cell), int(r.cdist), bool(r.kept), int(r.kept_by))
+        for r in QUERIES["q_dedup_semantic"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(not v[2] for v in got.values()), "no drops fired"
 
 
 def test_stratified_sample_nests_inside_higher_rates(spark, sf_dir):

@@ -82,6 +82,171 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-table tokenizer — actual merge application, not a regex
+# proxy.
+
+_BPE_MERGES = 8  # bounded merge iterations (one pass per rule)
+
+
+def _bpe_apply_expr(cs, a, b):
+    """One BPE merge rule applied to a char/subword array — pure
+    Catalyst. Greedy leftmost non-overlapping matching is ORDER-FREE
+    here because self-pair rules (a == b) are excluded from the merge
+    table: two adjacent positions can't both match (it would force
+    a == b), so every match site merges and the rebuild is a plain
+    per-index transform. A merged token ab can never re-create the
+    (a, b) pair (ab differs from both halves), so ONE pass per rule
+    is the exact fixpoint of that rule. F.get is 0-based and yields
+    NULL out of bounds, which the when() treats as no-match."""
+    n = F.size(cs)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                (i > 0)
+                & (F.get(cs, i - 1) == a)
+                & (F.get(cs, i) == b),
+                F.array().cast("array<string>"),
+            )
+            .when(
+                (i < n - 1)
+                & (F.get(cs, i) == a)
+                & (F.get(cs, i + 1) == b),
+                F.array(F.concat(F.get(cs, i), F.get(cs, i + 1))),
+            )
+            .otherwise(F.array(F.get(cs, i))),
+        )
+    )
+
+
+def _bpe_oracle() -> str:
+    """DuckDB oracle: same merge table (occurrence-weighted char
+    bigram counts, c DESC / a / b tie-break, self-pairs excluded,
+    top-8) and the same one-pass-per-rule application, chained as
+    CTEs. rules[k] beyond the table's length is NULL, making that
+    rule the identity in BOTH engines."""
+    apply_tpl = (
+        "flatten(list_transform(range(1, len(cs) + 1), i -> "
+        "CASE WHEN i > 1 AND cs[i-1] = rules[{k}]['a'] "
+        "AND cs[i] = rules[{k}]['b'] THEN [] "
+        "WHEN i < len(cs) AND cs[i] = rules[{k}]['a'] "
+        "AND cs[i+1] = rules[{k}]['b'] THEN [cs[i] || cs[i+1]] "
+        "ELSE [cs[i]] END))"
+    )
+    chain = []
+    prev = "s0"
+    for k in range(1, _BPE_MERGES + 1):
+        chain.append(
+            f"s{k} AS (SELECT w, rules, "
+            + apply_tpl.format(k=k)
+            + f" AS cs FROM {prev})"
+        )
+        prev = f"s{k}"
+    return (
+        r"WITH tok AS (SELECT doc_id, "
+        r"unnest(list_filter(string_split_regex(lower(text), '\s+'), "
+        r"t -> t <> '')) AS w FROM documents), "
+        "occ AS (SELECT doc_id, w, count(*) AS occ FROM tok "
+        "GROUP BY doc_id, w), "
+        "wf AS (SELECT w, CAST(sum(occ) AS BIGINT) AS wtot FROM occ "
+        "GROUP BY w), "
+        "v AS (SELECT w, wtot, list_transform(range(1, len(w) + 1), "
+        "i -> substr(w, i, 1)) AS cs FROM wf), "
+        "bp AS (SELECT cs[i] AS a, cs[i+1] AS b, wtot FROM "
+        "(SELECT cs, wtot, unnest(range(1, len(cs))) AS i FROM v)), "
+        "mt AS (SELECT a, b, sum(wtot) AS c FROM bp WHERE a <> b "
+        f"GROUP BY a, b ORDER BY c DESC, a, b LIMIT {_BPE_MERGES}), "
+        "rl AS (SELECT list({'a': a, 'b': b} ORDER BY c DESC, a, b) "
+        "AS rules FROM mt), "
+        "s0 AS (SELECT v.w, v.cs, rl.rules FROM v CROSS JOIN rl), "
+        + ", ".join(chain)
+        + ", sub AS (SELECT w, CAST(len(cs) AS BIGINT) AS n_sub "
+        f"FROM {prev}) "
+        "SELECT o.doc_id, CAST(sum(o.occ) AS BIGINT) AS n_words, "
+        "CAST(sum(o.occ * len(o.w)) AS BIGINT) AS n_chars, "
+        "CAST(sum(o.occ * s.n_sub) AS BIGINT) AS n_subwords "
+        "FROM occ o JOIN sub s ON o.w = s.w GROUP BY o.doc_id"
+    )
+
+
+@register(
+    "q_tokenize_bpe",
+    oracle=_bpe_oracle(),
+    doc="BPE merge-table tokenizer (r8 — upgrades q_token_count's "
+    "regex proxy to the operator a token-budget pipeline actually "
+    "runs: real merge application): the merge table is the top-8 "
+    "occurrence-weighted adjacent character bigrams over the corpus "
+    "(count DESC / pair ASC tie-break — a deterministic "
+    "single-generation table, no iterative recount, so both engines "
+    "derive it bit-identically; self-pairs excluded, which PROVES "
+    "one-pass-per-rule exactness — see _bpe_apply_expr), broadcast "
+    "as plan literals, and applied rule-by-rule to each word's "
+    "character array as pure Catalyst HOF transforms — no Python "
+    "anywhere. The 100 TB shape: merges run over the DISTINCT "
+    "vocabulary (corpus-frequency-weighted), never per word "
+    "occurrence — tokenizing 100 TB is a vocab-sized merge job plus "
+    "one corpus-sized join on the word, exactly how production "
+    "tokenizer services amortize; per-doc output (word / char / "
+    "subword counts) is all-integer so the oracle hash is exact.",
+)
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    occ = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("occ"))
+    wf = occ.groupBy("w").agg(F.sum("occ").alias("wtot"))
+    v = wf.select(
+        "w",
+        "wtot",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("cs"),
+    ).persist()  # consumed by merge-table build AND rule application
+    bp = v.filter(F.size("cs") >= 2).select(
+        "wtot",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("cs") - 2),
+                lambda i: F.struct(
+                    F.get("cs", i).alias("a"),
+                    F.get("cs", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    rules = (
+        bp.select("p.a", "p.b", "wtot")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("wtot").alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(_BPE_MERGES)
+        .collect()  # bounded: the 8-rule broadcast merge table
+    )
+    out = v
+    for r in rules:
+        out = out.withColumn(
+            "cs", _bpe_apply_expr(F.col("cs"), F.lit(r["a"]), F.lit(r["b"]))
+        )
+    sub = out.select("w", F.size("cs").cast("long").alias("n_sub"))
+    return (
+        occ.join(sub, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.length("w")).cast("bigint").alias(
+                "n_chars"
+            ),
+            F.sum(F.col("occ") * F.col("n_sub")).cast("bigint").alias(
+                "n_subwords"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id — stopword-hit heuristic, deterministic in both engines.
 
 _STOPWORDS = {
