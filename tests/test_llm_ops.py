@@ -328,6 +328,36 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])
 
 
+def test_bilinear_resize_is_identity_when_image_fits(spark):
+    """The fixed-point bilinear kernel must be a no-op when the image
+    already fits the target box: half-pixel mapping with tw == w gives
+    fx == 0 at integer positions, so out == src exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from updatable_persistent_map_reduce_spark.operators.multimodal import (
+        _RESIZE_T,
+        _bilinear_resize_batch,
+    )
+
+    w, h = _RESIZE_T, _RESIZE_T - 2
+    src = bytes((3 * i + 1) % 256 for i in range(w * h))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "width": pd.Series([w], dtype="int32"),
+            "height": pd.Series([h], dtype="int32"),
+            "payload": [src],
+        }
+    )
+    [out] = _bilinear_resize_batch(iter([pdf]))
+    r = out.iloc[0]
+    assert (r.target_w, r.target_h) == (w, h)
+    arr = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
+    assert r.px_sum == int(arr.sum())
+    assert r.px_wsum == int((arr * (np.arange(arr.size) + 1)).sum())
+
+
 def test_mm_resize_real_decode(spark):
     """Production PIL resize kernel — runs whenever the environment
     gains image codecs (skip-marked otherwise): generates real PNGs,

@@ -160,66 +160,180 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake 'resize to fit 224x224' kernel: computes the
-    aspect-preserving target dimensions and a stride-sampled byte
-    checksum standing in for the resampled pixel buffer. Production
-    swaps the checksum line for PIL ``img.resize((tw, th))`` — same
-    Arrow batch shape, same signature."""
+# Bilinear resize target: the long side fits _RESIZE_T (downscale
+# only, aspect preserved). Kept small so the closed-form oracle stays
+# cheap while the resample arithmetic is fully real.
+_RESIZE_T = 8
+
+
+def _synth_image2d_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 2D grayscale image producer: w x h row-major
+    REAL bytes with pixel(x, y) = (doc_id*7 + x*31 + y*17 + 3xy) % 256
+    — stands in for decoding .png/.jpg blobs; the resize kernel sees
+    only the bytes + dimensions."""
     for pdf in batches:
-        w = pdf["width"].astype("float64")
-        h = pdf["height"].astype("float64")
-        scale = (224.0 / w).combine(224.0 / h, min).clip(upper=1.0)
+        payloads = []
+        for did, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            did, w, h = int(did), int(w), int(h)
+            payloads.append(
+                bytes(
+                    (did * 7 + x * 31 + y * 17 + 3 * x * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+            )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "target_w": (w * scale).astype("int64").clip(lower=1).astype("int32"),
-                "target_h": (h * scale).astype("int64").clip(lower=1).astype("int32"),
-                "scale": scale.round(6),
-                "resampled_sum": pdf["payload"].map(
-                    lambda b: sum(b[::8]) % 65536
-                ).astype("int32"),
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "payload": payloads,
             }
         )
 
 
+def _bilinear_resize_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL bilinear resample over real bytes, pure numpy (no PIL):
+    aspect-fit so the long side becomes _RESIZE_T (integer dims:
+    tw = max(1, w*T // max(w,h)), downscale only), then half-pixel-
+    center sampling in EXACT fixed point — source position for output
+    x is ((2x+1)*w - tw) / (2*tw), split into x0 = floor and the
+    fractional numerator fx over denominator 2*tw, and the 4-corner
+    blend is computed on integer numerators with one final floor
+    division by (2*tw)(2*th). No float enters, so the oracle can
+    recompute every output pixel bit-for-bit from doc_id. With codecs
+    installed the same arithmetic runs after a real decode
+    (mm_resize_real keeps the PIL path)."""
+    import numpy as np
+
+    for pdf in batches:
+        sums, wsums, tws, ths = [], [], [], []
+        for b, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+            w, h = int(w), int(h)
+            m = max(w, h)
+            if m <= _RESIZE_T:
+                tw, th = w, h
+            else:
+                tw = max(1, (w * _RESIZE_T) // m)
+                th = max(1, (h * _RESIZE_T) // m)
+            dx, dy = 2 * tw, 2 * th
+            img = (
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                .reshape(h, w)
+                .astype(np.int64)
+            )
+            xs = np.arange(tw, dtype=np.int64)
+            pxn = (2 * xs + 1) * w - tw
+            x0, fx = pxn // dx, pxn % dx
+            x1 = np.minimum(x0 + 1, w - 1)
+            ys = np.arange(th, dtype=np.int64)
+            pyn = (2 * ys + 1) * h - th
+            y0, fy = pyn // dy, pyn % dy
+            y1 = np.minimum(y0 + 1, h - 1)
+            out = (
+                img[np.ix_(y0, x0)] * (dx - fx)[None, :] * (dy - fy)[:, None]
+                + img[np.ix_(y0, x1)] * fx[None, :] * (dy - fy)[:, None]
+                + img[np.ix_(y1, x0)] * (dx - fx)[None, :] * fy[:, None]
+                + img[np.ix_(y1, x1)] * fx[None, :] * fy[:, None]
+            ) // (dx * dy)
+            flat = out.ravel()  # row-major == oracle's y-then-x flatten
+            tws.append(tw)
+            ths.append(th)
+            sums.append(int(flat.sum()))
+            wsums.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": pdf["width"].astype("int32"),
+                "src_h": pdf["height"].astype("int32"),
+                "target_w": pd.Series(tws, dtype="int32"),
+                "target_h": pd.Series(ths, dtype="int32"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+                "px_wsum": pd.Series(wsums, dtype="int64"),
+            }
+        )
+
+
+def _resize_oracle() -> str:
+    """Closed-form DuckDB recompute of the bilinear kernel: the same
+    integer fixed-point sampling, inlined (SQL lambdas can't bind
+    intermediates, so x0/fx/y0/fy appear as substituted expressions)."""
+    x0 = "(((2*x+1)*w - tw) // (2*tw))"
+    fx = "(((2*x+1)*w - tw) % (2*tw))"
+    x1 = f"least({x0} + 1, w - 1)"
+    y0 = "(((2*y+1)*h - th) // (2*th))"
+    fy = "(((2*y+1)*h - th) % (2*th))"
+    y1 = f"least({y0} + 1, h - 1)"
+
+    def P(a: str, b: str) -> str:
+        return f"((doc_id*7 + {a}*31 + {b}*17 + 3*{a}*{b}) % 256)"
+
+    px = (
+        f"(({P(x0, y0)} * (2*tw - {fx}) * (2*th - {fy}) "
+        f"+ {P(x1, y0)} * {fx} * (2*th - {fy}) "
+        f"+ {P(x0, y1)} * (2*tw - {fx}) * {fy} "
+        f"+ {P(x1, y1)} * {fx} * {fy}) // (2*tw * 2*th))"
+    )
+    return (
+        "WITH ws AS (SELECT doc_id, (doc_id*37) % 13 + 4 AS w, "
+        "(doc_id*13) % 11 + 3 AS h FROM documents), "
+        "dims AS (SELECT doc_id, w, h, "
+        f"CASE WHEN greatest(w, h) <= {_RESIZE_T} THEN w ELSE "
+        f"greatest(w * {_RESIZE_T} // greatest(w, h), 1) END AS tw, "
+        f"CASE WHEN greatest(w, h) <= {_RESIZE_T} THEN h ELSE "
+        f"greatest(h * {_RESIZE_T} // greatest(w, h), 1) END AS th "
+        "FROM ws), "
+        "px AS (SELECT doc_id, w, h, tw, th, "
+        "flatten(list_transform(range(0, th), y -> "
+        f"list_transform(range(0, tw), x -> {px}))) AS o FROM dims) "
+        "SELECT doc_id, CAST(w AS INTEGER) AS src_w, "
+        "CAST(h AS INTEGER) AS src_h, CAST(tw AS INTEGER) AS target_w, "
+        "CAST(th AS INTEGER) AS target_h, "
+        "CAST(list_sum(o) AS BIGINT) AS px_sum, "
+        "CAST(list_sum(list_transform(range(1, len(o) + 1), "
+        "i -> o[i] * i)) AS BIGINT) AS px_wsum FROM px"
+    )
+
+
 @register(
     "q_mm_resize",
-    oracle=(
-        "WITH m AS (SELECT doc_id, "
-        "CAST((doc_id * 37) % 640 + 1 AS DOUBLE) AS w, "
-        "CAST((doc_id * 13) % 480 + 1 AS DOUBLE) AS h, "
-        "text AS payload FROM documents), "
-        "s AS (SELECT doc_id, w, h, payload, "
-        "least(least(224.0 / w, 224.0 / h), 1.0) AS scale FROM m) "
-        "SELECT doc_id, "
-        "CAST(greatest(CAST(floor(w * scale) AS BIGINT), 1) AS INTEGER) AS target_w, "
-        "CAST(greatest(CAST(floor(h * scale) AS BIGINT), 1) AS INTEGER) AS target_h, "
-        "round(scale, 6) AS scale, "
-        "CAST(list_reduce(list_prepend(0, list_transform("
-        "range(1, length(payload) + 1, 8), i -> ascii(substr(payload, "
-        "CAST(i AS INTEGER), 1)))), (a, c) -> a + c) % 65536 AS INTEGER) "
-        "AS resampled_sum FROM s"
-    ),
-    doc="Multimodal resize plumbing: aspect-preserving fit to 224x224 "
-    "computed in an Arrow-batched kernel over (payload, metadata); the "
-    "stride-8 byte checksum stands in for the resampled buffer "
-    "(decode_image stub documents the production swap). Pure "
-    "per-partition map after a width-spread of the narrow test scan.",
+    oracle=_resize_oracle(),
+    doc="Multimodal IMAGE RESIZE attested end-to-end through real "
+    "bytes (r8 — the r7 stand-in checksum kernel replaced by actual "
+    "resample arithmetic, the audio-features recipe applied to "
+    "images): a deterministic 2D grayscale producer packs w x h "
+    "row-major pixel bytes, and a SEPARATE pure-numpy kernel decodes "
+    "them and performs a REAL bilinear aspect-fit resize — half-pixel-"
+    "center source mapping in exact integer fixed point (positions as "
+    "numerator/denominator pairs, 4-corner blend on integer "
+    "numerators, one final floor division), so every output pixel is "
+    "bit-exactly recomputable and the oracle checks a position-"
+    "weighted checksum of the full resampled buffer, not just "
+    "dimensions. Plan: two chained Arrow-batched mapInPandas stages, "
+    "per-partition map, no shuffle — at 100 TB identical shape with "
+    "real .jpg blobs, a codec decode, and 224x224 targets "
+    "(mm_resize_real keeps the PIL swap-in).",
 )
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(Catalog(spark, sf_dir).documents)
-    with_payload = d.select(
+    d = spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+    meta = d.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        ((F.col("doc_id") * 37) % 640 + 1).cast("int").alias("width"),
-        ((F.col("doc_id") * 13) % 480 + 1).cast("int").alias("height"),
+        ((F.col("doc_id") * 37) % 13 + 4).cast("int").alias("width"),
+        ((F.col("doc_id") * 13) % 11 + 3).cast("int").alias("height"),
     )
-    return with_payload.mapInPandas(
-        _fake_resize_batch,
+    imgs = meta.mapInPandas(
+        _synth_image2d_batch,
+        schema="doc_id long, width int, height int, payload binary",
+    )
+    return imgs.mapInPandas(
+        _bilinear_resize_batch,
         schema=(
-            "doc_id long, target_w int, target_h int, scale double, "
-            "resampled_sum int"
+            "doc_id long, src_w int, src_h int, target_w int, "
+            "target_h int, px_sum bigint, px_wsum bigint"
         ),
     )
 
