@@ -7,7 +7,10 @@ import os
 
 import pytest
 
-from updatable_persistent_map_reduce_spark.plans.store import ManifestTable
+from updatable_persistent_map_reduce_spark.plans.store import (
+    ConcurrentCommitError,
+    ManifestTable,
+)
 
 
 def mk_df(spark, rows):
@@ -602,6 +605,73 @@ def test_restore_is_forward_commit(spark, table):
     table.vacuum(keep_versions=1)
     with pytest.raises(ValueError, match="no archived manifest"):
         table.restore(2)
+
+
+def test_disjoint_span_writers_both_land_without_rebase(spark, tmp_path):
+    """Span-level OCC conflict classes: a stale base_version commit
+    whose touched spans are disjoint from every intervening commit's
+    recorded set lands directly (no ConcurrentCommitError, no
+    re-derive); overlapping spans still lose loudly."""
+    path = str(tmp_path / "occ")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, "a0"), (1, "b0")], "kspan int, v string")))
+    base = t.version  # == 1
+    # two "writers" derive against the same base snapshot
+    wa, wb = ManifestTable(path, "kspan"), ManifestTable(path, "kspan")
+    map_a = wa.write_data(
+        spark.createDataFrame([(0, "a1")], "kspan int, v string"))
+    map_b = wb.write_data(
+        spark.createDataFrame([(1, "b1")], "kspan int, v string"))
+    assert wa.commit(replace={0: map_a[0]}, base_version=base) == 2
+    # writer B's base is stale, but span 1 is untouched by A's commit
+    assert wb.commit(replace={1: map_b[1]}, base_version=base) == 3
+    assert read_vals(t, spark) == [(0, "a1"), (1, "b1")]
+    # a third stale writer touching span 1 conflicts with B — loud
+    wc = ManifestTable(path, "kspan")
+    map_c = wc.write_data(
+        spark.createDataFrame([(1, "b2")], "kspan int, v string"))
+    with pytest.raises(ConcurrentCommitError, match="overlapping"):
+        wc.commit(replace={1: map_c[1]}, base_version=base)
+    # replace_all never fast-paths, even with disjoint history
+    wd = ManifestTable(path, "kspan")
+    map_d = wd.write_data(
+        spark.createDataFrame([(7, "z")], "kspan int, v string"))
+    with pytest.raises(ConcurrentCommitError):
+        wd.commit(replace_all=map_d, base_version=base)
+
+
+def test_disjoint_fastpath_is_conservative_about_history(spark, tmp_path):
+    """The fast path must refuse when an intervening commit's touched
+    set is unknowable: a metadata commit without a recorded set, a
+    pre-feature manifest, or a vacuumed-away intervening manifest."""
+    path = str(tmp_path / "occ2")
+    t = ManifestTable(path, "kspan")
+    t.commit(replace=t.write_data(
+        spark.createDataFrame([(0, "a"), (1, "b")], "kspan int, v string")))
+    base = t.version
+    # stale writer against span 1, intervening delete_keys on span 0:
+    # delete_keys RECORDS its touched span, so this still fast-paths
+    t.delete_keys(
+        spark.createDataFrame([(0, "a")], "kspan int, v string"), on=["v"])
+    w = ManifestTable(path, "kspan")
+    mp = w.write_data(
+        spark.createDataFrame([(1, "b1")], "kspan int, v string"))
+    assert w.commit(replace={1: mp[1]}, base_version=base) == 3
+    # intervening manifest vacuumed away -> conservative rebase (two
+    # disjoint commits so the FIRST is an archived manifest the check
+    # must load; vacuum removes it)
+    base2 = t.version
+    t.commit(append=t.write_data(
+        spark.createDataFrame([(5, "q")], "kspan int, v string")))
+    t.commit(append=t.write_data(
+        spark.createDataFrame([(6, "r")], "kspan int, v string")))
+    t.vacuum(keep_versions=0)
+    w2 = ManifestTable(path, "kspan")
+    mp2 = w2.write_data(
+        spark.createDataFrame([(1, "b2")], "kspan int, v string"))
+    with pytest.raises(ConcurrentCommitError):
+        w2.commit(replace={1: mp2[1]}, base_version=base2)
 
 
 def test_restore_to_pre_schema_version_drops_cached_schema(

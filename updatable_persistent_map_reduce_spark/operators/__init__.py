@@ -71,50 +71,30 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. implementation changed in round 7 since the last green
+    # -- 1. implementation changed in round 8 since the last green
     #       driver row (re-attestation is most valuable first) ------
-    "q_sql_tpch_q2",  # r7 single-scan rewrite (shared lineitem projection)
-    "q_dedup_near",  # r7 exact-verified LSH config, now oracle-backed
-    "q_text_index_persisted",  # r7 replaced-set auto-compact trigger
-    "q_sim_index_persisted",  # r7 centroid rebuild path added
-    "q_layout_zorder",  # r7 None-stats guard (ADVICE fix)
-    "q_cross_tab",  # r7 padded cardinality-guard estimate (ADVICE fix)
-    # -- 2. new in round 7, never driver-attested (filled in as
-    #       queries are added; excess past the 50-sample rolls) -----
-    "q_pack_tokens",      # new: GPT-style concat-and-chunk packing
-    "q_store_restore",    # new: RESTORE TO VERSION as forward commit
-    "q_join_null_safe",   # new: <=> join, NULL keys match, still BHJ
-    "q_window_distribution",  # new: percent_rank + cume_dist, 1 Window
-    "q_agg_boolean",      # new: count_if / bool_and / bool_or
-    "q_join_range_banded",  # new: interval join banded to equi-join
-    "q_event_funnel",     # new: ordered click->purchase attribution
-    "q_cogroup_udf",      # new: cogrouped applyInPandas surface
-    "q_ohlc_rollup",      # new: hypertable OHLC candlestick rollup
-    "q_time_weighted_avg",  # new: locf time-weighted mean per series
-    "q_epoch_shuffle",    # new: deterministic per-epoch training order
-    "q_dedup_edit",       # new: blocked bounded-prefix Levenshtein ER
-    "q_split_exact",      # new: exact-quota stratified train/val/test
-    "q_cumulative_distinct",  # new: first-touch cumulative reach
-    "q_store_vacuum",     # new: GC/retention lifecycle attested
-    "q_join_skew_aqe",    # new: AQE whale-split attested skew=true
-    "q_streak_days",      # new: gaps-and-islands calendar streaks
-    "q_join_asof_nearest",  # new: bidirectional nearest-event join
-    "q_ohlc_remerge",     # new: hour->day candle re-merge == direct
-    # -- unchanged, last attested round 2 (39 ids; oldest first) --
-    "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
-    "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",
-    "q_dedup_simhash", "q_distinct_ids", "q_group_count", "q_join_asof",
-    "q_join_broadcast", "q_join_inner", "q_join_salted", "q_key_migration",
-    "q_lang_id", "q_map_flat", "q_map_project", "q_mm_features",
-    "q_mm_frame_sample", "q_mm_resize", "q_pii_scrub", "q_point_lookup",
-    "q_quality_score", "q_repetition_filter", "q_rereduce", "q_sample_hash",
+    "q_dedup_near",     # r8: exact config fails loudly on bucket overflow
+    "q_dedup_edit",     # r8: lossless length-band composite blocking key
+    "q_dedup_semantic",  # r8: integer dominance form, PROMOTED to oracle
+    "q_ohlc_rollup",    # r8: min_by/max_by single aggregate, Window-free
+    "q_epoch_shuffle",  # r8: shard count derives from corpus size in-plan
+    "q_mm_resize",      # r8: real fixed-point bilinear resample kernel
+    "q_store_restore",  # r8: restore() drops stale cached schema
+    "q_store_merge",    # r8: commit() span-level OCC conflict classes
+    "q_store_compaction",     # r8: same commit-path change
+    "q_store_delete_vectors",  # r8: delete_keys records touched spans
+    # -- 2. new in round 8, never driver-attested ------------------
+    "q_neardup_index_persisted",  # new: persisted MinHash band index
+    "q_tokenize_bpe",             # new: BPE merge-table application
+    # -- unchanged, last attested round 2 (14 ids; oldest first) --
+    "q_repetition_filter", "q_rereduce", "q_sample_hash",
     "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",
     "q_sql_tpch_q3", "q_store_point_lookup", "q_stream_session", "q_stream_tumbling",
     "q_text_stats", "q_token_count", "q_window_rank",
-    # -- unchanged, last attested round 3 (47 ids; oldest first) --
+    # -- unchanged, last attested round 3 (46 ids; oldest first) --
     "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_p99",
     "q_approx_distinct", "q_array_map_funcs", "q_batch_256", "q_bm25",
-    "q_corpus_prep", "q_decontaminate", "q_dedup_semantic", "q_doc_fingerprint",
+    "q_corpus_prep", "q_decontaminate", "q_doc_fingerprint",
     "q_doc_len_histogram", "q_embed_quantize", "q_except", "q_filter_pred",
     "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
     "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",
@@ -146,10 +126,24 @@ _PRIORITY = [
     "q_scan_xml", "q_sql_parameterized", "q_sql_pipe", "q_sql_scripting",
     "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20",
     "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9", "q_sql_udf",
-    "q_store_cdc", "q_store_clone", "q_store_compaction", "q_store_delete_vectors",
-    "q_store_merge", "q_store_schema_evolution", "q_store_stats_prune", "q_stream_checkpoint_recovery",
+    "q_store_cdc", "q_store_clone", "q_store_schema_evolution",
+    "q_store_stats_prune", "q_stream_checkpoint_recovery",
     "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
     "q_stream_update_mode", "q_variant_type",
+    # -- unchanged, last attested round 7 (43 ids; most recent last) --
+    "q_sql_tpch_q2", "q_text_index_persisted", "q_sim_index_persisted",
+    "q_layout_zorder", "q_cross_tab", "q_pack_tokens", "q_join_null_safe",
+    "q_window_distribution", "q_agg_boolean", "q_join_range_banded",
+    "q_event_funnel", "q_cogroup_udf", "q_time_weighted_avg", "q_split_exact",
+    "q_cumulative_distinct", "q_store_vacuum", "q_join_skew_aqe",
+    "q_streak_days", "q_join_asof_nearest", "q_ohlc_remerge",
+    "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi",
+    "q_bucket_hash", "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental",
+    "q_dedup_ngram", "q_dedup_simhash", "q_distinct_ids", "q_group_count",
+    "q_join_asof", "q_join_broadcast", "q_join_inner", "q_join_salted",
+    "q_key_migration", "q_lang_id", "q_map_flat", "q_map_project",
+    "q_mm_features", "q_mm_frame_sample", "q_pii_scrub", "q_point_lookup",
+    "q_quality_score",
 ]
 
 

@@ -83,6 +83,14 @@ def retry_commit(op, *, attempts: int = 5):
     ``ConcurrentCommitError`` propagates (livelock guard; under that
     much contention the deployment should serialize its writers).
 
+    Most disjoint writers never reach this loop at all: since r8,
+    :meth:`ManifestTable.commit` records each commit's touched-span
+    set in the manifest and lets a stale ``base_version`` commit land
+    directly when every intervening commit touched DISJOINT spans
+    (Delta-style logical conflict classes) — the rebase here is only
+    paid for genuinely overlapping writes, whole-table commits, or
+    unknowable history.
+
     ``op`` MUST be the full cycle. Passing a pre-derived commit (a
     closure over an already-computed ``replace=`` mapping built from a
     stale read) would retry the publish without the rebase and can
@@ -328,16 +336,36 @@ class ManifestTable:
 
         ``base_version`` pins read-modify-write commits (compaction's
         replace was derived from a snapshot read): if the table has
-        advanced past it, the commit raises
-        :class:`ConcurrentCommitError` instead of silently replacing a
-        span's file list that another commit extended in between."""
+        advanced past it, the commit checks SPAN-LEVEL conflict
+        classes (Delta-style logical conflict detection) before giving
+        up — every manifest records the span set its commit touched,
+        so a stale writer whose touched spans are DISJOINT from every
+        intervening commit's recorded set still holds a valid
+        derivation (span-local paths like :meth:`merge` read only the
+        spans they rewrite, and a disjoint commit cannot have changed
+        those spans' files or tombstones) and lands without a rebase.
+        Overlapping spans, a full-table intervening commit
+        (``touched == "*"``), a manifest without a recorded set
+        (pre-feature or :meth:`restore`), or a vacuumed-away
+        intervening manifest all still raise
+        :class:`ConcurrentCommitError` loudly — the fast path only
+        ever narrows the retry, never weakens the check."""
         m = self._load()
-        if base_version is not None and m["version"] != base_version:
-            raise ConcurrentCommitError(
-                f"table {self.path} advanced to version {m['version']} "
-                f"past this commit's base snapshot {base_version}; "
-                "re-derive the commit from current state"
+        touched: set[int] | None = None  # None == whole table
+        if replace_all is None:
+            touched = (
+                {int(s) for s in (replace or {})}
+                | {int(s) for s in (append or {})}
+                | {int(s) for s in drop}
             )
+        if base_version is not None and m["version"] != base_version:
+            if not self._intervening_disjoint(base_version, m, touched):
+                raise ConcurrentCommitError(
+                    f"table {self.path} advanced to version "
+                    f"{m['version']} past this commit's base snapshot "
+                    f"{base_version} with overlapping span writes; "
+                    "re-derive the commit from current state"
+                )
         if replace_all is not None:
             spans = {str(s): list(fs) for s, fs in replace_all.items()}
         else:
@@ -350,6 +378,10 @@ class ManifestTable:
                 spans.pop(str(s), None)
         spans = {s: fs for s, fs in spans.items() if fs}
         new = {"version": m["version"] + 1, "spans": spans}
+        # Record this commit's conflict class for future stale writers
+        # (see the base_version fast path above): the touched span set,
+        # or "*" for whole-table commits.
+        new["touched"] = "*" if touched is None else sorted(touched)
         # The committed SCHEMA rides in the manifest (Iceberg-style
         # schema evolution, add-column only): the table's read schema
         # is the union of every live file's columns, so a batch that
@@ -432,6 +464,30 @@ class ManifestTable:
             new["deletes"] = deletes
             new["delete_on"] = m["delete_on"]
         return self._publish_new(m, new)
+
+    def _intervening_disjoint(
+        self, base_version: int, cur: dict, touched: set[int] | None
+    ) -> bool:
+        """True iff every commit between ``base_version`` and the
+        current manifest ``cur`` recorded a touched-span set disjoint
+        from ``touched`` — the span-level conflict check. Conservative
+        by construction: a whole-table commit on either side
+        (``touched is None`` / recorded ``"*"``), a manifest missing
+        the record, or a vacuumed-away intervening manifest all
+        return False (the stale writer must rebase)."""
+        if touched is None:
+            return False
+        for v in range(base_version + 1, cur["version"] + 1):
+            try:
+                mv = cur if v == cur["version"] else self._load(v)
+            except ValueError:
+                return False  # intervening manifest vacuumed away
+            t = mv.get("touched")
+            if not isinstance(t, list):
+                return False  # "*", pre-feature, or restore/meta commit
+            if touched & {int(s) for s in t}:
+                return False
+        return True
 
     def _publish_new(self, m: dict, new: dict) -> int:
         """The commit protocol's publish step, shared by data commits
@@ -755,6 +811,7 @@ class ManifestTable:
         }
         version = self._commit_meta(
             base,
+            touched=[int(s) for s in recorded],
             deletes=deletes,
             # never pin the key-column set without live tombstones
             delete_on=list(on) if deletes else None,
@@ -765,11 +822,22 @@ class ManifestTable:
             "version": version,
         }
 
-    def _commit_meta(self, base_version: int, **meta) -> int:
+    def _commit_meta(
+        self,
+        base_version: int,
+        touched: list[int] | None = None,
+        **meta,
+    ) -> int:
         """Commit a metadata-only snapshot (same spans, updated
         ``deletes``/``delete_on``) through the normal commit protocol
         so tombstones get the identical atomicity, archive, and OCC
-        guarantees as data commits."""
+        guarantees as data commits. ``touched`` records the commit's
+        span-level conflict class (the spans whose tombstone state
+        changed) so disjoint stale writers can fast-path past it;
+        omitted -> "*" (conflicts with everything). The meta commit
+        itself stays strictly pinned — its deletes dict is derived
+        from the base snapshot whole, so any advance forces a
+        re-derive."""
         m = self._load()
         if m["version"] != base_version:
             raise ConcurrentCommitError(
@@ -782,6 +850,7 @@ class ManifestTable:
             **meta,
         }
         new = {k: v for k, v in new.items() if v or k in ("version", "spans")}
+        new["touched"] = "*" if touched is None else sorted(touched)
         return self._publish_new(m, new)
 
     def _apply_tombstones(
