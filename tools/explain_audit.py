@@ -151,6 +151,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # product quantization: 8x4 subspace distances as codegen against
+    # codebook literals over ONE scan — no shuffle, no join, no Python
+    "q_embed_pq": (
+        ["Scan parquet"],
+        ["Exchange", "Python", "Join"],
+    ),
+    # length-bucketed batching: ONE window keyed by the length bucket
+    # + partial+final agg; bucket count scales with the length range
+    "q_length_bucket_batches": (
+        ["Window", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # scene-cut: two chained Arrow kernels, per-partition map (the
+    # only Exchange is spread()'s deliberate core-spreading
+    # repartition of the narrow id scan, as in every q_mm_* op)
+    "q_mm_scene_cut": (
+        ["MapInPandas"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
     # BPE tokenizer: merges run over the DISTINCT vocab (two hash
     # aggs) against 8 broadcast rule literals, then ONE join back to
     # per-doc occurrences — pure Catalyst HOFs, no Python, no product

@@ -86,6 +86,9 @@ _PRIORITY = [
     # -- 2. new in round 8, never driver-attested ------------------
     "q_neardup_index_persisted",  # new: persisted MinHash band index
     "q_tokenize_bpe",             # new: BPE merge-table application
+    "q_embed_pq",                 # new: product quantization encode
+    "q_length_bucket_batches",    # new: padding-minimizing batching
+    "q_mm_scene_cut",             # new: shot-boundary detection
     # -- unchanged, last attested round 2 (14 ids; oldest first) --
     "q_repetition_filter", "q_rereduce", "q_sample_hash",
     "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",

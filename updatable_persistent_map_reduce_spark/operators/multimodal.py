@@ -403,6 +403,124 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# video scene-cut detection — shot-boundary plumbing over real bytes.
+
+_SC_FRAME_B = 16   # bytes per synthetic frame
+_SC_SCENE_LEN = 4  # frames per scene in the synthetic videos
+
+
+def _synth_video_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake video producer: n_frames frames of
+    _SC_FRAME_B bytes each, pixel j of frame k =
+    (doc_id*7 + scene*53 + j*3) % 256 with scene = k // _SC_SCENE_LEN
+    — frames are identical WITHIN a scene and jump at scene
+    boundaries, the structure shot-boundary detection exists to find.
+    Packed as real bytes; the detector sees only those."""
+    for pdf in batches:
+        payloads = []
+        for did, nf in zip(pdf["doc_id"], pdf["n_frames"]):
+            did, nf = int(did), int(nf)
+            payloads.append(
+                bytes(
+                    (did * 7 + (k // _SC_SCENE_LEN) * 53 + j * 3) % 256
+                    for k in range(nf)
+                    for j in range(_SC_FRAME_B)
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": pdf["n_frames"],
+                "payload": payloads,
+            }
+        )
+
+
+def _scene_cut_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Shot-boundary detector over real bytes: numpy-decode the frame
+    stack, per-frame integer luminance (byte sum), emit one row per
+    frame whose luminance differs from its predecessor (1 -> N
+    emission, like frame sampling). Integer math end to end so the
+    oracle recomputes every cut and delta exactly; with real codecs
+    the luminance line becomes a decoded-plane mean, same shape."""
+    import numpy as np
+
+    doc, cut, delta = [], [], []
+    for pdf in batches:
+        for did, nf, b in zip(
+            pdf["doc_id"], pdf["n_frames"], pdf["payload"]
+        ):
+            x = (
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                .reshape(int(nf), _SC_FRAME_B)
+                .astype(np.int64)
+            )
+            luma = x.sum(axis=1)
+            d = np.abs(np.diff(luma))
+            for k in np.nonzero(d)[0]:
+                doc.append(int(did))
+                cut.append(int(k) + 1)
+                delta.append(int(d[k]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "cut_frame": pd.Series(cut, dtype="int32"),
+                "delta": pd.Series(delta, dtype="int64"),
+            }
+        )
+        doc, cut, delta = [], [], []
+
+
+@register(
+    "q_mm_scene_cut",
+    oracle=(
+        "WITH v AS (SELECT doc_id, (doc_id % 13) + 4 AS nf FROM documents), "
+        "f AS (SELECT doc_id, unnest(range(1, nf)) AS k FROM v), "
+        "l AS (SELECT doc_id, k, "
+        f"CAST(list_sum(list_transform(range(0, {_SC_FRAME_B}), j -> "
+        f"(doc_id*7 + (k // {_SC_SCENE_LEN}) * 53 + j*3) % 256)) AS BIGINT) "
+        "AS luma, "
+        f"CAST(list_sum(list_transform(range(0, {_SC_FRAME_B}), j -> "
+        f"(doc_id*7 + ((k-1) // {_SC_SCENE_LEN}) * 53 + j*3) % 256)) AS BIGINT) "
+        "AS prev FROM f) "
+        "SELECT doc_id, CAST(k AS INTEGER) AS cut_frame, "
+        "CAST(abs(luma - prev) AS BIGINT) AS delta "
+        "FROM l WHERE luma <> prev"
+    ),
+    doc="VIDEO SCENE-CUT detection attested end-to-end through real "
+    "bytes (shot-boundary detection — the segmentation step a video "
+    "curation pipeline runs before frame sampling): a deterministic "
+    "producer packs frame stacks as actual bytes with planted scene "
+    "boundaries every 4 frames, and a SEPARATE numpy kernel decodes "
+    "the stack, computes per-frame integer luminance, and emits one "
+    "row per luminance discontinuity (1 -> N emission). The oracle "
+    "recomputes every cut frame and delta in closed form from "
+    "doc_id, so a green row proves the bytes -> frame-stack -> "
+    "diff-threshold path exactly. Plan: two chained Arrow-batched "
+    "mapInPandas stages, per-partition map, no shuffle — with real "
+    "codecs the luminance line becomes a decoded-plane mean and the "
+    "threshold a tuned constant, same shape at 100 TB.",
+)
+def q_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+    meta = d.select(
+        "doc_id", ((F.col("doc_id") % 13) + 4).cast("int").alias("n_frames")
+    )
+    vids = meta.mapInPandas(
+        _synth_video_batch,
+        schema="doc_id long, n_frames int, payload binary",
+    )
+    return vids.mapInPandas(
+        _scene_cut_batch,
+        schema="doc_id long, cut_frame int, delta bigint",
+    )
+
+
 _AUDIO_N = 1024  # PCM samples per synthetic clip
 
 

@@ -812,6 +812,69 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# length-bucketed batch formation — padding-waste minimization.
+
+_LB_W = 64  # token-length band width per bucket
+_LB_B = 8   # documents per training batch
+
+
+@register(
+    "q_length_bucket_batches",
+    oracle=(
+        r"WITH d AS (SELECT doc_id, "
+        r"len(list_filter(string_split_regex(lower(text), '\s+'), "
+        r"t -> t <> '')) AS n FROM documents), "
+        f"f AS (SELECT doc_id, n, n // {_LB_W} AS bucket FROM d WHERE n > 0), "
+        "r AS (SELECT bucket, n, (row_number() OVER (PARTITION BY bucket "
+        f"ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) - 1) // {_LB_B} "
+        "AS batch_id FROM f) "
+        "SELECT CAST(bucket AS INTEGER) AS bucket, "
+        "CAST(batch_id AS BIGINT) AS batch_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(max(n) AS BIGINT) AS max_len, "
+        "CAST(sum(n) AS BIGINT) AS sum_len, "
+        "CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens "
+        "FROM r GROUP BY bucket, batch_id"
+    ),
+    doc="LENGTH-BUCKETED batch formation (the padded-batch dataloader "
+    "optimization every fine-tuning pipeline runs): documents group "
+    f"into {_LB_W}-token length bands, each band's docs take a "
+    "deterministic hash order (multiplicative hash, tie doc_id — "
+    "reproducible across runs and partitionings, like "
+    f"q_epoch_shuffle) and cut into {_LB_B}-doc batches; per batch "
+    "the output reports max_len (the padded width), sum_len (real "
+    "tokens) and pad_tokens = n_docs*max_len - sum_len — the waste "
+    "metric bucketing exists to minimize (batching the same corpus "
+    "unbucketed pads every sequence to the global max). All integers "
+    "so the oracle hash is exact. Plan: token count is codegen at "
+    "the scan; ONE window shuffle keyed by bucket (rank rides it), "
+    "one partial+final agg — bucket count grows with the corpus's "
+    "length range, so no single-task sort pins at scale.",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
+    b = d.withColumn("bucket", F.expr(f"n DIV {_LB_W}").cast("int"))
+    w = W.partitionBy("bucket").orderBy(
+        (F.col("doc_id") * _KNUTH) % _M32, "doc_id"
+    )
+    r = b.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / _LB_B)
+    )
+    return r.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n").cast("bigint").alias("max_len"),
+        F.sum("n").cast("bigint").alias("sum_len"),
+        (F.count(F.lit(1)) * F.max("n") - F.sum("n"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # epoch-aware training-order shuffle — deterministic corpus permutation.
 
 _EPOCH_STRIDE = 7919  # prime: decorrelates epoch hash streams

@@ -299,6 +299,119 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QMAX = 127  # int8 symmetric range
 
 
+# ---------------------------------------------------------------------------
+# product quantization — the ANN memory-compression workhorse.
+
+_PQ_M = 8  # subspaces (64-dim embedding -> 8 sub-vectors of 8 dims)
+_PQ_K = 4  # centroids per subspace (2 bits) — seeded like _KM_K
+_PQ_D = 8  # dims per subspace
+
+
+@register(
+    "q_embed_pq",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS code "
+        "FROM (SELECT vec_id, embedding, gmax / 127 AS sc "
+        "FROM embeddings, mx)), "
+        "cr AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INTEGER) AS k, code AS ccode FROM q ORDER BY vec_id LIMIT {_PQ_K}), "
+        "sub AS (SELECT q.vec_id, m.m, cr.k, "
+        f"CAST(list_sum(list_transform(range(0, {_PQ_D}), j -> "
+        f"(q.code[m.m * {_PQ_D} + j + 1] - cr.ccode[m.m * {_PQ_D} + j + 1]) * "
+        f"(q.code[m.m * {_PQ_D} + j + 1] - cr.ccode[m.m * {_PQ_D} + j + 1])"
+        ")) AS BIGINT) AS d "
+        f"FROM q CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m "
+        "CROSS JOIN cr), "
+        "best AS (SELECT vec_id, m, k, d, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d, k) AS rn FROM sub) "
+        "SELECT vec_id, "
+        "CAST(sum(CAST(k AS BIGINT) * (CAST(1 AS BIGINT) << "
+        "CAST(2 * m AS INTEGER))) AS BIGINT) AS pq_code, "
+        "CAST(sum(d) AS BIGINT) AS recon_err "
+        "FROM best WHERE rn = 1 GROUP BY vec_id"
+    ),
+    doc="PRODUCT QUANTIZATION (Jegou et al. — the ANN memory "
+    "compression workhorse IVF-PQ serving tiers run): the 64-dim "
+    "embedding splits into 8 sub-vectors of 8 dims; each subspace has "
+    "its own 4-entry codebook (2 bits), so a vector compresses to a "
+    "16-bit PQ code — 16x smaller than int8, 256x smaller than "
+    "float64 — plus the integer reconstruction error that quantifies "
+    "the recall cost. Everything is EXACT integer arithmetic on the "
+    "same global-scale codes as q_kmeans_assign/q_dedup_semantic "
+    "(codebooks = the sub-vectors of the 4 smallest vec_ids, the "
+    "deterministic seeding rule; squared-L2 assignment with ties to "
+    "the lowest centroid), so the DuckDB hash compare is exact. "
+    "Plan: the 8x4 subspace distances are zip_with/aggregate codegen "
+    "against codebook LITERALS over slices of one scan — one "
+    "projection, no shuffle, no join, no Python; at 100 TB this is "
+    "the map-only encode job that writes the PQ-compressed copy of "
+    "the corpus.",
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / 127
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.lit(scale) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("code"),
+    )
+    seeds = codes.orderBy("vec_id").limit(_PQ_K).collect()
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pq_terms, err_terms = [], []
+    for m in range(_PQ_M):
+        sub = F.slice("code", m * _PQ_D + 1, _PQ_D)
+        dists = F.array(
+            *[
+                sq_l2(
+                    sub,
+                    F.array(
+                        *[
+                            F.lit(int(v))
+                            for v in s["code"][m * _PQ_D : (m + 1) * _PQ_D]
+                        ]
+                    ),
+                )
+                for s in seeds
+            ]
+        )
+        dmin = F.array_min(dists)
+        kidx = (F.array_position(dists, dmin) - 1).cast("long")
+        pq_terms.append(kidx * F.lit(1 << (2 * m)).cast("long"))
+        err_terms.append(dmin)
+    pq_code = pq_terms[0]
+    for t in pq_terms[1:]:
+        pq_code = pq_code + t
+    err = err_terms[0]
+    for t in err_terms[1:]:
+        err = err + t
+    return codes.select(
+        "vec_id",
+        pq_code.cast("bigint").alias("pq_code"),
+        err.cast("bigint").alias("recon_err"),
+    )
+
+
 @register(
     "q_embed_quantize",
     oracle=(
