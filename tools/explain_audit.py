@@ -151,6 +151,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # triangle counting: ordered-edge wedge join + closure join —
+    # hash equi-joins on node keys, never a product
+    "q_graph_triangles": (
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+         "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # streaming near-dup gate: the returned frame is the drained
+    # decisions table (the probes/appends ran inside foreachBatch)
+    "q_stream_neardup_gate": (
+        ["Scan parquet"],
+        ["Python", "CartesianProduct"],
+    ),
     # product quantization: 8x4 subspace distances as codegen against
     # codebook literals over ONE scan — no shuffle, no join, no Python
     "q_embed_pq": (
@@ -862,9 +875,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # hour->day re-merge: consumes the hour rollup's frame, one more
     # tiny aggregate — never re-touches raw events via a join
+    # remerge consumes q_ohlc_rollup's Window-free SortAggregate hour
+    # candles (r8), then one more tiny aggregate over hour rows
     "q_ohlc_remerge": (
-        ["Window", "HashAggregate"],
-        ["Python", "Join", "CartesianProduct",
+        ["SortAggregate", "partial_min_by"],
+        ["Window", "Python", "Join", "CartesianProduct",
          "Exchange SinglePartition"],
     ),
 }

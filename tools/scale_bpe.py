@@ -1,0 +1,131 @@
+"""Measure the BPE tokenizer's vocab-amortization claim.
+
+q_tokenize_bpe (operators/text_analysis.py:bpe_doc_counts) applies
+merge rules once per DISTINCT word and joins the result back to
+per-doc occurrence counts — the claim being that tokenizing a corpus
+is a VOCAB-sized merge job plus one corpus-sized join, not a
+per-occurrence merge pass. This tool measures both forms on the same
+Catalyst-synthetic corpora (fixed 1000-word vocabulary, so corpus
+growth adds occurrences, not words — the regime a growing corpus is
+actually in):
+
+- vocab path  = bpe_doc_counts (merge cost pinned to 1000 words)
+- naive path  = identical merge rules applied to every word
+  OCCURRENCE's char array (corpus-sized HOF work)
+
+Asserted, not just printed:
+1. both paths produce IDENTICAL per-doc results at the smallest
+   octave (the amortization is an execution strategy, not a
+   semantics change);
+2. at the largest octave the vocab path is faster (the naive path's
+   merge work grows with occurrences; the vocab path's with the
+   vocabulary, which is constant here).
+
+Usage: python tools/scale_bpe.py [n1 n2 ...]  (default 20000 80000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from updatable_persistent_map_reduce_spark.operators.text_analysis import (  # noqa: E402
+    bpe_apply_rules,
+    bpe_doc_counts,
+    bpe_merge_table,
+    chars_expr,
+)
+from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E402
+
+VOCAB = 1000
+N_TOKENS = 40
+
+
+def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """n_docs documents of 40 tokens drawn from a fixed 1000-word
+    vocabulary (word = 'w' + hash%1000, 2-5 chars)."""
+    df = spark.range(n_docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_TOKENS - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * N_TOKENS + i), F.lit(VOCAB)),
+            ),
+        ),
+        " ",
+    )
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def naive_counts(d: DataFrame) -> DataFrame:
+    """Per-OCCURRENCE merge application: same rules, same output, but
+    the HOF merge chain runs once per word occurrence."""
+    from updatable_persistent_map_reduce_spark.functions.text import (
+        tokens_expr,
+    )
+
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    occ = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("occ"))
+    rules = bpe_merge_table(occ)
+    per_occ = tok.withColumn("cs", chars_expr(F.col("w")))
+    merged = bpe_apply_rules(per_occ, rules)
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.size("cs")).cast("bigint").alias("n_subwords"),
+    )
+
+
+def main() -> None:
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [20_000, 80_000]
+    spark = get_spark("upmr-scale-bpe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    # semantics equality at a small corpus
+    small = synth_corpus(spark, 2_000).cache()
+    a = {tuple(r) for r in bpe_doc_counts(small).collect()}
+    b = {tuple(r) for r in naive_counts(small).collect()}
+    assert a == b, "vocab-amortized path != per-occurrence path"
+    small.unpersist()
+    print("n=    2,000  vocab path == per-occurrence path "
+          f"({len(a)} docs) — equality executed OK")
+
+    t_vocab: dict[int, float] = {}
+    t_naive: dict[int, float] = {}
+    for n in sizes:
+        d = synth_corpus(spark, n).cache()
+        d.count()
+        t0 = time.perf_counter()
+        bpe_doc_counts(d).agg(F.sum("n_subwords")).collect()
+        t_vocab[n] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        naive_counts(d).agg(F.sum("n_subwords")).collect()
+        t_naive[n] = time.perf_counter() - t0
+        d.unpersist()
+        print(
+            f"n={n:>9,}  vocab_path={t_vocab[n]:6.1f}s  "
+            f"naive_path={t_naive[n]:6.1f}s  "
+            f"({t_naive[n] / t_vocab[n]:4.1f}x)"
+        )
+    big = sizes[-1]
+    assert t_vocab[big] < t_naive[big], (
+        f"vocab path not faster at n={big}: "
+        f"{t_vocab[big]:.1f}s vs {t_naive[big]:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,8 @@ _PRIORITY = [
     "q_embed_pq",                 # new: product quantization encode
     "q_length_bucket_batches",    # new: padding-minimizing batching
     "q_mm_scene_cut",             # new: shot-boundary detection
+    "q_stream_neardup_gate",      # new: streaming ingest dedup gate
+    "q_graph_triangles",          # new: co-purchase triangle counting
     # -- unchanged, last attested round 2 (14 ids; oldest first) --
     "q_repetition_filter", "q_rereduce", "q_sample_hash",
     "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",

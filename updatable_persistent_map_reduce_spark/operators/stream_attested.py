@@ -754,3 +754,131 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest near-dup gate — the persisted band index driven by
+# the real streaming path.
+
+_GATE_JACC = (
+    "2 * len(list_intersect(s.sh, c.sh)) "
+    ">= len(list_distinct(list_concat(s.sh, c.sh)))"
+)
+_GATE_SHINGLES = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks)
+"""
+
+
+def _gate_batch_sql(b: int, accepted_ctes: list[str]) -> str:
+    """dup decision CTE for micro-batch ``b``: a streamed doc is a dup
+    iff a J >= 1/2 neighbor exists in the corpus or in a PRIOR batch's
+    accepted set (the index state when batch b is probed)."""
+    allowed = "c.doc_id % 5 <> 0"
+    for a in accepted_ctes:
+        allowed += f" OR c.doc_id IN (SELECT doc_id FROM {a})"
+    return (
+        f"dup{b} AS (SELECT s.doc_id, "
+        f"EXISTS (SELECT 1 FROM sh c WHERE ({allowed}) "
+        f"AND {_GATE_JACC}) AS is_dup "
+        f"FROM sh s WHERE s.doc_id % 5 = 0 AND (s.doc_id // 5) % 3 = {b})"
+    )
+
+
+@register(
+    "q_stream_neardup_gate",
+    oracle=(
+        "WITH " + _GATE_SHINGLES + ", "
+        + _gate_batch_sql(0, [])
+        + ", acc0 AS (SELECT doc_id FROM dup0 WHERE NOT is_dup), "
+        + _gate_batch_sql(1, ["acc0"])
+        + ", acc1 AS (SELECT doc_id FROM dup1 WHERE NOT is_dup), "
+        + _gate_batch_sql(2, ["acc0", "acc1"])
+        + " SELECT doc_id, CAST(is_dup AS BOOLEAN) AS is_dup FROM "
+        "(SELECT * FROM dup0 UNION ALL SELECT * FROM dup1 "
+        "UNION ALL SELECT * FROM dup2)"
+    ),
+    doc="STREAMING INGEST NEAR-DUP GATE — the persisted MinHash band "
+    "index (plans/neardup_index.py) driven by the real streaming "
+    "path: the index is built on the corpus (doc_id % 5 != 0), the "
+    "remaining docs arrive as three producer files replayed as three "
+    "micro-batches (maxFilesPerTrigger=1; file mtimes spaced 100 s "
+    "apart make the replay order deterministic — FileStreamSource "
+    "batches by modification time), and foreachBatch PROBES each "
+    "batch against the index (reading only the batch's band spans), "
+    "records an accept/reject decision per doc, and APPENDS the "
+    "accepted docs' signatures atomically so later batches are gated "
+    "by earlier acceptances — the reference's repeated-Execute ingest "
+    "loop (Program.cs:31,35) running the dedup-before-ingest policy "
+    "every production corpus pipeline needs. Within a batch, docs are "
+    "gated by the index only (not each other) — the standard "
+    "probe-then-append semantics, which the unrolled 3-step oracle "
+    "replicates exactly (dup iff a J >= 1/2 shingle-Jaccard neighbor "
+    "exists in the corpus or a PRIOR batch's accepted set). The 16x1 "
+    "banding + exact verify make the probe equal the oracle's "
+    "brute-force EXISTS, so a green row attests the full streaming "
+    "loop: deterministic replay, span-pruned probes, atomic appends, "
+    "checkpointed exactly-once.",
+)
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+
+    from ..plans.neardup_index import NearDupIndex
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="upmr_sgate_")
+    idx = NearDupIndex(
+        spark, os.path.join(base, "index"), n_perm=16, n_bands=16
+    )
+    idx.build(d.filter(F.col("doc_id") % 5 != 0))
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    streamed = d.filter(F.col("doc_id") % 5 == 0)
+    t0 = os.path.getmtime(base)
+    for b in range(3):
+        stage = os.path.join(base, f"stage{b}")
+        streamed.filter(
+            (F.col("doc_id") / 5).cast("long") % 3 == b
+        ).coalesce(1).write.parquet(stage)
+        [part] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(inbox, f"batch-{b}.parquet")
+        _shutil.move(part, dst)
+        # replay order = file mtime order; space them far apart
+        os.utime(dst, (t0 + b * 100, t0 + b * 100))
+    decisions = os.path.join(base, "decisions")
+
+    def gate(batch_df: DataFrame, _bid: int) -> None:
+        hits = idx.probe(batch_df).select(
+            F.col("doc_a").alias("doc_id")
+        ).distinct()
+        decided = batch_df.join(
+            hits.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+        decided.write.mode("append").parquet(decisions)
+        accepted = batch_df.join(hits, "doc_id", "left_anti")
+        idx.append(accepted)
+
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(decisions).select("doc_id", "is_dup")

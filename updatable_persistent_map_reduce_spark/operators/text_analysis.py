@@ -190,20 +190,24 @@ def _bpe_oracle() -> str:
     "subword counts) is all-integer so the oracle hash is exact.",
 )
 def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
-    tok = d.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    return bpe_doc_counts(Catalog(spark, sf_dir).documents)
+
+
+def chars_expr(word) -> "F.Column":
+    """array<string> of a word's characters — the BPE starting state."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
     )
-    occ = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("occ"))
+
+
+def bpe_merge_table(occ: DataFrame) -> list:
+    """Top-_BPE_MERGES occurrence-weighted adjacent char-bigram merge
+    rules from a (doc_id, w, occ) frame; deterministic (count DESC,
+    pair ASC), self-pairs excluded. The bounded 8-row collect is the
+    broadcast merge table."""
     wf = occ.groupBy("w").agg(F.sum("occ").alias("wtot"))
-    v = wf.select(
-        "w",
-        "wtot",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("cs"),
-    ).persist()  # consumed by merge-table build AND rule application
+    v = wf.select("w", "wtot", chars_expr(F.col("w")).alias("cs"))
     bp = v.filter(F.size("cs") >= 2).select(
         "wtot",
         F.explode(
@@ -216,21 +220,46 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     )
-    rules = (
+    return (
         bp.select("p.a", "p.b", "wtot")
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("wtot").alias("c"))
         .orderBy(F.col("c").desc(), "a", "b")
         .limit(_BPE_MERGES)
-        .collect()  # bounded: the 8-rule broadcast merge table
+        .collect()
     )
-    out = v
+
+
+def bpe_apply_rules(df: DataFrame, rules: list, col: str = "cs") -> DataFrame:
+    """Chain the merge rules over ``col`` (one projection per rule —
+    named-attribute chaining keeps Catalyst from inlining the 5x
+    self-references per level into an exponential expression tree)."""
     for r in rules:
-        out = out.withColumn(
-            "cs", _bpe_apply_expr(F.col("cs"), F.lit(r["a"]), F.lit(r["b"]))
+        df = df.withColumn(
+            col, _bpe_apply_expr(F.col(col), F.lit(r["a"]), F.lit(r["b"]))
         )
-    sub = out.select("w", F.size("cs").cast("long").alias("n_sub"))
+    return df
+
+
+def bpe_doc_counts(d: DataFrame) -> DataFrame:
+    """Per-doc (n_words, n_chars, n_subwords) under the corpus-derived
+    merge table, computed the vocab-amortized way: merges run once per
+    DISTINCT word, then one join back to per-doc occurrence counts.
+    tools/scale_bpe.py measures this against the per-occurrence naive
+    form."""
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    occ = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("occ"))
+    occ.persist()  # consumed by merge-table build AND the final join
+    rules = bpe_merge_table(occ)
+    v = occ.select("w").distinct().withColumn(
+        "cs", chars_expr(F.col("w"))
+    )
+    sub = bpe_apply_rules(v, rules).select(
+        "w", F.size("cs").cast("long").alias("n_sub")
+    )
     return (
         occ.join(sub, "w")
         .groupBy("doc_id")

@@ -438,7 +438,8 @@ def q_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "holds, a 100 TB deployment materializes hours once and serves "
     "days/weeks/months from O(hours) partials instead of re-scanning "
     "raw events — the same persisted-partial economics as the view's "
-    "reduce_l1 tree. Plan: the hour rollup's window + aggregate, then "
+    "reduce_l1 tree. Plan: the hour rollup's single Window-free "
+    "min_by/max_by aggregate (r8), then "
     "one more tiny aggregate over hour rows; the day pass never "
     "touches the raw table (enforced by construction: it consumes "
     "q_ohlc_rollup's frame).",
