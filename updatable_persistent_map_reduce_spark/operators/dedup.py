@@ -194,6 +194,21 @@ def _near_dup_scored(
     # bucket shuffle move only (doc_id, set size, band, sig) — shingle
     # arrays are joined back onto the (sparse) candidate pairs after
     # the length filter below.
+    # Band signature representation: for r = 1 the signature IS the
+    # single minhash — keep it a LONG (8-byte shuffle key, codegen
+    # grouping) instead of stringifying; multi-row bands concat to a
+    # string as before. Same bucket semantics either way (grouping is
+    # by value), so the exact/production results are unchanged.
+    if rows_per_band == 1:
+        sig_for = lambda b: F.col("mh").getItem(b)  # noqa: E731
+    else:
+        sig_for = lambda b: F.concat_ws(  # noqa: E731
+            ":",
+            *[
+                F.col("mh").getItem(b * rows_per_band + r)
+                for r in range(rows_per_band)
+            ],
+        )
     bands = sigs.select(
         "doc_id",
         "sz",
@@ -202,13 +217,7 @@ def _near_dup_scored(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col("mh").getItem(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("sig"),
+                        sig_for(b).alias("sig"),
                     )
                     for b in range(n_bands)
                 ]

@@ -108,6 +108,16 @@ class NearDupIndex:
 
     def _band_rows(self, sigs: DataFrame) -> DataFrame:
         r = self.rows_per_band
+        if r == 1:
+            # r = 1: the signature IS the single minhash — store the
+            # LONG (8-byte postings + codegen join keys), mirroring
+            # operators/dedup._near_dup_scored's representation
+            sig_for = lambda b: F.col("mh").getItem(b)  # noqa: E731
+        else:
+            sig_for = lambda b: F.concat_ws(  # noqa: E731
+                ":",
+                *[F.col("mh").getItem(b * r + i) for i in range(r)],
+            )
         return (
             sigs.select(
                 "doc_id",
@@ -117,13 +127,7 @@ class NearDupIndex:
                         *[
                             F.struct(
                                 F.lit(b).alias("band"),
-                                F.concat_ws(
-                                    ":",
-                                    *[
-                                        F.col("mh").getItem(b * r + i)
-                                        for i in range(r)
-                                    ],
-                                ).alias("sig"),
+                                sig_for(b).alias("sig"),
                             )
                             for b in range(self.n_bands)
                         ]
