@@ -151,6 +151,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # grouped-agg pandas UDAF: one hash shuffle feeding the Arrow
+    # aggregate operator (Spark 4 names it ArrowAggregatePython;
+    # older releases AggregateInPandas), never row-at-a-time
+    "q_udaf_pandas": (
+        ["re:(ArrowAggregatePython|AggregateInPandas)"],
+        ["BatchEvalPython", "CartesianProduct", "Join"],
+    ),
     # triangle counting: ordered-edge wedge join + closure join —
     # hash equi-joins on node keys, never a product
     "q_graph_triangles": (

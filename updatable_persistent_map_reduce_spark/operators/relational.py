@@ -514,6 +514,44 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", n_tokens("text").alias("n_tokens"))
 
 
+@register(
+    "q_udaf_pandas",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(median(event_id) AS DOUBLE) AS med_event_id, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+    ),
+    doc="Custom AGGREGATE surface: grouped-agg pandas UDFs (Arrow "
+    "series in, scalar out — the AggregateInPandas path), the escape "
+    "hatch for aggregations Catalyst lacks, next to q_udf_surface's "
+    "scalar and q_cogroup_udf's grouped-map paths (the physical node "
+    "is ArrowAggregatePython in Spark 4, AggregateInPandas before). "
+    "Median over "
+    "integer ids keeps the hash compare exact: pandas' interpolated "
+    "median and DuckDB's quantile_cont(0.5) are the same arithmetic "
+    "on exact int64 inputs. Plan: ONE hash shuffle on the group key "
+    "feeding AggregateInPandas (no partial agg — the cost custom "
+    "UDAFs pay vs built-ins, which is why the registry keeps them "
+    "for semantics Catalyst can't express, never the hot path).",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def med(ids: pd.Series) -> float:
+        return float(ids.median())
+
+    @pandas_udf("bigint")
+    def n_rows(ids: pd.Series) -> int:
+        return len(ids)
+
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        med("event_id").alias("med_event_id"),
+        n_rows("event_id").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi-structured source formats — the reference persists JSON
 # (MapReduce/Executer.cs:181); ingestion here is schema-first (no
