@@ -177,12 +177,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["Exchange", "Python", "Join"],
     ),
-    # length-bucketed batching: ONE window keyed by the length bucket
-    # + partial+final agg; bucket count scales with the length range
+    # length-bucketed batching: ONE window keyed by (bucket, shard) —
+    # shard count derived from corpus size via the sanctioned 1-row
+    # broadcast cross join (r8) — + partial+final agg
     "q_length_bucket_batches": (
-        ["Window", "HashAggregate"],
-        ["Python", "Join", "CartesianProduct",
-         "Exchange SinglePartition"],
+        ["Window", "HashAggregate",
+         r"re:hashpartitioning\(bucket"],
+        ["Python", "CartesianProduct"],
     ),
     # scene-cut: two chained Arrow kernels, per-partition map (the
     # only Exchange is spread()'s deliberate core-spreading

@@ -814,8 +814,18 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # length-bucketed batch formation — padding-waste minimization.
 
-_LB_W = 64  # token-length band width per bucket
-_LB_B = 8   # documents per training batch
+_LB_W = 64       # token-length band width per bucket
+_LB_B = 8        # documents per training batch
+# Sub-shard target within a length band: a 64-token band can hold
+# O(corpus) docs (length distributions concentrate), so partitioning
+# the rank window by bucket alone would pin one task per band -- the
+# exact defect q_epoch_shuffle's compile-time shard count had. The
+# composite (bucket, shard) key with shard count derived from corpus
+# size in-plan (same 2^ceil(log2(n/target)) recipe, 1-row broadcast)
+# keeps the largest single-task sort bounded at any corpus size; a
+# batch never spans shards, which is how real dataloaders shard
+# anyway (each (bucket, shard) is a worker's file, ragged tail each).
+_LB_SHARD_TARGET = 2048
 
 
 @register(
@@ -824,32 +834,40 @@ _LB_B = 8   # documents per training batch
         r"WITH d AS (SELECT doc_id, "
         r"len(list_filter(string_split_regex(lower(text), '\s+'), "
         r"t -> t <> '')) AS n FROM documents), "
-        f"f AS (SELECT doc_id, n, n // {_LB_W} AS bucket FROM d WHERE n > 0), "
-        "r AS (SELECT bucket, n, (row_number() OVER (PARTITION BY bucket "
-        f"ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) - 1) // {_LB_B} "
-        "AS batch_id FROM f) "
-        "SELECT CAST(bucket AS INTEGER) AS bucket, "
+        f"f AS (SELECT doc_id, n, n // {_LB_W} AS bucket, "
+        f"(doc_id * {_KNUTH}) % {_M32} AS hv FROM d WHERE n > 0), "
+        "s AS (SELECT greatest(1, CAST(power(2, ceil(log2("
+        f"count(*) / {_LB_SHARD_TARGET}.0))) AS BIGINT)) AS sh FROM f), "
+        "r AS (SELECT bucket, CAST(hv % sh AS BIGINT) AS shard, n, "
+        "(row_number() OVER (PARTITION BY bucket, hv % sh "
+        f"ORDER BY hv, doc_id) - 1) // {_LB_B} AS batch_id "
+        "FROM f CROSS JOIN s) "
+        "SELECT CAST(bucket AS INTEGER) AS bucket, shard, "
         "CAST(batch_id AS BIGINT) AS batch_id, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(max(n) AS BIGINT) AS max_len, "
         "CAST(sum(n) AS BIGINT) AS sum_len, "
         "CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens "
-        "FROM r GROUP BY bucket, batch_id"
+        "FROM r GROUP BY bucket, shard, batch_id"
     ),
     doc="LENGTH-BUCKETED batch formation (the padded-batch dataloader "
     "optimization every fine-tuning pipeline runs): documents group "
-    f"into {_LB_W}-token length bands, each band's docs take a "
-    "deterministic hash order (multiplicative hash, tie doc_id — "
-    "reproducible across runs and partitionings, like "
-    f"q_epoch_shuffle) and cut into {_LB_B}-doc batches; per batch "
-    "the output reports max_len (the padded width), sum_len (real "
-    "tokens) and pad_tokens = n_docs*max_len - sum_len — the waste "
-    "metric bucketing exists to minimize (batching the same corpus "
-    "unbucketed pads every sequence to the global max). All integers "
-    "so the oracle hash is exact. Plan: token count is codegen at "
-    "the scan; ONE window shuffle keyed by bucket (rank rides it), "
-    "one partial+final agg — bucket count grows with the corpus's "
-    "length range, so no single-task sort pins at scale.",
+    f"into {_LB_W}-token length bands sub-sharded by a deterministic "
+    "hash (shard count derives from corpus size IN-PLAN -- "
+    "2^ceil(log2(n/2048)) via a 1-row broadcast, the q_epoch_shuffle "
+    "recipe, because length distributions concentrate and a band "
+    "would otherwise pin one task per 64-token range at any corpus "
+    "size); within each (band, shard) docs take the deterministic "
+    f"hash order (multiplicative hash, tie doc_id -- reproducible "
+    f"across runs and partitionings) and cut into {_LB_B}-doc "
+    "batches; per batch the output reports max_len (the padded "
+    "width), sum_len (real tokens) and pad_tokens = n_docs*max_len - "
+    "sum_len -- the waste metric bucketing exists to minimize "
+    "(batching the same corpus unbucketed pads every sequence to the "
+    "global max). All integers so the oracle hash is exact. Plan: "
+    "token count is codegen at the scan; ONE window shuffle keyed by "
+    "(bucket, shard) -- partition count scales with the corpus -- "
+    "and one partial+final agg.",
 )
 def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -857,14 +875,29 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.size(tokens_expr(F.col("text"))).alias("n")
     ).filter(F.col("n") > 0)
-    b = d.withColumn("bucket", F.expr(f"n DIV {_LB_W}").cast("int"))
-    w = W.partitionBy("bucket").orderBy(
-        (F.col("doc_id") * _KNUTH) % _M32, "doc_id"
+    f = d.select(
+        "n",
+        F.expr(f"n DIV {_LB_W}").cast("int").alias("bucket"),
+        ((F.col("doc_id") * _KNUTH) % _M32).alias("hv"),
+        "doc_id",
     )
-    r = b.withColumn(
+    sh = f.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.pow(
+                F.lit(2.0),
+                F.ceil(F.log2(F.count(F.lit(1)) / F.lit(_LB_SHARD_TARGET))),
+            ).cast("bigint"),
+        ).alias("sh")
+    )
+    r = f.crossJoin(F.broadcast(sh)).withColumn(
+        "shard", (F.col("hv") % F.col("sh")).cast("bigint")
+    )
+    w = W.partitionBy("bucket", "shard").orderBy("hv", "doc_id")
+    r = r.withColumn(
         "batch_id", F.floor((F.row_number().over(w) - 1) / _LB_B)
     )
-    return r.groupBy("bucket", "batch_id").agg(
+    return r.groupBy("bucket", "shard", "batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("n").cast("bigint").alias("max_len"),
         F.sum("n").cast("bigint").alias("sum_len"),
