@@ -151,6 +151,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # MAD outliers: two percentile agg passes, each a tiny per-type
+    # threshold table broadcast back onto the fact scan
+    "q_anomaly_mad": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct", "SortMergeJoin"],
+    ),
     # grouped-agg pandas UDAF: one hash shuffle feeding the Arrow
     # aggregate operator (Spark 4 names it ArrowAggregatePython;
     # older releases AggregateInPandas), never row-at-a-time

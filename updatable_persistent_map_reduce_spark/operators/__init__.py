@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_stream_neardup_gate",      # new: streaming ingest dedup gate
     "q_graph_triangles",          # new: co-purchase triangle counting
     "q_udaf_pandas",              # new: grouped-agg pandas UDAF surface
+    "q_anomaly_mad",              # new: robust MAD outlier detection
     # -- unchanged, last attested round 2 (14 ids; oldest first) --
     "q_repetition_filter", "q_rereduce", "q_sample_hash",
     "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",

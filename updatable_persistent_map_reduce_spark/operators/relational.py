@@ -1397,6 +1397,71 @@ def q_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_anomaly_mad",
+    oracle=(
+        "WITH c AS (SELECT event_type, "
+        "CAST(floor(value * 100) AS BIGINT) AS c FROM events), "
+        "m AS (SELECT event_type, "
+        "CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2 "
+        "FROM c GROUP BY event_type), "
+        "d AS (SELECT c.event_type, c.c, m.med2, "
+        "abs(2 * c.c - m.med2) AS dev2 "
+        "FROM c JOIN m USING (event_type)), "
+        "m2 AS (SELECT event_type, "
+        "CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 "
+        "FROM d GROUP BY event_type) "
+        "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(max(d.med2) AS BIGINT) AS med2, "
+        "CAST(max(m2.mad4) AS BIGINT) AS mad4, "
+        "CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_anomalies, "
+        "CAST(max(dev2) AS BIGINT) AS max_dev2 "
+        "FROM d JOIN m2 USING (event_type) GROUP BY d.event_type"
+    ),
+    doc="ROBUST outlier detection via median absolute deviation (r8 — "
+    "the breakdown-resistant cousin of q_anomaly_p99: mean/stddev "
+    "thresholds move with the outliers they hunt, median/MAD do "
+    "not). Integer-exact throughout: values floor to cents, the "
+    "median rides in HALF-cent units (2x the interpolated median of "
+    "ints is an exact integer) and the MAD in QUARTER-cent units, so "
+    "the 3-sigma-equivalent flag (dev > 3*MAD, cross-multiplied as "
+    "2*dev2 > 3*mad4) has no float boundary anywhere and the hash "
+    "compare is exact. Two-pass by construction (MAD needs the "
+    "median first): two partial+final percentile aggregations, each "
+    "producing a per-type table (rows = |event types|) broadcast "
+    "back onto the fact scan — the same threshold-table shape as "
+    "p99, twice.",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    m = ev.groupBy("event_type").agg(
+        (2 * F.percentile("c", F.lit(0.5))).cast("bigint").alias("med2")
+    )
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    m2 = d.groupBy("event_type").agg(
+        (2 * F.percentile("dev2", F.lit(0.5))).cast("bigint").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).cast("bigint").alias("n_anomalies"),
+            F.max("dev2").alias("max_dev2"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 history build — validity intervals from an event log.
 
