@@ -151,6 +151,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # SCD2 point-in-time lookup: one window builds the version
+    # intervals; the lookup is a key equi-join with the interval
+    # predicate residual (broadcast dim here) — never a product
+    "q_scd2_lookup": (
+        ["Window", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # MAD outliers: two percentile agg passes, each a tiny per-type
     # threshold table broadcast back onto the fact scan
     "q_anomaly_mad": (

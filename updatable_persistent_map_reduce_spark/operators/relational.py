@@ -1494,6 +1494,78 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scd2_lookup",
+    oracle=(
+        "WITH h AS (SELECT user_id, event_type, "
+        "CAST(ts AS TIMESTAMP) AS valid_from, "
+        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS TIMESTAMP) AS valid_to FROM events WHERE user_id < 50), "
+        "p AS (SELECT event_id, user_id, "
+        "CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS pts "
+        "FROM events WHERE user_id < 50 AND event_type = 'purchase') "
+        "SELECT p.event_id, p.user_id, p.pts AS probe_ts, "
+        "h.event_type AS state_at, h.valid_from AS state_since "
+        "FROM p LEFT JOIN h ON p.user_id = h.user_id "
+        "AND h.valid_from <= p.pts "
+        "AND (h.valid_to IS NULL OR p.pts < h.valid_to)"
+    ),
+    doc="TEMPORAL POINT-IN-TIME LOOKUP against an SCD2 dimension (r8 "
+    "— the read side q_scd2_history's build was missing: 'what was "
+    "this entity's state AT time t?', the correctness contract of "
+    "every feature-store / warehouse dimension read; an as-of join "
+    "expressed against versioned intervals instead of nearest-event "
+    "distance). Probes are each user's purchase events shifted back "
+    "30 minutes (hour-unaligned so boundary semantics can't "
+    "coincide); the dimension is the full per-user state history "
+    "with [valid_from, valid_to) intervals from lead(). Because "
+    "lead() makes a user's intervals DISJOINT by construction "
+    "(equal-timestamp ties produce empty intervals that can match "
+    "nothing), each probe matches at most one version — no post-join "
+    "dedup; probes predating the first state LEFT-join to NULL (the "
+    "entity didn't exist yet, a fact the pipeline must see, not "
+    "drop). Plan: the history is built by one user-partitioned "
+    "window; the lookup is an equi-join on the entity key with the "
+    "interval predicate as residual — per-key version chains are "
+    "short, so key-join + filter IS the scale plan (a range join "
+    "would shuffle by time for no gain); the <50-user dim side "
+    "broadcasts here.",
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    h = ev.select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_at"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("probe_ts"),
+    )
+    return (
+        p.join(
+            F.broadcast(h),
+            (p["user_id"] == h["h_user"])
+            & (F.col("valid_from") <= F.col("probe_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_ts") < F.col("valid_to"))
+            ),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "probe_ts",
+            "state_at",
+            F.col("valid_from").alias("state_since"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # retention cohorts — activity by signup week.
 
