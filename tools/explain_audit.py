@@ -151,6 +151,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
+    # ViT patchify: two chained Arrow kernels, per-partition map (the
+    # only Exchange is spread()'s deliberate repartition)
+    "q_mm_patchify": (
+        ["MapInPandas"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
     # SCD2 point-in-time lookup: one window builds the version
     # intervals; the lookup is a key equi-join with the interval
     # predicate residual (broadcast dim here) — never a product

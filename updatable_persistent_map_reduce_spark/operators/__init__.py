@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_udaf_pandas",              # new: grouped-agg pandas UDAF surface
     "q_anomaly_mad",              # new: robust MAD outlier detection
     "q_scd2_lookup",              # new: point-in-time SCD2 state read
+    "q_mm_patchify",              # new: ViT patch-grid extraction
     # -- unchanged, last attested round 2 (14 ids; oldest first) --
     "q_repetition_filter", "q_rereduce", "q_sample_hash",
     "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",

@@ -404,6 +404,118 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ViT-style patch extraction — the vision-training tokenizer.
+
+_PATCH = 4  # patch side; crop-to-multiple convention (partial rows/cols drop)
+
+
+def _patchify_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Patch-grid kernel over real bytes: numpy-decode the w x h
+    grayscale image, crop to the patch-size multiple (the standard
+    ViT convention), and emit one row per patch with its integer sum
+    and position-weighted sum (1 -> N emission, all-integer so the
+    oracle recomputes every patch exactly). With real codecs the
+    decode line changes and the reshape stays."""
+    import numpy as np
+
+    doc, pys, pxs, sums, wsums = [], [], [], [], []
+    w8 = np.arange(_PATCH * _PATCH, dtype=np.int64) + 1
+    for pdf in batches:
+        for did, w, h, b in zip(
+            pdf["doc_id"], pdf["width"], pdf["height"], pdf["payload"]
+        ):
+            w, h = int(w), int(h)
+            nx, ny = w // _PATCH, h // _PATCH
+            if nx == 0 or ny == 0:
+                continue
+            img = (
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                .reshape(h, w)
+                .astype(np.int64)
+            )
+            p = (
+                img[: ny * _PATCH, : nx * _PATCH]
+                .reshape(ny, _PATCH, nx, _PATCH)
+                .transpose(0, 2, 1, 3)
+                .reshape(ny, nx, _PATCH * _PATCH)
+            )
+            for py in range(ny):
+                for px in range(nx):
+                    doc.append(int(did))
+                    pys.append(py)
+                    pxs.append(px)
+                    sums.append(int(p[py, px].sum()))
+                    wsums.append(int((p[py, px] * w8).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "py": pd.Series(pys, dtype="int32"),
+                "px": pd.Series(pxs, dtype="int32"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+                "px_wsum": pd.Series(wsums, dtype="int64"),
+            }
+        )
+        doc, pys, pxs, sums, wsums = [], [], [], [], []
+
+
+@register(
+    "q_mm_patchify",
+    oracle=(
+        "WITH ws AS (SELECT doc_id, (doc_id*37) % 13 + 4 AS w, "
+        "(doc_id*13) % 11 + 3 AS h FROM documents), "
+        f"g AS (SELECT doc_id, w, h, w // {_PATCH} AS nx, h // {_PATCH} AS ny "
+        "FROM ws), "
+        "p AS (SELECT doc_id, k2 // nx AS py, k2 % nx AS px FROM ("
+        "SELECT doc_id, nx, unnest(range(0, nx * ny)) AS k2 FROM g "
+        "WHERE nx > 0 AND ny > 0)) "
+        "SELECT doc_id, CAST(py AS INTEGER) AS py, "
+        "CAST(px AS INTEGER) AS px, "
+        f"CAST(list_sum(list_transform(range(0, {_PATCH * _PATCH}), k -> "
+        f"(doc_id*7 + (px*{_PATCH} + k % {_PATCH})*31 "
+        f"+ (py*{_PATCH} + k // {_PATCH})*17 "
+        f"+ 3*(px*{_PATCH} + k % {_PATCH})*(py*{_PATCH} + k // {_PATCH})) "
+        "% 256)) AS BIGINT) AS px_sum, "
+        f"CAST(list_sum(list_transform(range(0, {_PATCH * _PATCH}), k -> "
+        f"((doc_id*7 + (px*{_PATCH} + k % {_PATCH})*31 "
+        f"+ (py*{_PATCH} + k // {_PATCH})*17 "
+        f"+ 3*(px*{_PATCH} + k % {_PATCH})*(py*{_PATCH} + k // {_PATCH})) "
+        "% 256) * (k + 1))) AS BIGINT) AS px_wsum "
+        "FROM p"
+    ),
+    doc="ViT-STYLE PATCH EXTRACTION through real bytes (r8 — the "
+    "vision-training tokenizer step that pairs with q_mm_resize's "
+    "resample: resize, then patchify, then embed): the same 2D "
+    "grayscale byte images, cropped to the patch-size multiple (the "
+    "standard ViT convention — partial edge rows/columns drop), "
+    "emitted as one row per 4x4 patch with integer sum and "
+    "position-weighted sum (1 -> N, like frame sampling). The oracle "
+    "recomputes every patch closed-form from doc_id — row-major "
+    "within-patch weighting pins the exact pixel-to-patch layout, "
+    "not just totals — so a green row proves the reshape/transpose "
+    "patch walk bit-for-bit. Plan: two chained Arrow-batched "
+    "mapInPandas stages, per-partition map, no shuffle; at 100 TB "
+    "identical shape with decoded RGB planes and 16x16 patches.",
+)
+def q_mm_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+    meta = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 13 + 4).cast("int").alias("width"),
+        ((F.col("doc_id") * 13) % 11 + 3).cast("int").alias("height"),
+    )
+    imgs = meta.mapInPandas(
+        _synth_image2d_batch,
+        schema="doc_id long, width int, height int, payload binary",
+    )
+    return imgs.mapInPandas(
+        _patchify_batch,
+        schema="doc_id long, py int, px int, px_sum bigint, px_wsum bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # video scene-cut detection — shot-boundary plumbing over real bytes.
 
 _SC_FRAME_B = 16   # bytes per synthetic frame
