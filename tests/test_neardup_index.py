@@ -98,6 +98,44 @@ def test_append_makes_docs_probeable_and_rejects_duplicates(spark, docs):
         idx.append(docs.filter(F.col("doc_id") == 150))
 
 
+def test_planted_boundary_pair_at_jaccard_just_above_half(spark):
+    """16x1 banding is only PROBABILISTICALLY lossless (escape prob
+    (1-J)^16 per true pair, ~5e-5 at J just above 1/2) — but for the
+    repo's FIXED minhash seeds it is deterministic per pair. Plant the
+    hardest true pair (J = 14/26 ≈ 0.538, barely over the threshold)
+    and pin that the index probe finds it: if a future banding/seed
+    change introduces a band-escape at the boundary, this fails loudly
+    here instead of surfacing as a silent oracle diff at larger
+    corpora. The sibling pair at J = 13/27 < 1/2 pins the exact-verify
+    rejection side."""
+    words = [f"tok{i:02d}" for i in range(40)]
+    # A and B share a 16-word prefix then diverge for 6 words each:
+    # 22 words -> 20 distinct 3-shingles per doc, 14 shared,
+    # J = 14 / (20 + 20 - 14) = 14/26 — just above 1/2.
+    prefix = words[:16]
+    doc_a = " ".join(prefix + words[16:22])
+    doc_b = " ".join(prefix + words[22:28])
+    # C shares only a 15-word prefix with A: 13 shared shingles,
+    # J = 13/27 — just BELOW 1/2; banding may well collide (13 shared
+    # minhash-able shingles) but exact verification must reject it.
+    doc_c = " ".join(words[:15] + words[28:35])
+    idx = NearDupIndex(
+        spark, tempfile.mkdtemp(prefix="upmr_ndi_b_"), n_perm=16, n_bands=16
+    )
+    idx.build(
+        spark.createDataFrame(
+            [(1, doc_b), (2, doc_c)], "doc_id long, text string"
+        )
+    )
+    hits = idx.probe(
+        spark.createDataFrame([(100, doc_a)], "doc_id long, text string")
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard_bp for r in hits}
+    assert got == {(100, 1): 14 * 10000 // 26}, (
+        f"boundary pair at J=14/26 must be found (and only it): {got}"
+    )
+
+
 def test_append_commits_shingles_before_bands(spark, docs):
     """Crash-ordering contract: after append, both tables advanced;
     the shingles commit happened first (its version is never behind),

@@ -779,3 +779,47 @@ def test_commit_algebra_model_based(spark, table):
     versions = [e["version"] for e in table.history()]
     assert versions == sorted(versions, reverse=True)
     assert versions[0] == table.version
+
+
+def test_base_version_from_the_future_raises(spark, table):
+    """A base snapshot AHEAD of the current manifest (regressed table
+    pointer or caller bug) must refuse loudly — the span-disjointness
+    walk over an empty intervening range would otherwise vacuously
+    pass and the commit would silently land."""
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a")])))
+    mp = table.write_data(mk_df(spark, [(0, "b")]))
+    with pytest.raises(ConcurrentCommitError, match="future"):
+        table.commit(replace=mp, base_version=table.version + 3)
+    # and the refused commit left no trace
+    assert read_vals(table, spark) == [(0, "a")]
+
+
+def test_reader_snapshot_survives_compaction_and_vacuum(spark, table):
+    """Snapshot isolation under maintenance churn: a reader holding a
+    resolved plan (fixed file list) from version N keeps reading N's
+    rows while compact + vacuum land, because vacuum's retention guard
+    keeps every file referenced by a manifest inside the retention
+    window. Past retention, the stale version resolves to nothing —
+    loudly, not to wrong rows."""
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a0"), (1, "b0")])))
+    table.commit(append=table.write_data(mk_df(spark, [(0, "a1")])))
+    v_n = table.version  # the reader's snapshot (2 files in span 0)
+    reader = table.read(spark)  # resolved file list pinned at v_n
+    # maintenance lands: compaction rewrites span 0, then an overwrite
+    table.compact(spark, min_files=2)
+    table.commit(replace=table.write_data(mk_df(spark, [(0, "a2")])))
+    # vacuum WITH v_n inside the retention window: the reader's files
+    # (and time travel to v_n) must survive
+    table.vacuum(keep_versions=table.version - v_n + 1)
+    assert sorted((r["kspan"], r["v"]) for r in reader.collect()) == [
+        (0, "a0"), (0, "a1"), (1, "b0"),
+    ]
+    assert read_vals(table, spark, version=v_n) == [
+        (0, "a0"), (0, "a1"), (1, "b0"),
+    ]
+    # current state unaffected by retention bookkeeping
+    assert read_vals(table, spark) == [(0, "a2"), (1, "b0")]
+    # past retention the pruned version raises instead of misreading
+    table.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="no archived manifest"):
+        table.read(spark, version=v_n)

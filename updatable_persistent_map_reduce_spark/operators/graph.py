@@ -134,16 +134,22 @@ _TRI_MAX_PART = 500  # node subset bound: keeps wedge volume gate-scale
     "market-basket graph), restricted to a bounded part subset so "
     "wedge volume stays gate-scale. The classic distributed "
     "graph-analytics kernel (clustering coefficient / community "
-    "density): ORDERED edges (u < v) make each triangle enumerable "
-    "exactly once as a < b < c — wedge join (e1.v = e2.u gives "
-    "a < b < c for free from the per-edge ordering) closed by an "
-    "edge-existence join — so no post-hoc dedup and no double "
-    "counting; output is per-node triangle participation. Plan: "
-    "edge build is one self-join on l_orderkey + distinct; the "
+    "density), in the DEGREE-ORDERED form (Latapy's compact-forward / "
+    "GraphX's canonical orientation): every undirected edge is "
+    "directed toward its higher-(degree, id) endpoint, so each "
+    "triangle is enumerated exactly once from its LOWEST-rank corner "
+    "and wedge fan-out per join key is outdeg^2 under the "
+    "orientation — bounded by O(sqrt(m)) per node for ANY degree "
+    "distribution, which is what keeps a power-law hub from becoming "
+    "a shuffle whale at 100x scale (tools/scale_triangles.py measures "
+    "exactly this: ordered wedge volume stays near-linear in edges "
+    "while the unordered form grows superlinearly). Orientation is "
+    "result-invariant — per-node participation counts are a property "
+    "of the undirected graph — so the oracle is the plain ordered-"
+    "by-value enumeration. Plan: edge build is one self-join on "
+    "l_orderkey + distinct; degree agg + orientation join; then the "
     "wedge and closure steps are two hash equi-joins on node keys — "
-    "never a product; at 100 TB the standard refinement is "
-    "degree-ordered edge direction (point each edge at the "
-    "higher-degree endpoint) to bound wedge skew, same join shape.",
+    "never a product.",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
@@ -156,11 +162,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"])
+    tri = _triangles_degree_ordered(e)
     nodes = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -169,3 +171,54 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def _triangles_degree_ordered(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the undirected edge set ``e``
+    (u < v, distinct) exactly once, degree-ordered: (a, b, c) with
+    rank(a) < rank(b) < rank(c) under rank = (degree, node). Shared by
+    the registered query and tools/scale_triangles.py."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Re-orient: src = the (deg, id)-smaller endpoint. Two equi-joins
+    # pick up each endpoint's degree; the directed edge carries the
+    # dst's rank so wedge pairs can be ordered without a third join.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ed = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "ddeg"
+            ),
+        )
+    )
+    # Wedges from the LOW-rank corner: join key is src, whose
+    # out-degree under this orientation is <= O(sqrt(m)) — per-key
+    # fan-out outdeg^2 is bounded even on power-law hubs.
+    e1 = ed.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("ddeg").alias("bdeg"),
+    )
+    e2 = ed.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("ddeg").alias("cdeg"),
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    # Closure: rank(b) < rank(c), so the directed edge between them —
+    # if the triangle exists — is exactly b -> c.
+    e3 = ed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(e3, ["b", "c"]).select("a", "b", "c")

@@ -252,8 +252,18 @@ def bpe_doc_counts(d: DataFrame) -> DataFrame:
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
     )
     occ = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("occ"))
-    occ.persist()  # consumed by merge-table build AND the final join
-    rules = bpe_merge_table(occ)
+    # The merge-table build collects (materializes) occ; cache it only
+    # for the duration of that build, then release. The returned plan
+    # is lazy, so holding the cache until "after the caller collects"
+    # would leak cached partitions for the SparkSession lifetime (gate
+    # reruns, scale_bpe octaves) — instead the final join deliberately
+    # recomputes the cheap token groupBy, the same trade
+    # NearDupIndex.probe makes.
+    occ.persist()
+    try:
+        rules = bpe_merge_table(occ)
+    finally:
+        occ.unpersist()
     v = occ.select("w").distinct().withColumn(
         "cs", chars_expr(F.col("w"))
     )

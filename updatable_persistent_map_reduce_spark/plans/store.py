@@ -359,6 +359,18 @@ class ManifestTable:
                 | {int(s) for s in drop}
             )
         if base_version is not None and m["version"] != base_version:
+            if base_version > m["version"]:
+                # A base snapshot AHEAD of the current manifest is not a
+                # stale writer — it's a corrupt/regressed table pointer or
+                # a caller bug. The disjointness walk would iterate an
+                # empty range and vacuously pass, so refuse explicitly:
+                # the fast path is strictly for base_version < current.
+                raise ConcurrentCommitError(
+                    f"table {self.path} is at version {m['version']} but "
+                    f"this commit claims base snapshot {base_version} from "
+                    "the future; the table pointer regressed or the caller "
+                    "passed a wrong base_version"
+                )
             if not self._intervening_disjoint(base_version, m, touched):
                 raise ConcurrentCommitError(
                     f"table {self.path} advanced to version "
@@ -1177,6 +1189,34 @@ class ManifestTable:
             for fs in m.get("deletes", {}).values()
             for f in fs
         }
+        # RETENTION GUARD: every archived manifest inside the retention
+        # window stays time-travelable, so ITS data + tombstone files
+        # are live too — retaining the manifest JSON but reclaiming the
+        # files it references would leave a snapshot that resolves but
+        # fails at read (and would yank files out from under a reader
+        # holding a version-N file list within retention).
+        vdir = os.path.join(self.path, _VERSIONS)
+        if keep_versions > 0 and os.path.isdir(vdir):
+            retained = sorted(
+                (
+                    int(f[:-5])
+                    for f in os.listdir(vdir)
+                    if f.endswith(".json") and f[:-5].isdigit()
+                ),
+                reverse=True,
+            )[:keep_versions]
+            for v in retained:
+                mv = self._load(v)
+                live |= {
+                    os.path.normpath(f)
+                    for fs in mv["spans"].values()
+                    for f in fs
+                }
+                live |= {
+                    os.path.normpath(f)
+                    for fs in mv.get("deletes", {}).values()
+                    for f in fs
+                }
         removed = 0
         for entry in os.listdir(self.path):
             if not entry.startswith("data-"):
