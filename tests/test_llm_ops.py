@@ -327,6 +327,21 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     for v, i in idx.items():
         assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])
 
+    # the integer fixed-point form (the REGISTERED, oracle-backed
+    # variant) tracks the same numpy ranks: floor error is < 1 unit of
+    # 1e-12 per division, geometrically damped by 17/20 per iteration
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fp,
+    )
+
+    got_fp = {
+        r.vec_id: r.r / PR_SCALE
+        for r in pagerank_fp(spark, nodes, edges).collect()
+    }
+    for v, i in idx.items():
+        assert abs(got_fp[v] - rank[i]) < 1e-6, (v, got_fp[v], rank[i])
+
 
 def test_bilinear_resize_is_identity_when_image_fits(spark):
     """The fixed-point bilinear kernel must be a no-op when the image

@@ -71,40 +71,16 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. implementation changed in round 8 since the last green
+    # -- 1. implementation changed in round 9 since the last green
     #       driver row (re-attestation is most valuable first) ------
-    "q_dedup_near",     # r8: exact config fails loudly on bucket overflow
-    "q_dedup_edit",     # r8: lossless length-band composite blocking key
-    "q_dedup_semantic",  # r8: integer dominance form, PROMOTED to oracle
-    "q_ohlc_rollup",    # r8: min_by/max_by single aggregate, Window-free
-    "q_epoch_shuffle",  # r8: shard count derives from corpus size in-plan
-    "q_mm_resize",      # r8: real fixed-point bilinear resample kernel
-    "q_store_restore",  # r8: restore() drops stale cached schema
-    "q_store_merge",    # r8: commit() span-level OCC conflict classes
-    "q_store_compaction",     # r8: same commit-path change
-    "q_store_delete_vectors",  # r8: delete_keys records touched spans
-    # -- 2. new in round 8, never driver-attested ------------------
-    "q_neardup_index_persisted",  # new: persisted MinHash band index
-    "q_tokenize_bpe",             # new: BPE merge-table application
-    "q_embed_pq",                 # new: product quantization encode
-    "q_length_bucket_batches",    # new: padding-minimizing batching
-    "q_mm_scene_cut",             # new: shot-boundary detection
-    "q_stream_neardup_gate",      # new: streaming ingest dedup gate
-    "q_graph_triangles",          # new: co-purchase triangle counting
-    "q_udaf_pandas",              # new: grouped-agg pandas UDAF surface
-    "q_anomaly_mad",              # new: robust MAD outlier detection
-    "q_scd2_lookup",              # new: point-in-time SCD2 state read
-    "q_mm_patchify",              # new: ViT patch-grid extraction
-    # -- unchanged, last attested round 2 (14 ids; oldest first) --
-    "q_repetition_filter", "q_rereduce", "q_sample_hash",
-    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",
-    "q_sql_tpch_q3", "q_store_point_lookup", "q_stream_session", "q_stream_tumbling",
-    "q_text_stats", "q_token_count", "q_window_rank",
-    # -- unchanged, last attested round 3 (46 ids; oldest first) --
-    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_p99",
-    "q_approx_distinct", "q_array_map_funcs", "q_batch_256", "q_bm25",
-    "q_corpus_prep", "q_decontaminate", "q_doc_fingerprint",
-    "q_doc_len_histogram", "q_embed_quantize", "q_except", "q_filter_pred",
+    "q_pagerank",         # r9: PROMOTED to oracle (integer fixed-point)
+    "q_graph_triangles",  # r9: degree-ordered wedge enumeration
+    "q_tokenize_bpe",     # r9: bounded-lifetime cache in bpe_doc_counts
+    "q_store_vacuum",     # r9: retention guard keeps archived files live
+    "q_store_merge",      # r9: commit() refuses future base_version
+    # -- 2. new in round 9, never driver-attested ------------------
+    # (appended as they land)
+    # -- unchanged, last attested round 3 (31 ids; oldest first) --
     "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
     "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",
     "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel",
@@ -117,7 +93,7 @@ _PRIORITY = [
     "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
     "q_chunk_split", "q_dedup_cluster", "q_dedup_cross_snapshot", "q_dedup_hamming",
     "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops", "q_minhash_containment",
-    "q_null_semantics", "q_pagerank", "q_percent_change", "q_resample_weighted",
+    "q_null_semantics", "q_percent_change", "q_resample_weighted",
     "q_retention_cohort", "q_scan_orc", "q_scan_text", "q_scd2_history",
     "q_session_conversion", "q_sim_join_threshold", "q_sim_search", "q_simhash_incremental",
     "q_sketch_union", "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14",
@@ -139,12 +115,12 @@ _PRIORITY = [
     "q_store_stats_prune", "q_stream_checkpoint_recovery",
     "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
     "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (43 ids; most recent last) --
+    # -- unchanged, last attested round 7 (42 ids; oldest first) --
     "q_sql_tpch_q2", "q_text_index_persisted", "q_sim_index_persisted",
     "q_layout_zorder", "q_cross_tab", "q_pack_tokens", "q_join_null_safe",
     "q_window_distribution", "q_agg_boolean", "q_join_range_banded",
     "q_event_funnel", "q_cogroup_udf", "q_time_weighted_avg", "q_split_exact",
-    "q_cumulative_distinct", "q_store_vacuum", "q_join_skew_aqe",
+    "q_cumulative_distinct", "q_join_skew_aqe",
     "q_streak_days", "q_join_asof_nearest", "q_ohlc_remerge",
     "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi",
     "q_bucket_hash", "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental",
@@ -153,6 +129,21 @@ _PRIORITY = [
     "q_key_migration", "q_lang_id", "q_map_flat", "q_map_project",
     "q_mm_features", "q_mm_frame_sample", "q_pii_scrub", "q_point_lookup",
     "q_quality_score",
+    # -- unchanged, last attested round 8 (most recent last) --------
+    "q_repetition_filter", "q_rereduce", "q_sample_hash",
+    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",
+    "q_sql_tpch_q3", "q_store_point_lookup", "q_stream_session",
+    "q_stream_tumbling", "q_text_stats", "q_token_count", "q_window_rank",
+    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_p99",
+    "q_approx_distinct", "q_array_map_funcs", "q_batch_256", "q_bm25",
+    "q_corpus_prep", "q_decontaminate", "q_doc_fingerprint",
+    "q_doc_len_histogram", "q_embed_quantize", "q_except", "q_filter_pred",
+    "q_dedup_near", "q_dedup_edit", "q_dedup_semantic", "q_ohlc_rollup",
+    "q_epoch_shuffle", "q_mm_resize", "q_store_restore",
+    "q_store_compaction", "q_store_delete_vectors",
+    "q_neardup_index_persisted", "q_embed_pq", "q_length_bucket_batches",
+    "q_mm_scene_cut", "q_stream_neardup_gate", "q_udaf_pandas",
+    "q_anomaly_mad", "q_scd2_lookup", "q_mm_patchify",
 ]
 
 

@@ -17,9 +17,13 @@ per iteration instead of growing with the iteration count. At 100 TB
 the edge list would be persisted bucketed by src so every iteration
 reuses one co-partitioned shuffle.
 
-Rows-only (no SQL oracle): recursive CTEs cannot aggregate in the
-recursive term, so the ground truth is numpy power iteration on the
-same edge set (tests/test_llm_ops.py asserts max-abs-diff < 1e-6).
+The REGISTERED q_pagerank runs in integer fixed-point (scale 1e12,
+damping 17/20, floor at each division) so it is hash-exact against a
+DuckDB oracle that unrolls the same recurrence as chained MATERIALIZED
+CTEs; the float :func:`pagerank` stays as the production variant,
+ground-truthed by numpy power iteration (tests/test_llm_ops.py,
+max-abs-diff < 1e-5) with the fixed-point form asserted within 1e-6 of
+the same numpy ranks.
 """
 
 from __future__ import annotations
@@ -87,17 +91,131 @@ def pagerank(
     return ranks
 
 
+PR_SCALE = 10**12  # fixed-point scale: ranks are floor(rank * 1e12)
+
+
+def pagerank_fp(
+    spark: SparkSession,
+    nodes: DataFrame,  # (vec_id)
+    edges: DataFrame,  # (va, vb) undirected pairs
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Power iteration in INTEGER fixed-point (scale 1e12), damping as
+    the exact rational 17/20 with floor at every division:
+
+        r' = (3*S) DIV (20*N)
+           + 17 * (inflow + dmass DIV N) DIV 20
+        inflow(u) = sum over in-edges of r(v) DIV deg(v)
+
+    Integer addition is exact and associative, so partition summation
+    order stops mattering — which is what makes the 10 iterations
+    hash-exact against an unrolled-CTE DuckDB oracle (the float
+    :func:`pagerank` stays as the production variant; the fixed-point
+    drift vs float is < 1e-9 per rank, asserted in tests). Same plan
+    shape per iteration: one equi-join + partial/final agg, the 1-row
+    dangling aggregate broadcast into the update, localCheckpoint to
+    pin lineage at O(1)."""
+    n = nodes.count()
+    sym = edges.select(
+        F.col("va").alias("src"), F.col("vb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("vb").alias("src"), F.col("va").alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (3 * PR_SCALE) // (20 * n)
+    ranks = nodes.select(
+        "vec_id", F.lit(PR_SCALE // n).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(
+            outdeg, ranks.vec_id == outdeg.src, "left"
+        ).select("vec_id", "r", "deg")
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass")
+        )
+        contribs = (
+            sym.join(with_deg, sym.src == with_deg.vec_id)
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.vec_id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vec_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"17 * (coalesce(inflow, 0L) + dmass DIV {n}) DIV 20"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """The identical fixed-point recurrence as ``iters`` unrolled
+    non-recursive CTEs (DuckDB recursive CTEs cannot aggregate in the
+    recursive term, but the iteration count is a compile-time
+    constant). Edge set = brute-force cos>=0.9, which the LSH
+    candidate path matches exactly at gate scales (the same
+    equivalence q_dedup_cluster's green row attests)."""
+    s = str(PR_SCALE)
+    sql = [
+        "WITH pairs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9), "
+        "sym AS MATERIALIZED (SELECT va AS s, vb AS d FROM pairs "
+        "UNION ALL SELECT vb, va FROM pairs), "
+        "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS dg "
+        "FROM sym GROUP BY s), "
+        "p AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+        f"r0 AS MATERIALIZED (SELECT vec_id, {s} // p.n AS r FROM embeddings, p)"
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql.append(
+            f", dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS m FROM {prev} "
+            f"LEFT JOIN deg ON {prev}.vec_id = deg.s WHERE deg.dg IS NULL)"
+            f", inf{k} AS MATERIALIZED (SELECT sym.d AS vec_id, "
+            f"SUM({prev}.r // deg.dg) AS i "
+            f"FROM sym JOIN {prev} ON sym.s = {prev}.vec_id "
+            f"JOIN deg ON deg.s = sym.s GROUP BY sym.d)"
+            f", r{k} AS MATERIALIZED (SELECT e.vec_id, "
+            f"(3 * {s} // (20 * p.n)) + "
+            f"17 * (COALESCE(inf{k}.i, 0) + dm{k}.m // p.n) // 20 AS r "
+            f"FROM embeddings e "
+            f"LEFT JOIN inf{k} ON e.vec_id = inf{k}.vec_id "
+            f"CROSS JOIN p CROSS JOIN dm{k})"
+        )
+        prev = f"r{k}"
+    sql.append(
+        f" SELECT vec_id, CAST(r AS BIGINT) AS rank_fp FROM {prev}"
+    )
+    return "".join(sql)
+
+
 @register(
     "q_pagerank",
-    oracle=None,
-    doc="PageRank centrality over the cos>=0.9 similarity graph "
-    "(rows-only: per-iteration float sums are not SQL-recursive-CTE "
-    "expressible; ground truth is numpy power iteration on the same "
-    "edge set, asserted < 1e-6 in tests). Edges come from the LSH "
-    "candidate path (lsh_candidate_edges — bucket equi-join, never "
-    "all-pairs); 10 iterations, damping 0.85, dangling mass "
-    "redistributed uniformly. Ranks exemplar documents inside "
-    "near-dup clusters for keep-the-best dedup policies.",
+    oracle=_pagerank_oracle(),
+    doc="PageRank centrality over the cos>=0.9 similarity graph, in "
+    "INTEGER FIXED-POINT (scale 1e12, damping as the exact rational "
+    "17/20, floor at every division) so all 10 iterations are "
+    "hash-exact against a DuckDB oracle that unrolls the same "
+    "recurrence as chained CTEs — integer sums are associative, so "
+    "Spark's partition-parallel aggregation and DuckDB's sequential "
+    "scan cannot diverge. Edges come from the LSH candidate path "
+    "(lsh_candidate_edges — bucket equi-join, never all-pairs; the "
+    "oracle brute-forces the same cos>=0.9 edge set, exact at gate "
+    "scales per edge_lsh_geometry). Dangling mass redistributed "
+    "uniformly; the float production variant (pagerank) is "
+    "numpy-attested < 1e-5 and the fixed-point drift vs float is "
+    "< 1e-9 per rank. Ranks exemplar documents inside near-dup "
+    "clusters for keep-the-best dedup policies.",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import lsh_candidate_edges
@@ -105,8 +223,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(Catalog(spark, sf_dir).embeddings)
     nodes = e.select("vec_id")
     edges = lsh_candidate_edges(spark, e)
-    ranks = pagerank(spark, nodes, edges)
-    return ranks.select("vec_id", F.round("rank", 6).alias("rank"))
+    ranks = pagerank_fp(spark, nodes, edges)
+    return ranks.select("vec_id", F.col("r").alias("rank_fp"))
 
 
 # ---------------------------------------------------------------------------
