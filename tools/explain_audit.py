@@ -388,6 +388,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # IVF-PQ ADC probe: integer LUT sums in codegen over the codes
+    # spans + broadcast probe frame; exact re-rank join — no Python,
+    # never a cartesian/NLJ scan
+    "q_sim_index_pq": (
+        ["Broadcast"],
+        ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
+    ),
     # persisted postings score: manifest-pruned postings scan, df
     # broadcast, top-k never a global sort
     "q_text_index_persisted": (

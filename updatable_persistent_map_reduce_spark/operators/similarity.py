@@ -554,6 +554,56 @@ def q_sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(queries, k=TOP_K, nprobe=N_CELLS)
 
 
+@register(
+    "q_sim_index_pq",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "round(list_cosine_similarity(list_transform(q.qe, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim "
+        "FROM q JOIN embeddings e ON e.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ("
+        "SELECT query_id, vec_id, cos_sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) "
+        f"WHERE rnk <= {TOP_K}"
+    ),
+    doc="ANN through the PERSISTED IVF-PQ index (plans/ann_index.py "
+    "IvfPqIndex — Jegou et al.'s pairing, the actual 100 TB vector-"
+    "serving architecture): cells carry a PQ-code payload (4 bits x "
+    "8 subspaces per vector; normalized-domain fixed-point codes so "
+    "integer-L2 ADC ranks by cosine; per-subspace codebooks trained "
+    "by Lloyd on a bounded deterministic sample, centroids rounded "
+    "to integers — q_embed_pq's integer-exactness discipline), "
+    "probes score candidates by Asymmetric "
+    "Distance Computation — per-query integer lookup tables shipped "
+    "in the broadcast probe frame so the ADC sum is whole-stage "
+    "codegen over the CODES spans only — then the full-vector table "
+    "is read span-pruned to the survivors' cells for exact cosine "
+    "re-rank. Run here with nprobe = n_cells and rerank = all, which "
+    "provably covers every candidate — EXACT search sharing "
+    "q_sim_search's oracle; the production partial-probe/partial-"
+    "rerank trade is recall-tested in pytest with last_probe pinning "
+    "the span reads (codes spans = nprobe, vector spans <= "
+    "survivors' cells).",
+)
+def q_sim_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.ann_index import IvfPqIndex
+
+    e = spread(Catalog(spark, sf_dir).embeddings).select("vec_id", "embedding")
+    idx = IvfPqIndex(
+        spark, tempfile.mkdtemp(prefix="upmr_ivfpq_"), n_cells=N_CELLS
+    )
+    idx.build(e)
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    ]
+    return idx.search_pq(queries, k=TOP_K, nprobe=N_CELLS, rerank=None)
+
+
 _KM_K = 4  # clusters for the attested assignment step
 
 

@@ -208,3 +208,276 @@ class IvfIndex:
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cos_sim", "rnk")
         )
+
+
+_PQ_QSCALE = 1024  # fixed-point scale for normalized-domain PQ codes
+
+
+class IvfPqIndex(IvfIndex):
+    """IVF-PQ (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search") — the actual 100 TB vector-serving architecture:
+    the coarse IVF cells bound WHICH vectors a probe considers, and a
+    PQ-compressed payload bounds WHAT the probe reads per candidate.
+
+    Two cell-spanned tables share the coarse quantizer:
+
+    - ``listed`` (inherited): full vectors — the exact re-rank tier;
+    - ``codes``: (vec_id, cell, pq_code) — ~16 bits per vector, the
+      ADC scan tier. At 100 TB of float32 the codes table is ~1/256
+      of the corpus bytes, so a probe's candidate-generation scan is
+      per-cell AND per-byte cheap; only the ``rerank`` survivors'
+      full vectors are read.
+
+    PQ codes live in the NORMALIZED domain (x/||x|| scaled by
+    ``_PQ_QSCALE`` fixed-point): for unit vectors ||a-b||^2 =
+    2 - 2*cos(a,b), so integer-L2 ADC ranks candidates by cosine —
+    the metric the re-rank and the oracle use (raw-domain codes
+    measured recall@10 = 0.41-0.63 on the blob corpus; this form's
+    rerank curve is 0.685/0.830/0.965/1.000 at 50/100/150/200 —
+    pinned in tests). Codebooks are TRAINED the way production PQ
+    trains them — per-subspace Lloyd on a bounded deterministic
+    sample (the lowest ``train_n`` vec_ids, numpy on KB driver state,
+    seeds = the sample's first ``ksub`` sub-vectors) with centroids
+    rounded to integers, so encode, LUT, and ADC all stay exact
+    integer arithmetic (q_embed_pq's integer-exactness discipline,
+    applied to the serving index).
+
+    Probe = Asymmetric Distance Computation: the query is NOT
+    quantized; per (query, subspace, centroid) the squared-L2 table
+    entry is an integer computed driver-side (m*ksub entries, KB
+    state) and shipped in the broadcast probe frame as an
+    ``array<long>`` literal, so the per-candidate ADC sum is pure
+    whole-stage codegen: ``element_at(lut, m*ksub + ((pq_code >>
+    bits*m) & mask) + 1)`` summed over m — no Python, no shuffle
+    beyond the cell equi-join. ``rerank=None`` re-ranks every probed
+    candidate with exact cosine (with nprobe = n_cells that is EXACT
+    search — the registered q_sim_index_pq runs there and shares
+    q_sim_search's oracle); ``rerank=C`` keeps only the ADC-top-C per
+    query for the full-vector read, the production trade measured in
+    tests (recall) and pinned in ``last_probe`` (span reads).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_cells: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+        train_n: int = 512,
+    ):
+        super().__init__(spark, path, n_cells)
+        self.m = m
+        self.ksub = ksub
+        self.train_n = train_n
+        self.bits = (ksub - 1).bit_length()
+        self._codes = ManifestTable(os.path.join(path, "codes"), "cell")
+        self._pq_path = os.path.join(path, "pq.json")
+        self._pq: tuple[float, list] | None = None
+        self.last_probe: dict[str, int] | None = None
+
+    # ----- build -----------------------------------------------------------
+
+    def build(self, e: DataFrame, kmeans_iters: int = 2) -> None:
+        """Coarse build (centroids + full-vector cells) plus the PQ
+        payload: fit the global scale and codebooks, encode every
+        vector in-plan (pure codegen, one scan), land the codes table
+        cell-spanned under its own atomic manifest."""
+        from ..operators.similarity import make_assign_udf
+
+        super().build(e, kmeans_iters)
+        # Codes live in the NORMALIZED domain: for unit vectors
+        # ||a-b||^2 = 2 - 2*cos(a,b), so integer L2 ADC ranks by
+        # cosine — encoding raw vectors instead measured recall@10 =
+        # 0.63 (L2-of-raw disagrees with the cosine truth the re-rank
+        # and oracle use). _PQ_QSCALE fixed-point keeps everything
+        # integer-exact.
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        code_expr = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double")
+                / F.greatest(F.col("_nrm"), F.lit(1e-30))
+                * F.lit(float(_PQ_QSCALE))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        codes = e.withColumn("_nrm", norm).select(
+            "vec_id", "embedding", code_expr.alias("code")
+        )
+        # Per-subspace Lloyd on a bounded deterministic sample (the
+        # standard PQ training recipe — production trains on a sample,
+        # never the corpus): integer centroids keep every downstream
+        # op (encode distances, ADC LUTs) exact integer arithmetic.
+        sample = codes.orderBy("vec_id").limit(self.train_n).collect()
+        dim = len(sample[0]["code"])
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible into {self.m} subspaces")
+        dsub = dim // self.m
+        smat = np.array([s["code"] for s in sample], dtype=np.int64)
+        books = []
+        for mi in range(self.m):
+            sub = smat[:, mi * dsub : (mi + 1) * dsub].astype(np.float64)
+            cents = sub[: self.ksub].copy()
+            for _ in range(8):
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for kk in range(self.ksub):
+                    pts = sub[assign == kk]
+                    if len(pts):
+                        cents[kk] = pts.mean(axis=0)
+            books.append(
+                [[int(v) for v in np.floor(c + 0.5)] for c in cents]
+            )
+        tmp = self._pq_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"qscale": _PQ_QSCALE, "codebooks": books}, f)
+        os.replace(tmp, self._pq_path)
+        self._pq = (_PQ_QSCALE, books)
+
+        sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        pq_code = F.lit(0).cast("long")
+        for mi in range(self.m):
+            sub = F.slice("code", mi * dsub + 1, dsub)
+            dists = F.array(
+                *[
+                    sq_l2(sub, F.array(*[F.lit(v) for v in book]))
+                    for book in books[mi]
+                ]
+            )
+            kidx = (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "long"
+            )
+            pq_code = pq_code + kidx * F.lit(
+                1 << (self.bits * mi)
+            ).cast("long")
+        coded = codes.select(
+            "vec_id",
+            make_assign_udf(self.spark, self.centroids())("embedding").alias(
+                "cell"
+            ),
+            pq_code.alias("pq_code"),
+        )
+        self._codes.commit(replace_all=self._codes.write_data(coded))
+
+    def _load_pq(self) -> tuple[int, list]:
+        if self._pq is None:
+            with open(self._pq_path) as f:
+                d = json.load(f)
+            self._pq = (d["qscale"], d["codebooks"])
+        return self._pq
+
+    # ----- serve -----------------------------------------------------------
+
+    def search_pq(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 4,
+        rerank: int | None = None,
+    ) -> DataFrame:
+        """ADC probe: scan only the probed cells' CODES spans, score
+        every candidate with the integer lookup-table sum in codegen,
+        optionally keep the ADC-top-``rerank`` per query, then read
+        only the survivors' cells from the full-vector table for the
+        exact cosine top-k. ``last_probe`` records the span pruning
+        both reads achieved."""
+        qscale, books = self._load_pq()
+        cents = self.centroids()
+        qmat = np.array([v for _, v in queries], dtype=np.float64)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        nprobe = min(nprobe, self.n_cells)
+        probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+        cells = sorted({int(c) for row in probe for c in row})
+        self.last_probe = {
+            "code_spans_read": len(cells),
+            "code_spans_total": len(self._codes.spans()),
+        }
+        codes = self._codes.read(self.spark, spans=cells)
+        empty = self.spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rnk int"
+        )
+        if codes is None:
+            return empty
+        # per-query integer ADC tables: entry m*ksub+kk = ||q_sub_m -
+        # codebook[m][kk]||^2 on the SAME global-scale integer codes
+        dsub = len(books[0][0])
+        luts = []
+        for qv in qn:  # normalized-domain codes, like the corpus side
+            qc = np.floor(qv * qscale + 0.5).astype(np.int64)
+            lut = [
+                int(((qc[mi * dsub : (mi + 1) * dsub] - np.array(bk)) ** 2).sum())
+                for mi in range(self.m)
+                for bk in books[mi]
+            ]
+            luts.append(lut)
+        probes = self.spark.createDataFrame(
+            [
+                (int(qid), [float(x) for x in vec], lut, int(c))
+                for (qid, vec), lut, row in zip(queries, luts, probe)
+                for c in row
+            ],
+            "query_id long, qe array<float>, lut array<long>, cell int",
+        )
+        mask = self.ksub - 1
+        adc = F.lit(0).cast("long")
+        for mi in range(self.m):
+            sub_code = (
+                F.shiftright("pq_code", self.bits * mi).bitwiseAND(mask)
+            ).cast("int")
+            adc = adc + F.element_at(
+                "lut", sub_code + F.lit(mi * self.ksub + 1)
+            )
+        cand = (
+            codes.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+            .select("query_id", "qe", "vec_id", "cell", adc.alias("adc"))
+        )
+        if rerank is not None:
+            wa = W.partitionBy("query_id").orderBy("adc", "vec_id")
+            cand = (
+                cand.withColumn("arnk", F.row_number().over(wa))
+                .filter(F.col("arnk") <= rerank)
+                .drop("arnk")
+            )
+        # bounded collect (<= n_cells ints): which cells hold the
+        # survivors — the full-vector read is span-pruned to those
+        rr_cells = sorted(
+            r[0] for r in cand.select("cell").distinct().collect()
+        )
+        self.last_probe["vector_spans_read"] = len(rr_cells)
+        self.last_probe["vector_spans_total"] = len(self._listed.spans())
+        if not rr_cells:
+            return empty
+        vecs = self._listed.read(self.spark, spans=rr_cells)
+        scored = cand.join(
+            vecs.select("vec_id", "embedding"), "vec_id"
+        ).select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("qe"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cos_sim", "rnk")
+        )
