@@ -388,6 +388,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # boilerplate extraction: chained regex + HOF array ops over ONE
+    # scan — map-only, no shuffle, no join, no Python
+    "q_html_extract": (
+        ["Scan parquet"],
+        ["Exchange", "Python", "Join"],
+    ),
     # IVF-PQ ADC probe: integer LUT sums in codegen over the codes
     # spans + broadcast probe frame; exact re-rank join — no Python,
     # never a cartesian/NLJ scan

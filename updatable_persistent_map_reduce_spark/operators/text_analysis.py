@@ -776,3 +776,140 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "not provably exact on this corpus; raise the capacity"
         )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup boilerplate extraction — the crawl-prep step upstream of
+# quality filtering in every real pretraining pipeline.
+
+# Deterministic markup is BUILT from document fields identically in
+# both engines (documents.text contains no markup), so the oracle
+# exercises the extraction pipeline on real tags rather than a no-op.
+_HTML_SEG_SPLIT = "</(?:p|div|h1|title)>"
+_HTML_TAG = "<[^>]*>"
+_HTML_ANCHOR = "<a [^>]*>([^<]*)</a>"
+
+
+def html_wrap_expr():
+    """The synthetic page: title + style + script boilerplate, a
+    heading, the doc's text split over two paragraphs, and a pure-link
+    nav <div> whose link density must get it banded out."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{margin:0}</style><script>var v="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><h1>"),
+        F.col("lang"),
+        F.lit(" "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit('</p><div><a href="/h">home</a> <a href="/a">about</a> '
+              '<a href="/c">contact</a></div><p>'),
+        F.expr("substring(text, 81)"),
+        F.lit(' tail <a href="/r">ref</a></p></body></html>'),
+    )
+
+
+def _html_wrap_sql() -> str:
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>body{margin:0}</style><script>var v=' || "
+        "CAST(doc_id AS VARCHAR) || ';</script></head><body><h1>' || "
+        "lang || ' ' || source || '</h1><p>' || substring(text, 1, 80) || "
+        "'</p><div><a href=\"/h\">home</a> <a href=\"/a\">about</a> "
+        "<a href=\"/c\">contact</a></div><p>' || substring(text, 81) || "
+        "' tail <a href=\"/r\">ref</a></p></body></html>'"
+    )
+
+
+@register(
+    "q_html_extract",
+    oracle=(
+        "WITH pages AS (SELECT doc_id, " + _html_wrap_sql() + " AS html "
+        "FROM documents), "
+        "nos AS (SELECT doc_id, "
+        "regexp_replace(regexp_replace(html, "
+        "'<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'<style[^>]*>.*?</style>', ' ', 'g') AS h FROM pages), "
+        "segs AS (SELECT doc_id, list_transform("
+        f"string_split_regex(h, '{_HTML_SEG_SPLIT}'), s -> struct_pack("
+        "norm := trim(regexp_replace(regexp_replace(s, "
+        f"'{_HTML_TAG}', ' ', 'g'), ' +', ' ', 'g')), "
+        "link := CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all(s, '{_HTML_ANCHOR}', 1), "
+        "a -> length(a))), 0) AS BIGINT))) AS xs FROM nos), "
+        "ne AS (SELECT doc_id, "
+        "list_filter(xs, x -> length(x.norm) > 0) AS xs FROM segs), "
+        "banded AS (SELECT doc_id, xs, "
+        "list_filter(xs, x -> 2 * x.link < length(x.norm)) AS kept "
+        "FROM ne) "
+        "SELECT doc_id, "
+        "array_to_string(list_transform(kept, x -> x.norm), ' ') "
+        "AS clean_text, "
+        "CAST(len(kept) AS INTEGER) AS kept_segments, "
+        "CAST(len(xs) - len(kept) AS INTEGER) AS dropped_segments, "
+        "CAST(coalesce(list_sum(list_transform(xs, "
+        "x -> CAST(length(x.norm) AS BIGINT))), 0) AS BIGINT) AS text_chars, "
+        "CAST(coalesce(list_sum(list_transform(xs, x -> x.link)), 0) "
+        "AS BIGINT) AS link_chars "
+        "FROM banded"
+    ),
+    doc="HTML BOILERPLATE EXTRACTION — the crawl-prep step upstream of "
+    "q_quality_score that every pretraining pipeline runs before "
+    "quality filtering. Deterministic markup is synthesized from "
+    "document fields (identically in both engines — the corpus has no "
+    "tags of its own), then the extraction pipeline: script/style "
+    "block removal (non-greedy regex, RE2-safe so Java and RE2 agree), "
+    "segmentation at block-closing tags, per-segment LINK-DENSITY "
+    "banding (drop a segment when anchor text is >= half its text — "
+    "integer cross-multiplication, no float ratio), tag stripping and "
+    "whitespace normalization, and per-doc accounting of kept/dropped "
+    "segments and text/link chars. Pure chained regexp_replace + "
+    "higher-order array ops — single-scan map job, no shuffle, no "
+    "Python; at 100 TB this is the classic boilerplate-strip pass "
+    "(Readability/jusText's link-density heuristic, relationally).",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    nos = F.regexp_replace(
+        F.regexp_replace(
+            html_wrap_expr(), "<script[^>]*>.*?</script>", " "
+        ),
+        "<style[^>]*>.*?</style>",
+        " ",
+    )
+    norm = lambda s: F.trim(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(s, _HTML_TAG, " "), " +", " "
+        )
+    )
+    link_len = lambda s: F.aggregate(  # noqa: E731
+        F.regexp_extract_all(s, F.lit(_HTML_ANCHOR), 1),
+        F.lit(0).cast("long"),
+        lambda acc, a: acc + F.length(a),
+    )
+    segs = F.transform(
+        F.split(nos, _HTML_SEG_SPLIT),
+        lambda s: F.struct(
+            norm(s).alias("norm"), link_len(s).alias("link")
+        ),
+    )
+    ne = F.filter(segs, lambda x: F.length(x["norm"]) > 0)
+    kept = F.filter(ne, lambda x: 2 * x["link"] < F.length(x["norm"]))
+    sum_long = lambda arr, f: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + f(x)
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept, lambda x: x["norm"]), " "
+        ).alias("clean_text"),
+        F.size(kept).alias("kept_segments"),
+        (F.size(ne) - F.size(kept)).cast("int").alias("dropped_segments"),
+        sum_long(ne, lambda x: F.length(x["norm"]).cast("long")).alias(
+            "text_chars"
+        ),
+        sum_long(ne, lambda x: x["link"]).alias("link_chars"),
+    )
