@@ -388,6 +388,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # substring-remove: detect shuffles + one per-doc starts agg +
+    # left join; the string rebuild is HOF codegen — no Python, no NLJ
+    "q_dedup_substring_remove": (
+        ["HashAggregate",
+         "re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # boilerplate extraction: chained regex + HOF array ops over ONE
     # scan — map-only, no shuffle, no join, no Python
     "q_html_extract": (

@@ -1637,3 +1637,115 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= _EDIT_MAX)
     )
+
+
+@register(
+    "q_dedup_substring_remove",
+    oracle=(
+        "WITH wins AS ("
+        "  SELECT doc_id, CAST(i AS BIGINT) AS i,"
+        "         substr(text, CAST(i AS INTEGER), 32) AS win"
+        "  FROM documents,"
+        "       UNNEST(generate_series(1, length(text) - 31, 1)) AS u(i)"
+        "  WHERE length(text) >= 32), "
+        "dup AS (SELECT win FROM wins GROUP BY win"
+        "        HAVING count(DISTINCT doc_id) >= 2), "
+        "st AS (SELECT doc_id, list_sort(list(DISTINCT i)) AS ss "
+        "FROM wins WHERE win IN (SELECT win FROM dup) GROUP BY doc_id), "
+        "cov AS (SELECT d.doc_id, d.text, "
+        "coalesce(s.ss, CAST([] AS BIGINT[])) AS ss, "
+        "CASE WHEN s.ss IS NULL THEN CAST([] AS BIGINT[]) "
+        "ELSE list_sort(list_distinct(flatten(list_transform(s.ss, "
+        "x -> range(x, x + 32))))) END AS covered "
+        "FROM documents d LEFT JOIN st s ON d.doc_id = s.doc_id) "
+        "SELECT doc_id, "
+        # coalesce: DuckDB's array_to_string returns NULL on an empty
+        # list (a fully-excised doc); Spark's array_join returns ''
+        "coalesce(array_to_string(list_transform(list_filter("
+        "range(1, length(text) + 1), p -> NOT list_contains(covered, p)), "
+        "p -> substr(text, CAST(p AS INTEGER), 1)), ''), '') AS clean_text, "
+        "CAST(len(covered) AS BIGINT) AS removed_chars, "
+        "CAST(len(ss) AS BIGINT) AS n_dup_spans "
+        "FROM cov"
+    ),
+    doc="SUBSTRING DEDUP, THE REMOVE STEP — Lee et al. 2022 do not just "
+    "detect repeated spans, their pipeline EXCISES them; this "
+    "completes detect -> act for the substring modality "
+    "(q_dedup_substring is the detect half and this reuses its exact "
+    "stride-1 window machinery). Semantics: a character position is "
+    "duplicated iff some length-32 window covering it appears in >= 2 "
+    "distinct documents; every covered character is cut from every "
+    "doc (the strictest variant — deterministic and order-free, where "
+    "keep-one-copy needs an arbitrary canonical-survivor choice), "
+    "emitting the cleaned text plus removed-bytes and dup-span "
+    "accounting per doc. Plan: the window aggregate + semi-join are "
+    "q_dedup_substring's two shuffles, then ONE groupBy(doc_id) "
+    "collects each doc's dup-window starts (bounded by doc length) "
+    "and a left join + pure HOF projection rebuilds the string — "
+    "coverage expansion, position filter, and char re-concat all in "
+    "codegen, no Python. At 100 TB the hashed-window variant supplies "
+    "candidate starts with 4x fewer shuffle bytes (hash collisions "
+    "could only ever over-remove a 2^-64 sliver, never miss), and the "
+    "per-doc rebuild stays a map-side HOF over (text, starts).",
+)
+def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _SUBSTR_W
+    docs = Catalog(spark, sf_dir).documents
+    wins = (
+        docs.filter(F.length("text") >= w)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (w - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.expr(f"substring(text, i, {w})").alias("win"),
+        )
+    )
+    repeated = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    starts = (
+        wins.join(repeated, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("ss"))
+    )
+    empty = F.array().cast("array<bigint>")
+    base = docs.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("ss"), empty).alias("ss"),
+        F.when(F.col("ss").isNull(), empty)
+        .otherwise(
+            F.sort_array(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "ss", lambda x: F.sequence(x, x + (w - 1))
+                        )
+                    )
+                )
+            )
+        )
+        .alias("covered"),
+    )
+    keep_pos = F.filter(
+        F.sequence(F.lit(1).cast("long"), F.length("text").cast("long")),
+        lambda p: ~F.array_contains("covered", p),
+    )
+    return base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(keep_pos, lambda p: F.col("text").substr(p, F.lit(1))),
+            "",
+        ).alias("clean_text"),
+        F.size("covered").cast("bigint").alias("removed_chars"),
+        F.size("ss").cast("bigint").alias("n_dup_spans"),
+    )
