@@ -388,6 +388,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # chat-template assembly: one user-keyed window + one groupBy,
+    # ordered concat via array_sort(collect_list) — no Python, no join
+    "q_chat_template": (
+        ["Window", "HashAggregate"],
+        ["Python", "CartesianProduct", "Join"],
+    ),
+    # common-neighbor jaccard: wedge equi-join + degree joins, never
+    # a node-pair product
+    "q_graph_jaccard": (
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+         "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # MRL energy profile: posexplode + vec-keyed window + groupBy —
+    # integer-exact, no Python, no join
+    "q_embed_mrl": (
+        ["Window", "HashAggregate"],
+        ["Python", "CartesianProduct", "Join"],
+    ),
     # substring-remove: detect shuffles + one per-doc starts agg +
     # left join; the string rebuild is HOF codegen — no Python, no NLJ
     "q_dedup_substring_remove": (

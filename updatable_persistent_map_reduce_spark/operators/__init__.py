@@ -82,6 +82,9 @@ _PRIORITY = [
     "q_sim_index_pq",  # new: IVF-PQ ADC probe through the persisted index
     "q_html_extract",  # new: boilerplate strip w/ link-density banding
     "q_dedup_substring_remove",  # new: excise cross-doc repeated spans
+    "q_chat_template",  # new: SFT chat-example assembly from event logs
+    "q_graph_jaccard",  # new: common-neighbor node-similarity join
+    "q_embed_mrl",      # new: Matryoshka prefix-energy diagnostic
     # -- unchanged, last attested round 3 (31 ids; oldest first) --
     "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
     "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",

@@ -340,3 +340,85 @@ def _triangles_degree_ordered(e: DataFrame) -> DataFrame:
     # if the triangle exists — is exactly b -> c.
     e3 = ed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     return wedges.join(e3, ["b", "c"]).select("a", "b", "c")
+
+
+# ---------------------------------------------------------------------------
+# node similarity — common-neighbor Jaccard over the co-purchase graph.
+
+
+@register(
+    "q_graph_jaccard",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"WHERE a.l_partkey < {_TRI_MAX_PART} AND b.l_partkey < {_TRI_MAX_PART}), "
+        "sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e), "
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY s), "
+        "common AS (SELECT a1.d AS u, a2.d AS v, "
+        "CAST(count(*) AS BIGINT) AS c "
+        "FROM sym a1 JOIN sym a2 ON a1.s = a2.s AND a1.d < a2.d "
+        "GROUP BY a1.d, a2.d) "
+        "SELECT u, v, c AS common_neighbors, "
+        "du.dg + dv.dg - c AS union_neighbors, "
+        "c * 10000 // (du.dg + dv.dg - c) AS jaccard_bp "
+        "FROM common JOIN deg du ON du.s = u JOIN deg dv ON dv.s = v "
+        "WHERE 10 * c >= 3 * (du.dg + dv.dg - c)"
+    ),
+    doc="NODE-SIMILARITY JOIN — common-neighbor Jaccard over the "
+    "co-purchase graph (the link-prediction / related-items kernel): "
+    "for every part pair sharing at least one neighbor, J = "
+    "|N(u) ∩ N(v)| / |N(u) ∪ N(v)|, thresholded at J >= 0.3 by "
+    "integer cross-multiplication (no float ratio in a predicate). "
+    "Candidates come from the wedge join on the shared neighbor — "
+    "pairs with zero common neighbors are never materialized, which "
+    "is what makes this an equi-join and not a node-pair product; "
+    "common counts are the wedge groupBy, degrees one aggregate, "
+    "union by inclusion-exclusion. Same bounded part subset as "
+    "q_graph_triangles. At 100 TB the wedge key is the shared "
+    "neighbor, so hub neighborhoods fan out quadratically — the "
+    "standard mitigations (hub neighborhood sampling, or the "
+    "degree-ordered direction q_graph_triangles implements when only "
+    "closure counts are needed) apply; the threshold also caps "
+    "output: a hub's neighbors rarely pass J >= 0.3 against it.",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    a1 = sym.select("s", F.col("d").alias("u"))
+    a2 = sym.select("s", F.col("d").alias("v"))
+    common = (
+        a1.join(a2, "s")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.select(F.col("s").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("dg").alias("dv"))
+    uni = F.col("du") + F.col("dv") - F.col("c")
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .filter(10 * F.col("c") >= 3 * uni)
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("common_neighbors"),
+            uni.alias("union_neighbors"),
+            F.expr(
+                "c * 10000L DIV (du + dv - c)"
+            ).alias("jaccard_bp"),
+        )
+    )

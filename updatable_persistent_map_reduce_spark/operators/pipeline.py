@@ -1086,3 +1086,80 @@ def q_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chat-template assembly — turning event logs into SFT-style examples.
+
+_CHAT_MAX_TURNS = 8
+
+
+@register(
+    "q_chat_template",
+    oracle=(
+        "WITH t AS (SELECT user_id, rn, "
+        "'<|' || CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END "
+        "|| '|>' || event_type || '#' || "
+        "CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || '#' || "
+        "props || '<|end|>' AS piece "
+        "FROM (SELECT user_id, event_type, value, props, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events) "
+        f"WHERE rn <= {_CHAT_MAX_TURNS}) "
+        "SELECT user_id, CAST(max(rn) AS INTEGER) AS n_turns, "
+        "string_agg(piece, '' ORDER BY rn) AS template, "
+        "CAST(length(string_agg(piece, '' ORDER BY rn)) AS BIGINT) "
+        "AS template_chars "
+        "FROM t GROUP BY user_id"
+    ),
+    doc="CHAT-TEMPLATE ASSEMBLY — the SFT-data step that turns raw "
+    "interaction logs into role-tagged training examples: each user's "
+    "first 8 events in (ts, event_id) order become alternating "
+    "user/assistant turns rendered into a '<|role|>content<|end|>' "
+    "template (content = type + integer-cents value + raw props; "
+    "doubles are never stringified — engine float formatting differs, "
+    "integer cents do not). The turn cap is the context-budget "
+    "truncation every real pipeline applies. Plan: ONE window for "
+    "per-user turn numbering (partition-parallel by user), then one "
+    "groupBy assembling the ordered concat via "
+    "array_sort(collect_list(struct(rn, piece))) — deterministic "
+    "regardless of shuffle arrival order, the same discipline as "
+    "q_string_agg. At 100 TB both shuffles key on user_id; no Python, "
+    "no skew beyond a user's own (capped) history.",
+)
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.when(F.col("rn") % 2 == 1, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    piece = F.concat(
+        F.lit("<|"),
+        role,
+        F.lit("|>"),
+        F.col("event_type"),
+        F.lit("#"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("#"),
+        F.col("props"),
+        F.lit("<|end|>"),
+    )
+    turns = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHAT_MAX_TURNS)
+        .select("user_id", "rn", piece.alias("piece"))
+    )
+    tmpl = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "piece"))),
+            lambda x: x["piece"],
+        ),
+        "",
+    )
+    return turns.groupBy("user_id").agg(
+        F.max("rn").cast("int").alias("n_turns"),
+        tmpl.alias("template"),
+        F.length(tmpl).cast("bigint").alias("template_chars"),
+    )

@@ -698,3 +698,107 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist").cast("bigint").alias("inertia"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation diagnostic — how much of each embedding's
+# energy lives in a prefix of its dimensions.
+
+_MRL_PREFIX = 16  # the truncation width a serving tier would keep
+
+
+@register(
+    "q_embed_mrl",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS code "
+        "FROM (SELECT vec_id, embedding, gmax / 127 AS sc "
+        "FROM embeddings, mx)), "
+        "d AS (SELECT vec_id, CAST(i AS INTEGER) AS dim, "
+        "code[CAST(i AS INTEGER)] * code[CAST(i AS INTEGER)] AS e "
+        "FROM q, UNNEST(generate_series(1, len(code), 1)) AS u(i)), "
+        "c AS (SELECT vec_id, dim, "
+        "sum(e) OVER (PARTITION BY vec_id ORDER BY dim "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "sum(e) OVER (PARTITION BY vec_id) AS total FROM d) "
+        "SELECT vec_id, "
+        "CAST(min(CASE WHEN 10 * cum >= 9 * total THEN dim END) "
+        "AS INTEGER) AS dims_90, "
+        f"CAST(max(CASE WHEN dim = {_MRL_PREFIX} THEN cum END) * 10000 "
+        "// max(total) AS BIGINT) AS energy16_bp "
+        "FROM c GROUP BY vec_id"
+    ),
+    doc="MATRYOSHKA TRUNCATION DIAGNOSTIC (MRL-style serving: keep a "
+    "prefix of each embedding's dimensions and re-normalize): per "
+    "vector, the smallest prefix length holding >= 90% of squared-L2 "
+    "energy, and the energy fraction (basis points) the 16-dim "
+    "truncation retains — the two numbers that decide whether a "
+    "truncated index tier is safe. All arithmetic is EXACT integers "
+    "on the shared global-scale codes (q_kmeans_assign's quantization "
+    "rule): energies are code^2, the cumulative sum is a windowed "
+    "integer sum (order-defined, so engine-internal float summation "
+    "trees can never flip the 90% threshold — the repo's float-"
+    "threshold rule), thresholds are integer cross-multiplications, "
+    "and the retained fraction is integer DIV. Plan: posexplode + one "
+    "window keyed by vec_id + one groupBy — two shuffles on vec_id; "
+    "at 100 TB this is the per-vector map-side profile job that sizes "
+    "a truncated serving tier before building it.",
+)
+def q_embed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / 127
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.lit(scale) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("code"),
+    )
+    d = codes.select(
+        "vec_id", F.posexplode("code").alias("pos", "c")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        (F.col("c") * F.col("c")).alias("e"),
+    )
+    wc = (
+        W.partitionBy("vec_id")
+        .orderBy("dim")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("vec_id")
+    c = d.select(
+        "vec_id",
+        "dim",
+        F.sum("e").over(wc).alias("cum"),
+        F.sum("e").over(wt).alias("total"),
+    )
+    return c.groupBy("vec_id").agg(
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("dim"))
+        )
+        .cast("int")
+        .alias("dims_90"),
+        F.expr(
+            f"max(CASE WHEN dim = {_MRL_PREFIX} THEN cum END) * 10000L "
+            "DIV max(total)"
+        )
+        .cast("bigint")
+        .alias("energy16_bp"),
+    )
