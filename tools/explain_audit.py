@@ -388,6 +388,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # doc-level CC labels: checkpointed min-label fixpoint, final plan
+    # is a projection over the checkpoint — no Python, no product
+    "q_dedup_near_clusters": ([], ["BatchEvalPython", "CartesianProduct"]),
     # chat-template assembly: one user-keyed window + one groupBy,
     # ordered concat via array_sort(collect_list) — no Python, no join
     "q_chat_template": (

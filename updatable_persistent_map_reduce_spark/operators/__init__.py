@@ -85,6 +85,7 @@ _PRIORITY = [
     "q_chat_template",  # new: SFT chat-example assembly from event logs
     "q_graph_jaccard",  # new: common-neighbor node-similarity join
     "q_embed_mrl",      # new: Matryoshka prefix-energy diagnostic
+    "q_dedup_near_clusters",  # new: doc-level CC + keep-one policy
     # -- unchanged, last attested round 3 (31 ids; oldest first) --
     "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
     "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",

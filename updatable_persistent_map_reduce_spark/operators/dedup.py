@@ -1749,3 +1749,62 @@ def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("covered").cast("bigint").alias("removed_chars"),
         F.size("ss").cast("bigint").alias("n_dup_spans"),
     )
+
+
+@register(
+    "q_dedup_near_clusters",
+    oracle=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.sh, b.sh)) >=
+        len(list_distinct(list_concat(a.sh, b.sh)))),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+          UNION ALL SELECT db, da FROM pairs),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+       CAST(v = min(lbl) AS BOOLEAN) AS keep
+FROM reach GROUP BY v
+""",
+    doc="NEAR-DUP CLUSTERS AT DOCUMENT LEVEL — the step between "
+    "q_dedup_near's pair list and an actual dedup decision: connected "
+    "components over the exact J >= 1/2 shingle-Jaccard pair graph "
+    "(the same 16x1 strict LSH banding the pair query promotes to "
+    "oracle-exactness), each doc labeled with its component's min "
+    "doc_id and a keep flag for the canonical survivor — the "
+    "keep-one-per-cluster policy a pipeline anti-joins on. Reuses "
+    "connected_components' pointer-jumping min-label propagation "
+    "(O(log diameter) rounds, localCheckpoint per round), so the "
+    "text modality now has the same detect -> cluster -> act chain "
+    "the embedding modality has (q_dedup_embed -> q_dedup_cluster). "
+    "Oracle = recursive CTE over the brute-force pair set.",
+)
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(Catalog(spark, sf_dir).documents)
+    scored = _near_dup_scored(d, n_perm=16, n_bands=16, strict=True)
+    pairs = scored.filter(2 * F.col("inter") >= F.col("uni")).select(
+        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
+    )
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("vec_id")), pairs
+    )
+    return labels.select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
