@@ -367,20 +367,24 @@ def _triangles_degree_ordered(e: DataFrame) -> DataFrame:
     ),
     doc="NODE-SIMILARITY JOIN — common-neighbor Jaccard over the "
     "co-purchase graph (the link-prediction / related-items kernel): "
-    "for every part pair sharing at least one neighbor, J = "
-    "|N(u) ∩ N(v)| / |N(u) ∪ N(v)|, thresholded at J >= 0.3 by "
-    "integer cross-multiplication (no float ratio in a predicate). "
-    "Candidates come from the wedge join on the shared neighbor — "
-    "pairs with zero common neighbors are never materialized, which "
-    "is what makes this an equi-join and not a node-pair product; "
-    "common counts are the wedge groupBy, degrees one aggregate, "
-    "union by inclusion-exclusion. Same bounded part subset as "
-    "q_graph_triangles. At 100 TB the wedge key is the shared "
-    "neighbor, so hub neighborhoods fan out quadratically — the "
-    "standard mitigations (hub neighborhood sampling, or the "
-    "degree-ordered direction q_graph_triangles implements when only "
-    "closure counts are needed) apply; the threshold also caps "
-    "output: a hub's neighbors rarely pass J >= 0.3 against it.",
+    "for every part pair, J = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, "
+    "thresholded at J >= 0.3 by integer cross-multiplication (no "
+    "float ratio in a predicate). Candidate generation is PPJoin-"
+    "style PREFIX FILTERING on neighbor sets (the same published "
+    "technique q_minhash_containment uses on shingles): each node's "
+    "neighbor list is ordered rare-first (ascending neighbor degree — "
+    "a neighbor's degree IS its token frequency), and only the first "
+    "deg - ceil(0.3*deg) + 1 neighbors are exploded as join tokens — "
+    "any pair with J >= 0.3 provably shares a token in both prefixes, "
+    "so the filter is LOSSLESS, while hubs (the highest-frequency "
+    "tokens) fall out of every prefix instead of fanning out "
+    "quadratically as the naive wedge-on-shared-neighbor join does "
+    "(tools/scale_jaccard.py measures candidate volume per octave, "
+    "naive vs prefix). Verification is one sorted-array intersection "
+    "per surviving candidate against collected adjacency arrays. "
+    "Same bounded part subset as q_graph_triangles; the oracle is "
+    "the plain wedge-count form — prefix filtering is an execution "
+    "strategy, not a semantics change.",
 )
 def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
@@ -393,6 +397,89 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    return _jaccard_prefix_filtered(e)
+
+
+def _jaccard_adj(e: DataFrame) -> DataFrame:
+    """Per-node sorted adjacency under the PPJoin global token order
+    (ascending neighbor degree, node id tiebreak): (node, dg, ids,
+    plen) where ids is the rare-first neighbor array and plen the
+    Jaccard-0.3 prefix length deg - ceil(0.3*deg) + 1."""
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    nd = deg.select(F.col("s").alias("d"), F.col("dg").alias("ndg"))
+    return (
+        sym.join(nd, "d")
+        .groupBy("s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ndg", "d"))),
+                lambda x: x["d"],
+            ).alias("ids")
+        )
+        .select(
+            F.col("s").alias("node"),
+            "ids",
+            F.size("ids").cast("long").alias("dg"),
+            (
+                F.size("ids").cast("long")
+                - F.expr("(3 * size(ids) + 9) DIV 10")
+                + 1
+            ).alias("plen"),
+        )
+    )
+
+
+def _jaccard_prefix_filtered(e: DataFrame) -> DataFrame:
+    """J >= 0.3 node pairs via lossless PPJoin prefix filtering;
+    result-identical to the naive wedge join (scale_jaccard.py pins
+    it) with candidate volume bounded by rare-token collisions."""
+    adj = _jaccard_adj(e)
+    pre = adj.select(
+        "node",
+        F.explode(F.slice("ids", 1, F.col("plen").cast("int"))).alias("t"),
+    )
+    cand = (
+        pre.select(F.col("node").alias("u"), "t")
+        .join(pre.select(F.col("node").alias("v"), "t"), "t")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    au = adj.select(
+        F.col("node").alias("u"), F.col("ids").alias("iu"),
+        F.col("dg").alias("du"),
+    )
+    av = adj.select(
+        F.col("node").alias("v"), F.col("ids").alias("iv"),
+        F.col("dg").alias("dv"),
+    )
+    scored = (
+        cand.join(au, "u")
+        .join(av, "v")
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("iu", "iv")).cast("long").alias("c"),
+            "du",
+            "dv",
+        )
+    )
+    uni = F.col("du") + F.col("dv") - F.col("c")
+    return scored.filter(10 * F.col("c") >= 3 * uni).select(
+        "u",
+        "v",
+        F.col("c").alias("common_neighbors"),
+        uni.alias("union_neighbors"),
+        F.expr("c * 10000L DIV (du + dv - c)").alias("jaccard_bp"),
+    )
+
+
+def _jaccard_naive(e: DataFrame) -> DataFrame:
+    """The wedge-on-shared-neighbor form — correct, but hub-skewed;
+    kept as the baseline tools/scale_jaccard.py measures against."""
     sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -417,8 +504,6 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             F.col("c").alias("common_neighbors"),
             uni.alias("union_neighbors"),
-            F.expr(
-                "c * 10000L DIV (du + dv - c)"
-            ).alias("jaccard_bp"),
+            F.expr("c * 10000L DIV (du + dv - c)").alias("jaccard_bp"),
         )
     )
