@@ -1068,3 +1068,38 @@ def test_ivfpq_adc_probe_cost_and_recall(spark, tmp_path):
     ) | set(idx._listed.read(spark, spans=probed_cells).inputFiles())
     scanned = set(res.inputFiles())
     assert scanned and scanned <= allowed, (scanned - allowed)
+
+
+def test_ivfpq_upsert_appends_both_tiers(spark, tmp_path):
+    """IvfPqIndex.upsert must land the new vectors in BOTH tables:
+    the inherited listed-only append would leave them invisible to
+    ADC candidate generation. An appended duplicate of a corpus
+    vector must surface as the probe's top hit (cos ~ 1.0) even at
+    rerank=1, and both manifests must have advanced atomically."""
+    import numpy as np
+
+    from updatable_persistent_map_reduce_spark.plans.ann_index import (
+        IvfPqIndex,
+    )
+
+    dim, n = 16, 200
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(n, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfPqIndex(spark, str(tmp_path / "ivfpq_up"), n_cells=4)
+    idx.build(df)
+    v_listed, v_codes = idx._listed.version, idx._codes.version
+    new = spark.createDataFrame(
+        [(5000, [float(x) for x in vecs[7]])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.upsert(new)
+    assert idx._listed.version == v_listed + 1
+    assert idx._codes.version == v_codes + 1
+    q = [(7, [float(x) for x in vecs[7]])]
+    hits = idx.search_pq(q, k=1, nprobe=idx.n_cells, rerank=1).collect()
+    assert len(hits) == 1 and hits[0].vec_id == 5000, hits
+    assert hits[0].cos_sim >= 0.999999

@@ -344,6 +344,40 @@ class IvfPqIndex(IvfIndex):
         os.replace(tmp, self._pq_path)
         self._pq = (_PQ_QSCALE, books)
 
+        self._codes.commit(
+            replace_all=self._codes.write_data(self._encode_plan(e))
+        )
+
+    def _encode_plan(self, e: DataFrame) -> DataFrame:
+        """(vec_id, cell, pq_code) for ``e`` under the STORED codebooks
+        and coarse centroids — pure codegen encode + one Arrow assign;
+        shared by build() and upsert()."""
+        from ..operators.similarity import make_assign_udf
+
+        qscale, books = self._load_pq()
+        dsub = len(books[0][0])
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        code_expr = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double")
+                / F.greatest(F.col("_nrm"), F.lit(1e-30))
+                * F.lit(float(qscale))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        codes = e.withColumn("_nrm", norm).select(
+            "vec_id", "embedding", code_expr.alias("code")
+        )
         sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -364,14 +398,28 @@ class IvfPqIndex(IvfIndex):
             pq_code = pq_code + kidx * F.lit(
                 1 << (self.bits * mi)
             ).cast("long")
-        coded = codes.select(
+        return codes.select(
             "vec_id",
             make_assign_udf(self.spark, self.centroids())("embedding").alias(
                 "cell"
             ),
             pq_code.alias("pq_code"),
         )
-        self._codes.commit(replace_all=self._codes.write_data(coded))
+
+    def upsert(self, new_vectors: DataFrame) -> None:
+        """Incremental append to BOTH tiers — the inherited listed-only
+        append would leave the new vectors invisible to ADC probes
+        (candidates come from the codes table). Order: full vectors
+        first, codes second, so a crash between the commits leaves a
+        vector unreachable-but-rerankable rather than discoverable-
+        but-unverifiable (the neardup index's shingles-first rule).
+        New vectors are encoded under the EXISTING codebooks and
+        coarse centroids; codebook drift is rebuild()'s concern, same
+        as centroid drift."""
+        super().upsert(new_vectors)
+        self._codes.commit(
+            append=self._codes.write_data(self._encode_plan(new_vectors))
+        )
 
     def _load_pq(self) -> tuple[int, list]:
         if self._pq is None:
