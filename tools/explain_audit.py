@@ -388,6 +388,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # novelty: Arrow shingle explode + shingle-keyed min agg + self
+    # equi-join + per-doc agg — the substring-dedup shuffle skeleton
+    "q_ngram_novelty": (
+        ["ArrowEvalPython", "HashAggregate",
+         "re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # doc-level CC labels: checkpointed min-label fixpoint, final plan
     # is a projection over the checkpoint — no Python, no product
     "q_dedup_near_clusters": ([], ["BatchEvalPython", "CartesianProduct"]),

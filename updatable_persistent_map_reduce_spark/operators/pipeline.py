@@ -1163,3 +1163,65 @@ def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmpl.alias("template"),
         F.length(tmpl).cast("bigint").alias("template_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-order novelty — how much of each doc is first-seen text.
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) <= 3 "
+        "THEN [array_to_string(tk, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), "
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s "
+        "FROM (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '') AS tk FROM documents)), "
+        "first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s) "
+        "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_novel, "
+        "sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
+        "* 10000 // count(*) AS novelty_bp "
+        "FROM sh JOIN first ON sh.s = first.s GROUP BY sh.doc_id"
+    ),
+    doc="CORPUS-ORDER NOVELTY SCORING — the data-curation diagnostic "
+    "behind diversity-aware sampling and curriculum ordering: per "
+    "document, the fraction of its distinct word-3-shingles whose "
+    "FIRST corpus occurrence (min doc_id) is this document. A doc "
+    "near 0 bp is assembled entirely from text seen earlier (the "
+    "boilerplate/template tail dedup thresholds miss); a doc near "
+    "10000 bp is fresh material worth upweighting. Plan: the per-doc-"
+    "distinct shingle explode (Arrow UDF, the measured 5x win over "
+    "the interpreted HOF pipeline), ONE groupBy(shingle) min-doc "
+    "aggregate, a self equi-join on the shingle, and a per-doc "
+    "count — the exact shuffle skeleton of q_dedup_substring, keyed "
+    "by content. Integer basis points via DIV; at 100 TB the "
+    "first-occurrence table is the corpus vocabulary, hash-"
+    "partitioned, and novelty is two shuffles — no windows over "
+    "global order, because min(doc_id) IS the corpus-order tiebreak.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sh = d.select(
+        "doc_id",
+        F.explode(shingle_strings_udf(3, distinct=True)("text")).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+                "* 10000L DIV count(1)"
+            ).alias("novelty_bp"),
+        )
+    )
