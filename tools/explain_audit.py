@@ -388,6 +388,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # interval overlap: band-key hash join, canonical-band dedup-free
+    # emit — never a nested-loop product
+    "q_join_interval_overlap": (
+        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+         "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # novelty: Arrow shingle explode + shingle-keyed min agg + self
     # equi-join + per-doc agg — the substring-dedup shuffle skeleton
     "q_ngram_novelty": (

@@ -3819,3 +3819,97 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("click_id", "user_id", "buy_id", F.col("dt_us").cast("bigint").alias("dt_us"))
     )
+
+
+# ---------------------------------------------------------------------------
+# interval x interval overlap join — banded into an equi-join.
+
+_IVO_BASE = 1_704_067_200_000  # 2024-01-01 epoch ms (the events month)
+_IVO_STEP = 5_820_000  # window stagger: 97 min
+_IVO_DUR = 10_800_000  # window length: 3 h
+_IVO_N = 360  # windows (covers ~24 days of the 30-day event month)
+_IVO_BAND = 21_600_000  # band width: 6 h
+_IVO_DAY = 86_400_000
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=(
+        "WITH sess AS (SELECT user_id, epoch_ms(ts) // "
+        f"{_IVO_DAY} AS day, "
+        "min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi "
+        f"FROM events GROUP BY user_id, epoch_ms(ts) // {_IVO_DAY}), "
+        f"win AS (SELECT i AS win_id, {_IVO_BASE} + i * {_IVO_STEP} AS wlo, "
+        f"{_IVO_BASE} + i * {_IVO_STEP} + {_IVO_DUR} AS whi "
+        f"FROM range({_IVO_N}) t(i)) "
+        "SELECT win_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(sum(least(hi, whi) - greatest(lo, wlo)) AS BIGINT) "
+        "AS overlap_ms "
+        "FROM sess JOIN win ON lo < whi AND hi > wlo "
+        "GROUP BY win_id"
+    ),
+    doc="INTERVAL x INTERVAL OVERLAP JOIN banded into an equi-join — "
+    "the two-sided sibling of q_join_range_banded's point-in-interval "
+    "shape (the session-vs-maintenance-window / genomics range-"
+    "intersection kernel): per-user DAILY activity intervals "
+    "[first event, last event] against 360 staggered 3-hour windows, "
+    "reporting overlapping-session count and total overlap "
+    "milliseconds per window (integer epoch-ms arithmetic end to "
+    "end). Both interval sets explode to their covering 6-hour bands "
+    "and meet on the band key — a hash join, never an NLJ product "
+    "(the audit forbids BroadcastNestedLoop) — and each qualifying "
+    "pair is emitted EXACTLY once, dedup-free: max(lo, wlo) lies "
+    "inside both intervals whenever they overlap, so requiring "
+    "band == max(lo, wlo) DIV band_width picks one canonical meeting "
+    "band per pair (no dropDuplicates shuffle). At 100 TB: explode "
+    "factor is interval_length/band_width (bounded, ~4 for daily "
+    "intervals), join volume tracks true overlaps plus boundary "
+    "near-misses, and the band key is uniform by construction — "
+    "time-banding has no hubs. The oracle states the plain theta-join "
+    "semantics; banding is an execution strategy.",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w, day = _IVO_BAND, _IVO_DAY
+    sess = (
+        ev.select(
+            "user_id", F.expr("unix_millis(cast(ts AS TIMESTAMP))").alias("t")
+        )
+        .groupBy("user_id", F.expr(f"t DIV {day}").alias("day"))
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    )
+    win = spark.range(_IVO_N).select(
+        F.col("id").alias("win_id"),
+        (F.lit(_IVO_BASE) + F.col("id") * _IVO_STEP).alias("wlo"),
+        (F.lit(_IVO_BASE) + F.col("id") * _IVO_STEP + _IVO_DUR).alias(
+            "whi"
+        ),
+    )
+    sess_b = sess.select(
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.expr(f"lo DIV {w}"), F.expr(f"hi DIV {w}"))
+        ).alias("band"),
+    )
+    win_b = win.select(
+        "win_id",
+        "wlo",
+        "whi",
+        F.explode(
+            F.sequence(F.expr(f"wlo DIV {w}"), F.expr(f"whi DIV {w}"))
+        ).alias("band"),
+    )
+    pairs = sess_b.join(win_b, "band").filter(
+        (F.col("lo") < F.col("whi"))
+        & (F.col("hi") > F.col("wlo"))
+        & (F.col("band") == F.expr(f"greatest(lo, wlo) DIV {w}"))
+    )
+    return pairs.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (
+            F.sum(
+                F.least("hi", "whi") - F.greatest("lo", "wlo")
+            )
+        ).cast("bigint").alias("overlap_ms"),
+    )
