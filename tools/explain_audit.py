@@ -388,6 +388,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Broadcast"],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],
     ),
+    # blur gate: two Arrow mapInPandas stages, per-partition map
+    "q_mm_blur_detect": (["MapInPandas"], ["BatchEvalPython", "Join"]),
     # interval overlap: band-key hash join, canonical-band dedup-free
     # emit — never a nested-loop product
     "q_join_interval_overlap": (

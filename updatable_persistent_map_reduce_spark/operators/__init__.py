@@ -88,6 +88,7 @@ _PRIORITY = [
     "q_dedup_near_clusters",  # new: doc-level CC + keep-one policy
     "q_ngram_novelty",  # new: corpus-order first-seen novelty score
     "q_join_interval_overlap",  # new: banded interval x interval join
+    "q_mm_blur_detect",  # new: variance-of-Laplacian sharpness gate
     # -- unchanged, last attested round 3 (31 ids; oldest first) --
     "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
     "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",
