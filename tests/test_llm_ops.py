@@ -296,11 +296,15 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         PR_ITERS,
         pagerank,
     )
+    from updatable_persistent_map_reduce_spark.functions.vectors import (
+        planted_corpus,
+    )
     from updatable_persistent_map_reduce_spark.sources import Catalog, spread
 
-    e = spread(Catalog(spark, sf_dir).embeddings)
+    e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
     nodes = e.select("vec_id")
     edges = lsh_candidate_edges(spark, e)
+    assert edges.count() > 0, "planted corpus must yield similarity edges"
     got = {
         r.vec_id: r.rank
         for r in pagerank(spark, nodes, edges).collect()

@@ -54,6 +54,48 @@ def test_dtype_audit_catches_decimal(spark, con, sf_dir):
     assert any("decimal-typed column" in p for p in problems), problems
 
 
+def test_arrow_dtype_audit_catches_uncast_hugeint(spark, con, sf_dir):
+    """The r9 q_ngram_novelty driver-red class: an UNCAST DuckDB
+    ``sum(...) * 10000 // count(*)`` promotes to HUGEINT. ``fetchall()``
+    deserializes it as a plain Python int (value-equal → the old audit
+    was blind), but the driver's ``.df()`` path surfaces it as float64
+    vs Spark's int64 → hash mismatch. The hardened gate must fail this
+    query locally even though every VALUE compares equal."""
+    from updatable_persistent_map_reduce_spark.operators import Query
+
+    def fn(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        return d.groupBy("lang").agg(
+            (F.sum("n_chars") * F.lit(10000) / F.count("*"))
+            .cast("bigint")
+            .alias("bp")
+        )
+
+    bad = Query(
+        name="q_seeded_hugeint",
+        fn=fn,
+        oracle=(
+            # deliberately UNCAST: sum() promotes to HUGEINT in DuckDB
+            "SELECT lang, sum(n_chars) * 10000 // count(*) AS bp "
+            "FROM documents GROUP BY lang"
+        ),
+    )
+    problems = check_query(spark, con, bad, sf_dir)
+    assert any(
+        "driver-path dtype mismatch" in p or "Decimal objects" in p
+        for p in problems
+    ), problems
+    # and the same query with the cast passes — proving the audit
+    # flags the representation, not the values
+    good = Query(name="q_seeded_hugeint_cast", fn=fn, oracle=(
+        "SELECT lang, CAST(sum(n_chars) * 10000 // count(*) AS BIGINT) "
+        "AS bp FROM documents GROUP BY lang"
+    ))
+    assert not check_query(spark, con, good, sf_dir)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

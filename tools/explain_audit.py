@@ -50,6 +50,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_sort_limit": (["TakeOrderedAndProject"], []),
     # token counting is pure JVM expression work — no Python at all
     "q_token_count": (["Scan parquet"], ["Python", "Exchange"]),
+    # learned quality gate: weight lookup + dot product are JVM array
+    # expressions over ONE scan — no Python, no shuffle (r10)
+    "q_quality_classifier": (["Scan parquet"], ["Python", "Exchange"]),
     "q_dedup_exact": (["HashAggregate"], ["Python"]),
     # ANN brute force: broadcast of the query set over one corpus scan
     "q_sim_search": (["Broadcast"], ["SortMergeJoin"]),

@@ -142,6 +142,15 @@ def main() -> None:
             f"naive_path={t_naive[big]:6.1f}s  "
             f"({t_naive[big] / t_vocab[big]:4.1f}x)"
         )
+    # persist the final ratio like the other scale tools so a
+    # consistently-sub-1.0x vocab path is visible in tool output
+    # rather than silently green under the 1.1x noise tolerance
+    ratio = t_naive[big] / t_vocab[big]
+    print(
+        f"FINAL n={big:>9,}  naive/vocab speed ratio = {ratio:4.2f}x "
+        f"({'vocab path wins' if ratio >= 1.0 else 'vocab path SLOWER'}; "
+        f"assertion tolerance 1.1x)"
+    )
     assert t_vocab[big] < 1.1 * t_naive[big], (
         f"vocab path not within 1.1x of naive at n={big}: "
         f"{t_vocab[big]:.1f}s vs {t_naive[big]:.1f}s"

@@ -2,8 +2,9 @@
 
 operators/graph.py:_jaccard_prefix_filtered generates candidate pairs
 only from each node's rare-first neighbor PREFIX (length
-deg - ceil(0.3*deg) + 1 under the ascending-neighbor-degree token
-order), which is provably lossless for J >= 0.3 while keeping hubs —
+deg - ceil(t*deg) + 1 under the ascending-neighbor-degree token
+order, t = _JACC_NUM/_JACC_DEN), which is provably lossless for
+J >= t while keeping hubs —
 the highest-frequency tokens — out of every prefix. The naive
 wedge-on-shared-neighbor join enumerates a hub's full C(deg, 2)
 neighbor pairs.
@@ -41,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from updatable_persistent_map_reduce_spark.operators.graph import (  # noqa: E402
+    _JACC_DEN,
+    _JACC_NUM,
     _jaccard_adj,
     _jaccard_naive,
     _jaccard_prefix_filtered,
@@ -104,7 +107,7 @@ def main() -> None:
         f"prefix-filtered != naive: {len(a)} vs {len(b)} pairs"
     )
     print(f"E~{sizes[0]:>8,}  prefix == naive output "
-          f"({len(a)} J>=0.3 pairs) — losslessness executed OK")
+          f"({len(a)} J>={_JACC_NUM}/{_JACC_DEN} pairs) — losslessness executed OK")
     e0.unpersist()
 
     stats: dict[int, dict[str, int]] = {}

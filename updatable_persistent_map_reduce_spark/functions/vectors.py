@@ -34,3 +34,64 @@ def l2_norm_expr(a: Column) -> Column:
 
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicate corpus for the similarity-GRAPH operators.
+#
+# The synthetic embeddings are near-orthogonal random vectors (max
+# pairwise cos ~0.48 at every sf), so any cos>=0.9 pair/edge query over
+# the raw table attests an EMPTY join — the vacuous-green failure mode
+# the r9 judge flagged on q_graph_jaccard. The similarity-graph family
+# therefore runs over the raw corpus UNION two deterministically
+# derived twins per vector (first dim negated at vec_id+1e6, second
+# dim negated at vec_id+2e6): sign flips are EXACT in float, both
+# engines build the identical corpus, and the planted pairs sit at
+# cos ~0.97 (orig-twin) / ~0.94 (twin-twin) — far from the 0.9
+# boundary (min |cos-0.9| is 2.4e-5 over all pairs at sf0.1, >>
+# double-arithmetic divergence), with a real degree distribution
+# (twins of a high-|v0| vector fall below threshold, so components
+# have size 1, 2, or 3 and triangles exist).
+
+PLANTED_OFFSET_A = 1_000_000
+PLANTED_OFFSET_B = 2_000_000
+
+
+def planted_corpus(e) -> "object":
+    """embeddings (vec_id, embedding) -> the 3n planted corpus."""
+    fa = e.select(
+        (F.col("vec_id") + PLANTED_OFFSET_A).alias("vec_id"),
+        F.expr(
+            "concat(array(-embedding[0]), "
+            "slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    fb = e.select(
+        (F.col("vec_id") + PLANTED_OFFSET_B).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0], -embedding[1]), "
+            "slice(embedding, 3, size(embedding) - 2))"
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", "embedding").unionByName(fa).unionByName(fb)
+
+
+# DuckDB twin of planted_corpus (1-based list indexing); splice into
+# oracles as a CTE body: f"WITH planted AS ({PLANTED_CORPUS_SQL}), ..."
+PLANTED_CORPUS_SQL = (
+    "SELECT vec_id, embedding FROM embeddings "
+    f"UNION ALL SELECT vec_id + {PLANTED_OFFSET_A}, "
+    "list_concat([-embedding[1]], embedding[2:]) FROM embeddings "
+    f"UNION ALL SELECT vec_id + {PLANTED_OFFSET_B}, "
+    "list_concat([embedding[1], -embedding[2]], embedding[3:]) "
+    "FROM embeddings"
+)
+
+# double-precision oracle cosine (DuckDB computes FLOAT[] cosine in
+# float32; Spark's dot_expr/l2_norm_expr run in double — cast so both
+# engines share precision and summation order)
+COS_DOUBLE_SQL = (
+    "list_cosine_similarity("
+    "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)

@@ -71,88 +71,86 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. implementation changed in round 9 since the last green
-    #       driver row (re-attestation is most valuable first) ------
-    "q_pagerank",         # r9: PROMOTED to oracle (integer fixed-point)
-    "q_graph_triangles",  # r9: degree-ordered wedge enumeration
-    "q_tokenize_bpe",     # r9: bounded-lifetime cache in bpe_doc_counts
-    "q_store_vacuum",     # r9: retention guard keeps archived files live
-    "q_store_merge",      # r9: commit() refuses future base_version
-    # -- 2. new in round 9, never driver-attested ------------------
-    "q_sim_index_pq",  # new: IVF-PQ ADC probe through the persisted index
-    "q_html_extract",  # new: boilerplate strip w/ link-density banding
-    "q_dedup_substring_remove",  # new: excise cross-doc repeated spans
-    "q_chat_template",  # new: SFT chat-example assembly from event logs
-    "q_graph_jaccard",  # new: common-neighbor node-similarity join
-    "q_embed_mrl",      # new: Matryoshka prefix-energy diagnostic
-    "q_dedup_near_clusters",  # new: doc-level CC + keep-one policy
-    "q_ngram_novelty",  # new: corpus-order first-seen novelty score
-    "q_join_interval_overlap",  # new: banded interval x interval join
-    "q_mm_blur_detect",  # new: variance-of-Laplacian sharpness gate
-    # -- unchanged, last attested round 3 (31 ids; oldest first) --
-    "q_intersect", "q_inverted_index", "q_join_anti", "q_join_full",
-    "q_join_left", "q_join_range", "q_join_semi", "q_json_struct",
-    "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel",
-    "q_rereduce_tree", "q_sample_stratified", "q_scalar_funcs", "q_scan_csv",
-    "q_scan_json", "q_scan_parquet", "q_shard_pack", "q_sort_limit",
-    "q_sql_exists", "q_sql_tpch_q5", "q_stream_sliding", "q_string_agg",
-    "q_udf_surface", "q_union_all", "q_upsert_enriched", "q_window_frame",
-    "q_window_lag", "q_window_ntile", "q_window_range_frame",
-    # -- unchanged, last attested round 5 (47 ids; oldest first) --
-    "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
-    "q_chunk_split", "q_dedup_cluster", "q_dedup_cross_snapshot", "q_dedup_hamming",
-    "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops", "q_minhash_containment",
-    "q_null_semantics", "q_percent_change", "q_resample_weighted",
-    "q_retention_cohort", "q_scan_orc", "q_scan_text", "q_scd2_history",
-    "q_session_conversion", "q_sim_join_threshold", "q_sim_search", "q_simhash_incremental",
-    "q_sketch_union", "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14",
-    "q_sql_tpch_q15", "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19",
-    "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_store_rescale",
-    "q_stream_dedup", "q_stream_interval_join", "q_stream_sessionize", "q_stream_view_upsert",
+    # -- 1. implementation changed in round 10 since the last
+    #       driver row (re-attestation is most valuable first) ----
+    "q_ngram_novelty",   # r10: oracle novelty_bp CAST AS BIGINT (the r9 red row)
+    "q_graph_jaccard",   # r10: J threshold 0.3 -> 0.15 + non-emptiness raise
+    "q_sim_index_pq",    # r10: last_probe initialized before empty-codes return
+    "q_dedup_embed",       # r10: planted-twin corpus (was an empty join)
+    "q_sim_join_threshold",  # r10: planted-twin corpus (was an empty join)
+    "q_dedup_cluster",     # r10: planted-twin corpus (was all singletons)
+    "q_pagerank",          # r10: planted-twin corpus (was an empty graph)
+    "q_join_anti",         # r10: 1995 period restriction (was an empty anti-join)
+    # -- 2. new in round 10, never driver-attested ------------------
+    "q_quality_classifier",
+    # -- unchanged, last attested round 5 (42 ids) --
+    "q_chunk_split", "q_dedup_cross_snapshot",
+    "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",
+    "q_minhash_containment", "q_null_semantics", "q_percent_change",
+    "q_resample_weighted", "q_retention_cohort", "q_scan_orc", "q_scan_text",
+    "q_scd2_history", "q_session_conversion", "q_sim_search", "q_simhash_incremental", "q_sketch_union",
+    "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
+    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q6",
+    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_store_rescale", "q_stream_dedup",
+    "q_stream_interval_join", "q_stream_sessionize", "q_stream_view_upsert",
     "q_tfidf_vectors", "q_time_travel", "q_topk_per_group", "q_udtf_surface",
     "q_unpivot", "q_upsert_delete", "q_upsert_recount",
-    # -- unchanged, last attested round 6 (46 ids; oldest first) --
-    "q_bigram_fluency", "q_cdc_incremental_rollup", "q_collation", "q_data_mix",
-    "q_dedup_substring", "q_dedup_substring_hashed", "q_dpp_prune", "q_drop_audit",
-    "q_gap_fill", "q_heavy_hitters", "q_join_bloom_runtime", "q_join_bucketed",
-    "q_join_existence", "q_join_lateral", "q_kmeans_assign", "q_mm_audio_features",
-    "q_mm_image_phash_dedup", "q_python_datasource", "q_recursive_cte", "q_scan_binary",
-    "q_scan_xml", "q_sql_parameterized", "q_sql_pipe", "q_sql_scripting",
-    "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20",
-    "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9", "q_sql_udf",
-    "q_store_cdc", "q_store_clone", "q_store_schema_evolution",
-    "q_store_stats_prune", "q_stream_checkpoint_recovery",
-    "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
+    # -- unchanged, last attested round 6 (43 ids) --
+    "q_bigram_fluency", "q_cdc_incremental_rollup", "q_collation",
+    "q_data_mix", "q_dedup_substring", "q_dedup_substring_hashed",
+    "q_dpp_prune", "q_drop_audit", "q_gap_fill", "q_heavy_hitters",
+    "q_join_bloom_runtime", "q_join_bucketed", "q_join_existence",
+    "q_join_lateral", "q_kmeans_assign", "q_mm_audio_features",
+    "q_mm_image_phash_dedup", "q_python_datasource", "q_recursive_cte",
+    "q_scan_binary", "q_scan_xml", "q_sql_parameterized", "q_sql_pipe",
+    "q_sql_scripting", "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16",
+    "q_sql_tpch_q20", "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9",
+    "q_sql_udf", "q_store_cdc", "q_store_clone", "q_store_schema_evolution",
+    "q_store_stats_prune", "q_stream_checkpoint_recovery", "q_stream_enrich",
+    "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
     "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (42 ids; oldest first) --
-    "q_sql_tpch_q2", "q_text_index_persisted", "q_sim_index_persisted",
-    "q_layout_zorder", "q_cross_tab", "q_pack_tokens", "q_join_null_safe",
-    "q_window_distribution", "q_agg_boolean", "q_join_range_banded",
-    "q_event_funnel", "q_cogroup_udf", "q_time_weighted_avg", "q_split_exact",
-    "q_cumulative_distinct", "q_join_skew_aqe",
-    "q_streak_days", "q_join_asof_nearest", "q_ohlc_remerge",
-    "q_agg_approx_quantile", "q_agg_grouping_sets", "q_agg_multi",
-    "q_bucket_hash", "q_dedup_embed", "q_dedup_exact", "q_dedup_incremental",
-    "q_dedup_ngram", "q_dedup_simhash", "q_distinct_ids", "q_group_count",
-    "q_join_asof", "q_join_broadcast", "q_join_inner", "q_join_salted",
-    "q_key_migration", "q_lang_id", "q_map_flat", "q_map_project",
-    "q_mm_features", "q_mm_frame_sample", "q_pii_scrub", "q_point_lookup",
-    "q_quality_score",
-    # -- unchanged, last attested round 8 (most recent last) --------
-    "q_repetition_filter", "q_rereduce", "q_sample_hash",
-    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch", "q_sql_tpch_q1",
-    "q_sql_tpch_q3", "q_store_point_lookup", "q_stream_session",
-    "q_stream_tumbling", "q_text_stats", "q_token_count", "q_window_rank",
-    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_p99",
-    "q_approx_distinct", "q_array_map_funcs", "q_batch_256", "q_bm25",
-    "q_corpus_prep", "q_decontaminate", "q_doc_fingerprint",
-    "q_doc_len_histogram", "q_embed_quantize", "q_except", "q_filter_pred",
-    "q_dedup_near", "q_dedup_edit", "q_dedup_semantic", "q_ohlc_rollup",
-    "q_epoch_shuffle", "q_mm_resize", "q_store_restore",
-    "q_store_compaction", "q_store_delete_vectors",
-    "q_neardup_index_persisted", "q_embed_pq", "q_length_bucket_batches",
-    "q_mm_scene_cut", "q_stream_neardup_gate", "q_udaf_pandas",
-    "q_anomaly_mad", "q_scd2_lookup", "q_mm_patchify",
+    # -- unchanged, last attested round 7 (43 ids) --
+    "q_agg_approx_quantile", "q_agg_boolean", "q_agg_grouping_sets",
+    "q_agg_multi", "q_bucket_hash", "q_cogroup_udf", "q_cross_tab",
+    "q_cumulative_distinct", "q_dedup_exact",
+    "q_dedup_incremental", "q_dedup_ngram", "q_dedup_simhash",
+    "q_distinct_ids", "q_event_funnel", "q_group_count", "q_join_asof",
+    "q_join_asof_nearest", "q_join_broadcast", "q_join_inner",
+    "q_join_null_safe", "q_join_range_banded", "q_join_salted",
+    "q_join_skew_aqe", "q_key_migration", "q_lang_id", "q_layout_zorder",
+    "q_map_flat", "q_map_project", "q_mm_features", "q_mm_frame_sample",
+    "q_ohlc_remerge", "q_pack_tokens", "q_pii_scrub", "q_point_lookup",
+    "q_quality_score", "q_sim_index_persisted", "q_split_exact",
+    "q_sql_tpch_q2", "q_streak_days", "q_text_index_persisted",
+    "q_time_weighted_avg", "q_window_distribution",
+    # -- unchanged, last attested round 8 (47 ids) --
+    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
+    "q_anomaly_p99", "q_approx_distinct", "q_array_map_funcs", "q_batch_256",
+    "q_bm25", "q_corpus_prep", "q_decontaminate", "q_dedup_edit",
+    "q_dedup_near", "q_dedup_semantic", "q_doc_fingerprint",
+    "q_doc_len_histogram", "q_embed_pq", "q_embed_quantize",
+    "q_epoch_shuffle", "q_except", "q_filter_pred",
+    "q_length_bucket_batches", "q_mm_patchify", "q_mm_resize",
+    "q_mm_scene_cut", "q_neardup_index_persisted", "q_ohlc_rollup",
+    "q_repetition_filter", "q_rereduce", "q_sample_hash", "q_scd2_lookup",
+    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch",
+    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_store_compaction",
+    "q_store_delete_vectors", "q_store_point_lookup", "q_store_restore",
+    "q_stream_neardup_gate", "q_stream_session", "q_stream_tumbling",
+    "q_text_stats", "q_token_count", "q_udaf_pandas", "q_window_rank",
+    # -- unchanged, last attested round 9 (47 ids) --
+    "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
+    "q_chat_template", "q_dedup_near_clusters", "q_dedup_substring_remove",
+    "q_embed_mrl", "q_graph_triangles", "q_html_extract", "q_intersect",
+    "q_inverted_index", "q_join_full",
+    "q_join_interval_overlap", "q_join_left", "q_join_range", "q_join_semi",
+    "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel", "q_rereduce_tree",
+    "q_sample_stratified", "q_scalar_funcs", "q_scan_csv", "q_scan_json",
+    "q_scan_parquet", "q_shard_pack", "q_sort_limit", "q_sql_exists",
+    "q_sql_tpch_q5", "q_store_merge", "q_store_vacuum", "q_stream_sliding",
+    "q_string_agg", "q_tokenize_bpe", "q_udf_surface", "q_union_all",
+    "q_upsert_enriched", "q_window_frame", "q_window_lag", "q_window_ntile",
+    "q_window_range_frame",
 ]
 
 

@@ -164,17 +164,21 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
     constant). Edge set = brute-force cos>=0.9, which the LSH
     candidate path matches exactly at gate scales (the same
     equivalence q_dedup_cluster's green row attests)."""
+    from ..functions.vectors import COS_DOUBLE_SQL, PLANTED_CORPUS_SQL
+
+    cos = COS_DOUBLE_SQL.format(a="a.embedding", b="b.embedding")
     s = str(PR_SCALE)
     sql = [
-        "WITH pairs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9), "
+        f"WITH planted AS MATERIALIZED ({PLANTED_CORPUS_SQL}), "
+        "pairs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM planted a JOIN planted b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.9), "
         "sym AS MATERIALIZED (SELECT va AS s, vb AS d FROM pairs "
         "UNION ALL SELECT vb, va FROM pairs), "
         "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS dg "
         "FROM sym GROUP BY s), "
-        "p AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
-        f"r0 AS MATERIALIZED (SELECT vec_id, {s} // p.n AS r FROM embeddings, p)"
+        "p AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM planted), "
+        f"r0 AS MATERIALIZED (SELECT vec_id, {s} // p.n AS r FROM planted, p)"
     ]
     prev = "r0"
     for k in range(1, iters + 1):
@@ -188,7 +192,7 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
             f", r{k} AS MATERIALIZED (SELECT e.vec_id, "
             f"(3 * {s} // (20 * p.n)) + "
             f"17 * (COALESCE(inf{k}.i, 0) + dm{k}.m // p.n) // 20 AS r "
-            f"FROM embeddings e "
+            f"FROM planted e "
             f"LEFT JOIN inf{k} ON e.vec_id = inf{k}.vec_id "
             f"CROSS JOIN p CROSS JOIN dm{k})"
         )
@@ -202,7 +206,11 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
 @register(
     "q_pagerank",
     oracle=_pagerank_oracle(),
-    doc="PageRank centrality over the cos>=0.9 similarity graph, in "
+    doc="PageRank centrality over the cos>=0.9 similarity graph (the "
+    "PLANTED near-dup corpus, functions/vectors.planted_corpus — the "
+    "raw synthetic embeddings are near-orthogonal, so earlier rounds "
+    "ranked an empty graph; ranks are now non-uniform and a zero-edge "
+    "guard raises), in "
     "INTEGER FIXED-POINT (scale 1e12, damping as the exact rational "
     "17/20, floor at every division) so all 10 iterations are "
     "hash-exact against a DuckDB oracle that unrolls the same "
@@ -218,11 +226,19 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
     "clusters for keep-the-best dedup policies.",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import planted_corpus
     from .dedup import lsh_candidate_edges
 
-    e = spread(Catalog(spark, sf_dir).embeddings)
+    e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
     nodes = e.select("vec_id")
     edges = lsh_candidate_edges(spark, e)
+    if edges.limit(1).count() == 0:
+        raise RuntimeError(
+            "pagerank found zero similarity edges at cos >= 0.9 — "
+            "every rank would be the uniform teleport value and the "
+            "green row would attest an empty graph (the r9 "
+            "vacuous-green mode)"
+        )
     ranks = pagerank_fp(spark, nodes, edges)
     return ranks.select("vec_id", F.col("r").alias("rank_fp"))
 
@@ -345,6 +361,14 @@ def _triangles_degree_ordered(e: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # node similarity — common-neighbor Jaccard over the co-purchase graph.
 
+# J >= _JACC_NUM/_JACC_DEN. r9 shipped 3/10, which is vacuously green at
+# the driver gate's sf0.01 (the co-purchase graph densifies with sf, so
+# 0 pairs clear 0.3 there — ADVICE r9 medium); 3/20 yields pairs at BOTH
+# gate scales (19,826 at sf0.001, 18 at sf0.01) and the PPJoin prefix
+# bound is lossless for any fixed threshold. A non-emptiness raise in
+# the query makes a future empty-join regression loud, not green.
+_JACC_NUM, _JACC_DEN = 3, 20
+
 
 @register(
     "q_graph_jaccard",
@@ -363,19 +387,22 @@ def _triangles_degree_ordered(e: DataFrame) -> DataFrame:
         "du.dg + dv.dg - c AS union_neighbors, "
         "c * 10000 // (du.dg + dv.dg - c) AS jaccard_bp "
         "FROM common JOIN deg du ON du.s = u JOIN deg dv ON dv.s = v "
-        "WHERE 10 * c >= 3 * (du.dg + dv.dg - c)"
+        f"WHERE {_JACC_DEN} * c >= {_JACC_NUM} * (du.dg + dv.dg - c)"
     ),
     doc="NODE-SIMILARITY JOIN — common-neighbor Jaccard over the "
     "co-purchase graph (the link-prediction / related-items kernel): "
     "for every part pair, J = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, "
-    "thresholded at J >= 0.3 by integer cross-multiplication (no "
-    "float ratio in a predicate). Candidate generation is PPJoin-"
+    "thresholded at J >= 0.15 by integer cross-multiplication (no "
+    "float ratio in a predicate; 0.15 because the co-purchase graph "
+    "densifies with sf and 0.3 is vacuously empty at the sf0.01 gate "
+    "— a non-emptiness raise now guards the vacuous-green case). "
+    "Candidate generation is PPJoin-"
     "style PREFIX FILTERING on neighbor sets (the same published "
     "technique q_minhash_containment uses on shingles): each node's "
     "neighbor list is ordered rare-first (ascending neighbor degree — "
     "a neighbor's degree IS its token frequency), and only the first "
-    "deg - ceil(0.3*deg) + 1 neighbors are exploded as join tokens — "
-    "any pair with J >= 0.3 provably shares a token in both prefixes, "
+    "deg - ceil(t*deg) + 1 neighbors are exploded as join tokens — "
+    "any pair with J >= t provably shares a token in both prefixes, "
     "so the filter is LOSSLESS, while hubs (the highest-frequency "
     "tokens) fall out of every prefix instead of fanning out "
     "quadratically as the naive wedge-on-shared-neighbor join does "
@@ -397,14 +424,22 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    return _jaccard_prefix_filtered(e)
+    out = _jaccard_prefix_filtered(e)
+    if out.limit(1).count() == 0:
+        raise RuntimeError(
+            "node-similarity join found zero pairs at J >= "
+            f"{_JACC_NUM}/{_JACC_DEN} — the threshold no longer matches "
+            "the graph's density at this scale, so a green oracle row "
+            "would be attesting an empty join (the r9 ADVICE finding)"
+        )
+    return out
 
 
 def _jaccard_adj(e: DataFrame) -> DataFrame:
     """Per-node sorted adjacency under the PPJoin global token order
     (ascending neighbor degree, node id tiebreak): (node, dg, ids,
     plen) where ids is the rare-first neighbor array and plen the
-    Jaccard-0.3 prefix length deg - ceil(0.3*deg) + 1."""
+    Jaccard-t prefix length deg - ceil(t*deg) + 1, t = 3/20."""
     sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -425,7 +460,10 @@ def _jaccard_adj(e: DataFrame) -> DataFrame:
             F.size("ids").cast("long").alias("dg"),
             (
                 F.size("ids").cast("long")
-                - F.expr("(3 * size(ids) + 9) DIV 10")
+                - F.expr(
+                    f"({_JACC_NUM} * size(ids) + {_JACC_DEN - 1}) "
+                    f"DIV {_JACC_DEN}"
+                )
                 + 1
             ).alias("plen"),
         )
@@ -433,9 +471,10 @@ def _jaccard_adj(e: DataFrame) -> DataFrame:
 
 
 def _jaccard_prefix_filtered(e: DataFrame) -> DataFrame:
-    """J >= 0.3 node pairs via lossless PPJoin prefix filtering;
-    result-identical to the naive wedge join (scale_jaccard.py pins
-    it) with candidate volume bounded by rare-token collisions."""
+    """J >= _JACC_NUM/_JACC_DEN node pairs via lossless PPJoin prefix
+    filtering; result-identical to the naive wedge join
+    (scale_jaccard.py pins it) with candidate volume bounded by
+    rare-token collisions."""
     adj = _jaccard_adj(e)
     pre = adj.select(
         "node",
@@ -468,7 +507,7 @@ def _jaccard_prefix_filtered(e: DataFrame) -> DataFrame:
         )
     )
     uni = F.col("du") + F.col("dv") - F.col("c")
-    return scored.filter(10 * F.col("c") >= 3 * uni).select(
+    return scored.filter(_JACC_DEN * F.col("c") >= _JACC_NUM * uni).select(
         "u",
         "v",
         F.col("c").alias("common_neighbors"),
@@ -498,7 +537,7 @@ def _jaccard_naive(e: DataFrame) -> DataFrame:
     return (
         common.join(du, "u")
         .join(dv, "v")
-        .filter(10 * F.col("c") >= 3 * uni)
+        .filter(_JACC_DEN * F.col("c") >= _JACC_NUM * uni)
         .select(
             "u",
             "v",

@@ -1183,8 +1183,8 @@ def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
         "CAST(sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_novel, "
-        "sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
-        "* 10000 // count(*) AS novelty_bp "
+        "CAST(sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
+        "* 10000 // count(*) AS BIGINT) AS novelty_bp "
         "FROM sh JOIN first ON sh.s = first.s GROUP BY sh.doc_id"
     ),
     doc="CORPUS-ORDER NOVELTY SCORING — the data-curation diagnostic "

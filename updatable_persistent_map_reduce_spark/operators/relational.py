@@ -184,19 +184,35 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle=(
         "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive "
-        "FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+        "FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31') "
         "GROUP BY c_mktsegment"
     ),
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Left-anti join (NOT EXISTS): customers with no 1995 orders. "
+    "The period restriction is load-bearing: in this synthetic data "
+    "EVERY customer has some order, so the unrestricted form returned "
+    "0 rows at every sf — an anti-join attested on an empty result "
+    "(the r9 vacuous-green mode); ~22% of customers are inactive in "
+    "1995, and a non-emptiness raise guards the vacuous case.",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    inactive = cat.customer.join(
-        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    active_1995 = cat.orders.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
     )
-    return inactive.groupBy("c_mktsegment").agg(
+    inactive = cat.customer.join(
+        active_1995, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    out = inactive.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_inactive")
     )
+    if out.limit(1).count() == 0:
+        raise RuntimeError(
+            "anti-join found zero inactive customers — the period "
+            "restriction no longer bites and this query would be "
+            "attesting an empty anti-join"
+        )
+    return out
 
 
 @register(

@@ -484,30 +484,50 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force q_dedup_embed pair generator.
 
 
+def _sim_join_threshold_oracle() -> str:
+    from ..functions.vectors import COS_DOUBLE_SQL, PLANTED_CORPUS_SQL
+
+    cos = COS_DOUBLE_SQL.format(a="a.embedding", b="b.embedding")
+    return (
+        f"WITH planted AS ({PLANTED_CORPUS_SQL}) "
+        "SELECT a.vec_id AS va, b.vec_id AS vb, "
+        f"round({cos}, 4) AS cos_sim "
+        "FROM planted a JOIN planted b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.9"
+    )
+
+
 @register(
     "q_sim_join_threshold",
-    oracle=(
-        "SELECT a.vec_id AS va, b.vec_id AS vb, "
-        "round(list_cosine_similarity(a.embedding, b.embedding), 4) "
-        "AS cos_sim "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
-    ),
+    oracle=_sim_join_threshold_oracle(),
     doc="All-pairs similarity join at cos >= 0.9 via the LSH candidate "
-    "path (dedup.lsh_candidate_edges: 16 hyperplane tables, bucket "
-    "equi-join, exact-cosine verify — never a va < vb cross product). "
-    "Deliberately shares its oracle with the BRUTE-FORCE "
-    "q_dedup_embed: a green row here is an exact-recall attestation "
-    "of the bucketed generator that q_dedup_cluster and q_pagerank "
-    "build on (a qualifying pair escapes all 16 tables with prob "
-    "~4e-6; every candidate is exact-verified, so precision is "
+    "path (dedup.lsh_candidate_edges: hyperplane tables, bucket "
+    "equi-join, exact-cosine verify — never a va < vb cross product), "
+    "over the PLANTED near-dup corpus (functions/vectors."
+    "planted_corpus — the raw synthetic embeddings are near-"
+    "orthogonal, so the r5 row attested an EMPTY join; ~1300 real "
+    "pairs now cross the threshold at the sf0.01 gate). Deliberately "
+    "shares its oracle with the BRUTE-FORCE q_dedup_embed: a green "
+    "row here is an exact-recall attestation of the bucketed "
+    "generator that q_dedup_cluster and q_pagerank build on (a "
+    "qualifying cos=0.9 pair escapes all 16 tables with prob ~4e-6, "
+    "and the planted pairs sit at ~0.97 where the escape prob is "
+    "~1e-9; every candidate is exact-verified, so precision is "
     "exact). Cost scales with near-dup density, not corpus².",
 )
 def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import planted_corpus
     from ..operators.dedup import lsh_candidate_edges
 
-    e = spread(Catalog(spark, sf_dir).embeddings)
-    return lsh_candidate_edges(spark, e).select("va", "vb", "cos_sim")
+    e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
+    out = lsh_candidate_edges(spark, e).select("va", "vb", "cos_sim")
+    if out.limit(1).count() == 0:
+        raise RuntimeError(
+            "LSH threshold join found zero pairs at cos >= 0.9 — the "
+            "planted-twin corpus or the candidate generator regressed, "
+            "so this query would be attesting an empty join"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

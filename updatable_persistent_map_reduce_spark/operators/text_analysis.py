@@ -913,3 +913,93 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sum_long(ne, lambda x: x["link"]).alias("link_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# learned quality gate — linear classifier over hashed token features.
+
+# fastText/CCNet-style linear text classifier, frozen to an integer
+# weight table: 256 hash buckets, weights in [-1000, 1000] derived from
+# a Knuth multiplicative mix of the bucket index (deterministic, no
+# training dependency in this container — swapping in real learned
+# weights changes ONLY this list). The bucket function is a fixed
+# 3-feature string mix (first char, length, last char) chosen because
+# BOTH engines compute it with identical integer semantics — the
+# hashing-trick plumbing is the point; collisions are fine, exactly as
+# in the published hashing-trick classifiers.
+_QC_BUCKETS = 256
+_QC_W = [
+    ((i + 1) * 2654435761) % (2**31) % 2001 - 1000
+    for i in range(_QC_BUCKETS)
+]
+_QC_BUCKET_SQL = (
+    "(ascii(t) * 131 + length(t) * 31 + ascii(right(t, 1))) % 256"
+)
+
+
+@register(
+    "q_quality_classifier",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents), "
+        "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(list_transform(toks, t -> "
+        f"[{', '.join(str(w) for w in _QC_W)}][{_QC_BUCKET_SQL} + 1])), 0) "
+        "AS BIGINT) AS score FROM t) "
+        "SELECT doc_id, n_tokens, score, "
+        "CASE WHEN n_tokens = 0 THEN 5000 ELSE "
+        "CAST((score + 1000 * n_tokens) * 10000 // (2000 * n_tokens) "
+        "AS BIGINT) END AS quality_bp, "
+        "CAST(score >= 0 AS INT) AS keep FROM s"
+    ),
+    doc="LEARNED QUALITY GATE — a linear (fastText/CCNet-style) "
+    "classifier applied at corpus scale: per document, the dot product "
+    "of hashed token features with a broadcast integer weight table "
+    "(256 buckets, plan-literal array = the broadcast), an integer "
+    "length-normalized score in basis points, and the keep decision. "
+    "Upstream q_lang_id / q_quality_score are heuristic gates; this is "
+    "the LEARNED gate with the same map-only shape: one scan, the "
+    "weight lookup + dot product entirely in JVM array expressions "
+    "(element_at over a literal array inside aggregate/transform), no "
+    "Python, no shuffle — at 100 TB this is embarrassingly parallel "
+    "and reads each split once. The normalized score is shifted "
+    "positive ((score + 1000n) * 10000 DIV 2000n) so integer division "
+    "agrees across engines (Spark DIV truncates toward zero, DuckDB // "
+    "floors — they differ on negatives).",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    warr = F.array(*[F.lit(w) for w in _QC_W])
+
+    def _wt(t):
+        b = (
+            F.ascii(t) * 131
+            + F.length(t) * 31
+            + F.ascii(F.substring(t, -1, 1))
+        ) % _QC_BUCKETS
+        return F.element_at(warr, (b + 1).cast("int")).cast("long")
+
+    toks = tokens_expr(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, _wt),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.when(F.col("n_tokens") == 0, F.lit(5000).cast("long"))
+        .otherwise(
+            F.expr(
+                "(score + 1000 * n_tokens) * 10000 DIV (2000 * n_tokens)"
+            )
+        )
+        .alias("quality_bp"),
+        (F.col("score") >= 0).cast("int").alias("keep"),
+    )

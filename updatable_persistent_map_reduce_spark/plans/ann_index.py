@@ -450,9 +450,14 @@ class IvfPqIndex(IvfIndex):
         nprobe = min(nprobe, self.n_cells)
         probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
         cells = sorted({int(c) for row in probe for c in row})
+        # all four keys up front: the empty-codes early return below
+        # must still leave a complete last_probe (a caller reading
+        # vector_spans_read after an empty probe got a KeyError)
         self.last_probe = {
             "code_spans_read": len(cells),
             "code_spans_total": len(self._codes.spans()),
+            "vector_spans_read": 0,
+            "vector_spans_total": len(self._listed.spans()),
         }
         codes = self._codes.read(self.spark, spans=cells)
         empty = self.spark.createDataFrame(

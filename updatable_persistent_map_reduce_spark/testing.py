@@ -141,6 +141,56 @@ def dtype_audit(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     return problems
 
 
+def arrow_dtype_audit(spark_rows, spark_cols, duck_pdf) -> list[str]:
+    """Probe the DRIVER's ACTUAL canonicalization path. The driver loads
+    the DuckDB side via ``.df()`` (pandas through Arrow) before hashing;
+    ``fetchall()`` deserializes HUGEINT as a plain Python int and hides
+    the promotion — the class that cost two driver rows (r2
+    ``q_doc_fingerprint``: DECIMAL(20,0); r9 ``q_ngram_novelty``: an
+    uncast ``sum()*10000//count(*)`` promoted to HUGEINT, float64 /
+    decimal128 through pandas vs Spark's int64). This audit takes the
+    duck side AS A PANDAS FRAME from ``.df()`` and flags any per-column
+    divergence from the Spark pandas frame the driver would hash:
+
+    - a duck column arriving as ``decimal.Decimal`` objects (Arrow
+      decimal128 — always a representational hazard, CAST in the oracle);
+    - a dtype-kind mismatch (int64 vs float64 vs object) where neither
+      side has NULLs (NULL-driven int->float widening is legitimate).
+    """
+    import pandas as pd
+
+    problems = []
+    try:
+        sdf = pd.DataFrame(spark_rows, columns=spark_cols)
+    except Exception:  # noqa: BLE001 — canon probe reports this case
+        return problems
+    if not len(sdf) or not len(duck_pdf):
+        # an empty rows-list frame is all-object dtype regardless of
+        # schema — kind comparison is meaningless (and the driver's
+        # value hash of an empty frame carries no cell representation)
+        return problems
+    for c in sdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        dcol = duck_pdf[c]
+        if dcol.dtype.kind == "O" and any(
+            isinstance(v, decimal.Decimal) for v in dcol.head(200)
+        ):
+            problems.append(
+                f"duck column {c!r} reaches the driver's pandas frame as "
+                "Decimal objects (HUGEINT/DECIMAL through Arrow) — "
+                "CAST it to BIGINT or DOUBLE in the oracle"
+            )
+            continue
+        sk, dk = sdf[c].dtype.kind, dcol.dtype.kind
+        if sk != dk and not sdf[c].isna().any() and not dcol.isna().any():
+            problems.append(
+                f"driver-path dtype mismatch for column {c!r}: "
+                f"spark pandas kind={sk!r} vs duck .df() kind={dk!r}"
+            )
+    return problems
+
+
 def bound_compare(
     spark_rows, spark_cols, duck_rows, duck_cols, tol: float
 ) -> list[str]:
@@ -199,8 +249,13 @@ def check_query(spark, con, query, sf_dir: str) -> list[str]:
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    # Second fetch via .df(): the driver's actual (pandas-through-Arrow)
+    # path, where HUGEINT/DECIMAL promotions are visible. fetchall()
+    # above stays the value-compare path (native Python cells).
+    duck_pdf = con.execute(query.oracle).df()
     return (
         problems
         + compare(spark_rows, spark_cols, duck_rows, duck_cols)
         + dtype_audit(spark_rows, spark_cols, duck_rows, duck_cols)
+        + arrow_dtype_audit(spark_rows, spark_cols, duck_pdf)
     )
