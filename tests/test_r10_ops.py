@@ -1,0 +1,152 @@
+"""Semantic invariants of the round-10 operators that the row/oracle
+gate cannot express: the oracle proves Spark == DuckDB, these prove
+the AGREED answer has the properties the operator exists to provide
+(both engines agreeing on a wrong pipeline would still hash-match)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark.operators import all_queries
+
+QUERIES = all_queries()
+
+
+def test_kcore_peel_trace_invariants(spark, sf_dir):
+    """The peel trace must satisfy the k-core definition: every
+    in-core node keeps >= k neighbors INSIDE the core; every peeled
+    node had < k alive neighbors at its peel round; peel rounds are
+    contiguous from 1."""
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        KCORE_K,
+    )
+
+    rows = QUERIES["q_graph_kcore"].fn(spark, sf_dir).collect()
+    assert rows, "peel trace must cover every graph node"
+    core = {r.part for r in rows if r.in_core == 1}
+    peeled = {r.part: r.peel_round for r in rows if r.in_core == 0}
+    for r in rows:
+        assert (r.peel_round == 0) == (r.in_core == 1), r
+        if r.in_core:
+            assert r.deg_final >= KCORE_K, r
+        else:
+            assert r.deg_final < KCORE_K, r
+    if peeled:
+        rounds = sorted(set(peeled.values()))
+        assert rounds == list(range(1, rounds[-1] + 1)), rounds
+    assert core or peeled
+
+
+def test_kcore_on_planted_graph_matches_networkx_free_reference(spark):
+    """Exact peel check on a constructed graph with a known 3-core:
+    a K4 clique (all coreness 3) plus a pendant path (peels layer by
+    layer at k=2)."""
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        kcore_peel_trace,
+    )
+
+    # K4 on nodes 1-4; path 4-5-6 hangs off it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.part: (r.peel_round, r.in_core, r.deg_final)
+        for r in kcore_peel_trace(e, k=2, max_rounds=8).collect()
+    }
+    # node 6 has degree 1 -> peeled round 1; node 5 then drops to
+    # degree 1 -> peeled round 2; K4 members all survive with their
+    # in-core degree 3 (node 4's pendant edge no longer counts)
+    assert got[6] == (1, 0, 1)
+    assert got[5] == (2, 0, 1)
+    for n in (1, 2, 3):
+        assert got[n] == (0, 1, 3), got[n]
+    assert got[4] == (0, 1, 3), got[4]
+
+
+def test_quality_classifier_is_the_literal_dot_product(spark, sf_dir):
+    """Python-recompute the hashed-feature dot product for every doc
+    and match score/keep exactly — the learned-gate contract is the
+    weight-table lookup, nothing fuzzier."""
+    from updatable_persistent_map_reduce_spark.operators.text_analysis import (
+        _QC_BUCKETS,
+        _QC_W,
+    )
+
+    rows = QUERIES["q_quality_classifier"].fn(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    saw_keep = saw_drop = False
+    for r in rows:
+        toks = [t for t in docs[r.doc_id].lower().split() if t]
+        score = sum(
+            _QC_W[
+                (ord(t[0]) * 131 + len(t) * 31 + ord(t[-1])) % _QC_BUCKETS
+            ]
+            for t in toks
+        )
+        assert r.n_tokens == len(toks), r
+        assert r.score == score, (r, score)
+        assert r.keep == int(score >= 0), r
+        if len(toks):
+            expect_bp = (score + 1000 * len(toks)) * 10000 // (
+                2000 * len(toks)
+            )
+            assert r.quality_bp == expect_bp, (r, expect_bp)
+        saw_keep |= bool(r.keep)
+        saw_drop |= not r.keep
+    assert saw_keep and saw_drop, "classifier must separate classes"
+
+
+def test_planted_corpus_shape_and_margins(spark, sf_dir):
+    """The planted-twin corpus: 3x the raw rows, twins differ from
+    their original in exactly one sign, and every similarity-graph
+    edge clears the 0.9 boundary with real margin (no float-boundary
+    coin flips between engines)."""
+    from updatable_persistent_map_reduce_spark.functions.vectors import (
+        PLANTED_OFFSET_A,
+        PLANTED_OFFSET_B,
+        cosine_expr,
+        planted_corpus,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    e = Catalog(spark, sf_dir).embeddings
+    n = e.count()
+    u = planted_corpus(e)
+    assert u.count() == 3 * n
+    # twin A of vec 0 differs only in the first component's sign
+    raw = {r.vec_id: r.embedding for r in u.collect()}
+    v0, a0 = raw[0], raw[PLANTED_OFFSET_A]
+    assert a0[0] == -v0[0] and a0[1:] == v0[1:]
+    b0 = raw[PLANTED_OFFSET_B]
+    assert b0[1] == -v0[1] and b0[0] == v0[0] and b0[2:] == v0[2:]
+    # boundary margin of every pair (both sides of 0.9)
+    a = u.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = u.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    margin = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select(F.abs(cos - 0.9).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert margin > 1e-5, f"pair too close to the 0.9 boundary: {margin}"
+
+
+def test_join_anti_population_is_consistent(spark, sf_dir):
+    """Inactive-in-1995 counts must complement the active set exactly
+    and be non-empty (the r10 retune's whole point)."""
+    rows = QUERIES["q_join_anti"].fn(spark, sf_dir).collect()
+    total_inactive = sum(r.n_inactive for r in rows)
+    assert total_inactive > 0
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    active = (
+        orders.filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total_inactive == cust.count() - active

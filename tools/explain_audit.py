@@ -354,6 +354,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_stream_session": ([], ["Python", "CartesianProduct"]),
     # pagerank result: checkpointed ranks, no Python in the read plan
     "q_pagerank": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # k-core peel trace: checkpointed per-round degree aggs, no Python
+    "q_graph_kcore": ([], ["BatchEvalPython", "CartesianProduct"]),
     # unpivot: one map-side Expand, single pass, no join/Python
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from updatable_persistent_map_reduce_spark.operators.graph import (  # noqa: E402
     _triangles_degree_ordered,
+    kcore_peel_trace,
 )
 from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E402
 
@@ -206,6 +207,27 @@ def main() -> None:
         f"ordered {grow_ord:.2f}x vs by-value {grow_bv:.2f}x — "
         "skew gap widens with scale, as claimed"
     )
+
+    # k-core peel volume per octave (q_graph_kcore's loop on the same
+    # synthetic power-law graphs, k=8 / 32 rounds for synthetic skew):
+    # peel work per round is one alive-filtered degree agg, so
+    # peeled-node volume and round count are the scale facts to watch.
+    for n in sizes:
+        e = synth_powerlaw_edges(spark, n).cache()
+        m_n = e.count()
+        t0 = time.perf_counter()
+        trace = kcore_peel_trace(e, k=8, max_rounds=32).cache()
+        rows = trace.count()
+        core = trace.filter("in_core = 1").count()
+        rounds = trace.agg(F.max("peel_round")).collect()[0][0]
+        t_k = time.perf_counter() - t0
+        trace.unpersist()
+        e.unpersist()
+        print(
+            f"E~{n:>8,} (m={m_n:,})  kcore(k=8): nodes={rows:,} "
+            f"core={core:,} peeled={rows - core:,} "
+            f"rounds={rounds}  wall {t_k:5.1f}s"
+        )
 
 
 if __name__ == "__main__":

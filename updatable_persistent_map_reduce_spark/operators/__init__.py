@@ -83,6 +83,7 @@ _PRIORITY = [
     "q_join_anti",         # r10: 1995 period restriction (was an empty anti-join)
     # -- 2. new in round 10, never driver-attested ------------------
     "q_quality_classifier",
+    "q_graph_kcore",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

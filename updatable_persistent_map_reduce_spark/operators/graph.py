@@ -546,3 +546,159 @@ def _jaccard_naive(e: DataFrame) -> DataFrame:
             F.expr("c * 10000L DIV (du + dv - c)").alias("jaccard_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peeling over the co-purchase graph.
+
+KCORE_K = 20  # the fixed core threshold (see docstring for the choice)
+KCORE_MAX_ROUNDS = 16  # fixpoint reached in <= 6 rounds at every sf
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """The identical peel recurrence as ``rounds`` unrolled
+    MATERIALIZED CTEs (the proven pagerank recipe — DuckDB recursive
+    CTEs cannot aggregate in the recursive term). Round r: degree of
+    every alive node within the alive set, nodes below k leave with
+    (peel_round = r, their degree at that point); survivors' final
+    degree is computed within the final core."""
+    sql = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
+        "b.l_partkey AS v "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"WHERE a.l_partkey < {_TRI_MAX_PART} "
+        f"AND b.l_partkey < {_TRI_MAX_PART}), "
+        "sym AS MATERIALIZED (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v, u FROM e), "
+        "a0 AS MATERIALIZED (SELECT DISTINCT s FROM sym)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql.append(
+            f", dg{r} AS MATERIALIZED (SELECT t.s, "
+            "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dg "
+            f"FROM a{p} t LEFT JOIN ("
+            "SELECT sym.s AS s2, count(*) AS cnt FROM sym "
+            f"JOIN a{p} u2 ON sym.d = u2.s "
+            f"JOIN a{p} u1 ON sym.s = u1.s "
+            "GROUP BY sym.s) c ON c.s2 = t.s)"
+            f", rm{r} AS MATERIALIZED (SELECT s, dg FROM dg{r} "
+            f"WHERE dg < {k})"
+            f", a{r} AS MATERIALIZED (SELECT s FROM dg{r} "
+            f"WHERE dg >= {k})"
+        )
+    sql.append(
+        ", dgF AS MATERIALIZED (SELECT t.s, "
+        "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dg "
+        f"FROM a{rounds} t LEFT JOIN ("
+        "SELECT sym.s AS s2, count(*) AS cnt FROM sym "
+        f"JOIN a{rounds} u2 ON sym.d = u2.s "
+        f"JOIN a{rounds} u1 ON sym.s = u1.s "
+        "GROUP BY sym.s) c ON c.s2 = t.s) "
+        "SELECT part, CAST(peel_round AS INTEGER) AS peel_round, "
+        "CAST(in_core AS INTEGER) AS in_core, deg_final FROM ("
+        "SELECT s AS part, 0 AS peel_round, 1 AS in_core, dg AS deg_final "
+        "FROM dgF"
+    )
+    for r in range(1, rounds + 1):
+        sql.append(
+            f" UNION ALL SELECT s, {r}, 0, dg FROM rm{r}"
+        )
+    sql.append(")")
+    return "".join(sql)
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="K-CORE DECOMPOSITION (r10) — the iterative-pruning graph "
+    "kernel the family was missing (fixpoint = q_pagerank, "
+    "enumeration = q_graph_triangles, similarity = q_graph_jaccard; "
+    "peeling is the community-mining / spam-filter kernel): "
+    "repeatedly remove nodes whose degree within the surviving "
+    "subgraph is < k until fixpoint. Output is the full PEEL TRACE — "
+    "every node with the round it was peeled (0 = survived into the "
+    "k-core), an in_core flag, and its degree at exit (within the "
+    "alive set when peeled; within the final core for survivors) — "
+    "so the attestation is non-vacuous at every sf even though the "
+    "bounded co-purchase subgraph's density varies ~100x across "
+    "scales (all-core at sf0.001, 100 peeled / 400 kept in 6 rounds "
+    "at the sf0.01 gate, all peeled at sf0.1). k = 20 is the value "
+    "that produces BOTH classes at the gate scale. Plan shape: each "
+    "round is one alive-filtered degree aggregation (equi-joins on "
+    "the edge key + partial/final agg) with localCheckpoint pinning "
+    "lineage at O(1) per round, exactly the pagerank_fp skeleton; "
+    "peel volume per octave is measured in tools/scale_triangles.py. "
+    "Integer degrees make every round hash-exact; the oracle unrolls "
+    "the same recurrence as MATERIALIZED CTEs (the pagerank recipe). "
+    "At 100 TB the edge list is bucketed by node so every round "
+    "reuses one co-partitioned shuffle; rounds are O(peel depth), "
+    "bounded and raised on at KCORE_MAX_ROUNDS.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return kcore_peel_trace(e)
+
+
+def kcore_peel_trace(
+    e: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
+    """Full k-core peel trace over undirected (u, v) edges: one row per
+    node with (part, peel_round — 0 = in core, in_core, deg_final).
+    Shared by the registered query and tools/scale_triangles.py."""
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    ).localCheckpoint()
+    alive = sym.select("s").distinct().localCheckpoint()
+    peeled = None
+    for r in range(1, max_rounds + 1):
+        # degree within the alive set: edges with BOTH endpoints alive
+        deg = (
+            sym.join(alive, "s")
+            .join(alive.select(F.col("s").alias("d")), "d")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        dd = alive.join(deg, "s", "left").select(
+            "s", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("dg")
+        )
+        rm = dd.filter(F.col("dg") < k).select(
+            "s", F.lit(r).alias("peel_round"), "dg"
+        )
+        if rm.limit(1).count() == 0:
+            break  # fixpoint: nothing below k remains
+        rm = rm.localCheckpoint()
+        peeled = rm if peeled is None else peeled.unionByName(rm).localCheckpoint()
+        alive = dd.filter(F.col("dg") >= k).select("s").localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds"
+        )
+    deg_f = (
+        sym.join(alive, "s")
+        .join(alive.select(F.col("s").alias("d")), "d")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    core = alive.join(deg_f, "s", "left").select(
+        "s",
+        F.lit(0).alias("peel_round"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("dg"),
+    )
+    both = core if peeled is None else core.unionByName(peeled)
+    return both.select(
+        F.col("s").alias("part"),
+        F.col("peel_round").cast("int").alias("peel_round"),
+        (F.col("peel_round") == 0).cast("int").alias("in_core"),
+        F.col("dg").alias("deg_final"),
+    )
