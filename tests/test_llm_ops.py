@@ -1107,3 +1107,64 @@ def test_ivfpq_upsert_appends_both_tiers(spark, tmp_path):
     hits = idx.search_pq(q, k=1, nprobe=idx.n_cells, rerank=1).collect()
     assert len(hits) == 1 and hits[0].vec_id == 5000, hits
     assert hits[0].cos_sim >= 0.999999
+
+
+def test_ivfpq_delete_excludes_then_compact_materializes(spark, tmp_path):
+    """The index DELETE lifecycle (r10 — the store's MoR tombstone
+    pattern applied to vector ids in BOTH tiers): delete -> the probe
+    excludes the ids with ZERO data files rewritten and unchanged
+    probe cost; compact -> tombstones materialize (manifest 'deletes'
+    cleared, rows physically gone) and the probe answer is unchanged."""
+    import numpy as np
+
+    from updatable_persistent_map_reduce_spark.plans.ann_index import (
+        IvfPqIndex,
+    )
+
+    dim, n = 16, 200
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(n, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfPqIndex(spark, str(tmp_path / "ivfpq_del"), n_cells=4)
+    idx.build(df)
+    q = [(9999, [float(x) for x in vecs[7]])]
+    before = idx.search_pq(q, k=5, nprobe=idx.n_cells, rerank=n).collect()
+    assert before[0].vec_id == 7  # the vector itself is the top hit
+    probe_before = dict(idx.last_probe)
+
+    files_listed = idx._listed.select_files()
+    files_codes = idx._codes.select_files()
+    victims = spark.createDataFrame(
+        [(7, [float(x) for x in vecs[7]]), (int(before[1].vec_id),
+          [float(x) for x in vecs[int(before[1].vec_id)]])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.delete(victims)
+    # MoR: zero data files rewritten in either tier
+    assert idx._listed.select_files() == files_listed
+    assert idx._codes.select_files() == files_codes
+
+    after = idx.search_pq(q, k=5, nprobe=idx.n_cells, rerank=n).collect()
+    gone = {7, int(before[1].vec_id)}
+    assert not gone & {r.vec_id for r in after}, after
+    # survivors keep their relative order from the pre-delete answer
+    kept_before = [r.vec_id for r in before if r.vec_id not in gone]
+    assert [r.vec_id for r in after[: len(kept_before)]] == kept_before
+    # probe cost unchanged: tombstones don't change span pruning
+    assert dict(idx.last_probe) == probe_before
+
+    res = idx.compact()
+    assert "deletes" not in idx._codes._load()
+    assert "deletes" not in idx._listed._load()
+    assert res["codes"]["spans_compacted"] > 0
+    assert res["listed"]["spans_compacted"] > 0
+    final = idx.search_pq(q, k=5, nprobe=idx.n_cells, rerank=n).collect()
+    assert [(r.vec_id, r.cos_sim) for r in final] == [
+        (r.vec_id, r.cos_sim) for r in after
+    ]
+    # the rows are physically gone, not just hidden
+    assert idx._listed.read(spark).filter("vec_id = 7").count() == 0
+    assert idx._codes.read(spark).filter("vec_id = 7").count() == 0

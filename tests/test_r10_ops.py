@@ -150,3 +150,57 @@ def test_join_anti_population_is_consistent(spark, sf_dir):
         .count()
     )
     assert total_inactive == cust.count() - active
+
+
+def test_substring_remove_long_doc_merged_runs(spark):
+    """The r10 merged-run excision on planted LONG documents (the case
+    the old O(len*32) expansion was worst at): two 4000-char docs
+    share a 1000-char block mid-document; a third is fully unique.
+    Python-recompute the exact covered set and cleaned strings."""
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        _SUBSTR_W,
+        substring_remove_plan,
+    )
+
+    w = _SUBSTR_W
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    uniq = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    shared = uniq(1000)
+    docs = {
+        1: uniq(1500) + shared + uniq(1500),
+        2: uniq(800) + shared + uniq(2200),
+        3: uniq(4000),
+    }
+
+    def covered(text, corpus):
+        wins = {}
+        for did, t in corpus.items():
+            for i in range(len(t) - w + 1):
+                wins.setdefault(t[i : i + w], set()).add(did)
+        cov = set()
+        for i in range(len(text) - w + 1):
+            if len(wins[text[i : i + w]]) >= 2:
+                cov.update(range(i, i + w))
+        return cov
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r for r in substring_remove_plan(df).collect()
+    }
+    for did, text in docs.items():
+        cov = covered(text, docs)
+        expect_clean = "".join(
+            c for i, c in enumerate(text) if i not in cov
+        )
+        assert got[did].clean_text == expect_clean, did
+        assert got[did].removed_chars == len(cov), did
+    # the shared block (minus nothing — it is long) must be gone
+    assert shared not in got[1].clean_text
+    assert shared not in got[2].clean_text
+    assert got[3].removed_chars == 0
+    assert got[3].clean_text == docs[3]

@@ -81,6 +81,7 @@ _PRIORITY = [
     "q_dedup_cluster",     # r10: planted-twin corpus (was all singletons)
     "q_pagerank",          # r10: planted-twin corpus (was an empty graph)
     "q_join_anti",         # r10: 1995 period restriction (was an empty anti-join)
+    "q_dedup_substring_remove",  # r10: merged-run excision rewrite
     # -- 2. new in round 10, never driver-attested ------------------
     "q_quality_classifier",
     "q_graph_kcore",
@@ -141,8 +142,7 @@ _PRIORITY = [
     "q_text_stats", "q_token_count", "q_udaf_pandas", "q_window_rank",
     # -- unchanged, last attested round 9 (47 ids) --
     "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
-    "q_chat_template", "q_dedup_near_clusters", "q_dedup_substring_remove",
-    "q_embed_mrl", "q_graph_triangles", "q_html_extract", "q_intersect",
+    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl", "q_graph_triangles", "q_html_extract", "q_intersect",
     "q_inverted_index", "q_join_full",
     "q_join_interval_overlap", "q_join_left", "q_join_range", "q_join_semi",
     "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel", "q_rereduce_tree",

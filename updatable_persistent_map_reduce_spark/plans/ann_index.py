@@ -94,6 +94,37 @@ class IvfIndex:
         mapping = self._listed.write_data(assigned)
         self._listed.commit(append=mapping)
 
+    def delete(self, vectors: DataFrame) -> None:
+        """MERGE-ON-READ delete of vectors from the index — the store's
+        tombstone pattern (q_store_delete_vectors, incremental.py)
+        applied to vector ids: record (cell, vec_id) TOMBSTONE files
+        and commit; zero data files rewritten, probes exclude the ids
+        at read time via the manifest's tombstone anti-join, and
+        :meth:`compact` later MATERIALIZES the deletes (rewrites the
+        affected cells minus the rows, clears tombstones). ``vectors``
+        must carry (vec_id, embedding): the cell is recomputed with the
+        SAME assignment function build/upsert used, so no scan is
+        needed to locate the span — correct whenever the table's spans
+        were assigned under the current centroids (always, outside
+        rebuild()'s documented crash window, which a re-run heals).
+        The reference's delete-and-reschedule contract
+        (Executer.cs:240-261) applied to ANN: deletion invalidates
+        exactly the affected spans' serving state, nothing else."""
+        from ..operators.similarity import make_assign_udf
+
+        keys = vectors.select(
+            make_assign_udf(self.spark, self.centroids())(
+                "embedding"
+            ).alias("cell"),
+            "vec_id",
+        )
+        self._listed.delete_keys(keys, on=["vec_id"])
+
+    def compact(self, min_files: int = 1) -> dict:
+        """Materialize tombstones / fold small files in the listed
+        tier — the store's normal maintenance, exposed on the index."""
+        return self._listed.compact(self.spark, min_files=min_files)
+
     def rebuild(self, kmeans_iters: int = 2) -> dict:
         """Refit centroids on the CURRENT corpus and re-span the listed
         table under them — the maintenance step for centroid drift.
@@ -420,6 +451,30 @@ class IvfPqIndex(IvfIndex):
         self._codes.commit(
             append=self._codes.write_data(self._encode_plan(new_vectors))
         )
+
+    def delete(self, vectors: DataFrame) -> None:
+        """Tombstone the vec_ids in BOTH tiers. Codes first: ADC
+        candidates come from the codes table, so a crash between the
+        two commits leaves the vector UNDISCOVERABLE-but-still-stored
+        (consistent with delete intent and healed by re-running the
+        delete) rather than discoverable with a missing re-rank row —
+        the mirror of upsert's vectors-first ordering."""
+        from ..operators.similarity import make_assign_udf
+
+        keys = vectors.select(
+            make_assign_udf(self.spark, self.centroids())(
+                "embedding"
+            ).alias("cell"),
+            "vec_id",
+        )
+        self._codes.delete_keys(keys, on=["vec_id"])
+        self._listed.delete_keys(keys, on=["vec_id"])
+
+    def compact(self, min_files: int = 1) -> dict:
+        """Materialize tombstones in both tiers (codes then listed)."""
+        codes = self._codes.compact(self.spark, min_files=min_files)
+        listed = self._listed.compact(self.spark, min_files=min_files)
+        return {"codes": codes, "listed": listed}
 
     def _load_pq(self) -> tuple[int, list]:
         if self._pq is None:
