@@ -56,6 +56,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_dedup_exact": (["HashAggregate"], ["Python"]),
     # ANN brute force: broadcast of the query set over one corpus scan
     "q_sim_search": (["Broadcast"], ["SortMergeJoin"]),
+    # binary sketch ANN: integer pre-rank, broadcast queries, no SMJ
+    "q_sim_search_binary": (["Broadcast"], ["SortMergeJoin"]),
+    # RRF: pool-then-fuse — no Python, no cartesian anywhere
+    "q_rank_fusion": ([], ["BatchEvalPython", "CartesianProduct"]),
     # bucketed co-located join: the shuffle was paid at write time —
     # no hash-partitioning exchange for the join OR the aggregation
     "q_join_bucketed": (["SortMergeJoin"], ["hashpartitioning"]),

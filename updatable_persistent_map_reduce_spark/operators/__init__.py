@@ -85,6 +85,8 @@ _PRIORITY = [
     # -- 2. new in round 10, never driver-attested ------------------
     "q_quality_classifier",
     "q_graph_kcore",
+    "q_sim_search_binary",
+    "q_rank_fusion",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

@@ -125,6 +125,17 @@ def _bm25_oracle() -> str:
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
+    return (
+        bm25_score_frame(d)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(TOP_DOCS)
+    )
+
+
+def bm25_score_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, score) — every doc matching >= 1 query term with its
+    rounded BM25 score; the top-k cut is the caller's (q_bm25 takes
+    TOP_DOCS, q_rank_fusion takes its candidate pool)."""
     docs = d.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), "toks")
@@ -177,11 +188,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.col(f"s_{QUERY_TERMS[0]}") + (
         F.col(f"s_{QUERY_TERMS[1]}") + F.col(f"s_{QUERY_TERMS[2]}")
     )
-    return (
-        p.select("doc_id", F.round(total, 4).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(TOP_DOCS)
-    )
+    return p.select("doc_id", F.round(total, 4).alias("score"))
 
 
 # ---------------------------------------------------------------------------
@@ -285,3 +292,116 @@ def q_text_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = InvertedIndex(spark, tempfile.mkdtemp(prefix="upmr_inv_"))
     idx.build(d)
     return idx.bm25(QUERY_TERMS, k=TOP_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion — hybrid retrieval over two rankers.
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50  # candidate pool depth per ranker
+RRF_SCALE = 1_000_000  # integer fixed-point: floor(SCALE / (K + rank))
+
+
+def _rank_fusion_oracle() -> str:
+    cases = ", ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    terms = "', '".join(QUERY_TERMS)
+    total = f"s_{QUERY_TERMS[0]} + (s_{QUERY_TERMS[1]} + s_{QUERY_TERMS[2]})"
+    return (
+        _TOK_CTE + ", "
+        "d AS (SELECT doc_id, len(toks) AS dl, toks FROM t), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
+        "tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d) "
+        f"WHERE token IN ('{terms}') GROUP BY doc_id, dl, token), "
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY token), "
+        "s AS (SELECT tf.doc_id, tf.token, "
+        "ln(((g.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * "
+        "(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / g.avgdl)))) "
+        "AS sc FROM tf CROSS JOIN g JOIN dfreq ON tf.token = dfreq.token), "
+        f"p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id), "
+        f"bm AS (SELECT doc_id, round({total}, 4) AS score FROM p "
+        f"ORDER BY score DESC, doc_id LIMIT {RRF_POOL}), "
+        "bmr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rnk FROM bm), "
+        "hsum AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS hits "
+        "FROM tf GROUP BY doc_id), "
+        f"tfp AS (SELECT doc_id, hits FROM hsum "
+        f"ORDER BY hits DESC, doc_id LIMIT {RRF_POOL}), "
+        "tfr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY hits DESC, doc_id) AS rnk FROM tfp) "
+        "SELECT doc_id, rrf_score, bm25_rank, tf_rank FROM ("
+        "SELECT COALESCE(b.doc_id, t2.doc_id) AS doc_id, "
+        f"CAST(COALESCE({RRF_SCALE} // ({RRF_K} + b.rnk), 0) "
+        f"+ COALESCE({RRF_SCALE} // ({RRF_K} + t2.rnk), 0) AS BIGINT) "
+        "AS rrf_score, "
+        "CAST(b.rnk AS INTEGER) AS bm25_rank, "
+        "CAST(t2.rnk AS INTEGER) AS tf_rank "
+        "FROM bmr b FULL JOIN tfr t2 ON b.doc_id = t2.doc_id) "
+        f"ORDER BY rrf_score DESC, doc_id LIMIT {TOP_DOCS}"
+    )
+
+
+@register(
+    "q_rank_fusion",
+    oracle=_rank_fusion_oracle(),
+    doc="RECIPROCAL-RANK FUSION (r10, Cormack et al. 2009 — the hybrid-"
+    "retrieval merge every RAG stack runs between its lexical and "
+    "second ranker): two top-50 candidate lists for the same fixed "
+    "query — BM25 (idf-weighted) and raw term-frequency (lexical "
+    "recall) — fuse by integer RRF: floor(1e6 / (60 + rank)) summed "
+    "over the lists a doc appears in, top-20 by fused score with "
+    "doc_id tiebreak. Ranks come from row_number over (rounded score "
+    "desc, doc_id), so both engines agree exactly, and the fused "
+    "score is pure integer arithmetic — hash-exact, no float "
+    "boundary. Plan: both rankers share ONE term-filtered posting "
+    "aggregate (the 3 query terms' postings are the only shuffled "
+    "rows); the pools are 50-row TakeOrdered results; the fusion is a "
+    "full outer join of two 50-row frames — driver-trivial at any "
+    "corpus size, which is the point of pool-then-fuse: at 100 TB "
+    "each ranker does a distributed top-k (per-partition k + k*P "
+    "merge), fusion never touches the corpus.",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    docs = d.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    bm = (
+        bm25_score_frame(d)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_POOL)
+    )
+    bmr = bm.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("score"), "doc_id")),
+    ).select("doc_id", F.col("rnk").alias("brnk"))
+    hits = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    tfp = hits.orderBy(F.desc("hits"), "doc_id").limit(RRF_POOL)
+    tfr = tfp.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("hits"), "doc_id")),
+    ).select("doc_id", F.col("rnk").alias("trnk"))
+    fused = bmr.join(tfr, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.expr(f"coalesce({RRF_SCALE} DIV ({RRF_K} + brnk), 0)")
+            + F.expr(f"coalesce({RRF_SCALE} DIV ({RRF_K} + trnk), 0)")
+        )
+        .cast("long")
+        .alias("rrf_score"),
+        F.col("brnk").cast("int").alias("bm25_rank"),
+        F.col("trnk").cast("int").alias("tf_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(TOP_DOCS)

@@ -822,3 +822,111 @@ def q_embed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("energy16_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binary sign-sketch ANN — the 1-bit quantized pre-rank tier.
+
+# 64 dims pack into TWO 32-bit halves held in BIGINTs: a full 64-bit
+# pack would need bit 63, where signed overflow semantics differ
+# between engines (DuckDB raises, Java wraps). 32 bits per word keeps
+# every intermediate exact and identical.
+_BIN_DIM = 64
+_BIN_HALF = 32
+
+
+def _sign_word_expr(w: int):
+    """BIGINT word w (0 or 1) of the sign sketch: bit i set iff
+    embedding[w*32 + i] > 0."""
+    return F.expr(
+        f"aggregate(sequence(0, {_BIN_HALF - 1}), 0L, (acc, i) -> "
+        f"acc + IF(element_at(embedding, {w * _BIN_HALF} + i + 1) > 0D, "
+        "shiftleft(1L, i), 0L))"
+    )
+
+
+def binary_sim_search(
+    spark: SparkSession,
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    prerank: int = 1 << 30,
+) -> DataFrame:
+    """Top-k cosine through a BINARY SIGN-SKETCH pre-rank: per query,
+    candidates are ordered by Hamming distance between 64-bit sign
+    sketches (XOR + popcount — pure codegen integers), the best
+    ``prerank`` survive, and the exact cosine re-rank runs only on the
+    survivors. ``prerank`` >= corpus keeps every candidate — EXACT."""
+    words = e.select(
+        "vec_id",
+        "embedding",
+        _sign_word_expr(0).alias("w0"),
+        _sign_word_expr(1).alias("w1"),
+    )
+    q = words.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = F.expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+    cand = (
+        words.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", "qe", ham.alias("ham"))
+    )
+    hw = W.partitionBy("query_id").orderBy("ham", "vec_id")
+    kept = cand.withColumn("hrnk", F.row_number().over(hw)).filter(
+        F.col("hrnk") <= prerank
+    )
+    scored = kept.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qe"), F.col("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "q_sim_search_binary",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "round(list_cosine_similarity(list_transform(q.qe, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim "
+        "FROM q JOIN embeddings e ON e.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ("
+        "SELECT query_id, vec_id, cos_sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) "
+        f"WHERE rnk <= {TOP_K}"
+    ),
+    doc="ANN through a BINARY SIGN SKETCH (r10) — the 1-bit "
+    "quantization tier production vector stores run before PQ/exact "
+    "(64 dims -> 64 sign bits in two BIGINT words, 32x smaller than "
+    "float32): Hamming pre-rank via XOR + popcount (bit_count — pure "
+    "integer codegen, no float math until the re-rank), exact cosine "
+    "re-rank on the survivors. Registered in rerank-all config so it "
+    "shares q_sim_search's exact oracle (the q_sim_index_pq r9 "
+    "precedent: the green row attests the sketch/pack/popcount "
+    "plumbing end-to-end); the partial-prerank recall curve is pinned "
+    "in tests/test_r10_ops.py — near-orthogonal random vectors are "
+    "the sign sketch's WORST case (recall@10 0.88 at prerank=100, "
+    "sf0.001), which is exactly why the measured curve, not a prose "
+    "claim, is the deliverable. Bits pack as 2x32-bit halves because "
+    "bit 63 overflows differently per engine. At 100 TB the sketch "
+    "table is corpus/32 bytes, the pre-rank is a map-side integer "
+    "scan, and only survivors' full vectors are read — the same "
+    "two-tier read shape as the IVF-PQ index.",
+)
+def q_sim_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return binary_sim_search(spark, e)
