@@ -59,13 +59,12 @@ def register(
 # sees the queries whose external attestation is most valuable — i.e.
 # the ones LEAST RECENTLY validated by the driver, never a flattering
 # hand-picked subset:
-#   1.  queries whose last driver attestation is oldest (round 1 only,
-#       per CORRECTNESS_r01/r02.json) come first;
-#   2a. then queries whose implementation changed since their last
+#   1.  queries whose implementation changed since their last
 #       attestation (the prior green row no longer covers the code);
-#   2b. then queries that have never been attested (new this round;
+#   2.  then queries that have never been attested (new this round;
 #       any excess past a checker's sample size rolls to next round);
-#   3.  then everything else, most-recently-attested last.
+#   3.  then everything else, least-recently-attested first (tier
+#       vintages computed from the CORRECTNESS_r*.json union).
 # The order never hides anything: the full local gate
 # (tools/check_oracle.py, run per round) validates every registered
 # query regardless of position, and the union of driver rounds covers
