@@ -60,6 +60,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_sim_search_binary": (["Broadcast"], ["SortMergeJoin"]),
     # RRF: pool-then-fuse — no Python, no cartesian anywhere
     "q_rank_fusion": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # PMI: adjacency from transform(sequence) — no self-join, no Python
+    "q_pmi_collocations": (["HashAggregate"], ["BatchEvalPython"]),
     # bucketed co-located join: the shuffle was paid at write time —
     # no hash-partitioning exchange for the join OR the aggregation
     "q_join_bucketed": (["SortMergeJoin"], ["hashpartitioning"]),

@@ -1003,3 +1003,89 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_bp"),
         (F.col("score") >= 0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level bigram association mining.
+
+_PMI_MIN_PAIR = 5  # support floor: PMI of singletons is pure noise
+_PMI_TOP = 50
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents), "
+        "big AS (SELECT toks[i] AS w1, toks[i+1] AS w2 "
+        "FROM t, UNNEST(range(1, len(toks))) AS u(i)), "
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+        f"FROM big GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN_PAIR}), "
+        "uni AS (SELECT t2.tok AS w, CAST(count(*) AS BIGINT) AS c "
+        "FROM (SELECT unnest(toks) AS tok FROM t) t2 GROUP BY t2.tok), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM big) "
+        "SELECT w1, w2, c_pair, pmi FROM ("
+        "SELECT bc.w1, bc.w2, bc.c AS c_pair, "
+        "round(ln((CAST(bc.c AS DOUBLE) * CAST(n.total AS DOUBLE)) / "
+        "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi "
+        "FROM bc CROSS JOIN n "
+        "JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2) "
+        f"ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}"
+    ),
+    doc="PMI COLLOCATION MINING (r10) — pointwise mutual information "
+    "over adjacent-token bigrams, the corpus-analysis op behind "
+    "multi-word-expression extraction and boilerplate/template "
+    "detection in curation pipelines: pmi = ln(c(w1,w2)·N / "
+    "(c(w1)·c(w2))), support floor of 5 pair occurrences, top-50 by "
+    "(rounded pmi desc, w1, w2). The ln argument is assembled with "
+    "IDENTICAL parenthesization in both engines and rounded to 4 "
+    "decimals before ordering (the q_bm25 float-determinism recipe). "
+    "Plan: bigrams come from ONE explode of an in-plan "
+    "transform(sequence) — no self-join for adjacency; unigram and "
+    "bigram counts are two partial+final aggs; N is a 1-row broadcast "
+    "cross join; the unigram joins broadcast (a vocabulary is always "
+    "broadcast-sized relative to its corpus). At 100 TB this is the "
+    "canonical two-shuffle count pipeline — the PMI scoring itself "
+    "never touches more than the distinct-bigram table.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "named_struct('w1', element_at(toks, i), "
+                "'w2', element_at(toks, i + 1)))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= _PMI_MIN_PAIR)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = big.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_pair").cast("double") * F.col("total").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        4,
+    )
+    return (
+        bc.crossJoin(F.broadcast(n))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "c_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
