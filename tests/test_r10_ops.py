@@ -275,3 +275,54 @@ def test_rank_fusion_scores_are_the_rrf_formula(spark, sf_dir):
     assert both, "pools should overlap on this corpus"
     scores = [r.rrf_score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_quality_gate_budgets_and_reasons(spark, sf_dir):
+    """The quota gate's semantic contract: every doc decided exactly
+    once; accepted count per lang == min(cap, that lang's keepers);
+    no accepted doc failed the classifier; 'quota' rejects passed it;
+    and acceptances are the doc_id-EARLIEST keepers under the
+    batch-by-batch replay order (batch = doc_id % 3, ranked by doc_id
+    within a batch per lang)."""
+    from collections import defaultdict
+
+    from updatable_persistent_map_reduce_spark.operators.stream_attested import (
+        _QG_CAP,
+    )
+    from updatable_persistent_map_reduce_spark.operators.text_analysis import (
+        _QC_BUCKETS,
+        _QC_W,
+    )
+
+    rows = QUERIES["q_stream_quality_gate"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    score = {}
+    for dr in docs:
+        toks = [t for t in dr.text.lower().split() if t]
+        score[dr.doc_id] = sum(
+            _QC_W[(ord(t[0]) * 131 + len(t) * 31 + ord(t[-1])) % _QC_BUCKETS]
+            for t in toks
+        )
+    accepted_per_lang = defaultdict(int)
+    for r in rows:
+        if r.reason == "quality":
+            assert score[r.doc_id] < 0 and not r.accepted, r
+        else:
+            assert score[r.doc_id] >= 0, r
+            assert r.accepted == (r.reason == "ok"), r
+        if r.accepted:
+            accepted_per_lang[r.lang] += 1
+    # replay-order reference: batches 0,1,2 then doc_id within batch
+    expect_acc = set()
+    budget = defaultdict(int)
+    for b in range(3):
+        for dr in sorted(
+            (d for d in docs if d.doc_id % 3 == b), key=lambda d: d.doc_id
+        ):
+            if score[dr.doc_id] >= 0 and budget[dr.lang] < _QG_CAP:
+                budget[dr.lang] += 1
+                expect_acc.add(dr.doc_id)
+    assert {r.doc_id for r in rows if r.accepted} == expect_acc
+    for lang, n in accepted_per_lang.items():
+        assert n <= _QG_CAP, (lang, n)

@@ -87,6 +87,7 @@ _PRIORITY = [
     "q_sim_search_binary",
     "q_rank_fusion",
     "q_pmi_collocations",
+    "q_stream_quality_gate",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

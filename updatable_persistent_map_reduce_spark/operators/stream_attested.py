@@ -882,3 +882,159 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(decisions).select("doc_id", "is_dup")
+
+
+# ---------------------------------------------------------------------------
+# streaming data-mix quota gate — learned classifier + per-lang budget.
+
+_QG_CAP = 40  # per-lang acceptance budget across the whole ingest
+
+
+def _qgate_batch_sql(b: int, priors: list[str]) -> str:
+    """Batch ``b``'s decisions: quality-rejects (score < 0), then the
+    keepers ranked per lang by doc_id, accepted while the lang's
+    running budget (prior batches' acceptances + in-batch rank) holds."""
+    prior = (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS c FROM ("
+        + " UNION ALL ".join(
+            f"SELECT lang FROM {p} WHERE accepted" for p in priors
+        )
+        + ") GROUP BY lang"
+        if priors
+        else "SELECT '' AS lang, CAST(0 AS BIGINT) AS c WHERE 1 = 0"
+    )
+    return (
+        f"pr{b} AS ({prior}), "
+        f"dec{b} AS (SELECT doc_id, lang, "
+        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+        f"FROM sc WHERE doc_id % 3 = {b} AND score >= 0), "
+        f"out{b} AS ("
+        f"SELECT d.doc_id, d.lang, "
+        f"d.rn + COALESCE(p.c, 0) <= {_QG_CAP} AS accepted, "
+        f"CASE WHEN d.rn + COALESCE(p.c, 0) <= {_QG_CAP} THEN 'ok' "
+        "ELSE 'quota' END AS reason "
+        f"FROM dec{b} d LEFT JOIN pr{b} p ON p.lang = d.lang "
+        "UNION ALL SELECT doc_id, lang, FALSE, 'quality' "
+        f"FROM sc WHERE doc_id % 3 = {b} AND score < 0)"
+    )
+
+
+def _qgate_oracle() -> str:
+    from .text_analysis import QC_SCORE_SQL
+
+    return (
+        "WITH s AS (SELECT doc_id, lang, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents), "
+        f"sc AS (SELECT doc_id, lang, {QC_SCORE_SQL} AS score FROM s), "
+        + _qgate_batch_sql(0, [])
+        + ", " + _qgate_batch_sql(1, ["out0"])
+        + ", " + _qgate_batch_sql(2, ["out0", "out1"])
+        + " SELECT doc_id, lang, CAST(accepted AS BOOLEAN) AS accepted, "
+        "reason FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1 "
+        "UNION ALL SELECT * FROM out2)"
+    )
+
+
+@register(
+    "q_stream_quality_gate",
+    oracle=_qgate_oracle(),
+    doc="STREAMING DATA-MIX QUOTA GATE (r10) — the learned quality "
+    "classifier (q_quality_classifier's exact integer score) plus a "
+    "per-language acceptance BUDGET enforced at ingest, on the real "
+    "streaming path: docs arrive as three mtime-ordered producer "
+    "files replayed as three micro-batches (maxFilesPerTrigger=1), "
+    "foreachBatch scores each batch in pure codegen, ranks the "
+    "keepers per lang by doc_id, and accepts while the lang's running "
+    "budget (40) holds — quota state is read back from the persisted "
+    "decisions table, so a checkpoint restart resumes with the right "
+    "budgets (state-in-storage, the q_stream_neardup_gate recipe). "
+    "Every doc gets a decision with a reason ('quality' — failed the "
+    "classifier; 'quota' — passed but the lang budget was spent; "
+    "'ok'), which is the drop-audit contract applied to streaming "
+    "mixture control: real pretraining ingest caps each source/lang's "
+    "contribution WHILE data flows, not in a batch afterthought. The "
+    "unrolled 3-batch oracle replicates the probe-then-append "
+    "semantics exactly (in-batch docs are gated by prior batches' "
+    "acceptances + in-batch rank, never by each other's rejects).",
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+
+    from .text_analysis import qc_score_col
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "text")
+    base = tempfile.mkdtemp(prefix="upmr_qgate_")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    t0 = os.path.getmtime(base)
+    for b in range(3):
+        stage = os.path.join(base, f"stage{b}")
+        d.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(stage)
+        [part] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(inbox, f"batch-{b}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (t0 + b * 100, t0 + b * 100))
+    decisions = os.path.join(base, "decisions")
+
+    def gate(batch_df: DataFrame, _bid: int) -> None:
+        from pyspark.sql import Window as W
+
+        sc = batch_df.select(
+            "doc_id", "lang", qc_score_col(F.col("text")).alias("score")
+        )
+        if os.path.isdir(decisions):
+            prior = (
+                spark.read.parquet(decisions)
+                .filter("accepted")
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+        else:
+            prior = spark.createDataFrame([], "lang string, c long")
+        rn = F.row_number().over(
+            W.partitionBy("lang").orderBy("doc_id")
+        )
+        keep = (
+            sc.filter(F.col("score") >= 0)
+            .withColumn("rn", rn)
+            .join(prior, "lang", "left")
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    F.col("rn") + F.coalesce(F.col("c"), F.lit(0))
+                    <= _QG_CAP
+                ).alias("accepted"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "accepted",
+                F.when(F.col("accepted"), F.lit("ok"))
+                .otherwise(F.lit("quota"))
+                .alias("reason"),
+            )
+        )
+        rej = sc.filter(F.col("score") < 0).select(
+            "doc_id",
+            "lang",
+            F.lit(False).alias("accepted"),
+            F.lit("quality").alias("reason"),
+        )
+        keep.unionByName(rej).write.mode("append").parquet(decisions)
+
+    (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(decisions).select(
+        "doc_id", "lang", "accepted", "reason"
+    )

@@ -936,6 +936,35 @@ _QC_BUCKET_SQL = (
     "(ascii(t) * 131 + length(t) * 31 + ascii(right(t, 1))) % 256"
 )
 
+# DuckDB expression for the per-doc integer score over a token-array
+# column named ``toks`` — shared with the streaming quota gate.
+QC_SCORE_SQL = (
+    "CAST(COALESCE(list_sum(list_transform(toks, t -> "
+    f"[{', '.join(str(w) for w in _QC_W)}][{_QC_BUCKET_SQL} + 1])), 0) "
+    "AS BIGINT)"
+)
+
+
+def qc_score_col(text_col):
+    """Spark Column: the classifier's integer dot-product score for a
+    text column — the exact expression q_quality_classifier registers,
+    shared with the streaming quota gate."""
+    warr = F.array(*[F.lit(w) for w in _QC_W])
+
+    def _wt(t):
+        b = (
+            F.ascii(t) * 131
+            + F.length(t) * 31
+            + F.ascii(F.substring(t, -1, 1))
+        ) % _QC_BUCKETS
+        return F.element_at(warr, (b + 1).cast("int")).cast("long")
+
+    return F.aggregate(
+        F.transform(tokens_expr(text_col), _wt),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
 
 @register(
     "q_quality_classifier",
@@ -970,25 +999,11 @@ _QC_BUCKET_SQL = (
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    warr = F.array(*[F.lit(w) for w in _QC_W])
-
-    def _wt(t):
-        b = (
-            F.ascii(t) * 131
-            + F.length(t) * 31
-            + F.ascii(F.substring(t, -1, 1))
-        ) % _QC_BUCKETS
-        return F.element_at(warr, (b + 1).cast("int")).cast("long")
-
     toks = tokens_expr(F.col("text"))
     scored = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.aggregate(
-            F.transform(toks, _wt),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("score"),
+        qc_score_col(F.col("text")).alias("score"),
     )
     return scored.select(
         "doc_id",
