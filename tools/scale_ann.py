@@ -147,6 +147,17 @@ def ivf(spark: SparkSession, e: DataFrame) -> DataFrame:
     return topk(scored)
 
 
+def binary(spark: SparkSession, e: DataFrame) -> DataFrame:
+    # sign-sketch Hamming pre-rank (operators/similarity.py, r10) at a
+    # fixed candidate budget: per-query cost ~ prerank/corpus of the
+    # exact scan after an integer-only popcount pass over the sketches
+    from updatable_persistent_map_reduce_spark.operators.similarity import (
+        binary_sim_search,
+    )
+
+    return binary_sim_search(spark, e, prerank=200)
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [4000, 32000, 128000]
     spark = get_spark("upmr-scale-ann")
@@ -155,7 +166,9 @@ def main() -> None:
         e = synth_embeddings(spark, n).persist()
         e.count()
         truth: dict[int, set] | None = None
-        for name, fn in (("brute", brute), ("lsh", lsh), ("ivf", ivf)):
+        for name, fn in (
+            ("brute", brute), ("lsh", lsh), ("ivf", ivf), ("binary", binary),
+        ):
             t0 = time.perf_counter()
             rows = fn(spark, e).collect()
             dt = round(time.perf_counter() - t0, 3)
