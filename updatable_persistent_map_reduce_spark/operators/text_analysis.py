@@ -1067,7 +1067,11 @@ _PMI_TOP = 50
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     toks = d.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
-    big = toks.select(
+    # guard (bigram path only — unigrams still count every doc):
+    # Spark's sequence(1, 0) DESCENDS ([1, 0] — element_at(0) then
+    # throws), so a 1-token doc must never reach the transform;
+    # DuckDB's range(1, 1) is already empty
+    big = toks.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1), i -> "
