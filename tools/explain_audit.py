@@ -391,6 +391,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # exercised in tests/test_streaming.py
     "q_stream_interval_join": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_dedup": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # streaming quota gate: decisions read-back — codegen scoring per
+    # batch, no pickled-row Python, no cartesian anywhere
+    "q_stream_quality_gate": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_sessionize": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_enrich": ([], ["CartesianProduct", "BatchEvalPython"]),
     # persisted-index probe: broadcast cell equi-join over the listed
