@@ -326,3 +326,211 @@ def test_stream_quality_gate_budgets_and_reasons(spark, sf_dir):
     assert {r.doc_id for r in rows if r.accepted} == expect_acc
     for lang, n in accepted_per_lang.items():
         assert n <= _QG_CAP, (lang, n)
+
+
+# ---------------------------------------------------------------------------
+# round-10 second wave: bpe_train / sample_priority / mask_lm /
+# preference_pairs / constraint_audit / k_anonymity
+
+
+def test_bpe_train_is_iterative_not_single_generation(spark):
+    """The defining property training adds over q_tokenize_bpe's
+    single-generation table: a later generation must merge a symbol
+    an EARLIER generation created. Corpus of 'the' repeats: gen 1
+    merges (h,e) -> 'he' (tiebreak over (t,h)), gen 2 must then pair
+    t with the CREATED symbol 'he' — impossible without a recount."""
+    from updatable_persistent_map_reduce_spark.operators.text_analysis import (
+        _bpe_apply_expr,  # noqa: F401  (import proves shared kernel)
+        chars_expr,
+        tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "the the the") for i in range(4)], "doc_id long, text string"
+    )
+    # run the registered query body against a temp dir layout
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        from updatable_persistent_map_reduce_spark.operators import (
+            all_queries,
+        )
+
+        rows = all_queries()["q_bpe_train"].fn(spark, td).collect()
+    got = {r.gen: (r.a, r.b, r.pair_count, r.subwords_after) for r in rows}
+    # gen 1: both (h,e) and (t,h) have count 12; pair-ASC tiebreak
+    # picks (h,e); corpus = 4 docs x 3 words x 3 chars = 36 chars,
+    # after merging h+e each 'the' is [t, he] -> 24 symbols
+    assert got[1] == ("h", "e", 12, 24)
+    # gen 2 pairs t with the gen-1 CREATED symbol 'he'
+    assert got[2] == ("t", "he", 12, 12)
+    # no self-pairs and nothing left after 'the' is one symbol
+    assert 3 not in got
+
+
+def test_bpe_train_compression_trajectory_monotone(spark, sf_dir):
+    """Each merge strictly reduces the corpus subword total by
+    exactly its pair count (every non-overlapping occurrence loses
+    one symbol), and generations are contiguous from 1."""
+    rows = sorted(
+        QUERIES["q_bpe_train"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.gen,
+    )
+    assert [r.gen for r in rows] == list(range(1, len(rows) + 1))
+    assert rows, "real corpora always have mergeable pairs"
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.subwords_after == prev.subwords_after - cur.pair_count
+    for r in rows:
+        assert r.pair_count > 0 and r.a != r.b
+
+
+def test_sample_priority_is_exact_dlt_sample(spark, sf_dir):
+    """Python-recompute every doc's integer priority and verify the
+    sample is EXACTLY the top-k by (priority, -doc_id), tau is the
+    (k+1)-th, and each estimator is max(w, tau) — the DLT contract."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _KNUTH,
+        _M32,
+        _PRI_K,
+    )
+
+    got = QUERIES["q_sample_priority"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    pri = sorted(
+        (
+            (
+                max(d.n_chars, 1) * _M32 // ((d.doc_id * _KNUTH) % _M32 + 1),
+                -d.doc_id,
+            )
+            for d in docs
+        ),
+        reverse=True,
+    )
+    want_ids = {-x[1] for x in pri[:_PRI_K]}
+    tau = pri[_PRI_K][0] if len(pri) > _PRI_K else 0
+    assert {r.doc_id for r in got} == want_ids
+    for r in got:
+        assert r.w_hat == max(r.w, tau), r
+        assert r.priority >= r.w  # q = w/u with u <= 1
+
+
+def test_mask_lm_rate_and_label_alignment(spark, sf_dir):
+    """The mask decision is the pinned hash; labels are exactly the
+    masked-out tokens in order; the corpus-wide masked rate lands
+    near 15% (law of large numbers over the position hash)."""
+    rows = QUERIES["q_mask_lm"].fn(spark, sf_dir).collect()
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert tot > 0
+    assert 0.12 < masked / tot < 0.18
+    for r in rows[:50]:
+        mt = r.masked_text.split(" ") if r.masked_text else []
+        assert len(mt) == r.n_tokens
+        assert mt.count("[MASK]") == r.n_masked
+        labels = r.labels.split(" ") if r.labels else []
+        assert len(labels) == r.n_masked
+
+
+def test_preference_pairs_are_group_extremes(spark, sf_dir):
+    """chosen/rejected must be the group's true score extremes under
+    the SAME frozen classifier, margin consistent, and no degenerate
+    pair (chosen == rejected) emitted."""
+    pairs = QUERIES["q_preference_pairs"].fn(spark, sf_dir).collect()
+    scores = {
+        (r.doc_id): (r.lang, r.source, r.score)
+        for r in QUERIES["q_quality_classifier"]
+        .fn(spark, sf_dir)
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "lang", "source"
+            ),
+            "doc_id",
+        )
+        .collect()
+    }
+    by_grp = {}
+    for doc, (lang, src, s) in scores.items():
+        by_grp.setdefault((lang, src), []).append((s, doc))
+    assert pairs
+    for p in pairs:
+        grp = sorted(by_grp[(p.lang, p.source)])
+        assert p.chosen_doc != p.rejected_doc
+        assert p.margin == p.chosen_score - p.rejected_score >= 0
+        best = max(grp, key=lambda t: (t[0], -t[1]))
+        worst = min(grp)
+        assert (p.chosen_score, -p.chosen_doc) == (best[0], -best[1])
+        assert (p.rejected_score, p.rejected_doc) == worst
+
+
+def test_constraint_audit_clean_testdata_and_planted_violations(
+    spark, sf_dir, tmp_path
+):
+    """TPC-H testdata satisfies every constraint (the audit's green
+    baseline); a corrupted copy with an FK orphan, an out-of-range
+    quantity, a duplicate PK, an empty doc, and a null ts must flag
+    EXACTLY those checks."""
+    clean = {
+        r.check_name: r
+        for r in QUERIES["q_constraint_audit"].fn(spark, sf_dir).collect()
+    }
+    assert len(clean) == 6
+    for r in clean.values():
+        assert r.passed == 1 and r.n_violations == 0 and r.n_rows > 0
+
+    td = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "c1", 0, 1.0, "SEG"), (1, "c1dup", 0, 1.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{td}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 999)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{td}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 5.0), (77, 99.0)], "l_orderkey long, l_quantity double"
+    ).write.parquet(f"{td}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, ""), (2, "ok")], "doc_id long, text string"
+    ).write.parquet(f"{td}/documents.parquet")
+    spark.createDataFrame(
+        [(1, None)], "event_id long, ts timestamp"
+    ).write.parquet(f"{td}/events.parquet")
+    dirty = {
+        r.check_name: r
+        for r in QUERIES["q_constraint_audit"].fn(spark, td).collect()
+    }
+    assert dirty["orders_custkey_fk"].n_violations == 1
+    assert dirty["lineitem_orderkey_fk"].n_violations == 1
+    assert dirty["lineitem_qty_range"].n_violations == 1
+    assert dirty["customer_pk_unique"].n_violations == 1
+    assert dirty["documents_text_nonempty"].n_violations == 1
+    assert dirty["events_ts_nonnull"].n_violations == 1
+    assert all(r.passed == 0 for r in dirty.values())
+
+
+def test_k_anonymity_classes_partition_the_table(spark, sf_dir):
+    """Equivalence classes must PARTITION the customer table (sizes
+    sum to the row count), at_risk iff size < k, and one class's size
+    recomputed in Python must match."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _KANON_BAL_BUCKET,
+        _KANON_K,
+    )
+    import math
+
+    rows = QUERIES["q_k_anonymity"].fn(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    assert sum(r.class_size for r in rows) == len(cust)
+    for r in rows:
+        assert (r.at_risk == 1) == (r.class_size < _KANON_K)
+    probe = rows[0]
+    want = sum(
+        1
+        for c in cust
+        if c.c_nationkey == probe.nationkey
+        and c.c_mktsegment == probe.mktsegment
+        and math.floor(c.c_acctbal / _KANON_BAL_BUCKET) == probe.bal_bucket
+    )
+    assert want == probe.class_size

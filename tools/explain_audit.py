@@ -981,6 +981,37 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "Python", "Join", "CartesianProduct",
          "Exchange SinglePartition"],
     ),
+    # priority sampling: top-(k+1) must be TakeOrdered (partition
+    # heaps + driver merge), never a global sort; the tau cross-join
+    # is the sanctioned 1-row scalar shape so NLJ is expected
+    "q_sample_priority": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    # masked-LM corruption: one scan, index-bearing HOF transforms —
+    # map-only, no Python, no shuffle
+    "q_mask_lm": (["Scan parquet"], ["Python", "Exchange"]),
+    # DPO pair assembly: both row_number windows share ONE (lang,
+    # source) exchange; per-group extremes join on the group key
+    "q_preference_pairs": (
+        ["Window",
+         r"re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # constraint audit: per-check scalar aggregates + FK anti-joins;
+    # the n_rows x n_violations combine is the 1-row scalar shape
+    "q_constraint_audit": (
+        ["HashAggregate", "re:(LeftAnti|anti)"],
+        ["BatchEvalPython"],
+    ),
+    # k-anonymity: one keyed rollup — map-side partial counts, one
+    # shuffle on the QI tuple, no Python, no join
+    "q_k_anonymity": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # BPE training returns the learned merge table (a bounded local
+    # relation); the per-generation vocab plans are pinned by the
+    # pytest invariants in tests/test_r10_ops.py
+    "q_bpe_train": ([], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

@@ -88,6 +88,12 @@ _PRIORITY = [
     "q_rank_fusion",
     "q_pmi_collocations",
     "q_stream_quality_gate",
+    "q_bpe_train",
+    "q_sample_priority",
+    "q_preference_pairs",
+    "q_mask_lm",
+    "q_constraint_audit",
+    "q_k_anonymity",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

@@ -1225,3 +1225,448 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# priority sampling — weighted, deterministic, with unbiased estimator.
+
+# Duffield-Lund-Thorup priority sampling (JACM 2007, public): item i
+# with weight w_i draws u_i uniform in (0,1] and gets priority
+# q_i = w_i / u_i; the sample is the top-k priorities and any
+# subset-sum estimate uses w_hat_i = max(w_i, tau) where tau is the
+# (k+1)-th priority. Here u_i is hash-derived — (h+1)/2^32 from the
+# repo's Knuth mix — so q_i = w * 2^32 // (h+1) is INTEGER-exact in
+# both engines and the whole scheme is reproducible (no RNG state
+# across 1000 executors), while keeping DLT's unbiasedness for any
+# FIXED hash-independent query set.
+_PRI_K = 100
+
+
+@register(
+    "q_sample_priority",
+    oracle=(
+        "WITH p AS (SELECT doc_id, greatest(n_chars, 1) AS w, "
+        f"greatest(n_chars, 1) * {_M32} // "
+        f"((doc_id * {_KNUTH}) % {_M32} + 1) AS priority FROM documents), "
+        "r AS (SELECT doc_id, w, priority, row_number() OVER "
+        "(ORDER BY priority DESC, doc_id) AS rn FROM p), "
+        f"tau AS (SELECT COALESCE(max(CASE WHEN rn = {_PRI_K} + 1 "
+        "THEN priority END), 0) AS t FROM r) "
+        "SELECT doc_id, CAST(w AS BIGINT) AS w, "
+        "CAST(priority AS BIGINT) AS priority, "
+        "CAST(greatest(w, t) AS BIGINT) AS w_hat "
+        f"FROM r CROSS JOIN tau WHERE rn <= {_PRI_K}"
+    ),
+    doc="PRIORITY SAMPLING (Duffield-Lund-Thorup) — the weighted "
+    "sampling scheme a data-mix pipeline uses when it needs a SMALL "
+    "reproducible sample whose subset-sum estimates are provably "
+    "unbiased: priority q = w * 2^32 DIV (hash+1) (integer-exact "
+    "u ~ (0,1] from the Knuth mix, so both engines agree bit-for-"
+    "bit), sample = top-k by (priority DESC, doc_id), estimator "
+    "w_hat = max(w, tau) with tau the (k+1)-th priority. The 100 TB "
+    "shape: the top-(k+1) is TakeOrdered — per-partition heaps plus "
+    "a k-row driver merge, NO global sort shuffle; tau is a 1-row "
+    "scalar cross-joined back (the sanctioned scalar shape). Weights "
+    "here are doc lengths — swapping in quality scores or domain "
+    "weights changes one column.",
+)
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    # DIV via expr: Spark's `/` is double division, the quotient must
+    # stay in the exact integer domain to match the oracle's `//`.
+    p = d.select(
+        "doc_id",
+        w.cast("bigint").alias("w"),
+        F.expr(
+            f"greatest(n_chars, 1) * {_M32}L DIV "
+            f"((doc_id * {_KNUTH}L) % {_M32}L + 1)"
+        ).alias("priority"),
+    )
+    # top-(k+1): TakeOrdered (partition heaps + driver merge), then a
+    # window over the BOUNDED k+1 rows for rank and the tau scalar.
+    take = p.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K + 1)
+    rn = F.row_number().over(
+        W.orderBy(F.col("priority").desc(), "doc_id")
+    )
+    ranked = take.select("doc_id", "w", "priority", rn.alias("rn"))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _PRI_K + 1, F.col("priority"))),
+            F.lit(0).cast("bigint"),
+        ).alias("t")
+    )
+    return (
+        ranked.filter(F.col("rn") <= _PRI_K)
+        .crossJoin(tau)
+        .select(
+            "doc_id",
+            "w",
+            "priority",
+            F.greatest("w", "t").cast("bigint").alias("w_hat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# masked-LM corruption — deterministic BERT-style token masking.
+
+_MLM_RATE_BP = 1500  # 15% of positions, the published BERT rate
+_MLM_POS_MIX = 1000003  # position mixer, coprime to 2^32
+
+
+@register(
+    "q_mask_lm",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        "m AS (SELECT doc_id, toks, list_transform("
+        "range(1, len(toks) + 1), i -> CAST("
+        f"(doc_id * {_KNUTH} + i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t) "
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(mk), 0) AS BIGINT) AS n_masked, "
+        "COALESCE(array_to_string(list_transform("
+        "range(1, len(toks) + 1), "
+        "i -> CASE WHEN mk[i] = 1 THEN '[MASK]' ELSE toks[i] END), "
+        "' '), '') AS masked_text, "
+        "COALESCE(array_to_string(list_filter(list_transform("
+        "range(1, len(toks) + 1), "
+        "i -> CASE WHEN mk[i] = 1 THEN toks[i] END), "
+        "x -> x IS NOT NULL), ' '), '') AS labels FROM m"
+    ),
+    doc="MASKED-LM CORRUPTION — the deterministic form of BERT's 15% "
+    "token masking a reproducible pretraining pipeline needs: "
+    "position i of doc d is masked iff "
+    "hash(d, i) mod 10000 < 1500, where the hash is the Knuth mix "
+    "of (doc_id, position) — re-running the job, or re-running it "
+    "on a different cluster, corrupts identically, and the mask "
+    "decision needs NO RNG state or stored mask table. Emits the "
+    "corrupted text and the label stream (the masked-out tokens in "
+    "position order). Map-only: one scan, all HOF transforms with "
+    "the index-bearing lambda, no Python, no shuffle — at 100 TB "
+    "this is embarrassingly parallel. Span corruption (T5) is this "
+    "plus a run-length merge on the same mask column.",
+)
+def q_mask_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+
+    def mask_flag(i):  # i is the 0-based HOF index; hash uses 1-based
+        return (
+            (F.col("doc_id") * _KNUTH + (i + 1) * F.lit(_MLM_POS_MIX))
+            % _M32 % 10000 < _MLM_RATE_BP
+        )
+
+    t = d.select("doc_id", toks.alias("toks"))
+    masked = F.transform(
+        F.col("toks"),
+        lambda x, i: F.when(mask_flag(i), F.lit("[MASK]")).otherwise(x),
+    )
+    labels = F.filter(
+        F.transform(
+            F.col("toks"), lambda x, i: F.when(mask_flag(i), x)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.col("toks"),
+                lambda x, i: F.when(mask_flag(i), 1).otherwise(0),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(labels, " ").alias("labels"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# preference-pair assembly — DPO/RLHF training-pair construction.
+
+# The oracle scores candidates with the SAME frozen linear classifier
+# q_quality_classifier registers (text_analysis.QC_SCORE_SQL over a
+# `toks` column); importing it at module level is cycle-free because
+# text_analysis never imports pipeline.
+from .text_analysis import QC_SCORE_SQL as _QC_SCORE_SQL  # noqa: E402
+
+
+@register(
+    "q_preference_pairs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, source, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        f"s AS (SELECT doc_id, lang, source, {_QC_SCORE_SQL} AS score "
+        "FROM t), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang, source "
+        "ORDER BY score DESC, doc_id) AS rc, "
+        "row_number() OVER (PARTITION BY lang, source "
+        "ORDER BY score ASC, doc_id) AS rr FROM s) "
+        "SELECT c.lang, c.source, "
+        "c.doc_id AS chosen_doc, j.doc_id AS rejected_doc, "
+        "c.score AS chosen_score, j.score AS rejected_score, "
+        "c.score - j.score AS margin "
+        "FROM (SELECT * FROM r WHERE rc = 1) c "
+        "JOIN (SELECT * FROM r WHERE rr = 1) j "
+        "ON c.lang = j.lang AND c.source = j.source "
+        "AND c.doc_id <> j.doc_id"
+    ),
+    doc="PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF data-prep step that "
+    "turns a scored candidate pool into (chosen, rejected) training "
+    "pairs: within each (lang, source) candidate group, chosen = "
+    "argmax score and rejected = argmin score (doc_id tiebreak on "
+    "both — fully deterministic), emitting the pair and its score "
+    "margin; groups whose extremes coincide (singleton or all-equal "
+    "after tiebreak) produce no pair, exactly as a margin-based "
+    "trainer requires. The scorer is the SAME frozen hashed-feature "
+    "linear classifier as q_quality_classifier — swapping in a "
+    "reward-model score changes one column. Plan: one scan, two "
+    "row_number windows over the SAME partitioning (one shuffle, "
+    "both windows run in the same exchange), then a per-group 1:1 "
+    "self-join on the group key — at 100 TB the group count bounds "
+    "the join, not the corpus size.",
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import qc_score_col
+
+    d = Catalog(spark, sf_dir).documents
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        qc_score_col(F.col("text")).alias("score"),
+    )
+    grp = W.partitionBy("lang", "source")
+    r = s.select(
+        "*",
+        F.row_number()
+        .over(grp.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rc"),
+        F.row_number()
+        .over(grp.orderBy(F.col("score").asc(), "doc_id"))
+        .alias("rr"),
+    )
+    c = r.filter(F.col("rc") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    j = r.filter(F.col("rr") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        c.join(j, ["lang", "source"])
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang", "source", "chosen_doc", "rejected_doc",
+            "chosen_score", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint audit — the Deequ-style validation suite.
+
+_LQTY_LO, _LQTY_HI = 1, 50  # TPC-H l_quantity domain
+
+
+@register(
+    "q_constraint_audit",
+    oracle=(
+        "SELECT check_name, table_name, n_rows, n_violations, "
+        "CAST(n_violations = 0 AS INT) AS passed FROM ("
+        "SELECT 'orders_custkey_fk' AS check_name, "
+        "'orders' AS table_name, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = o.o_custkey)) AS n_violations "
+        "UNION ALL "
+        "SELECT 'lineitem_orderkey_fk', 'lineitem', "
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem), "
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem l "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey)) "
+        "UNION ALL "
+        "SELECT 'lineitem_qty_range', 'lineitem', "
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem), "
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem "
+        f"WHERE l_quantity < {_LQTY_LO} OR l_quantity > {_LQTY_HI}) "
+        "UNION ALL "
+        "SELECT 'customer_pk_unique', 'customer', "
+        "(SELECT CAST(count(*) AS BIGINT) FROM customer), "
+        "(SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) "
+        "FROM customer) "
+        "UNION ALL "
+        "SELECT 'documents_text_nonempty', 'documents', "
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents), "
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents "
+        "WHERE text IS NULL OR length(text) = 0) "
+        "UNION ALL "
+        "SELECT 'events_ts_nonnull', 'events', "
+        "(SELECT CAST(count(*) AS BIGINT) FROM events), "
+        "(SELECT CAST(count(*) AS BIGINT) FROM events "
+        "WHERE ts IS NULL)"
+        ") t"
+    ),
+    doc="DATA-QUALITY CONSTRAINT AUDIT — the Deequ/dbt-test-style "
+    "validation suite a pipeline runs BEFORE training on a new "
+    "snapshot: referential integrity (orders->customer, "
+    "lineitem->orders, via null-tolerant anti-joins), domain ranges "
+    "(l_quantity in [1,50]), primary-key uniqueness (count vs count "
+    "distinct — one aggregate, no self-join), and non-null/non-empty "
+    "completeness checks, unioned into one (check, table, n_rows, "
+    "n_violations, passed) report. Each check is a full-scan "
+    "aggregate that reduces map-side to one row; the FK checks are "
+    "the only shuffles and they are plain anti-joins AQE can turn "
+    "into broadcasts when the parent side is small. At 100 TB the "
+    "audit costs one read of each table regardless of how many "
+    "same-table checks run (Catalyst collapses them onto a shared "
+    "scan).",
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders, lineitem = cat.orders, cat.lineitem
+    customer, documents, events = cat.customer, cat.documents, cat.events
+
+    def report(name, table, rows_df, viol_df):
+        n = rows_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        v = viol_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations")
+        )
+        return n.crossJoin(v).select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            "n_violations",
+        )
+
+    uniq = customer.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("customer_pk_unique").alias("check_name"),
+        F.lit("customer").alias("table_name"),
+        "n_rows",
+        "n_violations",
+    )
+    checks = (
+        report(
+            "orders_custkey_fk",
+            "orders",
+            orders,
+            orders.join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ),
+        )
+        .unionAll(
+            report(
+                "lineitem_orderkey_fk",
+                "lineitem",
+                lineitem,
+                lineitem.join(
+                    orders,
+                    lineitem.l_orderkey == orders.o_orderkey,
+                    "left_anti",
+                ),
+            )
+        )
+        .unionAll(
+            report(
+                "lineitem_qty_range",
+                "lineitem",
+                lineitem,
+                lineitem.filter(
+                    (F.col("l_quantity") < _LQTY_LO)
+                    | (F.col("l_quantity") > _LQTY_HI)
+                ),
+            )
+        )
+        .unionAll(uniq)
+        .unionAll(
+            report(
+                "documents_text_nonempty",
+                "documents",
+                documents,
+                documents.filter(
+                    F.col("text").isNull() | (F.length("text") == 0)
+                ),
+            )
+        )
+        .unionAll(
+            report(
+                "events_ts_nonnull",
+                "events",
+                events,
+                events.filter(F.col("ts").isNull()),
+            )
+        )
+    )
+    return checks.select(
+        "*", (F.col("n_violations") == 0).cast("int").alias("passed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — privacy equivalence classes over quasi-identifiers.
+
+_KANON_K = 5
+_KANON_BAL_BUCKET = 1000  # acctbal generalization width
+
+
+@register(
+    "q_k_anonymity",
+    oracle=(
+        "SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment, "
+        f"CAST(floor(c_acctbal / {_KANON_BAL_BUCKET}) AS BIGINT) "
+        "AS bal_bucket, "
+        "CAST(count(*) AS BIGINT) AS class_size, "
+        f"CAST(count(*) < {_KANON_K} AS INT) AS at_risk "
+        "FROM customer GROUP BY 1, 2, 3"
+    ),
+    doc="K-ANONYMITY AUDIT — the privacy gate a dataset release runs "
+    "before publication (Sweeney's k-anonymity, public): rows are "
+    "grouped into equivalence classes by their quasi-identifiers "
+    "(nation, market segment, and account balance GENERALIZED to "
+    f"width-{_KANON_BAL_BUCKET} buckets — the generalization step is "
+    "what makes the lattice coarser than raw values), and any class "
+    f"smaller than k={_KANON_K} is flagged: those rows are "
+    "re-identifiable by linking the quasi-identifiers to an external "
+    "registry. Emitting EVERY class with its at_risk flag (not just "
+    "violators) keeps the audit non-vacuous at any scale and gives "
+    "the suppression step its exact worklist. One groupBy — "
+    "map-side partial counts, one shuffle on the QI tuple; at "
+    "100 TB class counts are the same shape as any keyed rollup.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / _KANON_BAL_BUCKET)
+            .cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+        .select(
+            "*",
+            (F.col("class_size") < _KANON_K).cast("int").alias("at_risk"),
+        )
+    )

@@ -1108,3 +1108,135 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING — the iterative merge-learning loop.
+
+# q_tokenize_bpe applies a SINGLE-generation merge table (the top-8
+# bigrams of the raw character corpus, no recount). Real BPE training
+# (Sennrich et al. 2016, public) is iterative: learn ONE merge, apply
+# it to the vocabulary, RECOUNT pairs over the merged symbols, repeat
+# — later merges can pair previously-merged symbols ("th"+"e"), which
+# a single-generation table can never learn. Self-pairs stay excluded
+# (the q_tokenize_bpe convention) so one pass per rule is exact.
+_BPE_TRAIN_GENS = 6
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled generation chain: for each generation k, count pairs
+    over g{k-1}, pick the single top rule (count DESC, pair ASC),
+    apply it; the result is one row per LEARNED rule — if the corpus
+    runs out of pairs early, r{k} is empty and contributes no row,
+    matching the Spark loop's early stop."""
+    parts = [
+        r"WITH tok AS (SELECT unnest(list_filter("
+        r"string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w "
+        "FROM documents), "
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wtot FROM tok "
+        "GROUP BY w), "
+        "g0 AS (SELECT w, wtot, list_transform(range(1, len(w) + 1), "
+        "i -> substr(w, i, 1)) AS cs FROM wf)"
+    ]
+    apply_tpl = (
+        "flatten(list_transform(range(1, len(cs) + 1), i -> "
+        "CASE WHEN i > 1 AND cs[i-1] = r.a AND cs[i] = r.b THEN [] "
+        "WHEN i < len(cs) AND cs[i] = r.a AND cs[i+1] = r.b "
+        "THEN [cs[i] || cs[i+1]] ELSE [cs[i]] END))"
+    )
+    for k in range(1, _BPE_TRAIN_GENS + 1):
+        parts.append(
+            f"p{k} AS (SELECT a, b, CAST(sum(wtot) AS BIGINT) AS c "
+            f"FROM (SELECT cs[i] AS a, cs[i+1] AS b, wtot FROM "
+            f"(SELECT cs, wtot, unnest(range(1, len(cs))) AS i "
+            f"FROM g{k-1} WHERE len(cs) >= 2)) "
+            f"WHERE a <> b GROUP BY a, b)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} "
+            f"ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"g{k} AS (SELECT w, wtot, " + apply_tpl + f" AS cs "
+            f"FROM g{k-1} CROSS JOIN r{k} r)"
+        )
+    rows = [
+        f"SELECT CAST({k} AS INT) AS gen, a, b, c AS pair_count, "
+        f"(SELECT CAST(sum(wtot * len(cs)) AS BIGINT) FROM g{k}) "
+        f"AS subwords_after FROM r{k}"
+        for k in range(1, _BPE_TRAIN_GENS + 1)
+    ]
+    return ", ".join(parts) + " " + " UNION ALL ".join(rows)
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc="BPE TOKENIZER TRAINING (Sennrich et al. 2016) — the "
+    "iterative merge-learning loop itself, not just merge "
+    f"application: {_BPE_TRAIN_GENS} generations of count-pairs -> "
+    "take the single most frequent pair (count DESC, pair ASC "
+    "tiebreak) -> merge it across the vocabulary -> RECOUNT, so "
+    "generation k can pair symbols generation k-1 created — the "
+    "defining property single-generation tables (q_tokenize_bpe) "
+    "lack. Output: the learned merge table, one row per generation "
+    "with its winning pair, that pair's corpus-weighted count, and "
+    "the corpus subword total after applying it (the compression "
+    "trajectory a tokenizer-training run monitors). The 100 TB "
+    "shape is what production trainers (HF tokenizers) do: ALL "
+    "iteration runs over the DISTINCT-word vocabulary weighted by "
+    "corpus frequency — one corpus-sized shuffle builds (word, "
+    "count), then every generation is vocab-sized: a pair-count "
+    "aggregate, a 1-ROW collect (the learned rule — the same "
+    "bounded-scalar shape as the kmeans/PQ codebook trainers), and "
+    "a pure-HOF merge projection; localCheckpoint truncates the "
+    "growing lineage each generation exactly like pagerank's "
+    "fixpoint loop.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wtot"))
+    vocab = wf.select(
+        "w", "wtot", chars_expr(F.col("w")).alias("cs")
+    ).localCheckpoint()
+
+    learned = []  # (gen, a, b, pair_count, subwords_after)
+    for gen in range(1, _BPE_TRAIN_GENS + 1):
+        bp = (
+            vocab.filter(F.size("cs") >= 2)
+            .select(
+                "wtot",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("cs") - 2),
+                        lambda i: F.struct(
+                            F.get("cs", i).alias("a"),
+                            F.get("cs", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("p.a", "p.b", "wtot")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("wtot").alias("c"))
+        )
+        top = bp.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not top:  # corpus ran out of mergeable pairs
+            break
+        rule = top[0]
+        vocab = vocab.withColumn(
+            "cs",
+            _bpe_apply_expr(F.col("cs"), F.lit(rule["a"]), F.lit(rule["b"])),
+        ).localCheckpoint()
+        sub = vocab.agg(
+            F.sum(F.col("wtot") * F.size("cs")).cast("long").alias("s")
+        ).collect()[0]["s"]
+        learned.append((gen, rule["a"], rule["b"], rule["c"], sub))
+
+    return spark.createDataFrame(
+        learned,
+        "gen int, a string, b string, pair_count long, "
+        "subwords_after long",
+    )
