@@ -534,3 +534,152 @@ def test_k_anonymity_classes_partition_the_table(spark, sf_dir):
         and math.floor(c.c_acctbal / _KANON_BAL_BUCKET) == probe.bal_bucket
     )
     assert want == probe.class_size
+
+
+# ---------------------------------------------------------------------------
+# round-10 third wave: span_corruption / graph_bfs / attribution /
+# path_analysis
+
+
+def test_span_corruption_composes_with_mask_lm(spark, sf_dir):
+    """Same mask, different packaging: per doc, span count = number of
+    masked RUNS in q_mask_lm's output, target tokens (sans sentinels)
+    = q_mask_lm's labels, and sentinels number 0..n_spans-1 in order
+    in BOTH streams."""
+    import re
+
+    spans = {
+        r.doc_id: r
+        for r in QUERIES["q_span_corruption"].fn(spark, sf_dir).collect()
+    }
+    masks = {
+        r.doc_id: r for r in QUERIES["q_mask_lm"].fn(spark, sf_dir).collect()
+    }
+    assert spans.keys() == masks.keys()
+    any_multi = False
+    for doc, s in spans.items():
+        m = masks[doc]
+        mt = m.masked_text.split(" ") if m.masked_text else []
+        runs = sum(
+            1
+            for i, t in enumerate(mt)
+            if t == "[MASK]" and (i == 0 or mt[i - 1] != "[MASK]")
+        )
+        assert s.n_spans == runs, doc
+        any_multi |= s.n_spans != m.n_masked  # a real multi-token span
+        tgt = s.target_text.split(" ") if s.target_text else []
+        tgt_tokens = [t for t in tgt if not re.match(r"^<extra_id_\d+>$", t)]
+        labels = m.labels.split(" ") if m.labels else []
+        assert tgt_tokens == labels, doc
+        for stream in (s.corrupted_text, s.target_text):
+            ids = [int(x) for x in re.findall(r"<extra_id_(\d+)>", stream)]
+            assert ids == list(range(s.n_spans)), (doc, ids)
+    assert any_multi, "corpus must exercise a multi-token span"
+
+
+def test_graph_bfs_distances_are_true_shortest_paths(spark, sf_dir):
+    """Python BFS over the collected edge set must agree with every
+    distance (the hop bound exceeds the subgraph diameter at test
+    scales), seeds are exactly dist=0, and both dist>0 and seed rows
+    exist (non-vacuous)."""
+    from collections import deque
+
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        BFS_SEED_MOD,
+        _TRI_MAX_PART,
+    )
+
+    got = {
+        r.part: (r.dist, r.is_seed)
+        for r in QUERIES["q_graph_bfs"].fn(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < _TRI_MAX_PART)
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    adj.setdefault(u, set()).add(v)
+    seeds = [n for n in adj if n % BFS_SEED_MOD == 0]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got.keys() == adj.keys()
+    for n, (d, is_seed) in got.items():
+        assert is_seed == (1 if n % BFS_SEED_MOD == 0 else 0)
+        want = dist.get(n, -1)
+        if want > 8:  # beyond the hop bound the query reports -1
+            want = -1
+        assert d == want, (n, d, want)
+    assert any(d == 0 for d, _ in got.values())
+    assert any(d > 0 for d, _ in got.values())
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """Every touched conversion distributes EXACTLY 10000 bp under
+    each model: summing any model's bp over channels must equal
+    10000 x (number of touched conversions)."""
+    rows = QUERIES["q_attribution"].fn(spark, sf_dir).collect()
+    assert rows
+    # touched conversions, recomputed independently
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    events = Catalog(spark, sf_dir).events.collect()
+    convs = [e for e in events if e.event_type == "purchase"]
+    touches = [e for e in events if e.event_type in ("click", "view")]
+    by_user = {}
+    for t in touches:
+        by_user.setdefault(t.user_id, []).append(t)
+    touched = 0
+    for c in convs:
+        lo = c.ts.timestamp() - 7 * 86400
+        if any(
+            lo <= t.ts.timestamp() and t.ts < c.ts
+            for t in by_user.get(c.user_id, [])
+        ):
+            touched += 1
+    assert touched > 0
+    for model in ("first_bp", "last_bp", "linear_bp"):
+        assert sum(getattr(r, model) for r in rows) == 10000 * touched, model
+    for r in rows:
+        assert r.n_touches >= r.conversions_touched >= 0
+
+
+def test_path_analysis_counts_match_python_replay(spark, sf_dir):
+    """Replaying every user's (ts, event_id)-ordered timeline in
+    Python must reproduce the top-k trigram counts and the
+    (count DESC, path ASC) cut deterministically."""
+    from collections import Counter
+
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    got = [
+        (r.path, r.n)
+        for r in QUERIES["q_path_analysis"].fn(spark, sf_dir).collect()
+    ]
+    events = Catalog(spark, sf_dir).events.collect()
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    c = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e.ts, e.event_id))
+        types = [e.event_type for e in evs]
+        for i in range(len(types) - 2):
+            c[">".join(types[i : i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert got == want
+    assert len(got) == 20 or len(got) == len(c)

@@ -1012,6 +1012,27 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # relation); the per-generation vocab plans are pinned by the
     # pytest invariants in tests/test_r10_ops.py
     "q_bpe_train": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # span corruption: the O(n) struct-accumulator fold is pure HOF
+    # codegen over one scan — no Python, no shuffle
+    "q_span_corruption": (["Scan parquet"], ["Python", "Exchange"]),
+    # bounded-hop BFS: final frame is a checkpointed projection; the
+    # per-round join+min-agg shape matches pagerank/kcore
+    "q_graph_bfs": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # attribution: user-keyed equi-join (never a time-theta product)
+    # + conversion-keyed windows + channel rollup
+    "q_attribution": (
+        ["Window",
+         r"re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+         "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # path mining: both leads in ONE user-keyed Window operator,
+    # deterministic top-k via TakeOrdered — never a global sort
+    "q_path_analysis": (
+        ["Window", "TakeOrderedAndProject",
+         r"re:hashpartitioning\(user_id"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -94,6 +94,10 @@ _PRIORITY = [
     "q_mask_lm",
     "q_constraint_audit",
     "q_k_anonymity",
+    "q_span_corruption",
+    "q_graph_bfs",
+    "q_attribution",
+    "q_path_analysis",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

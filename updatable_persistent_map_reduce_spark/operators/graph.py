@@ -702,3 +702,133 @@ def kcore_peel_trace(
         (F.col("peel_round") == 0).cast("int").alias("in_core"),
         F.col("dg").alias("deg_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS — bounded-hop distance to a labeled seed set.
+
+BFS_SEED_MOD = 50  # seeds: part % 50 == 0 (deterministic labeled set)
+BFS_ROUNDS = 8  # hop bound; extra rounds past convergence are no-ops
+_BFS_INF = 1 << 30  # unreached sentinel inside the relaxation
+
+
+def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
+    """The same min-distance relaxation unrolled as MATERIALIZED CTEs
+    (the pagerank/kcore recipe): d_r(v) = min(d_{r-1}(v),
+    1 + min over in-neighbors d_{r-1}(u)), INF-sentinel arithmetic so
+    no NULL juggling; unreached nodes surface as dist = -1."""
+    sql = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
+        "b.l_partkey AS v "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"WHERE a.l_partkey < {_TRI_MAX_PART} "
+        f"AND b.l_partkey < {_TRI_MAX_PART}), "
+        "sym AS MATERIALIZED (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v, u FROM e), "
+        "n AS MATERIALIZED (SELECT DISTINCT s FROM sym), "
+        "d0 AS MATERIALIZED (SELECT s, CASE WHEN s % "
+        f"{BFS_SEED_MOD} = 0 THEN 0 ELSE {_BFS_INF} END AS dist FROM n)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql.append(
+            f", d{r} AS MATERIALIZED (SELECT d{p}.s, "
+            f"least(d{p}.dist, COALESCE(nb.m, {_BFS_INF})) AS dist "
+            f"FROM d{p} LEFT JOIN (SELECT sym.d AS s2, "
+            f"min(d{p}.dist) + 1 AS m FROM sym "
+            f"JOIN d{p} ON sym.s = d{p}.s GROUP BY sym.d) nb "
+            f"ON nb.s2 = d{p}.s)"
+        )
+    sql.append(
+        f" SELECT s AS part, CAST(CASE WHEN dist >= {_BFS_INF} "
+        "THEN -1 ELSE dist END AS INTEGER) AS dist, "
+        f"CAST(s % {BFS_SEED_MOD} = 0 AS INT) AS is_seed "
+        f"FROM d{rounds}"
+    )
+    return "".join(sql)
+
+
+@register(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    doc="MULTI-SOURCE BFS — bounded-hop distance from a labeled seed "
+    "set, the graph-traversal kernel the family was missing "
+    "(fixpoint = q_pagerank, enumeration = q_graph_triangles, "
+    "similarity = q_graph_jaccard, peeling = q_graph_kcore): "
+    "distance from every node to the NEAREST seed (the 'distance "
+    "from known-spam / known-good labels' primitive behind "
+    "propagation-based trust scoring), over the bounded co-purchase "
+    f"graph with seeds = nodes ≡ 0 (mod {BFS_SEED_MOD}). Exactly "
+    f"{BFS_ROUNDS} relaxation rounds run in BOTH engines — rounds "
+    "past convergence are identity, so no early-stop divergence is "
+    "possible and every value is integer-exact; nodes beyond the "
+    "hop bound surface as dist = -1 (at the gate scales the graph "
+    "converges well inside the bound, so -1 rows also prove the "
+    "relaxation did not leak). Plan: per round ONE alive-keyed "
+    "equi-join + min-aggregate with localCheckpoint pinning lineage "
+    "at O(1) — the pagerank_fp skeleton; at 100 TB the edge list is "
+    "bucketed by node and every round reuses the same "
+    "co-partitioned shuffle. INF-sentinel arithmetic keeps the "
+    "whole relaxation in non-null integers (hash-exact).",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return bfs_distances(e)
+
+
+def bfs_distances(
+    e: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    rounds: int = BFS_ROUNDS,
+) -> DataFrame:
+    """Bounded-hop multi-source BFS over undirected (u, v) edges:
+    (part, dist to nearest seed or -1, is_seed). Fixed round count —
+    identical in the oracle — so convergence timing can't diverge."""
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    dist = (
+        sym.select("s")
+        .distinct()
+        .select(
+            "s",
+            F.when(F.col("s") % seed_mod == 0, F.lit(0))
+            .otherwise(F.lit(_BFS_INF))
+            .alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(dist, "s")
+            .groupBy(F.col("d").alias("s"))
+            .agg((F.min("dist") + 1).alias("m"))
+        )
+        dist = (
+            dist.join(nb, "s", "left")
+            .select(
+                "s",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("m"), F.lit(_BFS_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("s").alias("part"),
+        F.when(F.col("dist") >= _BFS_INF, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("int")
+        .alias("dist"),
+        (F.col("s") % seed_mod == 0).cast("int").alias("is_seed"),
+    )

@@ -1670,3 +1670,107 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_size") < _KANON_K).cast("int").alias("at_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# span corruption — T5-style denoising objective over the same mask.
+
+
+@register(
+    "q_span_corruption",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        "m AS (SELECT doc_id, toks, list_transform("
+        "range(1, len(toks) + 1), i -> CAST("
+        f"(doc_id * {_KNUTH} + i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t), "
+        "s AS (SELECT doc_id, toks, mk, list_transform("
+        "range(1, len(toks) + 1), i -> CAST(mk[i] = 1 AND "
+        "(i = 1 OR mk[i-1] = 0) AS INT)) AS st FROM m) "
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(st), 0) AS BIGINT) AS n_spans, "
+        "COALESCE(array_to_string(list_filter(list_transform("
+        "range(1, len(toks) + 1), i -> CASE "
+        "WHEN st[i] = 1 THEN '<extra_id_' || "
+        "CAST(list_sum(st[1:i]) - 1 AS VARCHAR) || '>' "
+        "WHEN mk[i] = 1 THEN NULL ELSE toks[i] END), "
+        "x -> x IS NOT NULL), ' '), '') AS corrupted_text, "
+        "COALESCE(array_to_string(list_filter(list_transform("
+        "range(1, len(toks) + 1), i -> CASE "
+        "WHEN st[i] = 1 THEN '<extra_id_' || "
+        "CAST(list_sum(st[1:i]) - 1 AS VARCHAR) || '> ' || toks[i] "
+        "WHEN mk[i] = 1 THEN toks[i] ELSE NULL END), "
+        "x -> x IS NOT NULL), ' '), '') AS target_text FROM s"
+    ),
+    doc="SPAN CORRUPTION (T5 denoising objective) — the run-length "
+    "upgrade of q_mask_lm over the SAME deterministic per-(doc, "
+    "position) mask: consecutive masked positions collapse into ONE "
+    "numbered sentinel <extra_id_k> in the corrupted input, and the "
+    "target stream is each sentinel followed by the tokens it "
+    "replaced — exactly the (inputs, targets) pair a T5-style "
+    "pretraining batch needs, derived reproducibly with no RNG "
+    "state. The Spark side is a SINGLE O(n) fold (F.aggregate with a "
+    "struct accumulator carrying span count / previous-flag / both "
+    "output streams); the oracle recomputes span ids by prefix "
+    "sums — O(n^2) per doc but checker-only. Map-only: one scan, no "
+    "Python, no shuffle — the q_mask_lm scale shape with sentinel "
+    "numbering added.",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+
+    def mask_flag(i):  # identical hash to q_mask_lm (1-based position)
+        return (
+            (F.col("doc_id") * _KNUTH + (i + 1) * F.lit(_MLM_POS_MIX))
+            % _M32 % 10000 < _MLM_RATE_BP
+        ).cast("int")
+
+    t = d.select("doc_id", toks.alias("toks"))
+    zipped = F.zip_with(
+        F.col("toks"),
+        F.transform(F.col("toks"), lambda x, i: mask_flag(i)),
+        lambda tok, mk: F.struct(tok.alias("tok"), mk.alias("mk")),
+    )
+    sent = lambda c: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), c.cast("string"), F.lit(">")
+    )
+    zero = F.struct(
+        F.lit(0).alias("cnt"),
+        F.lit(0).alias("prev"),
+        F.array().cast("array<string>").alias("inp"),
+        F.array().cast("array<string>").alias("tgt"),
+    )
+
+    def step(acc, x):
+        start = (x["mk"] == 1) & (acc["prev"] == 0)
+        cont = (x["mk"] == 1) & (acc["prev"] == 1)
+        return F.struct(
+            F.when(start, acc["cnt"] + 1).otherwise(acc["cnt"]).alias("cnt"),
+            x["mk"].alias("prev"),
+            F.when(
+                start,
+                F.concat(acc["inp"], F.array(sent(acc["cnt"]))),
+            )
+            .when(cont, acc["inp"])
+            .otherwise(F.concat(acc["inp"], F.array(x["tok"])))
+            .alias("inp"),
+            F.when(
+                start,
+                F.concat(acc["tgt"], F.array(sent(acc["cnt"]), x["tok"])),
+            )
+            .when(cont, F.concat(acc["tgt"], F.array(x["tok"])))
+            .otherwise(acc["tgt"])
+            .alias("tgt"),
+        )
+
+    folded = F.aggregate(zipped, zero, step)
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        folded["cnt"].cast("bigint").alias("n_spans"),
+        F.array_join(folded["inp"], " ").alias("corrupted_text"),
+        F.array_join(folded["tgt"], " ").alias("target_text"),
+    )

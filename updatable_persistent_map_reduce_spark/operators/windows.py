@@ -457,3 +457,162 @@ def q_ohlc_remerge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("volume").cast("bigint").alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution — conversion credit across preceding touches.
+
+_ATTR_LOOKBACK_DAYS = 7
+_ATTR_TOTAL_BP = 10000
+
+
+@register(
+    "q_attribution",
+    oracle=(
+        "WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts "
+        "FROM events WHERE event_type = 'purchase'), "
+        "touch AS (SELECT event_id AS tid, user_id, ts AS tts, "
+        "event_type AS channel FROM events "
+        "WHERE event_type IN ('click', 'view')), "
+        "pair AS (SELECT c.cid, t.tid, t.channel, "
+        "row_number() OVER (PARTITION BY c.cid "
+        "ORDER BY t.tts, t.tid) AS ra, "
+        "row_number() OVER (PARTITION BY c.cid "
+        "ORDER BY t.tts DESC, t.tid DESC) AS rd, "
+        "count(*) OVER (PARTITION BY c.cid) AS n "
+        "FROM conv c JOIN touch t ON c.user_id = t.user_id "
+        "AND t.tts < c.cts "
+        f"AND t.tts >= c.cts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY) "
+        "SELECT channel, "
+        "CAST(count(DISTINCT cid) AS BIGINT) AS conversions_touched, "
+        "CAST(count(*) AS BIGINT) AS n_touches, "
+        f"CAST(sum(CASE WHEN ra = 1 THEN {_ATTR_TOTAL_BP} "
+        "ELSE 0 END) AS BIGINT) AS first_bp, "
+        f"CAST(sum(CASE WHEN rd = 1 THEN {_ATTR_TOTAL_BP} "
+        "ELSE 0 END) AS BIGINT) AS last_bp, "
+        f"CAST(sum(CASE WHEN rd = 1 THEN {_ATTR_TOTAL_BP} "
+        f"- ({_ATTR_TOTAL_BP} // n) * (n - 1) "
+        f"ELSE {_ATTR_TOTAL_BP} // n END) AS BIGINT) AS linear_bp "
+        "FROM pair GROUP BY channel"
+    ),
+    doc="MULTI-TOUCH ATTRIBUTION — the marketing-analytics kernel: "
+    "every 'purchase' conversion distributes exactly 10000 bp of "
+    "credit over the SAME user's 'click'/'view' touches in the "
+    f"{_ATTR_LOOKBACK_DAYS}-day lookback, under three models at "
+    "once — first-touch (all credit to the earliest touch), "
+    "last-touch (all to the latest), linear (10000 DIV n each, "
+    "remainder to the last touch so every conversion's credit sums "
+    "to EXACTLY 10000 — integer-auditable, no float leakage). "
+    "(ts, event_id) ordering makes every model deterministic under "
+    "timestamp ties. Plan: one user-keyed equi-join with the "
+    "lookback as a join-time range predicate (never a time-theta "
+    "product), two row_number windows + a count over the SAME "
+    "conversion-keyed partitioning (one exchange), then a channel "
+    "rollup. At 100 TB both sides hash-partition by user_id and "
+    "the per-conversion windows stay within partitions.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pair = conv.join(touch, "u").filter(
+        (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    byc = W.partitionBy("cid")
+    pair = pair.select(
+        "cid",
+        "channel",
+        F.row_number()
+        .over(byc.orderBy("tts", "tid"))
+        .alias("ra"),
+        F.row_number()
+        .over(byc.orderBy(F.col("tts").desc(), F.col("tid").desc()))
+        .alias("rd"),
+        F.count(F.lit(1)).over(byc).alias("n"),
+    )
+    share = F.expr(
+        f"{_ATTR_TOTAL_BP} - ({_ATTR_TOTAL_BP} DIV n) * (n - 1)"
+    )
+    return pair.groupBy("channel").agg(
+        F.countDistinct("cid").cast("bigint").alias("conversions_touched"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(F.when(F.col("ra") == 1, _ATTR_TOTAL_BP).otherwise(0))
+        .cast("bigint")
+        .alias("first_bp"),
+        F.sum(F.when(F.col("rd") == 1, _ATTR_TOTAL_BP).otherwise(0))
+        .cast("bigint")
+        .alias("last_bp"),
+        F.sum(
+            F.when(F.col("rd") == 1, share).otherwise(
+                F.expr(f"{_ATTR_TOTAL_BP} DIV n")
+            )
+        )
+        .cast("bigint")
+        .alias("linear_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# clickstream path mining — top event-type trigrams per user timeline.
+
+_PATH_TOP = 20
+
+
+@register(
+    "q_path_analysis",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, "
+        "lead(event_type, 1) OVER w AS e2, "
+        "lead(event_type, 2) OVER w AS e3 FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_type || '>' || e2 || '>' || e3 AS path, "
+        "CAST(count(*) AS BIGINT) AS n FROM o "
+        "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+        f"GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATH_TOP}"
+    ),
+    doc="CLICKSTREAM PATH MINING — the top event-type trigrams along "
+    "each user's timeline (the funnel-discovery primitive: "
+    "q_event_funnel checks a KNOWN sequence, this surfaces which "
+    "sequences dominate): two lead() windows over ONE user-keyed "
+    "ordering (a single exchange — Spark plans both leads in one "
+    "Window operator), concat into 'a>b>c' paths, corpus-wide count, "
+    f"deterministic top-{_PATH_TOP} (count DESC, path ASC) via "
+    "TakeOrdered. (ts, event_id) ordering pins timestamp ties. At "
+    "100 TB the timeline windows partition by user and the path "
+    "rollup is a partial-agg shuffle on a low-cardinality key.",
+)
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        o.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOP)
+    )
