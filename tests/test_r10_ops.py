@@ -683,3 +683,37 @@ def test_path_analysis_counts_match_python_replay(spark, sf_dir):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert got == want
     assert len(got) == 20 or len(got) == len(c)
+
+
+def test_embed_covariance_matches_numpy_ground_truth(spark, sf_dir):
+    """Reconstructing cov = (n*S - s_i*s_j) / n^2 from the emitted
+    sufficient statistics must match numpy's biased covariance of the
+    same quantized matrix to float precision, and the row set must be
+    exactly the upper triangle."""
+    import numpy as np
+
+    rows = QUERIES["q_embed_covariance"].fn(spark, sf_dir).collect()
+    emb = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).collect()
+        ]
+    )
+    gmax = np.abs(emb).max()
+    q = np.floor(emb / (gmax / 127) + 0.5).astype(np.int64)
+    n, d = q.shape
+    want_cov = np.cov(q.T, bias=True)
+    got_pairs = {(r.dim_i, r.dim_j) for r in rows}
+    assert got_pairs == {(i, j) for i in range(d) for j in range(d) if i <= j}
+    for r in rows:
+        assert r.n == n
+        got = (r.n * r.sum_prod - r.sum_i * r.sum_j) / r.n**2
+        assert abs(got - want_cov[r.dim_i, r.dim_j]) < 1e-9, (
+            r.dim_i,
+            r.dim_j,
+        )
+        # exact integer checks too: marginals are true column sums
+        assert r.sum_i == int(q[:, r.dim_i].sum())
+        assert r.sum_prod == int((q[:, r.dim_i] * q[:, r.dim_j]).sum())

@@ -1033,6 +1033,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
          r"re:hashpartitioning\(user_id"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # covariance sufficient stats: ONE vectorized partial scatter per
+    # partition (MapInPandas), shuffle carries only partial rows into
+    # a keyed sum — no pickled-row Python, no pair explosion join
+    "q_embed_covariance": (
+        ["MapInPandas", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "Join"],
+    ),
 }
 
 

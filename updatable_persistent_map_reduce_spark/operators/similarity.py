@@ -930,3 +930,105 @@ def binary_sim_search(
 def q_sim_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     return binary_sim_search(spark, e)
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance sufficient statistics — the whitening/PCA prep.
+
+_COV_DIM = 64  # embedding dimensionality (TESTDATA.md)
+
+
+@register(
+    "q_embed_covariance",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS q "
+        f"FROM (SELECT embedding, gmax / {_QMAX} AS sc "
+        "FROM embeddings, mx)), "
+        "p AS (SELECT ii.i AS dim_i, jj.j AS dim_j, q FROM q "
+        f"CROSS JOIN (SELECT unnest(range(0, {_COV_DIM})) AS i) ii "
+        f"CROSS JOIN (SELECT unnest(range(0, {_COV_DIM})) AS j) jj "
+        "WHERE ii.i <= jj.j) "
+        "SELECT CAST(dim_i AS INTEGER) AS dim_i, "
+        "CAST(dim_j AS INTEGER) AS dim_j, "
+        "CAST(sum(q[dim_i + 1] * q[dim_j + 1]) AS BIGINT) AS sum_prod, "
+        "CAST(sum(q[dim_i + 1]) AS BIGINT) AS sum_i, "
+        "CAST(sum(q[dim_j + 1]) AS BIGINT) AS sum_j, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM p GROUP BY dim_i, dim_j"
+    ),
+    doc="EMBEDDING COVARIANCE SUFFICIENT STATISTICS — the single-pass "
+    "scatter-matrix job behind whitening / PCA / ZCA preprocessing of "
+    "an embedding corpus (and the drift monitor comparing snapshot "
+    "covariances): for every dimension pair i <= j, the EXACT integer "
+    "sufficient statistics (sum q_i*q_j, sum q_i, sum q_j, n) on the "
+    "shared global-scale int8 codes (q_embed_pq's quantization — one "
+    "bounded 1-row gmax collect), from which any consumer derives the "
+    "covariance as (n*S_ij - s_i*s_j) / n^2 WITHOUT this job ever "
+    "forming the overflow-prone n*S product. Integer sums are "
+    "associative, so Spark's partition-parallel accumulation and "
+    "DuckDB's sequential scan cannot diverge — the d*(d+1)/2 = 2080 "
+    "output rows hash-match exactly. The 100 TB shape is the textbook "
+    "one: mapInPandas computes ONE d x d int64 partial scatter per "
+    "PARTITION (numpy q.T @ q over Arrow batches — vectorized, not "
+    "per-row), so the shuffle carries only n_partitions * 2080 "
+    "partial rows into a final keyed sum; corpus bytes are read once "
+    "and never re-shuffled. PCA's eigendecomposition is a driver-side "
+    "d x d problem on this output, deliberately out of engine scope.",
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / _QMAX
+    d = _COV_DIM
+    iu = np.triu_indices(d)
+
+    def partial_scatter(batches):
+        S = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                / scale
+                + 0.5
+            ).astype(np.int64)
+            S += q.T @ q
+            s += q.sum(axis=0)
+            n += len(q)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0].astype("int32"),
+                    "dim_j": iu[1].astype("int32"),
+                    "sum_prod": S[iu],
+                    "sum_i": s[iu[0]],
+                    "sum_j": s[iu[1]],
+                    "n": np.full(len(iu[0]), n, dtype=np.int64),
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        partial_scatter,
+        "dim_i int, dim_j int, sum_prod long, sum_i long, sum_j long, "
+        "n long",
+    )
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("sum_prod").cast("bigint").alias("sum_prod"),
+        F.sum("sum_i").cast("bigint").alias("sum_i"),
+        F.sum("sum_j").cast("bigint").alias("sum_j"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
