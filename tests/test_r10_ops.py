@@ -717,3 +717,108 @@ def test_embed_covariance_matches_numpy_ground_truth(spark, sf_dir):
         # exact integer checks too: marginals are true column sums
         assert r.sum_i == int(q[:, r.dim_i].sum())
         assert r.sum_prod == int((q[:, r.dim_i] * q[:, r.dim_j]).sum())
+
+
+def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
+    """Upsert exactness for the numeric index: revising vectors and
+    then re-submitting the ORIGINALS must restore the batch-1 state
+    bit-for-bit (latest-wins retraction leaves no residue), and n
+    must equal the vector count for every pair (no double counting
+    of re-embedded vectors)."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.operators.incremental import (
+        _COV_INC_DIMS,
+        q_covariance_incremental,  # noqa: F401 (registered form)
+    )
+    from updatable_persistent_map_reduce_spark.plans import MapReduceView
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    e = Catalog(spark, sf_dir).embeddings
+    n_vec = e.count()
+
+    # registered query: every pair group must count every vector once
+    rows = QUERIES["q_covariance_incremental"].fn(spark, sf_dir).collect()
+    assert len(rows) == _COV_INC_DIMS * (_COV_INC_DIMS + 1) // 2
+    assert all(r.n == n_vec for r in rows)
+
+    # round trip: batch1 = originals, batch2 = revision, batch3 =
+    # originals again -> state must equal a batch1-only view
+    from updatable_persistent_map_reduce_spark.operators import (
+        incremental as inc,
+    )
+
+    def build(batches):
+        store = tempfile.mkdtemp(prefix="upmr_cov_rt_")
+        [[gmax]] = e.select(
+            F.max(
+                F.greatest(
+                    F.array_max("embedding").cast("double"),
+                    (-F.array_min("embedding")).cast("double"),
+                )
+            )
+        ).collect()
+        scale = gmax / 127
+
+        def pair_rows(df):
+            q = F.transform(
+                F.slice("embedding", 1, _COV_INC_DIMS),
+                lambda x: F.floor(
+                    x.cast("double") / F.lit(scale) + 0.5
+                ).cast("long"),
+            )
+            w = df.select("vec_id", q.alias("q"))
+            pairs = F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("q"),
+                        lambda qi, i: F.transform(
+                            F.col("q"),
+                            lambda qj, j: F.struct(
+                                i.alias("dim_i"),
+                                j.alias("dim_j"),
+                                (qi * qj).alias("prod"),
+                                qi.alias("qi"),
+                                qj.alias("qj"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["dim_i"] <= p["dim_j"],
+            )
+            return w.select(
+                "vec_id", F.explode(pairs).alias("p")
+            ).select("vec_id", "p.*")
+
+        view = MapReduceView(
+            spark,
+            store,
+            id_col="vec_id",
+            map_fn=pair_rows,
+            group_cols=["dim_i", "dim_j"],
+            agg_exprs=[
+                F.sum("prod").cast("long").alias("sum_prod"),
+                F.sum("qi").cast("long").alias("sum_i"),
+                F.sum("qj").cast("long").alias("sum_j"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            ],
+            n_key_spans=4,
+            n_doc_spans=4,
+        )
+        for b in batches:
+            view.execute(b)
+        return {
+            (r.dim_i, r.dim_j): (r.sum_prod, r.sum_i, r.sum_j, r.n)
+            for r in view.final_df().collect()
+        }
+
+    orig = e.select("vec_id", "embedding").limit(60)
+    revised = orig.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    one_shot = build([orig])
+    round_trip = build([orig, revised, orig.filter(F.col("vec_id") % 5 == 0)])
+    assert round_trip == one_shot

@@ -1040,6 +1040,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "HashAggregate"],
         ["BatchEvalPython", "CartesianProduct", "Join"],
     ),
+    # incremental covariance: the returned frame is the view's
+    # materialized finals — a manifest-resolved parquet read
+    "q_covariance_incremental": ([], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

@@ -156,6 +156,89 @@ def main() -> None:
         f"{t_vocab[big]:.1f}s vs {t_naive[big]:.1f}s"
     )
 
+    # ----- q_bpe_train: per-generation cost is vocab-sized ------------
+    # The training loop's 100 TB claim (text_analysis.q_bpe_train):
+    # after the one corpus-sized (word, count) shuffle, EVERY
+    # generation runs over the distinct vocabulary only — so with the
+    # vocabulary held fixed (this synthetic corpus), per-generation
+    # wall time must stay FLAT while the corpus grows 4x. Measured
+    # here: the full 6-generation train at each octave, minus the
+    # corpus-sized tok/groupBy prefix (timed separately), over the
+    # same synthetic corpora as above.
+    from updatable_persistent_map_reduce_spark.functions.text import (
+        tokens_expr,
+    )
+    from updatable_persistent_map_reduce_spark.operators.text_analysis import (
+        _BPE_TRAIN_GENS,
+        _bpe_apply_expr,
+    )
+
+    def train_split_times(d: DataFrame) -> tuple[float, float]:
+        """(corpus-prefix seconds, per-generation loop seconds)."""
+        t0 = time.perf_counter()
+        tok = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+        wf = tok.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("wtot")
+        )
+        vocab = wf.select(
+            "w", "wtot", chars_expr(F.col("w")).alias("cs")
+        ).localCheckpoint()
+        t_prefix = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(_BPE_TRAIN_GENS):
+            bp = (
+                vocab.filter(F.size("cs") >= 2)
+                .select(
+                    "wtot",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("cs") - 2),
+                            lambda i: F.struct(
+                                F.get("cs", i).alias("a"),
+                                F.get("cs", i + 1).alias("b"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .select("p.a", "p.b", "wtot")
+                .filter(F.col("a") != F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.sum("wtot").alias("c"))
+            )
+            top = bp.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+            rule = top[0]
+            vocab = vocab.withColumn(
+                "cs",
+                _bpe_apply_expr(
+                    F.col("cs"), F.lit(rule["a"]), F.lit(rule["b"])
+                ),
+            ).localCheckpoint()
+        return t_prefix, time.perf_counter() - t0
+
+    gen_times: dict[int, float] = {}
+    for n in sizes:
+        d = synth_corpus(spark, n).cache()
+        d.count()
+        t_prefix, t_gens = train_split_times(d)
+        d.unpersist()
+        gen_times[n] = t_gens
+        print(
+            f"n={n:>9,}  train prefix(corpus-sized)={t_prefix:6.1f}s  "
+            f"{_BPE_TRAIN_GENS} generations(vocab-sized)={t_gens:6.1f}s"
+        )
+    small_n, big_n = sizes[0], sizes[-1]
+    growth = gen_times[big_n] / gen_times[small_n]
+    octaves = (big_n / small_n)
+    print(
+        f"FINAL generation-loop growth over a {octaves:.0f}x corpus: "
+        f"{growth:4.2f}x (flat = vocab-sized; corpus-sized would be "
+        f"~{octaves:.0f}x)"
+    )
+    assert growth < 2.0, (
+        f"per-generation training cost grew {growth:.2f}x over a "
+        f"{octaves:.0f}x corpus — the vocab-sized claim is broken"
+    )
+
 
 if __name__ == "__main__":
     main()

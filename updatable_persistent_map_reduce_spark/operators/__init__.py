@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_attribution",
     "q_path_analysis",
     "q_embed_covariance",
+    "q_covariance_incremental",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

@@ -1380,3 +1380,142 @@ def q_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("bigint").alias("bal_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incrementally maintained covariance statistics — numeric-index upsert.
+
+_COV_INC_DIMS = 16  # the Matryoshka serving-tier prefix (q_embed_mrl)
+_COV_INC_MOD = 5  # every 5th vector is re-embedded in batch 2
+_COV_INC_QMAX = 127
+
+
+def _cov_inc_oracle() -> str:
+    """Final post-upsert state directly in SQL: the corpus with every
+    5th vector's component 0 sign-flipped (|x| unchanged, so the
+    global scale is revision-invariant), quantized on the ORIGINAL
+    corpus scale, pair stats over the 16-dim prefix."""
+    return (
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "base AS (SELECT vec_id, CASE WHEN vec_id % "
+        f"{_COV_INC_MOD} = 0 THEN "
+        f"list_concat([-embedding[1]], embedding[2:{_COV_INC_DIMS}]) "
+        f"ELSE embedding[1:{_COV_INC_DIMS}] END AS emb FROM embeddings), "
+        "q AS (SELECT vec_id, list_transform(emb, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) / (gmax / {_COV_INC_QMAX}) + 0.5) "
+        "AS BIGINT)) AS q FROM base, mx), "
+        "p AS (SELECT ii.i AS dim_i, jj.j AS dim_j, q FROM q "
+        f"CROSS JOIN (SELECT unnest(range(0, {_COV_INC_DIMS})) AS i) ii "
+        f"CROSS JOIN (SELECT unnest(range(0, {_COV_INC_DIMS})) AS j) jj "
+        "WHERE ii.i <= jj.j) "
+        "SELECT CAST(dim_i AS INTEGER) AS dim_i, "
+        "CAST(dim_j AS INTEGER) AS dim_j, "
+        "CAST(sum(q[dim_i + 1] * q[dim_j + 1]) AS BIGINT) AS sum_prod, "
+        "CAST(sum(q[dim_i + 1]) AS BIGINT) AS sum_i, "
+        "CAST(sum(q[dim_j + 1]) AS BIGINT) AS sum_j, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM p GROUP BY dim_i, dim_j"
+    )
+
+
+@register(
+    "q_covariance_incremental",
+    oracle=_cov_inc_oracle(),
+    doc="Incrementally MAINTAINED covariance statistics — the Tier-A "
+    "updatable view applied to a NUMERIC index (the dedup/simhash "
+    "incremental twins keyed by content; this one is keyed by "
+    "dimension pair): Map = quantize the 16-dim Matryoshka serving "
+    "prefix (q_embed_mrl's truncation tier) on the global int8 scale "
+    "and emit one (dim_i, dim_j, prod, qi, qj) row per pair; Reduce "
+    "= the re-reduction-closed integer sums of q_embed_covariance. "
+    "The corpus loads as batch 1, then every 5th vector is "
+    "RE-EMBEDDED (component-0 sign flip — |x|-preserving, so the "
+    "broadcast scale is revision-invariant) and re-submitted: "
+    "latest-wins replace retracts the old vector's contribution from "
+    "all 136 pair groups and adds the new one, exactly the "
+    "reference's delete-and-reschedule contract (Executer.cs:240-261) "
+    "driving a drift monitor that must NEVER double-count a "
+    "re-embedded vector. Covariance sums are the textbook case for "
+    "the re-reducible Reduce contract (MapReduceTask.cs:12-13): "
+    "partial scatter matrices merge by addition, so dirty-span "
+    "recompute re-reduces only the revised vectors' spans. At 100 TB "
+    "a re-embedding pipeline updates drift statistics per batch "
+    "without rescanning the corpus.",
+)
+def q_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    scale = gmax / _COV_INC_QMAX
+
+    def pair_rows(df: DataFrame) -> DataFrame:
+        q = F.transform(
+            F.slice("embedding", 1, _COV_INC_DIMS),
+            lambda x: F.floor(x.cast("double") / F.lit(scale) + 0.5).cast(
+                "long"
+            ),
+        )
+        w = df.select("vec_id", q.alias("q"))
+        pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("q"),
+                    lambda qi, i: F.transform(
+                        F.col("q"),
+                        lambda qj, j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (qi * qj).alias("prod"),
+                            qi.alias("qi"),
+                            qj.alias("qj"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["dim_i"] <= p["dim_j"],
+        )
+        return w.select(
+            "vec_id", F.explode(pairs).alias("p")
+        ).select("vec_id", "p.*")
+
+    store = tempfile.mkdtemp(prefix="upmr_cov_inc_")
+    view = MapReduceView(
+        spark,
+        store,
+        id_col="vec_id",
+        map_fn=pair_rows,
+        group_cols=["dim_i", "dim_j"],
+        agg_exprs=[
+            F.sum("prod").cast("long").alias("sum_prod"),
+            F.sum("qi").cast("long").alias("sum_i"),
+            F.sum("qj").cast("long").alias("sum_j"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ],
+        n_key_spans=4,
+        n_doc_spans=4,
+    )
+    view.execute(e.select("vec_id", "embedding"))
+    revised = e.filter(F.col("vec_id") % _COV_INC_MOD == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    view.execute(revised)
+    return view.final_df().select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        "sum_prod",
+        "sum_i",
+        "sum_j",
+        "n",
+    )
