@@ -822,3 +822,30 @@ def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
     one_shot = build([orig])
     round_trip = build([orig, revised, orig.filter(F.col("vec_id") % 5 == 0)])
     assert round_trip == one_shot
+
+
+def test_catalog_stats_profile_is_exact(spark, sf_dir):
+    """Python-recompute one integer profile and one string profile
+    from raw parquet: exact NDV, null count, and normalized min/max
+    must match; the profile must cover every declared column."""
+    from updatable_persistent_map_reduce_spark.operators.relational import (
+        _PROFILE_COLS,
+    )
+
+    rows = {
+        (r.table_name, r.column_name): r
+        for r in QUERIES["q_catalog_stats"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(t, c) for t, c, _, _ in _PROFILE_COLS}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    r = rows[("customer", "c_mktsegment")]
+    segs = [c.c_mktsegment for c in cust if c.c_mktsegment is not None]
+    assert r.n_rows == len(cust)
+    assert r.n_nulls == len(cust) - len(segs)
+    assert r.n_distinct == len(set(segs))
+    assert r.min_repr == min(segs) and r.max_repr == max(segs)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    q = rows[("lineitem", "l_quantity")]
+    vals = [int(x.l_quantity) for x in li if x.l_quantity is not None]
+    assert q.n_distinct == len(set(vals))
+    assert q.min_repr == str(min(vals)) and q.max_repr == str(max(vals))

@@ -1043,6 +1043,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # incremental covariance: the returned frame is the view's
     # materialized finals — a manifest-resolved parquet read
     "q_covariance_incremental": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # catalog profile: per-column full-scan aggregates (exact NDV is
+    # the one shuffle); no Python, no join anywhere
+    "q_catalog_stats": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
 }
 
 

@@ -100,6 +100,7 @@ _PRIORITY = [
     "q_path_analysis",
     "q_embed_covariance",
     "q_covariance_incremental",
+    "q_catalog_stats",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_chunk_split", "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

@@ -3929,3 +3929,105 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("overlap_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# catalog statistics — the ANALYZE-style column profiling job.
+
+# (table, column, DuckDB value expr, Spark value expr builder): every
+# profiled value is pre-normalized to an engine-exact representation —
+# integers/strings/dates only, doubles as floor-cents — because raw
+# float/timestamp -> string rendering differs between engines.
+_PROFILE_COLS = [
+    ("customer", "c_custkey", "c_custkey", None),
+    ("customer", "c_mktsegment", "c_mktsegment", None),
+    (
+        "orders",
+        "o_orderdate",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+    ),
+    (
+        "orders",
+        "o_totalprice",
+        "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)",
+        "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)",
+    ),
+    (
+        "lineitem",
+        "l_quantity",
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)",
+    ),
+    ("documents", "lang", "lang", None),
+    ("events", "event_type", "event_type", None),
+    (
+        "events",
+        "value",
+        "CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)",
+        "CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)",
+    ),
+]
+
+
+def _catalog_stats_oracle() -> str:
+    parts = []
+    for table, col, duck_expr, _ in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{table}' AS table_name, '{col}' AS column_name, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_nulls, "
+            f"CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "
+            f"CAST(min(v) AS VARCHAR) AS min_repr, "
+            f"CAST(max(v) AS VARCHAR) AS max_repr "
+            f"FROM (SELECT {duck_expr} AS v FROM {table})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_catalog_stats",
+    oracle=_catalog_stats_oracle(),
+    doc="CATALOG STATISTICS — the ANALYZE TABLE / data-profiling job "
+    "that feeds both the optimizer (row counts, NDV for join "
+    "reordering and broadcast decisions) and constraint SUGGESTION "
+    "(q_constraint_audit consumes what a profile like this proposes): "
+    "per profiled column, row count, null count, EXACT distinct "
+    "count, and min/max — with every value pre-normalized to an "
+    "engine-exact representation (integers, strings, dates; doubles "
+    "as DECIMAL-floored cents) because raw float/timestamp-to-string "
+    "rendering is engine-specific. Per column: one full-scan "
+    "aggregate (count/nulls/min/max reduce map-side; exact NDV is "
+    "the one genuine shuffle, the same partial/final shape as "
+    "count(DISTINCT)); Catalyst collapses same-table profiles onto a "
+    "shared scan. At 100 TB production would swap exact NDV for HLL "
+    "(q_approx_distinct's sketch) column-by-column — the output "
+    "contract is unchanged, which is why the profile emits plain "
+    "columns rather than engine state.",
+)
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    out = None
+    for table, col, duck_expr, spark_expr in _PROFILE_COLS:
+        df = getattr(cat, table)
+        v = F.expr(spark_expr or duck_expr).alias("v")
+        prof = df.select(v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.min("v").cast("string").alias("min_repr"),
+            F.max("v").cast("string").alias("max_repr"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_repr",
+            "max_repr",
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out
