@@ -229,6 +229,43 @@ def main() -> None:
             f"rounds={rounds}  wall {t_k:5.1f}s"
         )
 
+    # BFS reach per octave (q_graph_bfs's loop on the same graphs):
+    # each round is one alive-keyed equi-join + min-agg, so the facts
+    # to watch are (a) reached fraction at the fixed hop bound and
+    # (b) per-round wall time growing with EDGES, not with round
+    # count — the relaxation touches every edge each round, so wall
+    # per round per edge should stay flat across octaves.
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        BFS_ROUNDS,
+        bfs_distances,
+    )
+
+    per_edge: dict[int, float] = {}
+    for n in sizes:
+        e = synth_powerlaw_edges(spark, n).cache()
+        m_n = e.count()
+        t0 = time.perf_counter()
+        d = bfs_distances(e).cache()
+        nodes = d.count()
+        reached = d.filter("dist >= 0").count()
+        t_b = time.perf_counter() - t0
+        d.unpersist()
+        e.unpersist()
+        per_edge[n] = t_b / BFS_ROUNDS / m_n * 1e6
+        print(
+            f"E~{n:>8,} (m={m_n:,})  bfs({BFS_ROUNDS} rounds): "
+            f"nodes={nodes:,} reached={reached:,} "
+            f"({reached * 100 // nodes}%)  wall {t_b:5.1f}s "
+            f"({per_edge[n]:.2f} us/round/edge)"
+        )
+    # fixed-cost floor dominates small octaves; require only that the
+    # largest octave's per-round-per-edge cost is not ABOVE the
+    # smallest's (sub-linear amortization = edge-bound rounds)
+    assert per_edge[sizes[-1]] <= per_edge[sizes[0]] * 1.5, (
+        "BFS per-round-per-edge cost grew with scale — rounds are "
+        "no longer edge-bound"
+    )
+
 
 if __name__ == "__main__":
     main()
