@@ -145,3 +145,68 @@ def test_edit_banding_loses_no_pair(spark, lens, seed):
         .collect()
     }
     assert banded == brute
+
+
+# ---------------------------------------------------------------------------
+# r10: iterative BPE TRAINING vs a Python reference trainer
+
+
+def _train_py(words: list[str], gens: int):
+    """Reference Sennrich trainer with the repo's conventions:
+    occurrence-weighted pair counts over the vocab, (count DESC,
+    pair ASC) tiebreak, self-pairs excluded, greedy leftmost apply."""
+    from collections import Counter
+
+    wf = Counter(words)
+    vocab = {w: list(w) for w in wf}
+    out = []
+    for gen in range(1, gens + 1):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for x, y in zip(toks, toks[1:]):
+                if x != y:
+                    pc[(x, y)] += wf[w]
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in vocab:
+            vocab[w] = _apply_rule_py(vocab[w], a, b)
+        sub = sum(wf[w] * len(t) for w, t in vocab.items())
+        out.append((gen, a, b, c, sub))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(st.lists(_WORDS, min_size=1, max_size=8),
+                     min_size=1, max_size=5))
+def test_bpe_train_matches_python_reference_trainer(spark, docs):
+    """q_bpe_train's distributed count/pick/merge/recount loop must
+    equal the sequential reference trainer on arbitrary corpora —
+    including early stop when the corpus runs out of pairs."""
+    import os
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.operators import all_queries
+
+    texts = [" ".join("".join(w) for w in d) for d in docs]
+    words = [w for t in texts for w in t.split()]
+    want = _train_py(words, 6)
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = [
+            (r.gen, r.a, r.b, r.pair_count, r.subwords_after)
+            for r in sorted(
+                all_queries()["q_bpe_train"].fn(spark, td).collect(),
+                key=lambda r: r.gen,
+            )
+        ]
+    assert got == want

@@ -849,3 +849,80 @@ def test_catalog_stats_profile_is_exact(spark, sf_dir):
     vals = [int(x.l_quantity) for x in li if x.l_quantity is not None]
     assert q.n_distinct == len(set(vals))
     assert q.min_repr == str(min(vals)) and q.max_repr == str(max(vals))
+
+
+def test_span_corruption_python_reference_on_adversarial_masks(spark):
+    """Exact packaging check against a Python reference on docs
+    CONSTRUCTED to hit every mask shape: all-masked, none-masked,
+    mask at position 0, mask at the end, adjacent runs, and a
+    singleton doc — shapes a random corpus may miss."""
+    import os
+    import re
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _KNUTH,
+        _M32,
+        _MLM_POS_MIX,
+        _MLM_RATE_BP,
+    )
+
+    def mask(doc_id, i):  # 1-based position, the pinned hash
+        return (doc_id * _KNUTH + i * _MLM_POS_MIX) % _M32 % 10000 < _MLM_RATE_BP
+
+    def reference(doc_id, toks):
+        inp, tgt, k, prev = [], [], 0, False
+        for pos, t in enumerate(toks, start=1):
+            if mask(doc_id, pos):
+                if not prev:
+                    inp.append(f"<extra_id_{k}>")
+                    tgt.append(f"<extra_id_{k}>")
+                    k += 1
+                tgt.append(t)
+                prev = True
+            else:
+                inp.append(t)
+                prev = False
+        return k, " ".join(inp), " ".join(tgt)
+
+    # search doc_ids whose hash pattern exhibits each shape at n=12
+    n = 12
+    shapes = {}
+    for doc_id in range(1, 200_000):
+        flags = tuple(mask(doc_id, i) for i in range(1, n + 1))
+        if all(flags):
+            shapes.setdefault("all", doc_id)
+        elif not any(flags):
+            shapes.setdefault("none", doc_id)
+        elif flags[0] and not flags[1]:
+            shapes.setdefault("head", doc_id)
+        elif flags[-1] and flags[-2]:
+            shapes.setdefault("tail_run", doc_id)
+        if len(shapes) == 4:
+            break
+    assert {"none", "head", "tail_run"} <= shapes.keys()
+
+    rows_in = [
+        (doc_id, " ".join(f"t{j}" for j in range(n)))
+        for doc_id in shapes.values()
+    ] + [(999_983, "single")]  # id outside the shape-search range
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows_in, "doc_id long, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: r
+            for r in QUERIES["q_span_corruption"].fn(spark, td).collect()
+        }
+    for doc_id, text in rows_in:
+        toks = text.split()
+        k, inp, tgt = reference(doc_id, toks)
+        r = got[doc_id]
+        assert (r.n_spans, r.corrupted_text, r.target_text) == (
+            k,
+            inp,
+            tgt,
+        ), (doc_id, shapes)
+        assert r.n_tokens == len(toks)
+        ids = [int(x) for x in re.findall(r"<extra_id_(\d+)>", inp)]
+        assert ids == list(range(k))
