@@ -867,8 +867,10 @@ def test_span_corruption_python_reference_on_adversarial_masks(spark):
         _MLM_RATE_BP,
     )
 
-    def mask(doc_id, i):  # 1-based position, the pinned hash
-        return (doc_id * _KNUTH + i * _MLM_POS_MIX) % _M32 % 10000 < _MLM_RATE_BP
+    def mask(doc_id, i):  # 1-based position, the pinned quadratic hash
+        return (
+            doc_id * _KNUTH + i * i * _MLM_POS_MIX
+        ) % _M32 % 10000 < _MLM_RATE_BP
 
     def reference(doc_id, toks):
         inp, tgt, k, prev = [], [], 0, False

@@ -427,11 +427,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate"],
         ["Python", "CartesianProduct", "Join"],
     ),
-    # common-neighbor jaccard: wedge equi-join + degree joins, never
-    # a node-pair product
+    # common-neighbor jaccard: the returned frame is a checkpoint of
+    # the prefix-filtered join (r10: one execution shared by guard +
+    # collect); the wedge equi-join shape itself is measured and
+    # asserted in tools/scale_jaccard.py
     "q_graph_jaccard": (
-        ["re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
-         "HashAggregate"],
+        [],
         ["Python", "CartesianProduct", "BroadcastNestedLoop"],
     ),
     # MRL energy profile: posexplode + vec-keyed window + groupBy —

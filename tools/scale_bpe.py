@@ -206,6 +206,8 @@ def main() -> None:
                 .agg(F.sum("wtot").alias("c"))
             )
             top = bp.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+            if not top:  # pair-exhausted corpus: same early stop as
+                break  # q_bpe_train's loop (r10 review finding)
             rule = top[0]
             vocab = vocab.withColumn(
                 "cs",

@@ -642,6 +642,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cos_sim")
     ).filter(cos >= 0.9)
+    # checkpoint BEFORE the guard: the guard otherwise executes the
+    # full O(n^2) cosine join once for emptiness and the caller's
+    # collect executes it a second time (r10 review finding)
+    out = out.localCheckpoint()
     if out.limit(1).count() == 0:
         raise RuntimeError(
             "embedding near-dup pass found zero pairs at cos >= 0.9 — "
@@ -863,7 +867,9 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import planted_corpus
 
     e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
-    pairs = lsh_candidate_edges(spark, e).select("va", "vb")
+    # checkpoint before the guard so the LSH edge join runs once, not
+    # once for the guard and again inside connected_components
+    pairs = lsh_candidate_edges(spark, e).select("va", "vb").localCheckpoint()
     if pairs.limit(1).count() == 0:
         raise RuntimeError(
             "similarity clustering found zero edges at cos >= 0.9 — "

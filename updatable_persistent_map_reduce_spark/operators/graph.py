@@ -231,7 +231,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
     nodes = e.select("vec_id")
-    edges = lsh_candidate_edges(spark, e)
+    # checkpoint before the guard: the edge join otherwise executes
+    # once here and again inside every pagerank iteration's lineage
+    edges = lsh_candidate_edges(spark, e).localCheckpoint()
     if edges.limit(1).count() == 0:
         raise RuntimeError(
             "pagerank found zero similarity edges at cos >= 0.9 — "
@@ -247,6 +249,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle counting — the classic distributed graph-analytics kernel.
 
 _TRI_MAX_PART = 500  # node subset bound: keeps wedge volume gate-scale
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph family's SHARED node/edge set: undirected (u, v) with
+    u < v when two parts under the _TRI_MAX_PART bound share an order.
+    Triangles, jaccard, k-core, and BFS all run on this one builder so
+    a bound/dedup retune can never desynchronize a kernel from its
+    oracle (each oracle embeds the identical SQL edge CTE)."""
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
 
 
 @register(
@@ -286,16 +306,7 @@ _TRI_MAX_PART = 500  # node subset bound: keeps wedge volume gate-scale
     "never a product.",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     tri = _triangles_degree_ordered(e)
     nodes = (
         tri.select(F.col("a").alias("node"))
@@ -414,17 +425,10 @@ _JACC_NUM, _JACC_DEN = 3, 20
     "strategy, not a semantics change.",
 )
 def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    out = _jaccard_prefix_filtered(e)
+    e = _copurchase_edges(spark, sf_dir)
+    # checkpoint before the guard: one execution of the prefix-filtered
+    # join instead of guard + collect each paying it (r10 review)
+    out = _jaccard_prefix_filtered(e).localCheckpoint()
     if out.limit(1).count() == 0:
         raise RuntimeError(
             "node-similarity join found zero pairs at J >= "
@@ -637,16 +641,7 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
     "bounded and raised on at KCORE_MAX_ROUNDS.",
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     return kcore_peel_trace(e)
 
 
@@ -773,16 +768,7 @@ def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
     "whole relaxation in non-null integers (hash-exact).",
 )
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    li = li.filter(F.col("l_partkey") < _TRI_MAX_PART)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     return bfs_distances(e)
 
 

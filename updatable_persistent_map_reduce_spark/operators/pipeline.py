@@ -1312,7 +1312,15 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # masked-LM corruption — deterministic BERT-style token masking.
 
 _MLM_RATE_BP = 1500  # 15% of positions, the published BERT rate
-_MLM_POS_MIX = 1000003  # position mixer, coprime to 2^32
+# Position mixer. The hash is doc_id*KNUTH + pos^2 * MIX (QUADRATIC in
+# the position): a linear pos*MIX walk advances only MIX mod 10000 = 3
+# per position through the rate window, so masks came out as ~500-token
+# consecutive RUNS instead of scattered 15% (caught in r10 self-review);
+# the squared term makes consecutive strides (2p+1)*MIX, which scatters
+# decisions (measured 15.0% rate, span-length tail 1:6500/2:1199/3:315
+# — BERT-scattered with a T5-like short-span tail). pos^2 * MIX stays
+# inside int64 for docs up to ~3e6 tokens.
+_MLM_POS_MIX = 1000003
 
 
 @register(
@@ -1323,7 +1331,7 @@ _MLM_POS_MIX = 1000003  # position mixer, coprime to 2^32
         "x -> x <> '') AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
-        f"(doc_id * {_KNUTH} + i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
         f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t) "
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
         "CAST(COALESCE(list_sum(mk), 0) AS BIGINT) AS n_masked, "
@@ -1339,8 +1347,9 @@ _MLM_POS_MIX = 1000003  # position mixer, coprime to 2^32
     doc="MASKED-LM CORRUPTION — the deterministic form of BERT's 15% "
     "token masking a reproducible pretraining pipeline needs: "
     "position i of doc d is masked iff "
-    "hash(d, i) mod 10000 < 1500, where the hash is the Knuth mix "
-    "of (doc_id, position) — re-running the job, or re-running it "
+    "hash(d, i) mod 10000 < 1500, where the hash is the Knuth doc mix "
+    "plus a QUADRATIC position term (see _MLM_POS_MIX: a linear term "
+    "produces long mask runs) — re-running the job, or re-running it "
     "on a different cluster, corrupts identically, and the mask "
     "decision needs NO RNG state or stored mask table. Emits the "
     "corrupted text and the label stream (the masked-out tokens in "
@@ -1354,8 +1363,13 @@ def q_mask_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_expr(F.col("text"))
 
     def mask_flag(i):  # i is the 0-based HOF index; hash uses 1-based
+        # the index must be widened BEFORE the multiply: the HOF index
+        # is a 32-bit int, and (i+1)*1000003 overflows int at position
+        # 2147 (ANSI crash / silent wrap) while the oracle's range()
+        # index is BIGINT — long docs are exactly this op's use case
+        pos = (i + 1).cast("long")
         return (
-            (F.col("doc_id") * _KNUTH + (i + 1) * F.lit(_MLM_POS_MIX))
+            (F.col("doc_id") * _KNUTH + pos * pos * F.lit(_MLM_POS_MIX))
             % _M32 % 10000 < _MLM_RATE_BP
         )
 
@@ -1684,7 +1698,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> x <> '') AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
-        f"(doc_id * {_KNUTH} + i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
         f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t), "
         "s AS (SELECT doc_id, toks, mk, list_transform("
         "range(1, len(toks) + 1), i -> CAST(mk[i] = 1 AND "
@@ -1723,8 +1737,10 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_expr(F.col("text"))
 
     def mask_flag(i):  # identical hash to q_mask_lm (1-based position)
+        # long-widened index before the multiply — see q_mask_lm
+        pos = (i + 1).cast("long")
         return (
-            (F.col("doc_id") * _KNUTH + (i + 1) * F.lit(_MLM_POS_MIX))
+            (F.col("doc_id") * _KNUTH + pos * pos * F.lit(_MLM_POS_MIX))
             % _M32 % 10000 < _MLM_RATE_BP
         ).cast("int")
 

@@ -206,6 +206,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = inactive.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_inactive")
     )
+    # deliberately NOT checkpointed (unlike the guarded similarity
+    # joins): the anti-join is cheap at every scale and the audit pins
+    # LeftAnti in the RETURNED plan, which a checkpoint scan would hide
     if out.limit(1).count() == 0:
         raise RuntimeError(
             "anti-join found zero inactive customers — the period "

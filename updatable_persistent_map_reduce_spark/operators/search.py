@@ -132,6 +132,23 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_term_tf(d: DataFrame) -> DataFrame:
+    """(doc_id, dl, token, tf) for the query terms — the ONE term-
+    filtered posting aggregate both rankers share (only the 3 query
+    terms' postings cross the wire). q_rank_fusion's TF pool derives
+    from this same frame so its exchange is plan-identical to BM25's
+    and Spark's ReuseExchange executes the scan+shuffle once."""
+    docs = d.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    return (
+        docs.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def bm25_score_frame(d: DataFrame) -> DataFrame:
     """(doc_id, score) — every doc matching >= 1 query term with its
     rounded BM25 score; the top-k cut is the caller's (q_bm25 takes
@@ -143,12 +160,7 @@ def bm25_score_frame(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("toks").alias("token"))
-        .filter(F.col("token").isin(QUERY_TERMS))
-        .groupBy("doc_id", "dl", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = query_term_tf(d)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     s = (
         tf.crossJoin(F.broadcast(g))
@@ -370,9 +382,6 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = Catalog(spark, sf_dir).documents
-    docs = d.select(
-        "doc_id", tokens_expr(F.col("text")).alias("toks")
-    )
     bm = (
         bm25_score_frame(d)
         .orderBy(F.desc("score"), "doc_id")
@@ -382,11 +391,13 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.row_number().over(W.orderBy(F.desc("score"), "doc_id")),
     ).select("doc_id", F.col("rnk").alias("brnk"))
+    # the TF pool re-aggregates the SAME posting frame bm25_score_frame
+    # consumes (r10 review: a fresh explode/filter scan doubled the
+    # dominant cost) — sum of per-term tf == total query-term hits
     hits = (
-        docs.select("doc_id", F.explode("toks").alias("token"))
-        .filter(F.col("token").isin(QUERY_TERMS))
+        query_term_tf(d)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .agg(F.sum("tf").cast("long").alias("hits"))
     )
     tfp = hits.orderBy(F.desc("hits"), "doc_id").limit(RRF_POOL)
     tfr = tfp.withColumn(

@@ -520,7 +520,12 @@ def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_edges
 
     e = spread(planted_corpus(Catalog(spark, sf_dir).embeddings))
-    out = lsh_candidate_edges(spark, e).select("va", "vb", "cos_sim")
+    # checkpoint before the guard so the LSH join runs once, not twice
+    out = (
+        lsh_candidate_edges(spark, e)
+        .select("va", "vb", "cos_sim")
+        .localCheckpoint()
+    )
     if out.limit(1).count() == 0:
         raise RuntimeError(
             "LSH threshold join found zero pairs at cos >= 0.9 — the "
