@@ -722,14 +722,15 @@ def test_embed_covariance_matches_numpy_ground_truth(spark, sf_dir):
 def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
     """Upsert exactness for the numeric index: revising vectors and
     then re-submitting the ORIGINALS must restore the batch-1 state
-    bit-for-bit (latest-wins retraction leaves no residue), and n
-    must equal the vector count for every pair (no double counting
-    of re-embedded vectors)."""
+    bit-for-bit (latest-wins retraction leaves no residue), n must
+    equal the vector count for every pair (no double counting), and
+    the view must have AUTO-ENABLED the two-level reduce tree (the
+    closed-form sums are the operator's whole maintenance story)."""
     import tempfile
 
     from updatable_persistent_map_reduce_spark.operators.incremental import (
         _COV_INC_DIMS,
-        q_covariance_incremental,  # noqa: F401 (registered form)
+        cov_pair_rows,
     )
     from updatable_persistent_map_reduce_spark.plans import MapReduceView
     from updatable_persistent_map_reduce_spark.sources import Catalog
@@ -743,67 +744,36 @@ def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
     assert all(r.n == n_vec for r in rows)
 
     # round trip: batch1 = originals, batch2 = revision, batch3 =
-    # originals again -> state must equal a batch1-only view
-    from updatable_persistent_map_reduce_spark.operators import (
-        incremental as inc,
-    )
+    # originals again -> state must equal a batch1-only view. Drives
+    # the operator's REAL Map (cov_pair_rows) so a future Map change
+    # cannot silently detach the test from the operator.
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
 
     def build(batches):
-        store = tempfile.mkdtemp(prefix="upmr_cov_rt_")
-        [[gmax]] = e.select(
-            F.max(
-                F.greatest(
-                    F.array_max("embedding").cast("double"),
-                    (-F.array_min("embedding")).cast("double"),
-                )
-            )
-        ).collect()
-        scale = gmax / 127
-
-        def pair_rows(df):
-            q = F.transform(
-                F.slice("embedding", 1, _COV_INC_DIMS),
-                lambda x: F.floor(
-                    x.cast("double") / F.lit(scale) + 0.5
-                ).cast("long"),
-            )
-            w = df.select("vec_id", q.alias("q"))
-            pairs = F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("q"),
-                        lambda qi, i: F.transform(
-                            F.col("q"),
-                            lambda qj, j: F.struct(
-                                i.alias("dim_i"),
-                                j.alias("dim_j"),
-                                (qi * qj).alias("prod"),
-                                qi.alias("qi"),
-                                qj.alias("qj"),
-                            ),
-                        ),
-                    )
-                ),
-                lambda p: p["dim_i"] <= p["dim_j"],
-            )
-            return w.select(
-                "vec_id", F.explode(pairs).alias("p")
-            ).select("vec_id", "p.*")
-
         view = MapReduceView(
             spark,
-            store,
+            tempfile.mkdtemp(prefix="upmr_cov_rt_"),
             id_col="vec_id",
-            map_fn=pair_rows,
+            map_fn=cov_pair_rows(gmax / 127),
             group_cols=["dim_i", "dim_j"],
             agg_exprs=[
-                F.sum("prod").cast("long").alias("sum_prod"),
-                F.sum("qi").cast("long").alias("sum_i"),
-                F.sum("qj").cast("long").alias("sum_j"),
-                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_prod").alias("sum_prod"),
+                F.sum("sum_i").alias("sum_i"),
+                F.sum("sum_j").alias("sum_j"),
+                F.sum("n").alias("n"),
             ],
             n_key_spans=4,
             n_doc_spans=4,
+        )
+        assert view.two_level, (
+            "closed-form sums must auto-enable the two-level tree"
         )
         for b in batches:
             view.execute(b)

@@ -345,6 +345,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_dedup_simhash": (["HashAggregate"], ["BatchEvalPython"]),
     # declared O(n^2) correctness baselines: only forbid row-at-a-time
     "q_dedup_ngram": ([], ["BatchEvalPython"]),
+    # post-localCheckpoint read-back (r10 guard change) — the O(n^2)
+    # brute-force shape is the declared baseline, nothing to pin
     "q_dedup_embed": ([], ["BatchEvalPython"]),
     "q_sim_search_lsh": (
         ["Broadcast"],
@@ -580,8 +582,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Window", "Broadcast"],
         ["Python", "CartesianProduct"],
     ),
-    # LSH similarity join: bucket equi-join + exact verify; Arrow
-    # bucket UDF allowed, pickled row path and products forbidden
+    # LSH similarity join: the returned frame is post-localCheckpoint
+    # (r10: one execution shared by guard + collect), so the forbidden
+    # list only polices the read-back; the bucket equi-join shape is
+    # asserted by test_cluster_edges_are_bucket_joined on the shared
+    # candidate-edge builder
     "q_sim_join_threshold": (
         [],
         ["CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"],

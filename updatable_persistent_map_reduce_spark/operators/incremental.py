@@ -1390,6 +1390,49 @@ _COV_INC_MOD = 5  # every 5th vector is re-embedded in batch 2
 _COV_INC_QMAX = 127
 
 
+def cov_pair_rows(scale: float):
+    """Map factory for the covariance view: quantize the 16-dim prefix
+    on the (revision-invariant) global scale and emit one row per
+    dimension pair with columns PRE-NAMED for the closed-form reduce
+    (sum_prod/sum_i/sum_j plus literal-1 n), so the view's aggregates
+    are exactly ``sum(c) AS c`` — the syntactic re-reducibility the
+    two-level tree requires. Shared with the retraction round-trip
+    test so the test always drives the operator's real Map."""
+
+    def pair_rows(df: DataFrame) -> DataFrame:
+        q = F.transform(
+            F.slice("embedding", 1, _COV_INC_DIMS),
+            lambda x: F.floor(x.cast("double") / F.lit(scale) + 0.5).cast(
+                "long"
+            ),
+        )
+        w = df.select("vec_id", q.alias("q"))
+        pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("q"),
+                    lambda qi, i: F.transform(
+                        F.col("q"),
+                        lambda qj, j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (qi * qj).alias("sum_prod"),
+                            qi.alias("sum_i"),
+                            qj.alias("sum_j"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["dim_i"] <= p["dim_j"],
+        )
+        return (
+            w.select("vec_id", F.explode(pairs).alias("p"))
+            .select("vec_id", "p.*", F.lit(1).cast("long").alias("n"))
+        )
+
+    return pair_rows
+
+
 def _cov_inc_oracle() -> str:
     """Final post-upsert state directly in SQL: the corpus with every
     5th vector's component 0 sign-flipped (|x| unchanged, so the
@@ -1440,10 +1483,16 @@ def _cov_inc_oracle() -> str:
     "driving a drift monitor that must NEVER double-count a "
     "re-embedded vector. Covariance sums are the textbook case for "
     "the re-reducible Reduce contract (MapReduceTask.cs:12-13): "
-    "partial scatter matrices merge by addition, so dirty-span "
-    "recompute re-reduces only the revised vectors' spans. At 100 TB "
-    "a re-embedding pipeline updates drift statistics per batch "
-    "without rescanning the corpus.",
+    "partial scatter matrices merge by addition, and the aggregates "
+    "are written in the closed sum(c)-AS-c form so the view AUTO-"
+    "ENABLES its two-level materialized reduce tree — essential "
+    "here, because every vector feeds all 136 pair keys (every key "
+    "span is always dirty) and single-level maintenance would re-"
+    "reduce the whole mapped corpus per batch; with L1 partials the "
+    "batch re-reduces only its own dirty (key-span, doc-bucket) "
+    "pairs plus the spans' partials. At 100 TB a re-embedding "
+    "pipeline updates drift statistics per batch without rescanning "
+    "the corpus.",
 )
 def q_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
@@ -1456,49 +1505,25 @@ def q_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).collect()
     scale = gmax / _COV_INC_QMAX
-
-    def pair_rows(df: DataFrame) -> DataFrame:
-        q = F.transform(
-            F.slice("embedding", 1, _COV_INC_DIMS),
-            lambda x: F.floor(x.cast("double") / F.lit(scale) + 0.5).cast(
-                "long"
-            ),
-        )
-        w = df.select("vec_id", q.alias("q"))
-        pairs = F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("q"),
-                    lambda qi, i: F.transform(
-                        F.col("q"),
-                        lambda qj, j: F.struct(
-                            i.alias("dim_i"),
-                            j.alias("dim_j"),
-                            (qi * qj).alias("prod"),
-                            qi.alias("qi"),
-                            qj.alias("qj"),
-                        ),
-                    ),
-                )
-            ),
-            lambda p: p["dim_i"] <= p["dim_j"],
-        )
-        return w.select(
-            "vec_id", F.explode(pairs).alias("p")
-        ).select("vec_id", "p.*")
-
     store = tempfile.mkdtemp(prefix="upmr_cov_inc_")
     view = MapReduceView(
         spark,
         store,
         id_col="vec_id",
-        map_fn=pair_rows,
+        map_fn=cov_pair_rows(scale),
+        # closed-form sums (sum(c) AS c over map-emitted columns, with
+        # n emitted as literal 1s) — this is what lets the view AUTO-
+        # ENABLE the two-level materialized reduce tree, so a revision
+        # batch re-reduces only its own dirty (key-span, doc-bucket)
+        # partials even though every vector touches all 136 pair keys
+        # (asserted two_level=True in tests). count(*) here would
+        # silently fall back to single-level (r10 review finding).
         group_cols=["dim_i", "dim_j"],
         agg_exprs=[
-            F.sum("prod").cast("long").alias("sum_prod"),
-            F.sum("qi").cast("long").alias("sum_i"),
-            F.sum("qj").cast("long").alias("sum_j"),
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sum_prod").alias("sum_prod"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_j").alias("sum_j"),
+            F.sum("n").alias("n"),
         ],
         n_key_spans=4,
         n_doc_spans=4,

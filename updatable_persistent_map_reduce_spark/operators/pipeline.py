@@ -592,8 +592,8 @@ _CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
     "q_chunk_split",
     oracle=(
         "WITH t AS (SELECT doc_id, "
-        "list_filter(string_split_regex(lower(text), '\\s+'), "
-        "x -> x <> '') AS toks FROM documents), "
+        "COALESCE(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> ''), []) AS toks FROM documents), "
         "s AS (SELECT doc_id, toks, "
         f"unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start "
         "FROM t WHERE len(toks) > 0) "
@@ -1327,8 +1327,8 @@ _MLM_POS_MIX = 1000003
     "q_mask_lm",
     oracle=(
         "WITH t AS (SELECT doc_id, "
-        "list_filter(string_split_regex(lower(text), '\\s+'), "
-        "x -> x <> '') AS toks FROM documents), "
+        "COALESCE(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> ''), []) AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
         f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
@@ -1360,7 +1360,12 @@ _MLM_POS_MIX = 1000003
 )
 def q_mask_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    toks = tokens_expr(F.col("text"))
+    # NULL text folds to an empty token array so the engine agrees
+    # with the oracle's COALESCE(..., []) (r10 review: NULL-text
+    # rows otherwise emit NULL n/streams vs the oracle's 0/'')
+    toks = F.coalesce(
+        tokens_expr(F.col("text")), F.array().cast("array<string>")
+    )
 
     def mask_flag(i):  # i is the 0-based HOF index; hash uses 1-based
         # the index must be widened BEFORE the multiply: the HOF index
@@ -1694,8 +1699,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_span_corruption",
     oracle=(
         "WITH t AS (SELECT doc_id, "
-        "list_filter(string_split_regex(lower(text), '\\s+'), "
-        "x -> x <> '') AS toks FROM documents), "
+        "COALESCE(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> ''), []) AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
         f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
@@ -1734,7 +1739,12 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    toks = tokens_expr(F.col("text"))
+    # NULL text folds to an empty token array so the engine agrees
+    # with the oracle's COALESCE(..., []) (r10 review: NULL-text
+    # rows otherwise emit NULL n/streams vs the oracle's 0/'')
+    toks = F.coalesce(
+        tokens_expr(F.col("text")), F.array().cast("array<string>")
+    )
 
     def mask_flag(i):  # identical hash to q_mask_lm (1-based position)
         # long-widened index before the multiply — see q_mask_lm

@@ -3959,8 +3959,12 @@ _PROFILE_COLS = [
     (
         "lineitem",
         "l_quantity",
-        "CAST(l_quantity AS BIGINT)",
-        "CAST(l_quantity AS BIGINT)",
+        # floor BEFORE the cast: a bare double->BIGINT cast truncates
+        # toward zero in Spark but rounds in DuckDB, so a fractional
+        # quantity would diverge (TPC-H quantities are integral, but
+        # the profile must not depend on that fixture property)
+        "CAST(floor(l_quantity) AS BIGINT)",
+        "CAST(floor(l_quantity) AS BIGINT)",
     ),
     ("documents", "lang", "lang", None),
     ("events", "event_type", "event_type", None),
@@ -4003,8 +4007,10 @@ def _catalog_stats_oracle() -> str:
     "rendering is engine-specific. Per column: one full-scan "
     "aggregate (count/nulls/min/max reduce map-side; exact NDV is "
     "the one genuine shuffle, the same partial/final shape as "
-    "count(DISTINCT)); Catalyst collapses same-table profiles onto a "
-    "shared scan. At 100 TB production would swap exact NDV for HLL "
+    "count(DISTINCT)). Each profile scans ONLY its own column's "
+    "pages (columnar pruning — single-column ReadSchema), so "
+    "profiling k columns costs k column reads, never k table reads. "
+    "At 100 TB production would swap exact NDV for HLL "
     "(q_approx_distinct's sketch) column-by-column — the output "
     "contract is unchanged, which is why the profile emits plain "
     "columns rather than engine state.",
