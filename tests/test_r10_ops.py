@@ -898,3 +898,36 @@ def test_span_corruption_python_reference_on_adversarial_masks(spark):
         assert r.n_tokens == len(toks)
         ids = [int(x) for x in re.findall(r"<extra_id_(\d+)>", inp)]
         assert ids == list(range(k))
+
+
+def test_mask_ops_long_document_overflow_and_scatter(spark):
+    """Regression for the r10 position-hash defects: (a) a 3000-token
+    document must not overflow the 32-bit HOF index arithmetic (ANSI
+    crash past position 2147 before the long-widening fix), and
+    (b) masks must be SCATTERED — many short spans — not the ~500-token
+    consecutive runs the linear position mixer produced. Parity is
+    checked against DuckDB on the same corpus."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    n = 3000
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, " ".join(f"t{j}" for j in range(n)))],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        m = QUERIES["q_mask_lm"].fn(spark, td).collect()[0]
+        s = QUERIES["q_span_corruption"].fn(spark, td).collect()[0]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{td}/documents.parquet/*.parquet'"
+        )
+        dm = con.execute(QUERIES["q_mask_lm"].oracle).fetchall()[0]
+        ds = con.execute(QUERIES["q_span_corruption"].oracle).fetchall()[0]
+    assert m.n_tokens == n
+    assert 0.10 * n < m.n_masked < 0.20 * n  # rate, not a run artifact
+    assert s.n_spans > 0.5 * m.n_masked  # scattered: mostly short spans
+    assert tuple(m) == dm and tuple(s) == ds  # engine == oracle, exact
