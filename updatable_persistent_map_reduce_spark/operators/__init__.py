@@ -81,6 +81,9 @@ _PRIORITY = [
     "q_pagerank",          # r10: planted-twin corpus (was an empty graph)
     "q_join_anti",         # r10: 1995 period restriction (was an empty anti-join)
     "q_dedup_substring_remove",  # r10: merged-run excision rewrite
+    "q_graph_triangles",   # r10: shared _copurchase_edges builder
+    "q_bm25",              # r10: tf via the shared query_term_tf frame
+    "q_chunk_split",       # r10: oracle toks CTE NULL-coalesced
     # -- 2. new in round 10, never driver-attested ------------------
     "q_quality_classifier",
     "q_graph_kcore",
@@ -102,7 +105,7 @@ _PRIORITY = [
     "q_covariance_incremental",
     "q_catalog_stats",
     # -- unchanged, last attested round 5 (42 ids) --
-    "q_chunk_split", "q_dedup_cross_snapshot",
+    "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",
     "q_minhash_containment", "q_null_semantics", "q_percent_change",
     "q_resample_weighted", "q_retention_cohort", "q_scan_orc", "q_scan_text",
@@ -144,7 +147,7 @@ _PRIORITY = [
     # -- unchanged, last attested round 8 (47 ids) --
     "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
     "q_anomaly_p99", "q_approx_distinct", "q_array_map_funcs", "q_batch_256",
-    "q_bm25", "q_corpus_prep", "q_decontaminate", "q_dedup_edit",
+    "q_corpus_prep", "q_decontaminate", "q_dedup_edit",
     "q_dedup_near", "q_dedup_semantic", "q_doc_fingerprint",
     "q_doc_len_histogram", "q_embed_pq", "q_embed_quantize",
     "q_epoch_shuffle", "q_except", "q_filter_pred",
@@ -158,7 +161,7 @@ _PRIORITY = [
     "q_text_stats", "q_token_count", "q_udaf_pandas", "q_window_rank",
     # -- unchanged, last attested round 9 (47 ids) --
     "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
-    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl", "q_graph_triangles", "q_html_extract", "q_intersect",
+    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl", "q_html_extract", "q_intersect",
     "q_inverted_index", "q_join_full",
     "q_join_interval_overlap", "q_join_left", "q_join_range", "q_join_semi",
     "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel", "q_rereduce_tree",
