@@ -931,3 +931,21 @@ def test_mask_ops_long_document_overflow_and_scatter(spark):
     assert 0.10 * n < m.n_masked < 0.20 * n  # rate, not a run artifact
     assert s.n_spans > 0.5 * m.n_masked  # scattered: mostly short spans
     assert tuple(m) == dm and tuple(s) == ds  # engine == oracle, exact
+
+
+def test_stream_covariance_agrees_with_batch_operator(spark, sf_dir):
+    """Cross-operator consistency: the streaming drift monitor's
+    drained final state must equal q_embed_covariance's batch scatter
+    stats restricted to the 16-dim prefix — same quantization, same
+    corpus, three different execution paths (batch / view / stream)
+    must tell one story."""
+    stream = {
+        (r.dim_i, r.dim_j): (r.sum_prod, r.sum_i, r.sum_j, r.n)
+        for r in QUERIES["q_stream_covariance"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.dim_i, r.dim_j): (r.sum_prod, r.sum_i, r.sum_j, r.n)
+        for r in QUERIES["q_embed_covariance"].fn(spark, sf_dir).collect()
+        if r.dim_i < 16 and r.dim_j < 16
+    }
+    assert stream == batch

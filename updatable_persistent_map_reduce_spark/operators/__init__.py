@@ -104,6 +104,7 @@ _PRIORITY = [
     "q_embed_covariance",
     "q_covariance_incremental",
     "q_catalog_stats",
+    "q_stream_covariance",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",

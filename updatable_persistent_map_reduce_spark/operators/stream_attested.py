@@ -1038,3 +1038,118 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(decisions).select(
         "doc_id", "lang", "accepted", "reason"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming covariance drift monitor — numeric state across micro-batches.
+
+
+@register(
+    "q_stream_covariance",
+    oracle=(
+        "WITH mx AS (SELECT max(greatest("
+        "CAST(list_aggregate(embedding, 'max') AS DOUBLE), "
+        "-CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS gmax "
+        "FROM embeddings), "
+        "q AS (SELECT list_transform(embedding[1:16], x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / (gmax / 127) + 0.5) AS BIGINT)) "
+        "AS q FROM embeddings, mx), "
+        "p AS (SELECT ii.i AS dim_i, jj.j AS dim_j, q FROM q "
+        "CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii "
+        "CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj "
+        "WHERE ii.i <= jj.j) "
+        "SELECT CAST(dim_i AS INTEGER) AS dim_i, "
+        "CAST(dim_j AS INTEGER) AS dim_j, "
+        "CAST(sum(q[dim_i + 1] * q[dim_j + 1]) AS BIGINT) AS sum_prod, "
+        "CAST(sum(q[dim_i + 1]) AS BIGINT) AS sum_i, "
+        "CAST(sum(q[dim_j + 1]) AS BIGINT) AS sum_j, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM p GROUP BY dim_i, dim_j"
+    ),
+    doc="STREAMING COVARIANCE DRIFT MONITOR — the third leg of the "
+    "covariance trio (batch = q_embed_covariance, view-maintained = "
+    "q_covariance_incremental, STREAMING = this): the quantized "
+    "16-dim pair rows arrive as a 3-file producer replayed one file "
+    "per micro-batch (the Kafka-topic-of-mapped-records shape), and "
+    "an UN-windowed update-mode running aggregation accumulates the "
+    "integer scatter sums per (dim_i, dim_j) key across every batch "
+    "— integer sums are associative, so the drained final state is "
+    "hash-exact against the whole-corpus batch oracle. Asserts "
+    "in-query that every pair key was emitted by >= 3 distinct "
+    "micro-batches with GROWING n (a single-batch recompute or a "
+    "lost state store fails loudly). State = one row per pair key "
+    "(136) — cardinality-bounded, never stream-length-bounded: the "
+    "update-mode contract applied to drift statistics, so a "
+    "re-embedding pipeline can watch its corpus covariance move "
+    "batch by batch without ever rescanning history.",
+)
+def q_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.incremental import cov_pair_rows
+    from ..streaming.stream_view import streaming_running_agg
+
+    e = Catalog(spark, sf_dir).embeddings
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    pair_rows = cov_pair_rows(gmax / 127)
+
+    base = tempfile.mkdtemp(prefix="upmr_stream_cov_")
+    inbox = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    for b in range(3):
+        pair_rows(
+            e.filter(F.col("vec_id") % 3 == b).select("vec_id", "embedding")
+        ).coalesce(1).write.mode("append").parquet(inbox)
+    streaming_running_agg(
+        spark,
+        input_path=inbox,
+        input_schema=(
+            "vec_id bigint, dim_i int, dim_j int, sum_prod bigint, "
+            "sum_i bigint, sum_j bigint, n bigint"
+        ),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        out_path=out,
+        key_cols=("dim_i", "dim_j"),
+        agg_exprs=[
+            F.sum("sum_prod").alias("sum_prod"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_j").alias("sum_j"),
+            F.sum("n").alias("n"),
+        ],
+    )
+    emitted = spark.read.parquet(out)
+    probe = (
+        emitted.groupBy("dim_i", "dim_j")
+        .agg(
+            F.countDistinct("batch_id").alias("n_batches"),
+            (F.max("n") > F.min("n")).alias("grew"),
+        )
+        .collect()
+    )
+    if not probe or any(r["n_batches"] < 3 or not r["grew"] for r in probe):
+        raise RuntimeError(
+            "covariance state accumulation not observed across "
+            "micro-batches — the replay collapsed to a batch "
+            "aggregate, so this query would not be attesting "
+            "streaming state"
+        )
+    return (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("dim_i", "dim_j").orderBy(
+                    F.col("batch_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("dim_i", "dim_j", "sum_prod", "sum_i", "sum_j", "n")
+    )
