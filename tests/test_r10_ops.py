@@ -949,3 +949,56 @@ def test_stream_covariance_agrees_with_batch_operator(spark, sf_dir):
         if r.dim_i < 16 and r.dim_j < 16
     }
     assert stream == batch
+
+
+def test_store_diff_pruning_is_lossless(spark, sf_dir):
+    """The manifest-level span pruning must be LOSSLESS: recomputing
+    the diff over ALL spans (no pruning) yields the identical change
+    set; deltas carry the merge scenario's exact semantics (+1000
+    cents / seg UPDATED for changed rows, negative-balance removals,
+    +10M-key additions)."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.operators.incremental import (
+        _merge_scenario,
+    )
+
+    pruned = {
+        r.k: r for r in QUERIES["q_store_diff"].fn(spark, sf_dir).collect()
+    }
+    assert pruned
+
+    t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_diff_rt_")
+    v1 = t.version
+    t.merge(src, on=["k"], delete_where="dead")
+    before = {
+        r.k: (r.bal_cents, r.seg)
+        for r in t.read(spark, version=v1).collect()
+    }
+    after = {
+        r.k: (r.bal_cents, r.seg) for r in t.read(spark).collect()
+    }
+    full = {}
+    for k in before.keys() | after.keys():
+        if k not in before:
+            full[k] = ("added", None, after[k][0], None, after[k][1])
+        elif k not in after:
+            full[k] = ("removed", before[k][0], None, before[k][1], None)
+        elif before[k] != after[k]:
+            full[k] = (
+                "changed", before[k][0], after[k][0],
+                before[k][1], after[k][1],
+            )
+    assert {
+        k: (r.change_type, r.bal_before, r.bal_after, r.seg_before,
+            r.seg_after)
+        for k, r in pruned.items()
+    } == full
+    for r in pruned.values():
+        if r.change_type == "changed":
+            assert r.bal_after == r.bal_before + 1000
+            assert r.seg_after == "UPDATED"
+        elif r.change_type == "removed":
+            assert r.bal_before < 0
+        else:
+            assert r.k >= 10_000_000 and r.seg_after == "NEW"

@@ -1061,6 +1061,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # snapshot diff: full outer join of two manifest-pruned snapshot
+    # reads on the key — an equi-join, never a product; no Python
+    "q_store_diff": (
+        ["re:(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*FullOuter"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
 }
 
 

@@ -105,6 +105,7 @@ _PRIORITY = [
     "q_covariance_incremental",
     "q_catalog_stats",
     "q_stream_covariance",
+    "q_store_diff",
     # -- unchanged, last attested round 5 (42 ids) --
     "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",
