@@ -730,6 +730,7 @@ def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
 
     from updatable_persistent_map_reduce_spark.operators.incremental import (
         _COV_INC_DIMS,
+        _COV_INC_QMAX,
         cov_pair_rows,
     )
     from updatable_persistent_map_reduce_spark.plans import MapReduceView
@@ -761,7 +762,7 @@ def test_covariance_incremental_retraction_round_trip(spark, sf_dir):
             spark,
             tempfile.mkdtemp(prefix="upmr_cov_rt_"),
             id_col="vec_id",
-            map_fn=cov_pair_rows(gmax / 127),
+            map_fn=cov_pair_rows(gmax / _COV_INC_QMAX),
             group_cols=["dim_i", "dim_j"],
             agg_exprs=[
                 F.sum("sum_prod").alias("sum_prod"),

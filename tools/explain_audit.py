@@ -1055,8 +1055,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
-    # streaming covariance: decisions read back from the drained sink;
-    # latest-emission window, no pickled Python, no product
+    # streaming covariance: scatter-sum state rows read back from the
+    # drained sink; latest-emission window, no pickled Python, no
+    # product
     "q_stream_covariance": (
         ["Window"],
         ["BatchEvalPython", "CartesianProduct"],

@@ -95,3 +95,23 @@ COS_DOUBLE_SQL = (
     "list_transform({a}, x -> CAST(x AS DOUBLE)), "
     "list_transform({b}, x -> CAST(x AS DOUBLE)))"
 )
+
+
+def global_embed_gmax(e) -> float:
+    """Corpus-global max |component| of the ``embedding`` column — the
+    ONE bounded 1-row collect every global-scale quantizer shares
+    (q_embed_pq, q_embed_covariance, q_covariance_incremental,
+    q_stream_covariance divide this by their QMAX). A single helper so
+    'same quantization' across the covariance trio is shared code,
+    not triplicated source text."""
+    from pyspark.sql import functions as F
+
+    [[gmax]] = e.select(
+        F.max(
+            F.greatest(
+                F.array_max("embedding").cast("double"),
+                (-F.array_min("embedding")).cast("double"),
+            )
+        )
+    ).collect()
+    return gmax

@@ -106,7 +106,7 @@ _PRIORITY = [
     "q_catalog_stats",
     "q_stream_covariance",
     "q_store_diff",
-    # -- unchanged, last attested round 5 (42 ids) --
+    # -- unchanged, last attested round 5 (39 ids) --
     "q_dedup_cross_snapshot",
     "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",
     "q_minhash_containment", "q_null_semantics", "q_percent_change",
@@ -132,7 +132,7 @@ _PRIORITY = [
     "q_store_stats_prune", "q_stream_checkpoint_recovery", "q_stream_enrich",
     "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
     "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (43 ids) --
+    # -- unchanged, last attested round 7 (42 ids) --
     "q_agg_approx_quantile", "q_agg_boolean", "q_agg_grouping_sets",
     "q_agg_multi", "q_bucket_hash", "q_cogroup_udf", "q_cross_tab",
     "q_cumulative_distinct", "q_dedup_exact",
@@ -146,7 +146,7 @@ _PRIORITY = [
     "q_quality_score", "q_sim_index_persisted", "q_split_exact",
     "q_sql_tpch_q2", "q_streak_days", "q_text_index_persisted",
     "q_time_weighted_avg", "q_window_distribution",
-    # -- unchanged, last attested round 8 (47 ids) --
+    # -- unchanged, last attested round 8 (46 ids) --
     "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
     "q_anomaly_p99", "q_approx_distinct", "q_array_map_funcs", "q_batch_256",
     "q_corpus_prep", "q_decontaminate", "q_dedup_edit",
@@ -161,7 +161,7 @@ _PRIORITY = [
     "q_store_delete_vectors", "q_store_point_lookup", "q_store_restore",
     "q_stream_neardup_gate", "q_stream_session", "q_stream_tumbling",
     "q_text_stats", "q_token_count", "q_udaf_pandas", "q_window_rank",
-    # -- unchanged, last attested round 9 (47 ids) --
+    # -- unchanged, last attested round 9 (43 ids) --
     "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
     "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl", "q_html_extract", "q_intersect",
     "q_inverted_index", "q_join_full",

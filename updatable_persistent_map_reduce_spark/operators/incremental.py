@@ -1496,14 +1496,9 @@ def _cov_inc_oracle() -> str:
 )
 def q_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
+    from ..functions.vectors import global_embed_gmax
+
+    gmax = global_embed_gmax(e)
     scale = gmax / _COV_INC_QMAX
     store = tempfile.mkdtemp(prefix="upmr_cov_inc_")
     view = MapReduceView(
@@ -1599,12 +1594,15 @@ def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in set(s1) | set(s2)
         if s1.get(s) != s2.get(s)
     )
-    if not (0 < len(changed_spans) < len(set(s1) | set(s2))):
+    # the merge scenario touches EXACTLY spans 0-2 (q_store_merge pins
+    # spans_touched == 3); accepting any 1..7 here would let a file-
+    # churn regression silently degrade the O(churned spans) claim
+    if changed_spans != [0, 1, 2]:
         raise RuntimeError(
-            f"manifest-level diff pruning is not engaging: "
-            f"{len(changed_spans)} changed spans of {len(s1)} — the "
-            "diff would either read the whole table or attest an "
-            "empty change set"
+            f"manifest-level diff pruning is not engaging as claimed: "
+            f"changed spans {changed_spans}, expected exactly [0, 1, 2] "
+            f"of {len(set(s1) | set(s2))} — either untouched spans "
+            "churned or the change set is wrong"
         )
     before = t.read(spark, spans=changed_spans, version=v1).select(
         F.col("k").alias("k"),

@@ -354,14 +354,9 @@ _PQ_D = 8  # dims per subspace
 )
 def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
+    from ..functions.vectors import global_embed_gmax
+
+    gmax = global_embed_gmax(e)
     scale = gmax / 127
     codes = e.select(
         "vec_id",
@@ -673,14 +668,9 @@ _KM_K = 4  # clusters for the attested assignment step
 )
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
+    from ..functions.vectors import global_embed_gmax
+
+    gmax = global_embed_gmax(e)
     scale = gmax / 127
     code_expr = F.transform(
         "embedding",
@@ -777,14 +767,9 @@ def q_embed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
+    from ..functions.vectors import global_embed_gmax
+
+    gmax = global_embed_gmax(e)
     scale = gmax / 127
     codes = e.select(
         "vec_id",
@@ -987,14 +972,9 @@ _COV_DIM = 64  # embedding dimensionality (TESTDATA.md)
 )
 def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
+    from ..functions.vectors import global_embed_gmax
+
+    gmax = global_embed_gmax(e)
     scale = gmax / _QMAX
     d = _COV_DIM
     iu = np.triu_indices(d)

@@ -575,6 +575,73 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replayed_running_agg(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    input_schema: str,
+    key_cols: tuple[str, ...],
+    agg_exprs: list,
+    grow_col: str,
+    prefix: str,
+) -> DataFrame:
+    """Shared harness for the un-windowed update-mode attestations
+    (q_stream_update_mode, q_stream_covariance): stage each pre-built
+    batch frame as ONE producer file, replay with maxFilesPerTrigger=1
+    so availableNow processes them as that many micro-batches, assert
+    every key was emitted by >= len(batches) distinct micro-batches
+    with ``grow_col`` GROWING across emissions (a single-batch
+    recompute or a lost state store fails loudly), and return the
+    latest emission per key. One harness, two attestations — a probe
+    fix can never silently apply to only one of them."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.stream_view import streaming_running_agg
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    inbox = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    os.makedirs(inbox)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(inbox)
+    streaming_running_agg(
+        spark,
+        input_path=inbox,
+        input_schema=input_schema,
+        checkpoint_path=os.path.join(base, "ckpt"),
+        out_path=out,
+        key_cols=key_cols,
+        agg_exprs=agg_exprs,
+    )
+    emitted = spark.read.parquet(out)
+    probe = (
+        emitted.groupBy(*key_cols)
+        .agg(
+            F.countDistinct("batch_id").alias("n_batches"),
+            (F.max(grow_col) > F.min(grow_col)).alias("grew"),
+        )
+        .collect()
+    )
+    if not probe or any(
+        r["n_batches"] < len(batches) or not r["grew"] for r in probe
+    ):
+        raise RuntimeError(
+            f"running-state accumulation not observed: {probe[:5]}; the "
+            "producer staging or maxFilesPerTrigger replay collapsed "
+            "to fewer micro-batches, so this query would attest a "
+            "plain batch aggregate"
+        )
+    return (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+
+
 @register(
     "q_stream_update_mode",
     oracle=(
@@ -601,58 +668,25 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into the driver-attested column.",
 )
 def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..streaming.stream_view import streaming_running_agg
-
     ev = Catalog(spark, sf_dir).events.select(
         "event_id", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="upmr_updmode_")
-    inbox = os.path.join(base, "in")
-    out = os.path.join(base, "out")
-    os.makedirs(inbox)
-    for b in range(3):
-        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(inbox)
-    streaming_running_agg(
+    latest = _replayed_running_agg(
         spark,
-        input_path=inbox,
-        input_schema="event_id bigint, event_type string, value double",
-        checkpoint_path=os.path.join(base, "ckpt"),
-        out_path=out,
-        key_cols=("event_type",),
-        agg_exprs=[
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)],
+        "event_id bigint, event_type string, value double",
+        ("event_type",),
+        [
             F.count(F.lit(1)).alias("cnt"),
             F.sum("value").alias("value_sum"),
         ],
+        grow_col="cnt",
+        prefix="upmr_updmode_",
     )
-    emitted = spark.read.parquet(out)
-    probe = emitted.groupBy("event_type").agg(
-        F.countDistinct("batch_id").alias("n_batches"),
-        (F.max("cnt") > F.min("cnt")).alias("grew"),
-    ).collect()
-    if not probe or any(r["n_batches"] < 3 or not r["grew"] for r in probe):
-        raise RuntimeError(
-            f"running-state accumulation not observed: {probe}; the "
-            "producer staging or maxFilesPerTrigger replay collapsed "
-            "to fewer micro-batches, so this query would attest a "
-            "plain batch aggregate"
-        )
-    return (
-        emitted.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("event_type").orderBy(F.col("batch_id").desc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("event_type").alias("group_key"),
-            "cnt",
-            F.round("value_sum", 2).alias("value_sum"),
-        )
+    return latest.select(
+        F.col("event_type").alias("group_key"),
+        "cnt",
+        F.round("value_sum", 2).alias("value_sum"),
     )
 
 
@@ -1084,72 +1118,35 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch by batch without ever rescanning history.",
 )
 def q_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..operators.incremental import cov_pair_rows
-    from ..streaming.stream_view import streaming_running_agg
+    from ..functions.vectors import global_embed_gmax
+    from ..operators.incremental import _COV_INC_QMAX, cov_pair_rows
 
     e = Catalog(spark, sf_dir).embeddings
-    [[gmax]] = e.select(
-        F.max(
-            F.greatest(
-                F.array_max("embedding").cast("double"),
-                (-F.array_min("embedding")).cast("double"),
-            )
-        )
-    ).collect()
-    pair_rows = cov_pair_rows(gmax / 127)
-
-    base = tempfile.mkdtemp(prefix="upmr_stream_cov_")
-    inbox = os.path.join(base, "in")
-    out = os.path.join(base, "out")
-    os.makedirs(inbox)
-    for b in range(3):
-        pair_rows(
-            e.filter(F.col("vec_id") % 3 == b).select("vec_id", "embedding")
-        ).coalesce(1).write.mode("append").parquet(inbox)
-    streaming_running_agg(
+    pair_rows = cov_pair_rows(global_embed_gmax(e) / _COV_INC_QMAX)
+    latest = _replayed_running_agg(
         spark,
-        input_path=inbox,
-        input_schema=(
+        [
+            pair_rows(
+                e.filter(F.col("vec_id") % 3 == b).select(
+                    "vec_id", "embedding"
+                )
+            )
+            for b in range(3)
+        ],
+        (
             "vec_id bigint, dim_i int, dim_j int, sum_prod bigint, "
             "sum_i bigint, sum_j bigint, n bigint"
         ),
-        checkpoint_path=os.path.join(base, "ckpt"),
-        out_path=out,
-        key_cols=("dim_i", "dim_j"),
-        agg_exprs=[
+        ("dim_i", "dim_j"),
+        [
             F.sum("sum_prod").alias("sum_prod"),
             F.sum("sum_i").alias("sum_i"),
             F.sum("sum_j").alias("sum_j"),
             F.sum("n").alias("n"),
         ],
+        grow_col="n",
+        prefix="upmr_stream_cov_",
     )
-    emitted = spark.read.parquet(out)
-    probe = (
-        emitted.groupBy("dim_i", "dim_j")
-        .agg(
-            F.countDistinct("batch_id").alias("n_batches"),
-            (F.max("n") > F.min("n")).alias("grew"),
-        )
-        .collect()
-    )
-    if not probe or any(r["n_batches"] < 3 or not r["grew"] for r in probe):
-        raise RuntimeError(
-            "covariance state accumulation not observed across "
-            "micro-batches — the replay collapsed to a batch "
-            "aggregate, so this query would not be attesting "
-            "streaming state"
-        )
-    return (
-        emitted.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("dim_i", "dim_j").orderBy(
-                    F.col("batch_id").desc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("dim_i", "dim_j", "sum_prod", "sum_i", "sum_j", "n")
+    return latest.select(
+        "dim_i", "dim_j", "sum_prod", "sum_i", "sum_j", "n"
     )
