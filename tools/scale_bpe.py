@@ -170,11 +170,18 @@ def main() -> None:
     )
     from updatable_persistent_map_reduce_spark.operators.text_analysis import (
         _BPE_TRAIN_GENS,
-        _bpe_apply_expr,
+        bpe_train_generations,
     )
 
     def train_split_times(d: DataFrame) -> tuple[float, float]:
-        """(corpus-prefix seconds, per-generation loop seconds)."""
+        """(corpus-prefix seconds, per-generation loop seconds). The
+        loop is the SHARED bpe_train_generations — the exact code
+        q_bpe_train registers — so this measurement can never drift
+        from the operator (r10 advice: a verbatim copy of the loop
+        body lived here and would have detached on the next retune).
+        The shared loop includes each generation's 1-row
+        subwords_after collect; that agg is vocab-sized like the rest
+        of the generation, so the flatness claim is unchanged."""
         t0 = time.perf_counter()
         tok = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
         wf = tok.groupBy("w").agg(
@@ -185,36 +192,8 @@ def main() -> None:
         ).localCheckpoint()
         t_prefix = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for _ in range(_BPE_TRAIN_GENS):
-            bp = (
-                vocab.filter(F.size("cs") >= 2)
-                .select(
-                    "wtot",
-                    F.explode(
-                        F.transform(
-                            F.sequence(F.lit(0), F.size("cs") - 2),
-                            lambda i: F.struct(
-                                F.get("cs", i).alias("a"),
-                                F.get("cs", i + 1).alias("b"),
-                            ),
-                        )
-                    ).alias("p"),
-                )
-                .select("p.a", "p.b", "wtot")
-                .filter(F.col("a") != F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.sum("wtot").alias("c"))
-            )
-            top = bp.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
-            if not top:  # pair-exhausted corpus: same early stop as
-                break  # q_bpe_train's loop (r10 review finding)
-            rule = top[0]
-            vocab = vocab.withColumn(
-                "cs",
-                _bpe_apply_expr(
-                    F.col("cs"), F.lit(rule["a"]), F.lit(rule["b"])
-                ),
-            ).localCheckpoint()
+        learned, _ = bpe_train_generations(vocab, _BPE_TRAIN_GENS)
+        assert learned, "training learned no rules on the synth corpus"
         return t_prefix, time.perf_counter() - t0
 
     gen_times: dict[int, float] = {}

@@ -1312,14 +1312,21 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # masked-LM corruption — deterministic BERT-style token masking.
 
 _MLM_RATE_BP = 1500  # 15% of positions, the published BERT rate
-# Position mixer. The hash is doc_id*KNUTH + pos^2 * MIX (QUADRATIC in
-# the position): a linear pos*MIX walk advances only MIX mod 10000 = 3
-# per position through the rate window, so masks came out as ~500-token
-# consecutive RUNS instead of scattered 15% (caught in r10 self-review);
-# the squared term makes consecutive strides (2p+1)*MIX, which scatters
-# decisions (measured 15.0% rate, span-length tail 1:6500/2:1199/3:315
-# — BERT-scattered with a T5-like short-span tail). pos^2 * MIX stays
-# inside int64 for docs up to ~3e6 tokens.
+# Position mixer. The hash is doc_id*KNUTH + (pos^2 mod 2^32) * MIX
+# (QUADRATIC in the position): a linear pos*MIX walk advances only
+# MIX mod 10000 = 3 per position through the rate window, so masks came
+# out as ~500-token consecutive RUNS instead of scattered 15% (caught
+# in r10 self-review); the squared term makes consecutive strides
+# (2p+1)*MIX, which scatters decisions (measured 15.0% rate,
+# span-length tail 1:6500/2:1199/3:315 — BERT-scattered with a T5-like
+# short-span tail). pos^2 is reduced mod 2^32 BEFORE the multiply so
+# the term is bounded by 2^32 * MIX ~ 4.3e15 and the hash stays inside
+# int64 for ANY document length — the unreduced form overflowed past
+# ~3e6 tokens, where ANSI DuckDB raises but non-ANSI Spark silently
+# wraps, so the engines diverged instead of failing together (r10
+# advice). For every position below 65536 (pos^2 < 2^32) the reduction
+# is the identity, so mask decisions — and the measured scatter stats
+# above — are unchanged on any real-page-sized document.
 _MLM_POS_MIX = 1000003
 
 
@@ -1331,7 +1338,8 @@ _MLM_POS_MIX = 1000003
         "'\\s+'), x -> x <> ''), []) AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
-        f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"(doc_id * {_KNUTH} + ((i * i) % {_M32}) * {_MLM_POS_MIX}) "
+        f"% {_M32} % 10000 "
         f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t) "
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
         "CAST(COALESCE(list_sum(mk), 0) AS BIGINT) AS n_masked, "
@@ -1371,10 +1379,15 @@ def q_mask_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the index must be widened BEFORE the multiply: the HOF index
         # is a 32-bit int, and (i+1)*1000003 overflows int at position
         # 2147 (ANSI crash / silent wrap) while the oracle's range()
-        # index is BIGINT — long docs are exactly this op's use case
+        # index is BIGINT — long docs are exactly this op's use case.
+        # pos^2 is reduced mod 2^32 before the MIX multiply so the
+        # hash stays in int64 at ANY position (see _MLM_POS_MIX).
         pos = (i + 1).cast("long")
         return (
-            (F.col("doc_id") * _KNUTH + pos * pos * F.lit(_MLM_POS_MIX))
+            (
+                F.col("doc_id") * _KNUTH
+                + (pos * pos % _M32) * F.lit(_MLM_POS_MIX)
+            )
             % _M32 % 10000 < _MLM_RATE_BP
         )
 
@@ -1703,7 +1716,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'\\s+'), x -> x <> ''), []) AS toks FROM documents), "
         "m AS (SELECT doc_id, toks, list_transform("
         "range(1, len(toks) + 1), i -> CAST("
-        f"(doc_id * {_KNUTH} + i * i * {_MLM_POS_MIX}) % {_M32} % 10000 "
+        f"(doc_id * {_KNUTH} + ((i * i) % {_M32}) * {_MLM_POS_MIX}) "
+        f"% {_M32} % 10000 "
         f"< {_MLM_RATE_BP} AS INT)) AS mk FROM t), "
         "s AS (SELECT doc_id, toks, mk, list_transform("
         "range(1, len(toks) + 1), i -> CAST(mk[i] = 1 AND "
@@ -1747,10 +1761,13 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mask_flag(i):  # identical hash to q_mask_lm (1-based position)
-        # long-widened index before the multiply — see q_mask_lm
+        # long-widened index + pos^2 mod 2^32 reduction — see q_mask_lm
         pos = (i + 1).cast("long")
         return (
-            (F.col("doc_id") * _KNUTH + pos * pos * F.lit(_MLM_POS_MIX))
+            (
+                F.col("doc_id") * _KNUTH
+                + (pos * pos % _M32) * F.lit(_MLM_POS_MIX)
+            )
             % _M32 % 10000 < _MLM_RATE_BP
         ).cast("int")
 

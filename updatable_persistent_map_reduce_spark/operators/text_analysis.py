@@ -948,7 +948,11 @@ QC_SCORE_SQL = (
 def qc_score_col(text_col):
     """Spark Column: the classifier's integer dot-product score for a
     text column — the exact expression q_quality_classifier registers,
-    shared with the streaming quota gate."""
+    shared with the streaming quota gate and q_preference_pairs. The
+    token array is coalesced to empty so a NULL-text doc scores 0,
+    matching QC_SCORE_SQL's COALESCE(list_sum(...), 0) — before this,
+    NULL text scored NULL in Spark vs 0 in the oracle and a NULL-text
+    doc could rank differently between the engines (r10 advice)."""
     warr = F.array(*[F.lit(w) for w in _QC_W])
 
     def _wt(t):
@@ -959,8 +963,11 @@ def qc_score_col(text_col):
         ) % _QC_BUCKETS
         return F.element_at(warr, (b + 1).cast("int")).cast("long")
 
+    toks = F.coalesce(
+        tokens_expr(text_col), F.array().cast("array<string>")
+    )
     return F.aggregate(
-        F.transform(tokens_expr(text_col), _wt),
+        F.transform(toks, _wt),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
@@ -1200,9 +1207,33 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = wf.select(
         "w", "wtot", chars_expr(F.col("w")).alias("cs")
     ).localCheckpoint()
+    learned, _ = bpe_train_generations(vocab)
+    return spark.createDataFrame(
+        learned,
+        "gen int, a string, b string, pair_count long, "
+        "subwords_after long",
+    )
 
+
+def bpe_train_generations(
+    vocab: DataFrame, generations: int = _BPE_TRAIN_GENS
+) -> tuple[list, DataFrame]:
+    """THE Sennrich merge-learning loop over a (w, wtot, cs) vocabulary
+    frame: per generation, count adjacent symbol pairs (corpus-
+    frequency weighted, self-pairs excluded) -> collect the single top
+    rule (count DESC, pair ASC) -> apply it with the pure-HOF merge
+    projection -> localCheckpoint -> collect the corpus subword total.
+    Returns ``(learned, vocab)``: ``learned`` is one
+    (gen, a, b, pair_count, subwords_after) tuple per learned rule
+    (the loop stops early if the corpus runs out of mergeable pairs)
+    and ``vocab`` the final merged frame — callers that only need the
+    trained segmentation (q_tokenizer_coverage) read ``size(cs)`` off
+    it. Shared by q_bpe_train, q_tokenizer_coverage, and
+    tools/scale_bpe.py, so the scale tool MEASURES the registered loop
+    rather than a copy that could silently drift from it (r10
+    advice)."""
     learned = []  # (gen, a, b, pair_count, subwords_after)
-    for gen in range(1, _BPE_TRAIN_GENS + 1):
+    for gen in range(1, generations + 1):
         bp = (
             vocab.filter(F.size("cs") >= 2)
             .select(
@@ -1234,9 +1265,141 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("wtot") * F.size("cs")).cast("long").alias("s")
         ).collect()[0]["s"]
         learned.append((gen, rule["a"], rule["b"], rule["c"], sub))
+    return learned, vocab
 
-    return spark.createDataFrame(
-        learned,
-        "gen int, a string, b string, pair_count long, "
-        "subwords_after long",
+
+# ---------------------------------------------------------------------------
+# tokenizer-coverage audit — the go/no-go readout after BPE training.
+
+
+def _tokenizer_coverage_oracle() -> str:
+    """q_bpe_train's unrolled generation chain, then the per-(lang,
+    source) coverage rollup over the trained segmentation. One
+    robustness change vs _bpe_train_oracle: each generation applies
+    its rule via LEFT JOIN ON TRUE instead of CROSS JOIN, so an
+    early-exhausted corpus (r{k} empty) leaves g{k} = g{k-1} — the
+    apply CASE's NULL rule comparisons all fail to the identity branch
+    — matching the Spark loop's early stop instead of emptying the
+    vocabulary."""
+    parts = [
+        r"WITH tok AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ "
+        "FROM tok GROUP BY doc_id, w), "
+        "wf AS (SELECT w, CAST(sum(occ) AS BIGINT) AS wtot FROM occ "
+        "GROUP BY w), "
+        "g0 AS (SELECT w, wtot, list_transform(range(1, len(w) + 1), "
+        "i -> substr(w, i, 1)) AS cs FROM wf)"
+    ]
+    apply_tpl = (
+        "flatten(list_transform(range(1, len(cs) + 1), i -> "
+        "CASE WHEN i > 1 AND cs[i-1] = r.a AND cs[i] = r.b THEN [] "
+        "WHEN i < len(cs) AND cs[i] = r.a AND cs[i+1] = r.b "
+        "THEN [cs[i] || cs[i+1]] ELSE [cs[i]] END))"
+    )
+    for k in range(1, _BPE_TRAIN_GENS + 1):
+        parts.append(
+            f"p{k} AS (SELECT a, b, CAST(sum(wtot) AS BIGINT) AS c "
+            f"FROM (SELECT cs[i] AS a, cs[i+1] AS b, wtot FROM "
+            f"(SELECT cs, wtot, unnest(range(1, len(cs))) AS i "
+            f"FROM g{k-1} WHERE len(cs) >= 2)) "
+            f"WHERE a <> b GROUP BY a, b)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} "
+            f"ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"g{k} AS (SELECT w, wtot, " + apply_tpl + f" AS cs "
+            f"FROM g{k-1} LEFT JOIN r{k} r ON TRUE)"
+        )
+    return (
+        ", ".join(parts)
+        + f", sub AS (SELECT w, CAST(len(cs) AS BIGINT) AS n_sub "
+        f"FROM g{_BPE_TRAIN_GENS}), "
+        "j AS (SELECT d.lang, d.source, o.doc_id, o.occ, "
+        "CAST(length(o.w) AS BIGINT) AS wlen, s.n_sub "
+        "FROM occ o JOIN sub s ON o.w = s.w "
+        "JOIN documents d ON d.doc_id = o.doc_id) "
+        "SELECT lang, source, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(sum(occ) AS BIGINT) AS n_words, "
+        "CAST(sum(occ * wlen) AS BIGINT) AS n_chars, "
+        "CAST(sum(occ * n_sub) AS BIGINT) AS n_subwords, "
+        "CAST(sum(occ * wlen) * 10000 // sum(occ * n_sub) AS BIGINT) "
+        "AS chars_per_subword_bp, "
+        "CAST(sum(CASE WHEN n_sub = wlen AND wlen > 1 THEN occ "
+        "ELSE 0 END) * 10000 // sum(occ) AS BIGINT) AS fallback_bp "
+        "FROM j GROUP BY lang, source"
+    )
+
+
+@register(
+    "q_tokenizer_coverage",
+    oracle=_tokenizer_coverage_oracle(),
+    doc="TOKENIZER-COVERAGE AUDIT (r11) — the missing last step of the "
+    "BPE family (train -> apply -> AUDIT): per (lang, source), the "
+    "go/no-go metrics a tokenizer-training run reads before shipping "
+    "a vocabulary — corpus volume (docs with >= 1 token, word / char "
+    "/ subword totals), compression (chars per subword in basis "
+    "points — the bytes-per-token proxy on this all-ASCII fixture), "
+    "and the FALLBACK rate: the share of word occurrences the learned "
+    "merges never touched (still fully character-split despite length "
+    ">= 2 — the OOV analogue of a char-level BPE, where true OOV is "
+    "impossible by construction). A language whose fallback_bp is "
+    "high is under-served by the vocabulary — exactly what this "
+    "audit exists to surface. The trainer is the SHARED "
+    "bpe_train_generations loop (the q_bpe_train rules, not the "
+    "single-generation q_tokenize_bpe table); application is the "
+    "vocab-amortized pure-HOF path (merges run once per DISTINCT "
+    "word), then ONE (lang, source) rollup. At 100 TB: one corpus "
+    "shuffle builds (doc, word, occ), training stays vocab-sized per "
+    "generation (tools/scale_bpe.py), the audit joins occ to the "
+    "vocab-sized segmentation and to the doc-metadata projection, "
+    "and the final rollup shuffles a low-cardinality key.",
+)
+def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    occ = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    # the trainer materializes occ several times (one pair-count per
+    # generation); cache for the bounded training phase only — the
+    # returned audit plan recomputes the cheap token groupBy, the same
+    # trade bpe_doc_counts documents
+    occ.persist()
+    try:
+        wf = occ.groupBy("w").agg(F.sum("occ").cast("long").alias("wtot"))
+        vocab = wf.select(
+            "w", "wtot", chars_expr(F.col("w")).alias("cs")
+        ).localCheckpoint()
+        _, trained = bpe_train_generations(vocab)
+    finally:
+        occ.unpersist()
+    sub = trained.select(
+        "w",
+        F.length("w").cast("long").alias("wlen"),
+        F.size("cs").cast("long").alias("n_sub"),
+    )
+    j = occ.join(sub, "w").join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    )
+    return j.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("n_words"),
+        F.sum(F.col("occ") * F.col("wlen")).cast("long").alias("n_chars"),
+        F.sum(F.col("occ") * F.col("n_sub"))
+        .cast("long")
+        .alias("n_subwords"),
+        F.expr(
+            "sum(occ * wlen) * 10000L DIV sum(occ * n_sub)"
+        ).alias("chars_per_subword_bp"),
+        F.expr(
+            "sum(CASE WHEN n_sub = wlen AND wlen > 1 THEN occ "
+            "ELSE 0L END) * 10000L DIV sum(occ)"
+        ).alias("fallback_bp"),
     )

@@ -506,8 +506,10 @@ _ATTR_TOTAL_BP = 10000
     "(ts, event_id) ordering makes every model deterministic under "
     "timestamp ties. Plan: one user-keyed equi-join with the "
     "lookback as a join-time range predicate (never a time-theta "
-    "product), two row_number windows + a count over the SAME "
-    "conversion-keyed partitioning (one exchange), then a channel "
+    "product), ONE row_number + count window over one conversion-"
+    "keyed exchange and ONE sort (the descending rank is derived as "
+    "n - ra + 1 — the reversed permutation of a totally-ordered "
+    "partition — not a second opposite-order sort), then a channel "
     "rollup. At 100 TB both sides hash-partition by user_id and "
     "the per-conversion windows stay within partitions.",
 )
@@ -540,10 +542,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(byc.orderBy("tts", "tid"))
         .alias("ra"),
-        F.row_number()
-        .over(byc.orderBy(F.col("tts").desc(), F.col("tid").desc()))
-        .alias("rd"),
         F.count(F.lit(1)).over(byc).alias("n"),
+    ).withColumn(
+        # rd derived from the ascending rank and the partition count
+        # instead of a second row_number over the DESCENDING order:
+        # (tts, tid) totally orders each cid partition (tid unique), so
+        # the descending rank is exactly the reversed permutation —
+        # n - ra + 1 is result-identical and drops one Sort per
+        # conversion partition from the plan (r10 verdict item 7; the
+        # single remaining window exchange plans ra and n together).
+        "rd",
+        F.col("n") - F.col("ra") + 1,
     )
     share = F.expr(
         f"{_ATTR_TOTAL_BP} - ({_ATTR_TOTAL_BP} DIV n) * (n - 1)"
@@ -609,7 +618,15 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
         .select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            # concat (not concat_ws): concat_ws SKIPS null elements, so
+            # a NULL event_type would yield a bogus 2-component path
+            # while the oracle's '||' propagates NULL into a NULL path
+            # group — concat matches the oracle on any future fixture
+            # with NULL event types (r10 advice)
+            F.concat(
+                F.col("event_type"), F.lit(">"),
+                F.col("e2"), F.lit(">"), F.col("e3"),
+            ).alias("path")
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
