@@ -1,0 +1,297 @@
+"""Round-11 additions: int64-safe mask hash, NULL-text score parity,
+single-sort attribution, tokenizer-coverage audit, takedown cascade.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark.operators import all_queries
+
+QUERIES = all_queries()
+
+
+def test_mask_hash_in_int64_at_any_position(spark):
+    """The r11 advice fix: pos^2 is reduced mod 2^32 BEFORE the MIX
+    multiply, so the mask hash stays inside int64 at ANY position. The
+    unreduced form left int64 near pos ~ 3e6 (ANSI DuckDB raises,
+    non-ANSI Spark silently wraps — divergence, not a shared failure).
+    Pin: at positions far past that bound, Spark's engine expression,
+    DuckDB's oracle expression, and an arbitrary-precision Python
+    reference all agree; and for positions below 65536 the reduction
+    is the identity (fixture results unchanged)."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _KNUTH,
+        _M32,
+        _MLM_POS_MIX,
+    )
+
+    doc_id = 123
+    positions = [1, 2147, 65_535, 65_536, 3_000_000, 50_000_000]
+
+    def ref(pos):
+        return (doc_id * _KNUTH + (pos * pos % _M32) * _MLM_POS_MIX) % _M32
+
+    # Spark: the exact engine sub-expression over long positions
+    rows = (
+        spark.createDataFrame([(p,) for p in positions], "pos long")
+        .select(
+            "pos",
+            (
+                (
+                    F.lit(doc_id) * _KNUTH
+                    + (F.col("pos") * F.col("pos") % _M32)
+                    * F.lit(_MLM_POS_MIX)
+                )
+                % _M32
+            ).alias("h"),
+        )
+        .collect()
+    )
+    got_spark = {r.pos: r.h for r in rows}
+    # DuckDB: the exact oracle sub-expression (ANSI — would RAISE on
+    # int64 overflow, so a green run proves the bound, not just parity)
+    con = duckdb.connect()
+    got_duck = {
+        p: con.execute(
+            # CAST: in the registered oracle the position comes from
+            # range(), which is already BIGINT; a bare test literal
+            # would be INT32 and overflow at the multiply
+            f"SELECT ({doc_id} * {_KNUTH} + "
+            f"((CAST({p} AS BIGINT) * CAST({p} AS BIGINT)) % {_M32}) "
+            f"* {_MLM_POS_MIX}) % {_M32}"
+        ).fetchone()[0]
+        for p in positions
+    }
+    for p in positions:
+        assert got_spark[p] == got_duck[p] == ref(p), p
+    # identity below 65536: the reduced and unreduced forms coincide
+    for p in [1, 2147, 65_535]:
+        unreduced = (doc_id * _KNUTH + p * p * _MLM_POS_MIX) % _M32
+        assert ref(p) == unreduced, p
+
+
+def test_qc_score_null_text_is_zero(spark):
+    """NULL-text docs score 0 (not NULL) in the shared classifier
+    column, matching QC_SCORE_SQL's COALESCE — so q_preference_pairs
+    ranks a NULL-text doc identically in both engines (r10 advice)."""
+    from updatable_persistent_map_reduce_spark.operators.text_analysis import (
+        qc_score_col,
+    )
+
+    rows = (
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "the the")],
+            "doc_id long, text string",
+        )
+        .select("doc_id", qc_score_col(F.col("text")).alias("score"))
+        .collect()
+    )
+    got = {r.doc_id: r.score for r in rows}
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] is not None and got[3] != 0
+
+
+def test_tokenizer_coverage_invariants(spark, sf_dir):
+    """Structural invariants of the audit on the real fixture: every
+    (lang, source) group satisfies n_words <= n_subwords <= n_chars
+    (each word is >= 1 subword, each subword >= 1 char), rates live in
+    [0, 10000] bp, and the corpus-wide totals agree with
+    q_tokenize_bpe's per-doc accounting on words/chars (the merge
+    TABLES differ — iterative vs single-generation — so subword totals
+    legitimately differ)."""
+    rows = QUERIES["q_tokenizer_coverage"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.n_words > 0
+        assert r.n_words <= r.n_subwords <= r.n_chars, r
+        assert 0 <= r.fallback_bp <= 10000, r
+        assert r.chars_per_subword_bp >= 10000, r  # >= 1 char/subword
+    tb = QUERIES["q_tokenize_bpe"].fn(spark, sf_dir).collect()
+    assert sum(r.n_words for r in rows) == sum(x.n_words for x in tb)
+    assert sum(r.n_chars for r in rows) == sum(x.n_chars for x in tb)
+
+
+def test_tokenizer_coverage_early_exhausted_corpus(spark):
+    """A corpus whose pairs exhaust before all 6 training generations:
+    the Spark loop stops early and the oracle's LEFT JOIN ON TRUE
+    generations degrade to the identity (an empty rule's NULL
+    comparisons all fail) — engine == oracle instead of the CROSS JOIN
+    form's emptied-vocabulary divergence."""
+    import os
+    import tempfile
+
+    # one distinct bigram: training learns 'ab' in gen 1, then runs dry
+    rows_in = [(1, "ab ab", "en", "s1"), (2, "ab", "en", "s1")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows_in, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = QUERIES["q_tokenizer_coverage"].fn(spark, td).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{td}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(
+            QUERIES["q_tokenizer_coverage"].oracle
+        ).fetchall()
+    assert len(got) == len(want) == 1
+    g = got[0]
+    assert tuple(g) == want[0]
+    # 'ab' merged everywhere: 3 word occurrences, each ONE subword
+    assert (g.n_words, g.n_subwords, g.n_chars) == (3, 3, 6)
+    assert g.fallback_bp == 0
+
+
+def _takedown_docs(spark):
+    return spark.createDataFrame(
+        [
+            (i, f"hash join window doc {i} " + "common text here " * 3)
+            for i in range(20)
+        ]
+        + [(99, "hash join window " * 3)],
+        "doc_id long, text string",
+    )
+
+
+def test_text_index_takedown_lifecycle(spark):
+    """InvertedIndex.delete: the victim stops scoring the moment the
+    dead sentinel commits (zero postings rewritten), stats track the
+    takedown, compact() materializes without changing results, and a
+    later re-upsert of the id scores its NEW text only — the old
+    postings stay dead (the live_gen pin; without it they would
+    physically resurrect, since they exist until compact)."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    docs = _takedown_docs(spark)
+    idx = InvertedIndex(spark, tempfile.mkdtemp(prefix="ti_td_"))
+    idx.build(docs)
+    terms = ["hash", "join", "window"]
+    assert idx.bm25(terms, k=1).collect()[0].doc_id == 99
+    files_before = sum(len(v) for v in idx._post.spans().values())
+    idx.delete(spark.createDataFrame([(99,)], "doc_id long"))
+    # MoR: the delete wrote NO postings files
+    assert sum(len(v) for v in idx._post.spans().values()) == files_before
+    post = idx.bm25(terms, k=25).collect()
+    assert 99 not in {r.doc_id for r in post}
+    assert idx.stats()["n_docs"] == 20
+    # idempotent re-run
+    idx.delete(spark.createDataFrame([(99,)], "doc_id long"))
+    assert idx.stats()["n_docs"] == 20
+    idx.compact()
+    assert [tuple(r) for r in idx.bm25(terms, k=25).collect()] == [
+        tuple(r) for r in post
+    ]
+    # fresh index: re-upsert WITHOUT compacting first
+    idx2 = InvertedIndex(spark, tempfile.mkdtemp(prefix="ti_td2_"))
+    idx2.build(docs)
+    idx2.delete(spark.createDataFrame([(99,)], "doc_id long"))
+    idx2.upsert(
+        spark.createDataFrame(
+            [(99, "zebra zebra zebra")], "doc_id long, text string"
+        )
+    )
+    assert idx2.stats()["n_docs"] == 21
+    # old text's postings stay dead...
+    assert 99 not in {r.doc_id for r in idx2.bm25(terms, k=25).collect()}
+    # ...new text's postings are live
+    assert 99 in {r.doc_id for r in idx2.bm25(["zebra"], k=5).collect()}
+
+
+def test_neardup_index_takedown_lifecycle(spark):
+    """NearDupIndex.delete: tombstones land in the victim's own
+    recomputed spans, probes stop returning it immediately, probe-side
+    span pruning is UNCHANGED by the delete (the probe-cost pin),
+    re-appending a tombstoned id raises loudly until compact()
+    materializes, after which the id can be re-indexed."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.neardup_index import (
+        NearDupIndex,
+    )
+
+    docs = _takedown_docs(spark)
+    nd = NearDupIndex(spark, tempfile.mkdtemp(prefix="nd_td_"))
+    nd.build(docs)
+    probe = spark.createDataFrame(
+        [(-1, "hash join window " * 3)], "doc_id long, text string"
+    )
+    p1 = nd.probe(probe).collect()
+    cost1 = dict(nd.last_probe)
+    assert any(r.doc_b == 99 and r.jaccard_bp == 10000 for r in p1)
+    nd.delete(
+        spark.createDataFrame(
+            [(99, "hash join window " * 3)], "doc_id long, text string"
+        )
+    )
+    p2 = nd.probe(probe).collect()
+    cost2 = dict(nd.last_probe)
+    assert not any(r.doc_b == 99 for r in p2)
+    # probe-cost pin: tombstones must not widen the probed span set
+    assert cost2["band_spans_read"] == cost1["band_spans_read"]
+    with pytest.raises(ValueError, match="taken down"):
+        nd.append(
+            spark.createDataFrame(
+                [(99, "x y z")], "doc_id long, text string"
+            )
+        )
+    nd.compact()
+    assert sorted(map(tuple, nd.probe(probe).collect())) == sorted(
+        map(tuple, p2)
+    )
+    nd.append(
+        spark.createDataFrame(
+            [(99, "hash join window " * 3)], "doc_id long, text string"
+        )
+    )
+    assert any(r.doc_b == 99 for r in nd.probe(probe).collect())
+
+
+def test_takedown_cascade_metric_semantics(spark, sf_dir):
+    """The registered cascade's before/after pairs: the victim is
+    present in its artifacts before the delete and absent after, and
+    the ANN top-1 flips from the victim itself to a survivor."""
+    rows = {
+        r.metric: r.value
+        for r in QUERIES["q_takedown_cascade"].fn(spark, sf_dir).collect()
+    }
+    victim = rows["victim_doc"]
+    assert rows["text_victim_hits_before"] == 1  # victim was top-ranked
+    assert rows["text_victim_hits_after"] == 0
+    assert rows["text_top1_after"] != victim
+    assert rows["neardup_victim_pairs_before"] >= 1
+    assert rows["neardup_victim_pairs_after"] == 0
+    assert rows["ann_top1_before"] == victim  # nearest to itself
+    assert rows["ann_top1_after"] != victim
+    n_after = sum(
+        v for m, v in rows.items() if m.startswith("view_docs_")
+    )
+    assert n_after == rows["text_n_docs_after"]
+
+
+def test_attribution_single_sort_plan(spark, sf_dir):
+    """The derived descending rank (rd = n - ra + 1) must leave exactly
+    ONE Sort below the window in the physical plan — the r10 form
+    planned two opposite-order sorts over the same cid exchange."""
+    plan = QUERIES["q_attribution"].fn(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    n_window_sorts = plan.count("cid")  # sanity: the partition key shows
+    assert n_window_sorts > 0
+    # count Sort operators ordering by the touch timestamp: the
+    # ascending one must be there, the descending one must be gone
+    assert plan.count("tts") > 0
+    asc = plan.count("tts#") and "tts" in plan
+    assert asc
+    import re
+
+    sorts = re.findall(r"Sort \[([^\]]*)\]", plan)
+    tts_sorts = [s for s in sorts if "tts" in s]
+    assert len(tts_sorts) == 1, tts_sorts
+    assert "DESC" not in tts_sorts[0], tts_sorts

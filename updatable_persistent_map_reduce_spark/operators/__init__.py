@@ -191,6 +191,7 @@ def all_queries() -> dict[str, Query]:
     from . import graph  # noqa: F401
     from . import stream_attested  # noqa: F401
     from . import layout  # noqa: F401
+    from . import takedown  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})

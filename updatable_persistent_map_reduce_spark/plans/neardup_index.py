@@ -197,6 +197,21 @@ class NearDupIndex:
                         f"{self.path}: NearDupIndex is append-only "
                         "(revisions belong to the view engine)"
                     )
+            # an id whose rows are TAKEN DOWN but not yet compacted is
+            # invisible to the read above (tombstone anti-join), yet
+            # its doc-keyed tombstone would instantly hide any re-
+            # appended rows too — refuse LOUDLY instead of landing
+            # rows that can never serve; compact() first
+            tomb = self._sh.tombstoned_keys(self.spark, spans=batch_dspans)
+            if tomb is not None:
+                hit = sigs.join(tomb, "doc_id", "left_semi").limit(1).collect()
+                if hit:
+                    raise ValueError(
+                        f"doc_id {hit[0]['doc_id']} was taken down from "
+                        f"{self.path} and its tombstone is still pending "
+                        "— compact() to materialize the delete before "
+                        "re-indexing the id"
+                    )
             self._sh.commit(
                 append=self._sh.write_data(self._shingle_rows(sigs))
             )
@@ -205,6 +220,48 @@ class NearDupIndex:
             )
         finally:
             sigs.unpersist()
+
+    def delete(self, docs: DataFrame) -> None:
+        """TAKEDOWN: remove documents (doc_id, text) from the band
+        index — the ANN index's MoR tombstone pattern (plans/
+        ann_index.py delete()) applied to LSH postings. Signatures are
+        RECOMPUTED with the same Arrow kernel build/append used, so
+        the tombstones land in exactly the band-hash spans the doc's
+        rows live in — no scan to locate them (the assign-function
+        trick AnnIndex.delete documents); probes exclude the ids at
+        read time via the manifest tombstone anti-join, and
+        ``compact()`` materializes. SHINGLE TIER FIRST: the delete's
+        crash-ordering mirror of append's shingles-first rule — after
+        a crash between the two commits the doc's band rows are still
+        discoverable but its verification payload is already gone, so
+        a probe's exact-verify join drops every candidate pair
+        involving it: the doc is out of RESULTS the moment the first
+        commit lands, never half-deleted in what a probe returns.
+        Ids never indexed (or with empty shingle sets) contribute no
+        tombstones. Cost: O(deleted docs x bands) tombstone rows."""
+        sigs = self._sig_frame(docs).persist()
+        try:
+            if not sigs.limit(1).collect():
+                return
+            sh_keys = sigs.select(
+                self._dspan(F.col("doc_id")).alias("dspan"), "doc_id"
+            )
+            band_keys = (
+                self._band_rows(sigs).select("bspan", "doc_id").distinct()
+            )
+            self._sh.delete_keys(sh_keys, on=["doc_id"])
+            self._bands.delete_keys(band_keys, on=["doc_id"])
+        finally:
+            sigs.unpersist()
+
+    def compact(self, min_files: int = 1) -> dict:
+        """Materialize pending takedown tombstones / fold small files
+        in both tiers — the store's normal maintenance, exposed on the
+        index (the ann_index pattern). Returns per-tier stats."""
+        return {
+            "shingles": self._sh.compact(self.spark, min_files=min_files),
+            "bands": self._bands.compact(self.spark, min_files=min_files),
+        }
 
     # ----- probe --------------------------------------------------------------
 

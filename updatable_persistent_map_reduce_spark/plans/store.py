@@ -888,6 +888,33 @@ class ManifestTable:
         tomb = df.sparkSession.read.parquet(*files).select(*on).distinct()
         return df.join(tomb, on=on, how="left_anti")
 
+    def tombstoned_keys(
+        self, spark: SparkSession, spans: Iterable[int] | None = None
+    ) -> DataFrame | None:
+        """Distinct delete keys pending materialization (optionally
+        restricted to ``spans``), or ``None`` if the snapshot carries
+        no tombstones there. Writers whose contracts depend on key
+        liveness use this to observe deletes EXPLICITLY — e.g. the
+        near-dup index's append guard, which must distinguish "id was
+        never indexed" from "id is taken down but its dead rows still
+        exist until compact()" (re-appending the latter would land
+        rows the pending doc-keyed tombstone immediately hides)."""
+        m = self._load()
+        deletes = m.get("deletes", {})
+        if not deletes:
+            return None
+        keep = None if spans is None else {int(s) for s in spans}
+        files = [
+            os.path.join(self.path, f)
+            for s, fs in deletes.items()
+            if keep is None or int(s) in keep
+            for f in fs
+        ]
+        if not files:
+            return None
+        on = list(m["delete_on"])
+        return spark.read.parquet(*files).select(*on).distinct()
+
     def changes(
         self,
         spark: SparkSession,

@@ -218,18 +218,34 @@ class InvertedIndex:
             [[n_replaced, old_dl]] = old.agg(
                 F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
             ).collect()
+        # Ids needing a (doc_id, live_gen=gen) pin: ids already in the
+        # doc index (replacements), PLUS ids present only in the
+        # replaced set — a doc delete()d but not yet compacted away.
+        # Without the second class, re-upserting a taken-down id would
+        # either leave its dead-sentinel row (hiding the NEW postings)
+        # or drop its vector entirely (RESURRECTING the old postings,
+        # which still exist physically until compact()); pinning the
+        # new generation keeps exactly the fresh rows live.
+        cur = self._repl.read(self.spark, spans=dspans)
+        pin = old.select("doc_id") if old is not None else None
+        if cur is not None:
+            tombed = cur.join(ids, "doc_id", "semi").select("doc_id")
+            pin = tombed if pin is None else pin.unionByName(tombed)
+        n_pinned = 0
+        if pin is not None:
+            pin = pin.distinct()
+            n_pinned = pin.count()
         # 1. delete vectors FIRST: once (doc_id, live_gen=gen) is
         # committed, no generation but this upsert's can score — the
         # old rows die now, the new rows only become live when they
         # land. (A crash here hides the doc until the retry; it never
         # double-scores it.)
-        if n_replaced:
-            repl_new = old.select(
+        if n_pinned:
+            repl_new = pin.select(
                 "doc_id",
                 F.lit(gen).cast("long").alias("live_gen"),
                 self._dspan(F.col("doc_id")).alias("dspan"),
             )
-            cur = self._repl.read(self.spark, spans=dspans)
             surv = (
                 cur.join(ids, "doc_id", "anti") if cur is not None else None
             )
@@ -286,6 +302,93 @@ class InvertedIndex:
                 f,
             )
         self._maybe_auto_compact()
+
+    def delete(self, doc_ids: DataFrame) -> None:
+        """TAKEDOWN: remove documents from the serving index — the
+        reference's delete-and-reschedule contract (Executer.cs:
+        240-261) and the ANN index's MoR tombstone pattern
+        (plans/ann_index.py delete()) applied to BM25 postings. A
+        (doc_id, live_gen=-1) DEAD SENTINEL lands in the replaced set
+        — -1 is a generation no commit can carry (generations start at
+        1), so every posting of the doc stops scoring the instant the
+        sentinel commits, with ZERO postings files rewritten; the
+        doc_index rows CoW-rewrite out of the ids' own doc spans and
+        the corpus scalars decrement, so (n_docs, avgdl) track the
+        takedown immediately. ``compact()`` MATERIALIZES the delete
+        (folds the dead postings out and clears the sentinel). Commit
+        order is sentinel -> doc_index -> stats: a crash after the
+        sentinel already serves correctly (doc invisible), and a
+        re-run heals the rest — ids no longer in the doc index just
+        refresh their sentinel (idempotent). Ids never indexed are
+        ignored. Cost: O(deleted ids' doc spans), never a postings
+        scan. Re-upserting a deleted id later is safe: upsert pins the
+        new generation over the sentinel (see upsert), so the dead
+        rows stay dead and the new rows score."""
+        ids = doc_ids.select("doc_id").distinct()
+        dspans = sorted(
+            r[0]
+            for r in ids.select(self._dspan(F.col("doc_id")))
+            .distinct()
+            .collect()
+        )
+        if not dspans:
+            return
+        existing = self._docs.read(self.spark, spans=dspans)
+        old = (
+            existing.join(ids, "doc_id", "semi")
+            if existing is not None
+            else None
+        )
+        n_del, old_dl = 0, 0
+        if old is not None:
+            [[n_del, old_dl]] = old.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+            ).collect()
+        cur = self._repl.read(self.spark, spans=dspans)
+        # sentinel also for ids already tombstoned (idempotent re-run)
+        dead_ids = old.select("doc_id") if old is not None else None
+        if cur is not None:
+            retomb = cur.join(ids, "doc_id", "semi").select("doc_id")
+            dead_ids = (
+                retomb
+                if dead_ids is None
+                else dead_ids.unionByName(retomb)
+            )
+        if dead_ids is None:
+            return  # nothing ever indexed under these ids
+        dead_ids = dead_ids.distinct()
+        if not dead_ids.limit(1).collect():
+            return
+        # 1. dead sentinel FIRST — postings stop scoring now
+        dead = dead_ids.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("live_gen"),
+            self._dspan(F.col("doc_id")).alias("dspan"),
+        )
+        surv = cur.join(ids, "doc_id", "anti") if cur is not None else None
+        out = surv.unionByName(dead) if surv is not None else dead
+        mapping = self._repl.write_data(out)
+        self._repl.commit(
+            replace=mapping, drop=[s for s in dspans if s not in mapping]
+        )
+        # 2. doc index: CoW-rewrite the ids' doc spans minus the ids
+        if n_del:
+            surv_idx = existing.join(ids, "doc_id", "anti")
+            imapping = self._docs.write_data(surv_idx)
+            self._docs.commit(
+                replace=imapping,
+                drop=[s for s in dspans if s not in imapping],
+            )
+            # 3. corpus scalars: remove the deleted docs' contribution
+            s = self.stats()
+            with open(self._stats_path, "w") as f:
+                json.dump(
+                    {
+                        "n_docs": s["n_docs"] - int(n_del),
+                        "total_dl": s["total_dl"] - int(old_dl),
+                    },
+                    f,
+                )
 
     def _maybe_auto_compact(self) -> None:
         """Post-upsert trigger: when the postings table averages
