@@ -58,13 +58,17 @@ HEADLINE = [
     "q_window_rank",
     "q_sort_limit",
     "q_dedup_exact",
-    # r7 STEP CHANGE, not a regression: q_dedup_near now runs the
-    # exact-attestation banding (16x1 + integer-exact verify, output
-    # == brute force) and costs ~4.7s at sf0.1 vs ~1.9s for the r6
-    # production banding. The production 8x2 path is unchanged and
-    # still measured — see near_dup_production_sec in the stderr
-    # detail line (and tools/scale_dedup.py for its scaling curve).
-    "q_dedup_near",
+    # r11 SWAP (verdict item 8): the headline now measures the
+    # PRODUCTION 8x2 near-dup banding — what a deployment actually
+    # runs — under the key q_dedup_near_production (timed against
+    # near_dup_pairs, a .count() like the other non-collect rows).
+    # The r7-r10 headline carried the exact-attestation 16x1 config
+    # (q_dedup_near, ~3.4s at sf0.1 vs ~1.7s production); that config
+    # is still measured every round as near_dup_exact_attestation_sec
+    # in the stderr detail. Round-over-round continuity: r10 headline
+    # 11.61s included ~3.37s of 16x1; comparable r11+ totals are
+    # therefore ~1.6s lower by construction (see README).
+    "q_dedup_near_production",
     "q_sim_search",
     "q_text_stats",
     "q_token_count",
@@ -126,6 +130,23 @@ def main() -> None:
     # comparability.
     N_REPS = 5
     from updatable_persistent_map_reduce_spark.operators import incremental
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+    from updatable_persistent_map_reduce_spark.sources import (
+        Catalog,
+        spread as _spread,
+    )
+
+    def _run_headline(name) -> int:
+        if name == "q_dedup_near_production":
+            return near_dup_pairs(
+                _spread(Catalog(spark, sf_dir).documents)
+            ).count()
+        df = qs[name].fn(spark, sf_dir)
+        if name in ("q_mm_features", "q_token_count"):
+            return df.count()
+        return len(df.collect())
 
     for name in headline:
         reps, n = [], 0
@@ -133,10 +154,7 @@ def main() -> None:
             spark.catalog.clearCache()
             incremental._VIEW_CACHE.clear()
             t0 = time.perf_counter()
-            df = qs[name].fn(spark, sf_dir)
-            n = df.count() if name in ("q_mm_features", "q_token_count") else len(
-                df.collect()
-            )
+            n = _run_headline(name)
             reps.append(time.perf_counter() - t0)
         reps.sort()
         times[name] = round(reps[0], 3)
@@ -165,13 +183,23 @@ def main() -> None:
         "q_sql_tpch_q19", "q_sql_tpch_q20", "q_sql_tpch_q21",
         "q_sql_tpch_q22",
     ]
+    # best-of-3 per TPC-H query (r10 verdict item 4): single cold
+    # measurements blipped q_cdc_incremental_rollup in r9 and
+    # q_sql_tpch_q8 (+59%) in r10 — both untouched code, both noise;
+    # pay ~2x suite wall once per round and stop re-litigating blips.
     tpch_times: dict[str, float] = {}
     for name in tpch:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = len(qs[name].fn(spark, sf_dir).collect())
-        tpch_times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {tpch_times[name]}s ({n} rows)", file=sys.stderr)
+        reps = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = len(qs[name].fn(spark, sf_dir).collect())
+            reps.append(time.perf_counter() - t0)
+        tpch_times[name] = round(min(reps), 3)
+        print(
+            f"# {name}: {tpch_times[name]}s ({n} rows; best of 3)",
+            file=sys.stderr,
+        )
 
     # Secondary metric: the STORE lifecycle suite (merge, CDC feed +
     # incremental rollup, stat-pruned read, schema evolution,
@@ -209,29 +237,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Secondary: the PRODUCTION near-dup banding (8 bands of 2 —
-    # unchanged since r2), one cold rep, so the historical ~1.9s
-    # number stays visible next to the exact-attestation config the
-    # q_dedup_near headline row now measures.
-    from updatable_persistent_map_reduce_spark.operators.dedup import (
-        near_dup_pairs,
-    )
-    from updatable_persistent_map_reduce_spark.sources import (
-        Catalog,
-        spread as _spread,
-    )
-
-    # best-of-3 (was 1): r9 flagged this single measurement +33% out of
-    # the noise band on unchanged code — see r9 verdict item 4.
+    # Secondary: the EXACT-ATTESTATION near-dup banding (16x1, output
+    # == brute force — the registered q_dedup_near) — best-of-3, so
+    # the r7-r10 headline series for that config stays comparable
+    # after the r11 headline swap to the production path.
     nd_reps = []
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        near_dup_pairs(_spread(Catalog(spark, sf_dir).documents)).count()
+        qs["q_dedup_near"].fn(spark, sf_dir).count()
         nd_reps.append(time.perf_counter() - t0)
-    near_dup_production = round(min(nd_reps), 3)
+    near_dup_exact = round(min(nd_reps), 3)
     print(
-        f"# near_dup_production (8x2 banding): {near_dup_production}s "
+        f"# near_dup_exact_attestation (16x1 banding): {near_dup_exact}s "
         f"(best of 3)",
         file=sys.stderr,
     )
@@ -255,12 +273,15 @@ def main() -> None:
                 "tpch_queries": tpch_times,
                 "store_suite_total": round(sum(store_times.values()), 3),
                 "store_queries": store_times,
-                "near_dup_production_sec": near_dup_production,
+                "near_dup_exact_attestation_sec": near_dup_exact,
                 "near_dup_note": (
-                    "q_dedup_near's headline row measures the r7 "
-                    "exact-attestation banding (16x1, output == brute "
-                    "force); this secondary is the unchanged 8x2 "
-                    "production path for round-over-round continuity"
+                    "r11 swap: the headline's q_dedup_near_production "
+                    "row now measures the production 8x2 banding "
+                    "(continues r7-r10's near_dup_production_sec "
+                    "series); this secondary is the exact-attestation "
+                    "16x1 config that WAS the headline in r7-r10 "
+                    "(~3.4s at sf0.1) — r11+ headline totals are "
+                    "~1.6s lower than r10's by construction"
                 ),
                 "noise_note": (
                     f"value/queries are best-of-{N_REPS} cold runs;"

@@ -276,6 +276,80 @@ def test_takedown_cascade_metric_semantics(spark, sf_dir):
     assert n_after == rows["text_n_docs_after"]
 
 
+def test_graph_fixpoint_round_plans_are_equi_joins(
+    spark, sf_dir, monkeypatch
+):
+    """Restores the positive plan pins the a6e6dbc guard-checkpoint
+    change removed from the audit (r10 verdict item 5): the REGISTERED
+    queries' per-round frames are captured at the moment they are
+    localCheckpoint'ed — i.e. the real pre-checkpoint physical plans
+    the fixpoint loops execute — and every one must be built from hash
+    equi-joins: no cartesian product, no nested-loop join, no pickled-
+    row Python anywhere in any round of q_pagerank or q_graph_kcore."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the facade
+    # base in Spark 4 and instances carry the classic subclass's own
+    # localCheckpoint, which would shadow a base-class patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        captured.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+
+    # k-core at the smoke sf can converge with ZERO peel rounds (every
+    # node is already >= k), which checkpoints no round frames — drive
+    # the SHARED kcore_peel_trace on a planted path graph instead: its
+    # degree-1 endpoints peel one layer per round (k=2), guaranteeing
+    # several real rounds of the identical registered loop.
+    from updatable_persistent_map_reduce_spark.operators.graph import (
+        kcore_peel_trace,
+    )
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "u long, v long"
+    )
+
+    runs = {
+        "q_pagerank": lambda: QUERIES["q_pagerank"]
+        .fn(spark, sf_dir)
+        .collect(),
+        "kcore_peel_trace": lambda: kcore_peel_trace(
+            path_edges, k=2
+        ).collect(),
+    }
+    for q, run in runs.items():
+        captured.clear()
+        run()
+        assert len(captured) >= 3, q  # the loop really checkpoints
+        joiny = 0
+        for plan in captured:
+            assert "CartesianProduct" not in plan, q
+            # at most ONE BroadcastNestedLoopJoin per round plan: the
+            # sanctioned 1-row scalar cross join (pagerank's broadcast
+            # dangling-mass aggregate). An edge-sized NLJ would show as
+            # a second occurrence — and the equi-join count below going
+            # to zero.
+            assert plan.count("BroadcastNestedLoopJoin") <= 1, (q, plan)
+            assert "BatchEvalPython" not in plan, q
+            if any(
+                m in plan
+                for m in (
+                    "SortMergeJoin",
+                    "ShuffledHashJoin",
+                    "BroadcastHashJoin",
+                )
+            ):
+                joiny += 1
+        # the per-round update frames join on the edge key
+        assert joiny >= 2, (q, len(captured))
+
+
 def test_attribution_single_sort_plan(spark, sf_dir):
     """The derived descending rank (rd = n - ra + 1) must leave exactly
     ONE Sort below the window in the physical plan — the r10 form

@@ -360,10 +360,34 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_mm_frame_sample": (["MapInPandas"], ["BatchEvalPython"]),
     # session windows aggregate JVM-side
     "q_stream_session": ([], ["Python", "CartesianProduct"]),
-    # pagerank result: checkpointed ranks, no Python in the read plan
+    # pagerank result: checkpointed ranks, so the returned plan is a
+    # read-back and carries no positive pins; the per-round join shape
+    # is asserted by tests/test_r11_ops.py::
+    # test_graph_fixpoint_round_plans_are_equi_joins (pre-checkpoint
+    # plan) and measured per-octave in tools/scale_triangles.py;
+    # semantics pinned by test_pagerank_matches_numpy_power_iteration
     "q_pagerank": ([], ["BatchEvalPython", "CartesianProduct"]),
-    # k-core peel trace: checkpointed per-round degree aggs, no Python
+    # k-core peel trace: checkpointed per-round degree aggs — same
+    # compensating coverage: the pre-checkpoint round plan is asserted
+    # by test_graph_fixpoint_round_plans_are_equi_joins, per-octave
+    # peel cost measured in tools/scale_triangles.py, semantics by
+    # test_kcore_peel_trace_invariants + the planted-graph reference
     "q_graph_kcore": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # tokenizer-coverage audit (r11): the trained segmentation is a
+    # checkpointed vocab-sized frame; the returned rollup joins it to
+    # the occ aggregate JVM-side — one HashAggregate, no Python, no
+    # cartesian anywhere
+    "q_tokenizer_coverage": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # takedown cascade (r11): the returned frame is a driver-assembled
+    # bounded metric table (LocalTableScan) — the real plans ran inside
+    # the four artifact legs, whose shapes are asserted by their own
+    # audit entries (q_text_index_persisted, q_neardup_index_persisted,
+    # q_sim_index_persisted, q_upsert_delete) and the r11 lifecycle
+    # pytests (tests/test_r11_ops.py) with probe-cost pins
+    "q_takedown_cascade": ([], ["BatchEvalPython", "CartesianProduct"]),
     # unpivot: one map-side Expand, single pass, no join/Python
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path

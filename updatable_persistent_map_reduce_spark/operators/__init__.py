@@ -70,54 +70,20 @@ def register(
 # query regardless of position, and the union of driver rounds covers
 # all of them.
 _PRIORITY = [
-    # -- 1. implementation changed in round 10 since the last
-    #       driver row (re-attestation is most valuable first) ----
-    "q_ngram_novelty",   # r10: oracle novelty_bp CAST AS BIGINT (the r9 red row)
-    "q_graph_jaccard",   # r10: J threshold 0.3 -> 0.15 + non-emptiness raise
-    "q_sim_index_pq",    # r10: last_probe initialized before empty-codes return
-    "q_dedup_embed",       # r10: planted-twin corpus (was an empty join)
-    "q_sim_join_threshold",  # r10: planted-twin corpus (was an empty join)
-    "q_dedup_cluster",     # r10: planted-twin corpus (was all singletons)
-    "q_pagerank",          # r10: planted-twin corpus (was an empty graph)
-    "q_join_anti",         # r10: 1995 period restriction (was an empty anti-join)
-    "q_dedup_substring_remove",  # r10: merged-run excision rewrite
-    "q_graph_triangles",   # r10: shared _copurchase_edges builder
-    "q_bm25",              # r10: tf via the shared query_term_tf frame
-    "q_chunk_split",       # r10: oracle toks CTE NULL-coalesced
-    # -- 2. new in round 10, never driver-attested ------------------
-    "q_quality_classifier",
-    "q_graph_kcore",
-    "q_sim_search_binary",
-    "q_rank_fusion",
-    "q_pmi_collocations",
-    "q_stream_quality_gate",
-    "q_bpe_train",
-    "q_sample_priority",
-    "q_preference_pairs",
-    "q_mask_lm",
-    "q_constraint_audit",
-    "q_k_anonymity",
-    "q_span_corruption",
-    "q_graph_bfs",
-    "q_attribution",
-    "q_path_analysis",
-    "q_embed_covariance",
-    "q_covariance_incremental",
-    "q_catalog_stats",
-    "q_stream_covariance",
-    "q_store_diff",
-    # -- unchanged, last attested round 5 (39 ids) --
-    "q_dedup_cross_snapshot",
-    "q_dedup_hamming", "q_dedup_url", "q_ingest_corrupt", "q_map_type_ops",
-    "q_minhash_containment", "q_null_semantics", "q_percent_change",
-    "q_resample_weighted", "q_retention_cohort", "q_scan_orc", "q_scan_text",
-    "q_scd2_history", "q_session_conversion", "q_sim_search", "q_simhash_incremental", "q_sketch_union",
+    # -- 1. implementation changed in round 11 since the last
+    #       driver row (advice fixes / refactors; re-attestation first) --
+    "q_mask_lm", "q_span_corruption", "q_quality_classifier",
+    "q_preference_pairs", "q_stream_quality_gate", "q_path_analysis",
+    "q_attribution", "q_bpe_train",
+    # -- 2. new in round 11, never driver-attested ------------------
+    "q_tokenizer_coverage", "q_takedown_cascade",
+    # -- unchanged, last attested round 5 (22 ids) --
     "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
     "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q6",
     "q_sql_tpch_q7", "q_sql_tpch_q8", "q_store_rescale", "q_stream_dedup",
     "q_stream_interval_join", "q_stream_sessionize", "q_stream_view_upsert",
-    "q_tfidf_vectors", "q_time_travel", "q_topk_per_group", "q_udtf_surface",
-    "q_unpivot", "q_upsert_delete", "q_upsert_recount",
+    "q_tfidf_vectors", "q_time_travel", "q_topk_per_group",
+    "q_udtf_surface", "q_unpivot", "q_upsert_delete", "q_upsert_recount",
     # -- unchanged, last attested round 6 (43 ids) --
     "q_bigram_fluency", "q_cdc_incremental_rollup", "q_collation",
     "q_data_mix", "q_dedup_substring", "q_dedup_substring_hashed",
@@ -129,50 +95,69 @@ _PRIORITY = [
     "q_sql_scripting", "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16",
     "q_sql_tpch_q20", "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9",
     "q_sql_udf", "q_store_cdc", "q_store_clone", "q_store_schema_evolution",
-    "q_store_stats_prune", "q_stream_checkpoint_recovery", "q_stream_enrich",
-    "q_stream_full_outer_join", "q_stream_late_data", "q_stream_outer_join",
-    "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (42 ids) --
-    "q_agg_approx_quantile", "q_agg_boolean", "q_agg_grouping_sets",
-    "q_agg_multi", "q_bucket_hash", "q_cogroup_udf", "q_cross_tab",
-    "q_cumulative_distinct", "q_dedup_exact",
-    "q_dedup_incremental", "q_dedup_ngram", "q_dedup_simhash",
-    "q_distinct_ids", "q_event_funnel", "q_group_count", "q_join_asof",
-    "q_join_asof_nearest", "q_join_broadcast", "q_join_inner",
-    "q_join_null_safe", "q_join_range_banded", "q_join_salted",
-    "q_join_skew_aqe", "q_key_migration", "q_lang_id", "q_layout_zorder",
-    "q_map_flat", "q_map_project", "q_mm_features", "q_mm_frame_sample",
-    "q_ohlc_remerge", "q_pack_tokens", "q_pii_scrub", "q_point_lookup",
-    "q_quality_score", "q_sim_index_persisted", "q_split_exact",
-    "q_sql_tpch_q2", "q_streak_days", "q_text_index_persisted",
-    "q_time_weighted_avg", "q_window_distribution",
-    # -- unchanged, last attested round 8 (46 ids) --
+    "q_store_stats_prune", "q_stream_checkpoint_recovery",
+    "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data",
+    "q_stream_outer_join", "q_stream_update_mode", "q_variant_type",
+    # -- unchanged, last attested round 7 (41 ids) --
+    "q_agg_boolean", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
+    "q_cogroup_udf", "q_cross_tab", "q_cumulative_distinct",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",
+    "q_dedup_simhash", "q_distinct_ids", "q_event_funnel", "q_group_count",
+    "q_join_asof", "q_join_asof_nearest", "q_join_broadcast",
+    "q_join_inner", "q_join_null_safe", "q_join_range_banded",
+    "q_join_salted", "q_join_skew_aqe", "q_key_migration", "q_lang_id",
+    "q_layout_zorder", "q_map_flat", "q_map_project", "q_mm_features",
+    "q_mm_frame_sample", "q_ohlc_remerge", "q_pack_tokens", "q_pii_scrub",
+    "q_point_lookup", "q_quality_score", "q_sim_index_persisted",
+    "q_split_exact", "q_sql_tpch_q2", "q_streak_days",
+    "q_text_index_persisted", "q_time_weighted_avg", "q_window_distribution",
+    # -- unchanged, last attested round 8 (43 ids) --
     "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
-    "q_anomaly_p99", "q_approx_distinct", "q_array_map_funcs", "q_batch_256",
-    "q_corpus_prep", "q_decontaminate", "q_dedup_edit",
-    "q_dedup_near", "q_dedup_semantic", "q_doc_fingerprint",
-    "q_doc_len_histogram", "q_embed_pq", "q_embed_quantize",
-    "q_epoch_shuffle", "q_except", "q_filter_pred",
+    "q_anomaly_p99", "q_array_map_funcs", "q_batch_256", "q_corpus_prep",
+    "q_decontaminate", "q_dedup_edit", "q_dedup_near", "q_dedup_semantic",
+    "q_doc_fingerprint", "q_doc_len_histogram", "q_embed_pq",
+    "q_embed_quantize", "q_epoch_shuffle", "q_except", "q_filter_pred",
     "q_length_bucket_batches", "q_mm_patchify", "q_mm_resize",
     "q_mm_scene_cut", "q_neardup_index_persisted", "q_ohlc_rollup",
     "q_repetition_filter", "q_rereduce", "q_sample_hash", "q_scd2_lookup",
-    "q_sim_search_ivf", "q_sim_search_lsh", "q_source_batch",
-    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_store_compaction",
-    "q_store_delete_vectors", "q_store_point_lookup", "q_store_restore",
-    "q_stream_neardup_gate", "q_stream_session", "q_stream_tumbling",
-    "q_text_stats", "q_token_count", "q_udaf_pandas", "q_window_rank",
+    "q_source_batch", "q_sql_tpch_q1", "q_sql_tpch_q3",
+    "q_store_compaction", "q_store_delete_vectors", "q_store_point_lookup",
+    "q_store_restore", "q_stream_neardup_gate", "q_stream_session",
+    "q_stream_tumbling", "q_text_stats", "q_token_count", "q_udaf_pandas",
+    "q_window_rank",
     # -- unchanged, last attested round 9 (43 ids) --
     "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
-    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl", "q_html_extract", "q_intersect",
-    "q_inverted_index", "q_join_full",
+    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl",
+    "q_html_extract", "q_intersect", "q_inverted_index", "q_join_full",
     "q_join_interval_overlap", "q_join_left", "q_join_range", "q_join_semi",
-    "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot", "q_project_expr", "q_quality_funnel", "q_rereduce_tree",
+    "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot",
+    "q_project_expr", "q_quality_funnel", "q_rereduce_tree",
     "q_sample_stratified", "q_scalar_funcs", "q_scan_csv", "q_scan_json",
     "q_scan_parquet", "q_shard_pack", "q_sort_limit", "q_sql_exists",
     "q_sql_tpch_q5", "q_store_merge", "q_store_vacuum", "q_stream_sliding",
     "q_string_agg", "q_tokenize_bpe", "q_udf_surface", "q_union_all",
     "q_upsert_enriched", "q_window_frame", "q_window_lag", "q_window_ntile",
     "q_window_range_frame",
+    # -- unchanged, last attested round 10 (41 ids) --
+    "q_bm25", "q_catalog_stats", "q_chunk_split", "q_constraint_audit",
+    "q_covariance_incremental", "q_dedup_cluster", "q_dedup_cross_snapshot",
+    "q_dedup_embed", "q_dedup_hamming", "q_dedup_substring_remove",
+    "q_dedup_url", "q_embed_covariance", "q_graph_bfs", "q_graph_jaccard",
+    "q_graph_kcore", "q_graph_triangles", "q_ingest_corrupt", "q_join_anti",
+    "q_k_anonymity", "q_map_type_ops", "q_minhash_containment",
+    "q_ngram_novelty", "q_null_semantics", "q_pagerank", "q_percent_change",
+    "q_pmi_collocations", "q_rank_fusion", "q_resample_weighted",
+    "q_retention_cohort", "q_sample_priority", "q_scan_orc", "q_scan_text",
+    "q_scd2_history", "q_session_conversion", "q_sim_index_pq",
+    "q_sim_join_threshold", "q_sim_search", "q_sim_search_binary",
+    "q_simhash_incremental", "q_store_diff", "q_stream_covariance",
+    # -- rows-only by design, LAST (r10 verdict item 2): these can
+    #    never produce a green driver row (err: no_oracle), so a
+    #    budget-bounded sample that reaches them burns a slot the
+    #    oracle-backed backlog could use; the LOCAL gate still bounds
+    #    them every round (Query.bound tolerances / recall pytests) --
+    "q_sketch_union", "q_approx_distinct", "q_agg_approx_quantile",
+    "q_sim_search_lsh", "q_sim_search_ivf",
 ]
 
 
