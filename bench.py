@@ -245,7 +245,11 @@ def main() -> None:
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        qs["q_dedup_near"].fn(spark, sf_dir).count()
+        # len(collect()), NOT .count(): the r7-r10 headline series this
+        # secondary continues was measured with full result collection;
+        # count() would let Spark prune the output projection and the
+        # series would show a method artifact as an improvement
+        len(qs["q_dedup_near"].fn(spark, sf_dir).collect())
         nd_reps.append(time.perf_counter() - t0)
     near_dup_exact = round(min(nd_reps), 3)
     print(

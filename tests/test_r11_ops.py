@@ -254,6 +254,36 @@ def test_neardup_index_takedown_lifecycle(spark):
     assert any(r.doc_b == 99 for r in nd.probe(probe).collect())
 
 
+def test_neardup_delete_of_never_indexed_id_is_a_true_noop(spark):
+    """Review regression: delete() of an id that was NEVER indexed
+    (or a replayed takedown of an already-deleted id) must write no
+    tombstones — a stray doc-keyed tombstone would make that id's
+    future FIRST append() spuriously raise 'was taken down'."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.neardup_index import (
+        NearDupIndex,
+    )
+
+    nd = NearDupIndex(spark, tempfile.mkdtemp(prefix="nd_noop_"))
+    nd.build(_takedown_docs(spark))
+    ghost = spark.createDataFrame(
+        [(777, "never indexed text")], "doc_id long, text string"
+    )
+    nd.delete(ghost)  # never indexed: must not tombstone
+    nd.append(ghost)  # and its first append must succeed
+    assert nd._sh.tombstoned_keys(spark) is None
+    # replayed takedown of a REAL victim: second call is a no-op that
+    # does not double the tombstone set
+    vic = spark.createDataFrame(
+        [(99, "hash join window " * 3)], "doc_id long, text string"
+    )
+    nd.delete(vic)
+    t1 = nd._sh.tombstoned_keys(spark).count()
+    nd.delete(vic)
+    assert nd._sh.tombstoned_keys(spark).count() == t1 == 1
+
+
 def test_takedown_cascade_metric_semantics(spark, sf_dir):
     """The registered cascade's before/after pairs: the victim is
     present in its artifacts before the delete and absent after, and

@@ -1049,12 +1049,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # per-round join+min-agg shape matches pagerank/kcore
     "q_graph_bfs": ([], ["BatchEvalPython", "CartesianProduct"]),
     # attribution: user-keyed equi-join (never a time-theta product)
-    # + conversion-keyed windows + channel rollup
+    # + ONE conversion-keyed window with ONE ascending sort (r11: the
+    # descending rank derives as n - ra + 1, so a DESC sort on the
+    # touch timestamp reappearing means the second sort crept back)
     "q_attribution": (
         ["Window",
          r"re:(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
          "HashAggregate"],
-        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop",
+         r"re:tts#\d+L? DESC"],
     ),
     # path mining: both leads in ONE user-keyed Window operator,
     # deterministic top-k via TakeOrdered — never a global sort

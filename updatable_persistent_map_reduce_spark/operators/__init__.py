@@ -71,10 +71,14 @@ def register(
 # all of them.
 _PRIORITY = [
     # -- 1. implementation changed in round 11 since the last
-    #       driver row (advice fixes / refactors; re-attestation first) --
+    #       driver row (advice fixes / refactors; re-attestation first;
+    #       the last four share the r11-unified bm25_chain_sql oracle
+    #       or the hardened index append/delete paths) --
     "q_mask_lm", "q_span_corruption", "q_quality_classifier",
     "q_preference_pairs", "q_stream_quality_gate", "q_path_analysis",
     "q_attribution", "q_bpe_train",
+    "q_bm25", "q_rank_fusion", "q_text_index_persisted",
+    "q_neardup_index_persisted",
     # -- 2. new in round 11, never driver-attested ------------------
     "q_tokenizer_coverage", "q_takedown_cascade",
     # -- unchanged, last attested round 5 (22 ids) --
@@ -98,7 +102,7 @@ _PRIORITY = [
     "q_store_stats_prune", "q_stream_checkpoint_recovery",
     "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data",
     "q_stream_outer_join", "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (41 ids) --
+    # -- unchanged, last attested round 7 (40 ids) --
     "q_agg_boolean", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
     "q_cogroup_udf", "q_cross_tab", "q_cumulative_distinct",
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",
@@ -110,15 +114,15 @@ _PRIORITY = [
     "q_mm_frame_sample", "q_ohlc_remerge", "q_pack_tokens", "q_pii_scrub",
     "q_point_lookup", "q_quality_score", "q_sim_index_persisted",
     "q_split_exact", "q_sql_tpch_q2", "q_streak_days",
-    "q_text_index_persisted", "q_time_weighted_avg", "q_window_distribution",
-    # -- unchanged, last attested round 8 (43 ids) --
+    "q_time_weighted_avg", "q_window_distribution",
+    # -- unchanged, last attested round 8 (42 ids) --
     "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
     "q_anomaly_p99", "q_array_map_funcs", "q_batch_256", "q_corpus_prep",
     "q_decontaminate", "q_dedup_edit", "q_dedup_near", "q_dedup_semantic",
     "q_doc_fingerprint", "q_doc_len_histogram", "q_embed_pq",
     "q_embed_quantize", "q_epoch_shuffle", "q_except", "q_filter_pred",
     "q_length_bucket_batches", "q_mm_patchify", "q_mm_resize",
-    "q_mm_scene_cut", "q_neardup_index_persisted", "q_ohlc_rollup",
+    "q_mm_scene_cut", "q_ohlc_rollup",
     "q_repetition_filter", "q_rereduce", "q_sample_hash", "q_scd2_lookup",
     "q_source_batch", "q_sql_tpch_q1", "q_sql_tpch_q3",
     "q_store_compaction", "q_store_delete_vectors", "q_store_point_lookup",
@@ -138,15 +142,15 @@ _PRIORITY = [
     "q_string_agg", "q_tokenize_bpe", "q_udf_surface", "q_union_all",
     "q_upsert_enriched", "q_window_frame", "q_window_lag", "q_window_ntile",
     "q_window_range_frame",
-    # -- unchanged, last attested round 10 (41 ids) --
-    "q_bm25", "q_catalog_stats", "q_chunk_split", "q_constraint_audit",
+    # -- unchanged, last attested round 10 (39 ids) --
+    "q_catalog_stats", "q_chunk_split", "q_constraint_audit",
     "q_covariance_incremental", "q_dedup_cluster", "q_dedup_cross_snapshot",
     "q_dedup_embed", "q_dedup_hamming", "q_dedup_substring_remove",
     "q_dedup_url", "q_embed_covariance", "q_graph_bfs", "q_graph_jaccard",
     "q_graph_kcore", "q_graph_triangles", "q_ingest_corrupt", "q_join_anti",
     "q_k_anonymity", "q_map_type_ops", "q_minhash_containment",
     "q_ngram_novelty", "q_null_semantics", "q_pagerank", "q_percent_change",
-    "q_pmi_collocations", "q_rank_fusion", "q_resample_weighted",
+    "q_pmi_collocations", "q_resample_weighted",
     "q_retention_cohort", "q_sample_priority", "q_scan_orc", "q_scan_text",
     "q_scd2_history", "q_session_conversion", "q_sim_index_pq",
     "q_sim_join_threshold", "q_sim_search", "q_sim_search_binary",

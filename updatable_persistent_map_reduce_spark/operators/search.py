@@ -82,7 +82,19 @@ QUERY_TERMS = ["hash", "join", "window"]
 TOP_DOCS = 20
 
 
-def _bm25_oracle() -> str:
+def bm25_chain_sql(sfx: str = "", where: str = "") -> str:
+    """THE BM25 scoring CTE chain (d{sfx} .. sc{sfx}, with sc{sfx} =
+    (doc_id, rounded score)), suffix-parameterized so one oracle can
+    run it several times over different corpus slices. The SINGLE
+    source of the scoring SQL: q_bm25, q_text_index_persisted,
+    q_rank_fusion, and q_takedown_cascade's victim-selection /
+    post-delete reads all derive their oracles from this builder — a
+    k1/b/rounding retune lands everywhere at once instead of
+    silently diverging a copy (the bpe_train_generations lesson
+    applied to oracle SQL). ``where`` filters the documents scan
+    (e.g. the takedown oracle's corpus-minus-victim slice); scoring
+    stays the fixed-order form whose float determinism the module
+    docstring explains."""
     cases = ", ".join(
         f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0) AS s_{t}"
         for t in QUERY_TERMS
@@ -90,21 +102,37 @@ def _bm25_oracle() -> str:
     terms = "', '".join(QUERY_TERMS)
     total = f"s_{QUERY_TERMS[0]} + (s_{QUERY_TERMS[1]} + s_{QUERY_TERMS[2]})"
     return (
-        _TOK_CTE + ", "
-        "d AS (SELECT doc_id, len(toks) AS dl, toks FROM t), "
-        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
-        "tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf "
-        "FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d) "
+        f"d{sfx} AS (SELECT doc_id, len(toks) AS dl, toks FROM "
+        "(SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        r"'\s+'), x -> x <> '') AS toks FROM documents"
+        f"{where}) ), "
+        f"g{sfx} AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d{sfx}), "
+        f"tf{sfx} AS (SELECT doc_id, dl, token, "
+        "CAST(count(*) AS BIGINT) AS tf "
+        f"FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d{sfx}) "
         f"WHERE token IN ('{terms}') GROUP BY doc_id, dl, token), "
-        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
-        "FROM tf GROUP BY token), "
-        "s AS (SELECT tf.doc_id, tf.token, "
-        "ln(((g.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * "
-        "(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / g.avgdl)))) "
-        "AS sc FROM tf CROSS JOIN g JOIN dfreq ON tf.token = dfreq.token), "
-        f"p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id) "
-        f"SELECT doc_id, round({total}, 4) AS score FROM p "
+        f"dfreq{sfx} AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        f"FROM tf{sfx} GROUP BY token), "
+        f"s{sfx} AS (SELECT tf{sfx}.doc_id, tf{sfx}.token, "
+        f"ln(((g{sfx}.n_docs - dfreq{sfx}.df) + 0.5) / "
+        f"(dfreq{sfx}.df + 0.5) + 1.0) * "
+        f"(tf{sfx}.tf * 2.2 / (tf{sfx}.tf + 1.2 * (0.25 + 0.75 * "
+        f"(tf{sfx}.dl / g{sfx}.avgdl)))) AS sc "
+        f"FROM tf{sfx} CROSS JOIN g{sfx} "
+        f"JOIN dfreq{sfx} ON tf{sfx}.token = dfreq{sfx}.token), "
+        f"p{sfx} AS (SELECT doc_id, {cases} FROM s{sfx} "
+        "GROUP BY doc_id), "
+        f"sc{sfx} AS (SELECT doc_id, round({total}, 4) AS score "
+        f"FROM p{sfx})"
+    )
+
+
+def _bm25_oracle() -> str:
+    return (
+        "WITH "
+        + bm25_chain_sql()
+        + " SELECT doc_id, score FROM sc "
         f"ORDER BY score DESC, doc_id LIMIT {TOP_DOCS}"
     )
 
@@ -315,28 +343,11 @@ RRF_SCALE = 1_000_000  # integer fixed-point: floor(SCALE / (K + rank))
 
 
 def _rank_fusion_oracle() -> str:
-    cases = ", ".join(
-        f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0) AS s_{t}"
-        for t in QUERY_TERMS
-    )
-    terms = "', '".join(QUERY_TERMS)
-    total = f"s_{QUERY_TERMS[0]} + (s_{QUERY_TERMS[1]} + s_{QUERY_TERMS[2]})"
     return (
-        _TOK_CTE + ", "
-        "d AS (SELECT doc_id, len(toks) AS dl, toks FROM t), "
-        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
-        "tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf "
-        "FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d) "
-        f"WHERE token IN ('{terms}') GROUP BY doc_id, dl, token), "
-        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
-        "FROM tf GROUP BY token), "
-        "s AS (SELECT tf.doc_id, tf.token, "
-        "ln(((g.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * "
-        "(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / g.avgdl)))) "
-        "AS sc FROM tf CROSS JOIN g JOIN dfreq ON tf.token = dfreq.token), "
-        f"p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id), "
-        f"bm AS (SELECT doc_id, round({total}, 4) AS score FROM p "
+        "WITH "
+        + bm25_chain_sql()
+        + ", "
+        "bm AS (SELECT doc_id, score FROM sc "
         f"ORDER BY score DESC, doc_id LIMIT {RRF_POOL}), "
         "bmr AS (SELECT doc_id, row_number() OVER "
         "(ORDER BY score DESC, doc_id) AS rnk FROM bm), "

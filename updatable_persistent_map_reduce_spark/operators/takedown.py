@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from ..sources import Catalog
 from . import register
-from .search import QUERY_TERMS, TOP_DOCS, bm25_score_frame
+from .search import (
+    QUERY_TERMS,
+    TOP_DOCS,
+    bm25_chain_sql,
+    bm25_score_frame,
+)
 
 _SHINGLE_CTE = r"""
 sh AS (
@@ -44,45 +49,11 @@ sh AS (
 """
 
 
-def _bm25_chain(sfx: str, where: str) -> str:
-    """The q_bm25 oracle's CTE chain, suffixed so the oracle can run
-    it twice — once over the full corpus (victim selection + the
-    pre-delete top-k) and once over the corpus minus the victim (the
-    post-delete serving state). Same fixed-order scoring as
-    operators/search._bm25_oracle."""
-    cases = ", ".join(
-        f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0) AS s_{t}"
-        for t in QUERY_TERMS
-    )
-    terms = "', '".join(QUERY_TERMS)
-    total = f"s_{QUERY_TERMS[0]} + (s_{QUERY_TERMS[1]} + s_{QUERY_TERMS[2]})"
-    return (
-        f"d{sfx} AS (SELECT doc_id, len(toks) AS dl, toks FROM "
-        f"(SELECT doc_id, list_filter(string_split_regex(lower(text), "
-        r"'\s+'), x -> x <> '') AS toks FROM documents"
-        f"{where}) ), "
-        f"g{sfx} AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
-        f"CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d{sfx}), "
-        f"tf{sfx} AS (SELECT doc_id, dl, token, "
-        "CAST(count(*) AS BIGINT) AS tf "
-        f"FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d{sfx}) "
-        f"WHERE token IN ('{terms}') GROUP BY doc_id, dl, token), "
-        f"dfreq{sfx} AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
-        f"FROM tf{sfx} GROUP BY token), "
-        f"s{sfx} AS (SELECT tf{sfx}.doc_id, tf{sfx}.token, "
-        f"ln(((g{sfx}.n_docs - dfreq{sfx}.df) + 0.5) / "
-        f"(dfreq{sfx}.df + 0.5) + 1.0) * "
-        f"(tf{sfx}.tf * 2.2 / (tf{sfx}.tf + 1.2 * (0.25 + 0.75 * "
-        f"(tf{sfx}.dl / g{sfx}.avgdl)))) AS sc "
-        f"FROM tf{sfx} CROSS JOIN g{sfx} "
-        f"JOIN dfreq{sfx} ON tf{sfx}.token = dfreq{sfx}.token), "
-        f"p{sfx} AS (SELECT doc_id, {cases} FROM s{sfx} GROUP BY doc_id), "
-        f"sc{sfx} AS (SELECT doc_id, round({total}, 4) AS score "
-        f"FROM p{sfx})"
-    )
-
-
 def _takedown_oracle() -> str:
+    # the BM25 chain runs twice — victim selection + pre-delete top-k
+    # over the full corpus, then the post-delete serving state over
+    # corpus-minus-victim — both from search.bm25_chain_sql, the ONE
+    # source of the scoring SQL (never a local copy that could drift)
     vic = "(SELECT doc_id FROM vic)"
     cos = (
         "round(list_cosine_similarity("
@@ -91,13 +62,13 @@ def _takedown_oracle() -> str:
     )
     return (
         "WITH "
-        + _bm25_chain("", "")
+        + bm25_chain_sql()
         + ", vic AS MATERIALIZED (SELECT doc_id FROM sc "
         "WHERE doc_id IN (SELECT vec_id FROM embeddings) "
         "ORDER BY score DESC, doc_id LIMIT 1), "
         "pre20 AS (SELECT doc_id FROM sc "
         f"ORDER BY score DESC, doc_id LIMIT {TOP_DOCS}), "
-        + _bm25_chain("2", f" WHERE doc_id <> {vic}")
+        + bm25_chain_sql("2", f" WHERE doc_id <> {vic}")
         + ", post20 AS (SELECT doc_id, row_number() OVER "
         "(ORDER BY score DESC, doc_id) AS rn FROM sc2 "
         f"ORDER BY score DESC, doc_id LIMIT {TOP_DOCS}), "

@@ -630,6 +630,10 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy(F.col("n").desc(), "path")
+        # asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's
+        # is NULLS LAST — with a NULL path group (NULL event types, the
+        # case the concat fix exists for) tying on n at the top-k
+        # boundary, the default orders would cut DIFFERENT row sets
+        .orderBy(F.col("n").desc(), F.col("path").asc_nulls_last())
         .limit(_PATH_TOP)
     )

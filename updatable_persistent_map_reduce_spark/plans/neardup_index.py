@@ -237,20 +237,53 @@ class NearDupIndex:
         a probe's exact-verify join drops every candidate pair
         involving it: the doc is out of RESULTS the moment the first
         commit lands, never half-deleted in what a probe returns.
-        Ids never indexed (or with empty shingle sets) contribute no
-        tombstones. Cost: O(deleted docs x bands) tombstone rows."""
+        Ids never indexed (or with empty shingle sets, or already
+        taken down) contribute no tombstones — the batch is first
+        semi-joined against the LIVE shingle rows of its own doc
+        spans, so a replayed takedown is an exact no-op and a
+        never-indexed id can never acquire a tombstone that would
+        make its future first append() spuriously raise. ``docs``
+        must carry the text AS INDEXED (the takedown artifact IS the
+        indexed document — revisions belong to the view engine): the
+        shingle tombstone's span is doc-keyed, so the doc leaves
+        probe RESULTS regardless (a candidate without its
+        verification payload can never be emitted), but a REVISED
+        text's band tombstones would hash to the wrong spans and
+        leave the indexed band rows behind as dead candidates —
+        wasted probe fan-out until a compact of their spans, not a
+        correctness hole. Cost: O(deleted docs x bands) tombstone
+        rows."""
         sigs = self._sig_frame(docs).persist()
         try:
-            if not sigs.limit(1).collect():
+            dspans = sorted(
+                r[0]
+                for r in sigs.select(self._dspan(F.col("doc_id")))
+                .distinct()
+                .collect()
+            )
+            if not dspans:
                 return
-            sh_keys = sigs.select(
-                self._dspan(F.col("doc_id")).alias("dspan"), "doc_id"
-            )
-            band_keys = (
-                self._band_rows(sigs).select("bspan", "doc_id").distinct()
-            )
-            self._sh.delete_keys(sh_keys, on=["doc_id"])
-            self._bands.delete_keys(band_keys, on=["doc_id"])
+            live = self._sh.read(self.spark, spans=dspans)
+            if live is None:
+                return
+            sigs_live = sigs.join(
+                live.select("doc_id"), "doc_id", "left_semi"
+            ).persist()
+            try:
+                if not sigs_live.limit(1).collect():
+                    return
+                sh_keys = sigs_live.select(
+                    self._dspan(F.col("doc_id")).alias("dspan"), "doc_id"
+                )
+                band_keys = (
+                    self._band_rows(sigs_live)
+                    .select("bspan", "doc_id")
+                    .distinct()
+                )
+                self._sh.delete_keys(sh_keys, on=["doc_id"])
+                self._bands.delete_keys(band_keys, on=["doc_id"])
+            finally:
+                sigs_live.unpersist()
         finally:
             sigs.unpersist()
 

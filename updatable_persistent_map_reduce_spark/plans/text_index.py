@@ -227,14 +227,22 @@ class InvertedIndex:
         # which still exist physically until compact()); pinning the
         # new generation keeps exactly the fresh rows live.
         cur = self._repl.read(self.spark, spans=dspans)
-        pin = old.select("doc_id") if old is not None else None
+        # tombed-id presence costs one bounded limit(1) job and ONLY
+        # when a replaced table exists at all — the append-only ingest
+        # fast path (fresh index, cur is None) pays nothing beyond the
+        # pre-r11 probe
+        tombed = None
         if cur is not None:
             tombed = cur.join(ids, "doc_id", "semi").select("doc_id")
+            if not tombed.limit(1).collect():
+                tombed = None
+        pin = old.select("doc_id") if old is not None else None
+        if tombed is not None:
             pin = tombed if pin is None else pin.unionByName(tombed)
         n_pinned = 0
-        if pin is not None:
+        if pin is not None and (n_replaced or tombed is not None):
             pin = pin.distinct()
-            n_pinned = pin.count()
+            n_pinned = 1
         # 1. delete vectors FIRST: once (doc_id, live_gen=gen) is
         # committed, no generation but this upsert's can score — the
         # old rows die now, the new rows only become live when they
@@ -318,9 +326,12 @@ class InvertedIndex:
         (folds the dead postings out and clears the sentinel). Commit
         order is sentinel -> doc_index -> stats: a crash after the
         sentinel already serves correctly (doc invisible), and a
-        re-run heals the rest — ids no longer in the doc index just
-        refresh their sentinel (idempotent). Ids never indexed are
-        ignored. Cost: O(deleted ids' doc spans), never a postings
+        re-run heals the doc_index — ids no longer in the doc index
+        just refresh their sentinel (idempotent). A crash in the tiny
+        window between the doc_index commit and the stats write
+        leaves the same bounded scalar drift the upsert contract
+        documents; ``refresh_stats()`` squares it away exactly. Ids
+        never indexed are ignored. Cost: O(deleted ids' doc spans), never a postings
         scan. Re-upserting a deleted id later is safe: upsert pins the
         new generation over the sentinel (see upsert), so the dead
         rows stay dead and the new rows score."""
