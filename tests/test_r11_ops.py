@@ -284,6 +284,88 @@ def test_neardup_delete_of_never_indexed_id_is_a_true_noop(spark):
     assert nd._sh.tombstoned_keys(spark).count() == t1 == 1
 
 
+def test_text_index_random_interleavings_equal_rebuild(spark):
+    """The incremental≡full property applied to the serving index:
+    for seeded random interleavings of upsert / delete / compact /
+    refresh_stats, the incrementally-maintained InvertedIndex must
+    rank EXACTLY like a fresh index built from the surviving
+    latest-wins corpus — same top-k doc ids AND rounded scores (which
+    pins n_docs, avgdl, df, tf, and the live/dead posting set all at
+    once). This is the reference's defining property
+    (Executer.cs:91,240-261) extended over the r11 delete leg."""
+    import random
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.text_index import (
+        InvertedIndex,
+    )
+
+    words = ["hash", "join", "window", "scan", "merge", "probe"]
+
+    def text_for(rng):
+        return " ".join(rng.choices(words, k=rng.randint(3, 12)))
+
+    terms = ["hash", "join", "window"]
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        model: dict[int, str] = {
+            i: text_for(rng) for i in range(12)
+        }
+        idx = InvertedIndex(
+            spark,
+            tempfile.mkdtemp(prefix=f"ti_prop{seed}_"),
+            n_spans=8,
+            n_doc_spans=4,
+            auto_compact_files_per_span=None,
+        )
+        idx.build(
+            spark.createDataFrame(
+                list(model.items()), "doc_id long, text string"
+            )
+        )
+        for _ in range(8):
+            op = rng.choice(["upsert", "delete", "compact", "refresh"])
+            if op == "upsert":
+                batch = {
+                    rng.randint(0, 19): text_for(rng)
+                    for _ in range(rng.randint(1, 3))
+                }
+                idx.upsert(
+                    spark.createDataFrame(
+                        list(batch.items()), "doc_id long, text string"
+                    )
+                )
+                model.update(batch)
+            elif op == "delete":
+                ids = rng.sample(sorted(model) + [99], 2)
+                idx.delete(
+                    spark.createDataFrame(
+                        [(i,) for i in ids], "doc_id long"
+                    )
+                )
+                for i in ids:
+                    model.pop(i, None)
+            elif op == "compact":
+                idx.compact()
+            else:
+                idx.refresh_stats()
+        fresh = InvertedIndex(
+            spark,
+            tempfile.mkdtemp(prefix=f"ti_fresh{seed}_"),
+            n_spans=8,
+            n_doc_spans=4,
+        )
+        fresh.build(
+            spark.createDataFrame(
+                list(model.items()), "doc_id long, text string"
+            )
+        )
+        got = [tuple(r) for r in idx.bm25(terms, k=25).collect()]
+        want = [tuple(r) for r in fresh.bm25(terms, k=25).collect()]
+        assert got == want, (seed, got, want)
+        assert idx.refresh_stats() == fresh.refresh_stats(), seed
+
+
 def test_takedown_cascade_metric_semantics(spark, sf_dir):
     """The registered cascade's before/after pairs: the victim is
     present in its artifacts before the delete and absent after, and
