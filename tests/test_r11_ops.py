@@ -208,9 +208,11 @@ def test_text_index_takedown_lifecycle(spark):
 def test_neardup_index_takedown_lifecycle(spark):
     """NearDupIndex.delete: tombstones land in the victim's own
     recomputed spans, probes stop returning it immediately, probe-side
-    span pruning is UNCHANGED by the delete (the probe-cost pin),
-    re-appending a tombstoned id raises loudly until compact()
-    materializes, after which the id can be re-indexed."""
+    span pruning is UNCHANGED by the delete (the probe-cost pin), and
+    a subsequent append whose rows hash into tombstoned spans
+    triggers a MINOR COMPACTION of exactly those spans (materializing
+    the delete) instead of blocking ingest — including the re-append
+    of the taken-down id itself, which lands exactly one live copy."""
     import tempfile
 
     from updatable_persistent_map_reduce_spark.plans.neardup_index import (
@@ -236,29 +238,30 @@ def test_neardup_index_takedown_lifecycle(spark):
     assert not any(r.doc_b == 99 for r in p2)
     # probe-cost pin: tombstones must not widen the probed span set
     assert cost2["band_spans_read"] == cost1["band_spans_read"]
-    with pytest.raises(ValueError, match="taken down"):
-        nd.append(
-            spark.createDataFrame(
-                [(99, "x y z")], "doc_id long, text string"
-            )
-        )
-    nd.compact()
-    assert sorted(map(tuple, nd.probe(probe).collect())) == sorted(
-        map(tuple, p2)
-    )
+    # re-append of the taken-down id: the append's minor compaction
+    # materializes the pending tombstones in its spans and lands
+    # exactly one live copy — ingest is never blocked by a takedown
     nd.append(
         spark.createDataFrame(
             [(99, "hash join window " * 3)], "doc_id long, text string"
         )
     )
-    assert any(r.doc_b == 99 for r in nd.probe(probe).collect())
+    assert nd._sh.tombstoned_keys(spark) is None  # materialized away
+    p3 = nd.probe(probe).collect()
+    assert sum(r.doc_b == 99 for r in p3) == 1
+    # explicit full compact still works and changes nothing
+    nd.compact()
+    assert sorted(map(tuple, nd.probe(probe).collect())) == sorted(
+        map(tuple, p3)
+    )
 
 
 def test_neardup_delete_of_never_indexed_id_is_a_true_noop(spark):
     """Review regression: delete() of an id that was NEVER indexed
     (or a replayed takedown of an already-deleted id) must write no
-    tombstones — a stray doc-keyed tombstone would make that id's
-    future FIRST append() spuriously raise 'was taken down'."""
+    tombstones — a stray doc-keyed tombstone would force pointless
+    minor compactions on later appends into its spans and, worse,
+    silently anti-join away any LIVE rows sharing the id."""
     import tempfile
 
     from updatable_persistent_map_reduce_spark.plans.neardup_index import (
@@ -282,6 +285,41 @@ def test_neardup_delete_of_never_indexed_id_is_a_true_noop(spark):
     t1 = nd._sh.tombstoned_keys(spark).count()
     nd.delete(vic)
     assert nd._sh.tombstoned_keys(spark).count() == t1 == 1
+
+
+def test_ann_upsert_after_delete_materializes_and_lands_one_copy(spark):
+    """The ANN legs of the append-time minor compaction: after
+    delete(), an upsert whose vectors land in tombstoned cells
+    materializes those cells first — ingest proceeds, a re-upserted
+    vec_id serves exactly once, and probes stay exact."""
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.ann_index import (
+        IvfPqIndex,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 13) for d in range(8)])
+        for i in range(40)
+    ]
+    idx = IvfPqIndex(
+        spark, tempfile.mkdtemp(prefix="ann_mc_"), n_cells=4, m=4, ksub=4
+    )
+    idx.build(
+        spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    )
+    victim = vecs[5]
+    vdf = spark.createDataFrame(
+        [victim], "vec_id long, embedding array<float>"
+    )
+    idx.delete(vdf)
+    got = idx.search([(-1, victim[1])], k=3, nprobe=4).collect()
+    assert victim[0] not in {r.vec_id for r in got}
+    # re-upsert: minor compaction in both tiers, exactly one live copy
+    idx.upsert(vdf)
+    got = idx.search([(-1, victim[1])], k=3, nprobe=4).collect()
+    assert sum(r.vec_id == victim[0] for r in got) == 1
+    assert got[0].vec_id == victim[0]  # exact self-match back on top
 
 
 def test_text_index_random_interleavings_equal_rebuild(spark):
@@ -364,6 +402,88 @@ def test_text_index_random_interleavings_equal_rebuild(spark):
         want = [tuple(r) for r in fresh.bm25(terms, k=25).collect()]
         assert got == want, (seed, got, want)
         assert idx.refresh_stats() == fresh.refresh_stats(), seed
+
+
+def test_neardup_index_random_interleavings_equal_rebuild(spark):
+    """incremental≡full for the band index: seeded random append /
+    delete / compact sequences must leave probe() returning exactly
+    the pairs a fresh index over the surviving corpus returns — the
+    maintained band+shingle tables and their tombstones never drift
+    from the rebuild."""
+    import random
+    import tempfile
+
+    from updatable_persistent_map_reduce_spark.plans.neardup_index import (
+        NearDupIndex,
+    )
+
+    base = "hash join window scan merge probe filter sort"
+
+    def text_for(i):
+        # doc i is a near-dup of doc i % 4 (4 content families with
+        # per-doc suffix noise) so probes always have real matches
+        return f"{base} fam{i % 4} {base} tail{i}"
+
+    probe = None
+    for seed in (11,):
+        rng = random.Random(seed)
+        model: dict[int, str] = {i: text_for(i) for i in range(10)}
+        nd = NearDupIndex(
+            spark,
+            tempfile.mkdtemp(prefix=f"nd_prop{seed}_"),
+            n_spans=16,
+            n_doc_spans=4,
+        )
+        nd.build(
+            spark.createDataFrame(
+                list(model.items()), "doc_id long, text string"
+            )
+        )
+        next_id = 10
+        for _ in range(6):
+            op = rng.choice(["append", "delete", "compact"])
+            if op == "append":
+                batch = {
+                    next_id + j: text_for(next_id + j)
+                    for j in range(rng.randint(1, 2))
+                }
+                next_id += len(batch)
+                nd.append(
+                    spark.createDataFrame(
+                        list(batch.items()), "doc_id long, text string"
+                    )
+                )
+                model.update(batch)
+            elif op == "delete":
+                ids = rng.sample(sorted(model), 2)
+                nd.delete(
+                    spark.createDataFrame(
+                        [(i, model[i]) for i in ids],
+                        "doc_id long, text string",
+                    )
+                )
+                for i in ids:
+                    del model[i]
+            else:
+                nd.compact()
+        fresh = NearDupIndex(
+            spark,
+            tempfile.mkdtemp(prefix=f"nd_fresh{seed}_"),
+            n_spans=16,
+            n_doc_spans=4,
+        )
+        fresh.build(
+            spark.createDataFrame(
+                list(model.items()), "doc_id long, text string"
+            )
+        )
+        probe = spark.createDataFrame(
+            [(-1, text_for(0)), (-2, text_for(1))],
+            "doc_id long, text string",
+        )
+        got = sorted(map(tuple, nd.probe(probe).collect()))
+        want = sorted(map(tuple, fresh.probe(probe).collect()))
+        assert got == want and want, (seed, got, want)
 
 
 def test_takedown_cascade_metric_semantics(spark, sf_dir):

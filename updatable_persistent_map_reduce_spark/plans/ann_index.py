@@ -92,7 +92,20 @@ class IvfIndex:
             ),
         )
         mapping = self._listed.write_data(assigned)
-        self._listed.commit(append=mapping)
+        self._append_materializing(self._listed, mapping)
+
+    def _append_materializing(self, tbl, mapping) -> None:
+        """Append-commit ``mapping``, first MATERIALIZING any pending
+        delete tombstones in the cells it lands in (minor compaction —
+        the store rejects appends into tombstoned spans because the
+        keyed anti-join would hide the new rows; compacting exactly
+        the overlap keeps a delete() from ever blocking ingest, and
+        makes re-upserting a deleted vec_id land exactly one live
+        copy)."""
+        clob = sorted(set(mapping) & set(tbl.tombstoned_spans()))
+        if clob:
+            tbl.compact(self.spark, min_files=1, spans=clob)
+        tbl.commit(append=mapping)
 
     def delete(self, vectors: DataFrame) -> None:
         """MERGE-ON-READ delete of vectors from the index — the store's
@@ -448,8 +461,8 @@ class IvfPqIndex(IvfIndex):
         coarse centroids; codebook drift is rebuild()'s concern, same
         as centroid drift."""
         super().upsert(new_vectors)
-        self._codes.commit(
-            append=self._codes.write_data(self._encode_plan(new_vectors))
+        self._append_materializing(
+            self._codes, self._codes.write_data(self._encode_plan(new_vectors))
         )
 
     def delete(self, vectors: DataFrame) -> None:

@@ -197,27 +197,27 @@ class NearDupIndex:
                         f"{self.path}: NearDupIndex is append-only "
                         "(revisions belong to the view engine)"
                     )
-            # an id whose rows are TAKEN DOWN but not yet compacted is
-            # invisible to the read above (tombstone anti-join), yet
-            # its doc-keyed tombstone would instantly hide any re-
-            # appended rows too — refuse LOUDLY instead of landing
-            # rows that can never serve; compact() first
-            tomb = self._sh.tombstoned_keys(self.spark, spans=batch_dspans)
-            if tomb is not None:
-                hit = sigs.join(tomb, "doc_id", "left_semi").limit(1).collect()
-                if hit:
-                    raise ValueError(
-                        f"doc_id {hit[0]['doc_id']} was taken down from "
-                        f"{self.path} and its tombstone is still pending "
-                        "— compact() to materialize the delete before "
-                        "re-indexing the id"
-                    )
-            self._sh.commit(
-                append=self._sh.write_data(self._shingle_rows(sigs))
-            )
-            self._bands.commit(
-                append=self._bands.write_data(self._band_rows(sigs))
-            )
+            # MINOR COMPACTION on demand: the store rejects an append
+            # into a span with pending keyed tombstones (the doc-keyed
+            # anti-join would hide the new rows, and materialization
+            # would drop them), so a takedown would otherwise BLOCK
+            # all subsequent ingest whose rows hash into its spans.
+            # Instead, materialize exactly the overlapping spans first
+            # — O(those spans' data) once, after which the tombstones
+            # are gone and the append (and any re-append of the taken-
+            # down id itself, whose stored rows the compaction just
+            # removed) lands normally. Data files are written BEFORE
+            # the compaction but stay invisible until the append
+            # commits, so a crash anywhere in this sequence leaves
+            # only vacuum-able orphans or a clean earlier snapshot.
+            sh_map = self._sh.write_data(self._shingle_rows(sigs))
+            band_map = self._bands.write_data(self._band_rows(sigs))
+            for tbl, mp in ((self._sh, sh_map), (self._bands, band_map)):
+                clob = sorted(set(mp) & set(tbl.tombstoned_spans()))
+                if clob:
+                    tbl.compact(self.spark, min_files=1, spans=clob)
+            self._sh.commit(append=sh_map)
+            self._bands.commit(append=band_map)
         finally:
             sigs.unpersist()
 

@@ -888,17 +888,25 @@ class ManifestTable:
         tomb = df.sparkSession.read.parquet(*files).select(*on).distinct()
         return df.join(tomb, on=on, how="left_anti")
 
+    def tombstoned_spans(self) -> list[int]:
+        """Spans with delete tombstones pending materialization — the
+        spans :meth:`commit` would reject an append into. Append-mode
+        writers intersect this with their write mapping and compact
+        exactly the overlap first (minor compaction), so a takedown
+        never blocks subsequent ingest."""
+        return sorted(int(s) for s in self._load().get("deletes", {}))
+
     def tombstoned_keys(
         self, spark: SparkSession, spans: Iterable[int] | None = None
     ) -> DataFrame | None:
         """Distinct delete keys pending materialization (optionally
         restricted to ``spans``), or ``None`` if the snapshot carries
-        no tombstones there. Writers whose contracts depend on key
-        liveness use this to observe deletes EXPLICITLY — e.g. the
-        near-dup index's append guard, which must distinguish "id was
-        never indexed" from "id is taken down but its dead rows still
-        exist until compact()" (re-appending the latter would land
-        rows the pending doc-keyed tombstone immediately hides)."""
+        no tombstones there. Lets writers and tests observe deletes
+        EXPLICITLY — distinguishing "key was never present" from "key
+        is taken down but its dead rows still exist until the next
+        minor compaction" (append-mode writers materialize exactly
+        the overlapping spans before committing — see
+        :meth:`tombstoned_spans`)."""
         m = self._load()
         deletes = m.get("deletes", {})
         if not deletes:
