@@ -238,20 +238,31 @@ def test_neardup_index_takedown_lifecycle(spark):
     assert not any(r.doc_b == 99 for r in p2)
     # probe-cost pin: tombstones must not widen the probed span set
     assert cost2["band_spans_read"] == cost1["band_spans_read"]
-    # re-append of the taken-down id: the append's minor compaction
-    # materializes the pending tombstones in its spans and lands
-    # exactly one live copy — ingest is never blocked by a takedown
+    # re-append of the taken-down id WITH REVISED TEXT — the hard
+    # case: the new band rows hash to DIFFERENT spans than the
+    # tombstones, so a span-overlap-only compaction would leave stale
+    # doc-99 tombstones that hide (and on compact, destroy) the live
+    # rows; append_materializing detects the tombstoned key and
+    # materializes ALL tombstoned spans first
+    revised = "scan filter sort " * 3
     nd.append(
         spark.createDataFrame(
-            [(99, "hash join window " * 3)], "doc_id long, text string"
+            [(99, revised)], "doc_id long, text string"
         )
     )
     assert nd._sh.tombstoned_keys(spark) is None  # materialized away
-    p3 = nd.probe(probe).collect()
-    assert sum(r.doc_b == 99 for r in p3) == 1
+    assert nd._bands.tombstoned_keys(spark) is None
+    probe_rev = spark.createDataFrame(
+        [(-2, revised)], "doc_id long, text string"
+    )
+    p3 = nd.probe(probe_rev).collect()
+    assert sum(r.doc_b == 99 for r in p3) == 1  # live under NEW text
+    assert not any(
+        r.doc_b == 99 for r in nd.probe(probe).collect()
+    )  # old text gone
     # explicit full compact still works and changes nothing
     nd.compact()
-    assert sorted(map(tuple, nd.probe(probe).collect())) == sorted(
+    assert sorted(map(tuple, nd.probe(probe_rev).collect())) == sorted(
         map(tuple, p3)
     )
 
@@ -315,11 +326,25 @@ def test_ann_upsert_after_delete_materializes_and_lands_one_copy(spark):
     idx.delete(vdf)
     got = idx.search([(-1, victim[1])], k=3, nprobe=4).collect()
     assert victim[0] not in {r.vec_id for r in got}
-    # re-upsert: minor compaction in both tiers, exactly one live copy
-    idx.upsert(vdf)
-    got = idx.search([(-1, victim[1])], k=3, nprobe=4).collect()
+    # re-upsert with a RE-EMBEDDED vector that assigns to a different
+    # cell than the tombstones — append_materializing must clear the
+    # stale same-key tombstones everywhere or the key-global read
+    # anti-join hides (and compact destroys) the live row
+    new_emb = [float(x) for x in vecs[30][1]]  # far from victim's cell
+    vdf2 = spark.createDataFrame(
+        [(victim[0], new_emb)], "vec_id long, embedding array<float>"
+    )
+    idx.upsert(vdf2)
+    assert idx._listed.tombstoned_keys(spark) is None
+    assert idx._codes.tombstoned_keys(spark) is None
+    got = idx.search([(-1, new_emb)], k=5, nprobe=4).collect()
     assert sum(r.vec_id == victim[0] for r in got) == 1
-    assert got[0].vec_id == victim[0]  # exact self-match back on top
+    top1 = next(r for r in got if r.rnk == 1)  # order-safe: rnk, not
+    # collect() row order (a window filter does not guarantee it)
+    assert top1.cos_sim == 1.0  # the re-embedded vector serves
+    idx.compact()
+    after = idx.search([(-1, new_emb)], k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, got))
 
 
 def test_text_index_random_interleavings_equal_rebuild(spark):

@@ -92,20 +92,16 @@ class IvfIndex:
             ),
         )
         mapping = self._listed.write_data(assigned)
-        self._append_materializing(self._listed, mapping)
-
-    def _append_materializing(self, tbl, mapping) -> None:
-        """Append-commit ``mapping``, first MATERIALIZING any pending
-        delete tombstones in the cells it lands in (minor compaction —
-        the store rejects appends into tombstoned spans because the
-        keyed anti-join would hide the new rows; compacting exactly
-        the overlap keeps a delete() from ever blocking ingest, and
-        makes re-upserting a deleted vec_id land exactly one live
-        copy)."""
-        clob = sorted(set(mapping) & set(tbl.tombstoned_spans()))
-        if clob:
-            tbl.compact(self.spark, min_files=1, spans=clob)
-        tbl.commit(append=mapping)
+        # store.append_materializing: a delete() never blocks ingest —
+        # tombstoned cells the new rows land in are compacted first,
+        # and if an upserted vec_id is tombstoned ANYWHERE (e.g. a
+        # deleted vector re-upserted with a re-embedded vector that
+        # assigns to a DIFFERENT cell), every tombstoned cell is
+        # materialized so the key-global read anti-join cannot hide
+        # the new live row
+        self._listed.append_materializing(
+            self.spark, mapping, keys=assigned.select("vec_id")
+        )
 
     def delete(self, vectors: DataFrame) -> None:
         """MERGE-ON-READ delete of vectors from the index — the store's
@@ -461,8 +457,10 @@ class IvfPqIndex(IvfIndex):
         coarse centroids; codebook drift is rebuild()'s concern, same
         as centroid drift."""
         super().upsert(new_vectors)
-        self._append_materializing(
-            self._codes, self._codes.write_data(self._encode_plan(new_vectors))
+        self._codes.append_materializing(
+            self.spark,
+            self._codes.write_data(self._encode_plan(new_vectors)),
+            keys=new_vectors.select("vec_id"),
         )
 
     def delete(self, vectors: DataFrame) -> None:

@@ -197,27 +197,25 @@ class NearDupIndex:
                         f"{self.path}: NearDupIndex is append-only "
                         "(revisions belong to the view engine)"
                     )
-            # MINOR COMPACTION on demand: the store rejects an append
-            # into a span with pending keyed tombstones (the doc-keyed
-            # anti-join would hide the new rows, and materialization
-            # would drop them), so a takedown would otherwise BLOCK
-            # all subsequent ingest whose rows hash into its spans.
-            # Instead, materialize exactly the overlapping spans first
-            # — O(those spans' data) once, after which the tombstones
-            # are gone and the append (and any re-append of the taken-
-            # down id itself, whose stored rows the compaction just
-            # removed) lands normally. Data files are written BEFORE
-            # the compaction but stay invisible until the append
-            # commits, so a crash anywhere in this sequence leaves
-            # only vacuum-able orphans or a clean earlier snapshot.
+            # MINOR COMPACTION on demand (store.append_materializing):
+            # a takedown must never block ingest, so each tier's
+            # append materializes the pending tombstones it makes
+            # unsafe — the spans its own rows land in (the store's
+            # append-reject rule), plus ALL tombstoned spans whenever
+            # a batch id is tombstoned anywhere (tombstones apply
+            # key-globally at read, so a stale one in another span
+            # would hide the re-appended doc's live rows). Data files
+            # are written before the compactions but stay invisible
+            # until their append commits; the intermediate states a
+            # crash can leave are the compactions' own committed
+            # snapshots (pure materialization — query-invisible) and
+            # the shingles-committed/bands-pending window, which is
+            # the module docstring's invisible-but-registered state.
             sh_map = self._sh.write_data(self._shingle_rows(sigs))
             band_map = self._bands.write_data(self._band_rows(sigs))
-            for tbl, mp in ((self._sh, sh_map), (self._bands, band_map)):
-                clob = sorted(set(mp) & set(tbl.tombstoned_spans()))
-                if clob:
-                    tbl.compact(self.spark, min_files=1, spans=clob)
-            self._sh.commit(append=sh_map)
-            self._bands.commit(append=band_map)
+            ids = sigs.select("doc_id")
+            self._sh.append_materializing(self.spark, sh_map, keys=ids)
+            self._bands.append_materializing(self.spark, band_map, keys=ids)
         finally:
             sigs.unpersist()
 

@@ -891,10 +891,62 @@ class ManifestTable:
     def tombstoned_spans(self) -> list[int]:
         """Spans with delete tombstones pending materialization — the
         spans :meth:`commit` would reject an append into. Append-mode
-        writers intersect this with their write mapping and compact
-        exactly the overlap first (minor compaction), so a takedown
-        never blocks subsequent ingest."""
+        writers go through :meth:`append_materializing`, which
+        compacts the necessary subset of these first."""
         return sorted(int(s) for s in self._load().get("deletes", {}))
+
+    def append_materializing(
+        self,
+        spark: SparkSession,
+        mapping: dict[int, list[str]],
+        keys: DataFrame | None = None,
+    ) -> int:
+        """Append-commit ``mapping``, first MATERIALIZING whatever
+        pending delete tombstones the append makes unsafe (minor
+        compaction) — THE append path for any writer whose table also
+        takes :meth:`delete_keys` deletes, owned here next to the
+        rules it upholds. Two rules:
+
+        1. :meth:`commit` rejects an append into a span with pending
+           tombstones (the keyed anti-join would hide the new rows and
+           materialization would drop them) — so the spans the mapping
+           lands in are compacted when tombstoned.
+        2. Tombstones are SPAN-scoped in storage but KEY-global in
+           application (:meth:`_apply_tombstones` anti-joins the whole
+           read on the key columns): if an appended KEY is tombstoned
+           in ANY span, a stale tombstone elsewhere would silently
+           hide the new live rows from multi-span reads — and a later
+           compact would physically drop them. ``keys`` (a DataFrame
+           carrying the table's ``delete_on`` columns) lets the append
+           detect that case with one bounded semi-join against the
+           (small) tombstone key set and materialize ALL tombstoned
+           spans first, restoring the invariant that no live row ever
+           coexists with a same-key tombstone. Passing ``keys=None``
+           skips rule 2 — only safe when the caller guarantees no
+           appended key was ever deleted.
+
+        The common ingest path (no tombstones anywhere) costs one
+        manifest read beyond a plain commit; the post-takedown append
+        pays one bounded span-subset rewrite, after which the deletes
+        are materialized and gone. Returns the append commit's
+        version."""
+        tombed = self.tombstoned_spans()
+        spans_to_fix: list[int] = sorted(set(mapping) & set(tombed))
+        if tombed and keys is not None:
+            tomb_keys = self.tombstoned_keys(spark)
+            if tomb_keys is not None:
+                on = list(self._load()["delete_on"])
+                hit = (
+                    keys.select(*on)
+                    .join(tomb_keys, on, "left_semi")
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    spans_to_fix = tombed
+        if spans_to_fix:
+            self.compact(spark, min_files=1, spans=spans_to_fix)
+        return self.commit(append=mapping)
 
     def tombstoned_keys(
         self, spark: SparkSession, spans: Iterable[int] | None = None
