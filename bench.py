@@ -106,6 +106,47 @@ def main() -> None:
         " row_number() OVER (PARTITION BY 1 ORDER BY 1)"
     ).collect()
 
+    # CALIBRATION ANCHOR (r11 verdict item 2): a fixed micro-workload
+    # measured every round so box drift and code drift can never be
+    # conflated again — r11's headline moved 11.6 -> 18.3 s on
+    # byte-identical hot-path code and only a judge re-measure could
+    # adjudicate it. Two legs, matching the two noise modes the r11
+    # regressions split into: a pure-CPU whole-stage-codegen aggregate
+    # (scheduler/CPU speed) and one small parquet write/read cycle
+    # (IO/committer/filesystem speed). Nothing here touches engine
+    # code, so the anchor moves ONLY when the box does. Interpretation
+    # rule: if a round's anchor_sec is within noise of the prior
+    # round's but a query regressed, the regression is REAL — bisect;
+    # if the anchor moved with the queries, it's the box.
+    import shutil
+    import tempfile
+
+    def _anchor_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(id * 3 + 1) AS a", "avg(pmod(id, 97)) AS b"
+        ).collect()
+        d = tempfile.mkdtemp(prefix="upmr_anchor_")
+        try:
+            p = os.path.join(d, "t")
+            spark.range(2_000_000).selectExpr(
+                "id", "pmod(id, 1000) AS k"
+            ).write.parquet(p)
+            spark.read.parquet(p).groupBy("k").count().collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return time.perf_counter() - t0
+
+    anchor_reps = sorted(_anchor_once() for _ in range(5))
+    anchor = round(anchor_reps[0], 3)
+    anchor_median = round(anchor_reps[len(anchor_reps) // 2], 3)
+    print(
+        f"# anchor: {anchor}s (median {anchor_median}s, "
+        f"max {round(anchor_reps[-1], 3)}s; best of 5; fixed workload — "
+        "moves only when the box does)",
+        file=sys.stderr,
+    )
+
     qs = all_queries()
     # One-off extra coverage runs (e.g. the relational slice) without
     # disturbing the standard 15-query headline's round-over-round
@@ -218,10 +259,12 @@ def main() -> None:
     ]
     store_times: dict[str, float] = {}
     for name in store:
-        # r9 flagged q_cdc_incremental_rollup's single measurement +30%
-        # out of the noise band on nominally-unchanged code; best-of-3
-        # makes the r10 number noise-robust (r9 verdict item 4).
-        n_reps = 3 if name == "q_cdc_incremental_rollup" else 1
+        # best-of-3 for the WHOLE suite from r12 (r11 verdict item 4):
+        # r9 blipped q_cdc_incremental_rollup +30% and r11 recorded
+        # q_store_compaction at 15.1 s single-rep on untouched code —
+        # write-heavy lifecycle queries are the artifact's most
+        # noise-exposed rows, so they all get the TPC-H treatment.
+        n_reps = 3
         reps, n = [], 0
         for _ in range(n_reps):
             spark.catalog.clearCache()
@@ -277,6 +320,19 @@ def main() -> None:
                 "tpch_queries": tpch_times,
                 "store_suite_total": round(sum(store_times.values()), 3),
                 "store_queries": store_times,
+                "anchor_spread": {
+                    "min": anchor,
+                    "median": anchor_median,
+                    "max": round(anchor_reps[-1], 3),
+                },
+                "anchor_note": (
+                    "fixed workload (range(50M) codegen aggregate + one"
+                    " 2M-row parquet write/read), best-of-5, measured"
+                    " before the headline: it moves only when the BOX"
+                    " does, so compare rounds' anchor_sec before"
+                    " interpreting their query deltas (r11 verdict"
+                    " item 2)"
+                ),
                 "near_dup_exact_attestation_sec": near_dup_exact,
                 "near_dup_note": (
                     "r11 swap: the headline's q_dedup_near_production "
@@ -307,6 +363,8 @@ def main() -> None:
             "queries": times,
             "median_total": median_total,
             "noise_sec": noise,
+            "anchor_sec": anchor,
+            "anchor_median_sec": anchor_median,
             "reps": N_REPS,
         }
     )
