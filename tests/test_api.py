@@ -95,19 +95,28 @@ def test_api_maintenance_surface(spark, tmp_path):
 
 
 def test_priority_order_covers_registry_exactly():
-    """The least-recently-validated-first iteration order must name
-    every registered query exactly once and nothing else — a typo in
-    the list would silently demote a query out of the driver's
-    front-of-registry sample."""
+    """The computed least-recently-validated-first iteration order
+    must name every registered query exactly once and nothing else,
+    and the hand-declared changed/rows-only lists must never name a
+    phantom query (a typo would silently demote a real query out of
+    the driver's front-of-registry sample)."""
     from updatable_persistent_map_reduce_spark.operators import (
-        _PRIORITY,
+        _CHANGED,
+        _ROWS_ONLY_LAST,
+        REGISTRY,
         all_queries,
     )
 
-    registered = set(all_queries())
-    listed = list(_PRIORITY)
-    assert len(listed) == len(set(listed)), "duplicate in _PRIORITY"
-    assert set(listed) == registered, (
-        f"phantom: {sorted(set(listed) - registered)}; "
-        f"unlisted: {sorted(registered - set(listed))}"
+    ordered = list(all_queries())
+    assert len(ordered) == len(set(ordered)), "duplicate in order"
+    assert set(ordered) == set(REGISTRY), (
+        f"phantom: {sorted(set(ordered) - set(REGISTRY))}; "
+        f"unlisted: {sorted(set(REGISTRY) - set(ordered))}"
     )
+    assert set(_CHANGED) <= set(REGISTRY), sorted(
+        set(_CHANGED) - set(REGISTRY)
+    )
+    assert set(_ROWS_ONLY_LAST) <= set(REGISTRY)
+    # rows-only really are the ones without oracles, and vice versa
+    no_oracle = {n for n, q in REGISTRY.items() if q.oracle is None}
+    assert no_oracle == set(_ROWS_ONLY_LAST), no_oracle

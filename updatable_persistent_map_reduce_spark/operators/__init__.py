@@ -10,7 +10,9 @@ engine-stateful ops) carry ``oracle=None``.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import json
+import os
+from collections.abc import Callable, Iterable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,109 +62,154 @@ def register(
 # the ones LEAST RECENTLY validated by the driver, never a flattering
 # hand-picked subset:
 #   1.  queries whose implementation changed since their last
-#       attestation (the prior green row no longer covers the code);
+#       attestation (the prior green row no longer covers the code —
+#       the hand-declared ``_CHANGED`` list, reset each round);
 #   2.  then queries that have never been attested (new this round;
 #       any excess past a checker's sample size rolls to next round);
-#   3.  then everything else, least-recently-attested first (tier
-#       vintages computed from the CORRECTNESS_r*.json union).
-# The order never hides anything: the full local gate
+#   3.  then everything else, least-recently-attested first — which
+#       ALSO encodes the staleness cap (r11 verdict item 7): any
+#       oracle-backed query whose latest green row is
+#       ``_STALE_ROUNDS``+ rounds old sorts ahead of every younger
+#       one by construction, so freshness debt can never silently
+#       re-accumulate behind a flattering rotation; only the (small)
+#       changed/new sets ever precede a stale query.
+#   4.  rows-only queries LAST (r10 verdict item 2): they can never
+#       produce a green driver row (err: no_oracle), so a budget-
+#       bounded sample reaching them burns a slot the oracle-backed
+#       backlog could use; the LOCAL gate still bounds them every
+#       round (Query.bound tolerances / recall pytests).
+# Since r12 the vintage tiers are COMPUTED from the driver's own
+# CORRECTNESS_r*.json artifacts at import (previously a hand-
+# maintained list that let a 29-query r6 tier age five rounds), and
+# the rule is pinned by tests/test_r12_ops.py over synthetic
+# histories. The order never hides anything: the full local gate
 # (tools/check_oracle.py, run per round) validates every registered
 # query regardless of position, and the union of driver rounds covers
 # all of them.
-_PRIORITY = [
-    # -- 1. implementation changed in round 11 since the last
-    #       driver row (advice fixes / refactors; re-attestation first;
-    #       the last four share the r11-unified bm25_chain_sql oracle
-    #       or the hardened index append/delete paths) --
-    "q_mask_lm", "q_span_corruption", "q_quality_classifier",
-    "q_preference_pairs", "q_stream_quality_gate", "q_path_analysis",
-    "q_attribution", "q_bpe_train",
-    "q_bm25", "q_rank_fusion", "q_text_index_persisted",
+
+# Implementations changed since their last green driver row (reset
+# each round). r12: the two exercisers of the narrowed
+# store.append_materializing (single-snapshot + intersecting-span
+# rule 2 + base_version-pinned append) and the takedown cascade
+# (scratch-dir lifecycle rewrite).
+_CHANGED = [
     "q_neardup_index_persisted",
-    # -- 2. new in round 11, never driver-attested ------------------
-    "q_tokenizer_coverage", "q_takedown_cascade",
-    # -- unchanged, last attested round 5 (22 ids) --
-    "q_sql_tpch_q10", "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
-    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q6",
-    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_store_rescale", "q_stream_dedup",
-    "q_stream_interval_join", "q_stream_sessionize", "q_stream_view_upsert",
-    "q_tfidf_vectors", "q_time_travel", "q_topk_per_group",
-    "q_udtf_surface", "q_unpivot", "q_upsert_delete", "q_upsert_recount",
-    # -- unchanged, last attested round 6 (43 ids) --
-    "q_bigram_fluency", "q_cdc_incremental_rollup", "q_collation",
-    "q_data_mix", "q_dedup_substring", "q_dedup_substring_hashed",
-    "q_dpp_prune", "q_drop_audit", "q_gap_fill", "q_heavy_hitters",
-    "q_join_bloom_runtime", "q_join_bucketed", "q_join_existence",
-    "q_join_lateral", "q_kmeans_assign", "q_mm_audio_features",
-    "q_mm_image_phash_dedup", "q_python_datasource", "q_recursive_cte",
-    "q_scan_binary", "q_scan_xml", "q_sql_parameterized", "q_sql_pipe",
-    "q_sql_scripting", "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q16",
-    "q_sql_tpch_q20", "q_sql_tpch_q21", "q_sql_tpch_q22", "q_sql_tpch_q9",
-    "q_sql_udf", "q_store_cdc", "q_store_clone", "q_store_schema_evolution",
-    "q_store_stats_prune", "q_stream_checkpoint_recovery",
-    "q_stream_enrich", "q_stream_full_outer_join", "q_stream_late_data",
-    "q_stream_outer_join", "q_stream_update_mode", "q_variant_type",
-    # -- unchanged, last attested round 7 (40 ids) --
-    "q_agg_boolean", "q_agg_grouping_sets", "q_agg_multi", "q_bucket_hash",
-    "q_cogroup_udf", "q_cross_tab", "q_cumulative_distinct",
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_ngram",
-    "q_dedup_simhash", "q_distinct_ids", "q_event_funnel", "q_group_count",
-    "q_join_asof", "q_join_asof_nearest", "q_join_broadcast",
-    "q_join_inner", "q_join_null_safe", "q_join_range_banded",
-    "q_join_salted", "q_join_skew_aqe", "q_key_migration", "q_lang_id",
-    "q_layout_zorder", "q_map_flat", "q_map_project", "q_mm_features",
-    "q_mm_frame_sample", "q_ohlc_remerge", "q_pack_tokens", "q_pii_scrub",
-    "q_point_lookup", "q_quality_score", "q_sim_index_persisted",
-    "q_split_exact", "q_sql_tpch_q2", "q_streak_days",
-    "q_time_weighted_avg", "q_window_distribution",
-    # -- unchanged, last attested round 8 (42 ids) --
-    "q_agg_cube", "q_agg_quantile", "q_agg_rollup", "q_anomaly_mad",
-    "q_anomaly_p99", "q_array_map_funcs", "q_batch_256", "q_corpus_prep",
-    "q_decontaminate", "q_dedup_edit", "q_dedup_near", "q_dedup_semantic",
-    "q_doc_fingerprint", "q_doc_len_histogram", "q_embed_pq",
-    "q_embed_quantize", "q_epoch_shuffle", "q_except", "q_filter_pred",
-    "q_length_bucket_batches", "q_mm_patchify", "q_mm_resize",
-    "q_mm_scene_cut", "q_ohlc_rollup",
-    "q_repetition_filter", "q_rereduce", "q_sample_hash", "q_scd2_lookup",
-    "q_source_batch", "q_sql_tpch_q1", "q_sql_tpch_q3",
-    "q_store_compaction", "q_store_delete_vectors", "q_store_point_lookup",
-    "q_store_restore", "q_stream_neardup_gate", "q_stream_session",
-    "q_stream_tumbling", "q_text_stats", "q_token_count", "q_udaf_pandas",
-    "q_window_rank",
-    # -- unchanged, last attested round 9 (43 ids) --
-    "q_agg_stats", "q_alter_reduce", "q_argminmax", "q_char_entropy",
-    "q_chat_template", "q_dedup_near_clusters", "q_embed_mrl",
-    "q_html_extract", "q_intersect", "q_inverted_index", "q_join_full",
-    "q_join_interval_overlap", "q_join_left", "q_join_range", "q_join_semi",
-    "q_json_struct", "q_mm_blur_detect", "q_ngram_stats", "q_pivot",
-    "q_project_expr", "q_quality_funnel", "q_rereduce_tree",
-    "q_sample_stratified", "q_scalar_funcs", "q_scan_csv", "q_scan_json",
-    "q_scan_parquet", "q_shard_pack", "q_sort_limit", "q_sql_exists",
-    "q_sql_tpch_q5", "q_store_merge", "q_store_vacuum", "q_stream_sliding",
-    "q_string_agg", "q_tokenize_bpe", "q_udf_surface", "q_union_all",
-    "q_upsert_enriched", "q_window_frame", "q_window_lag", "q_window_ntile",
-    "q_window_range_frame",
-    # -- unchanged, last attested round 10 (39 ids) --
-    "q_catalog_stats", "q_chunk_split", "q_constraint_audit",
-    "q_covariance_incremental", "q_dedup_cluster", "q_dedup_cross_snapshot",
-    "q_dedup_embed", "q_dedup_hamming", "q_dedup_substring_remove",
-    "q_dedup_url", "q_embed_covariance", "q_graph_bfs", "q_graph_jaccard",
-    "q_graph_kcore", "q_graph_triangles", "q_ingest_corrupt", "q_join_anti",
-    "q_k_anonymity", "q_map_type_ops", "q_minhash_containment",
-    "q_ngram_novelty", "q_null_semantics", "q_pagerank", "q_percent_change",
-    "q_pmi_collocations", "q_resample_weighted",
-    "q_retention_cohort", "q_sample_priority", "q_scan_orc", "q_scan_text",
-    "q_scd2_history", "q_session_conversion", "q_sim_index_pq",
-    "q_sim_join_threshold", "q_sim_search", "q_sim_search_binary",
-    "q_simhash_incremental", "q_store_diff", "q_stream_covariance",
-    # -- rows-only by design, LAST (r10 verdict item 2): these can
-    #    never produce a green driver row (err: no_oracle), so a
-    #    budget-bounded sample that reaches them burns a slot the
-    #    oracle-backed backlog could use; the LOCAL gate still bounds
-    #    them every round (Query.bound tolerances / recall pytests) --
+    "q_stream_neardup_gate",
+    "q_takedown_cascade",
+]
+
+# Rows-only by design (oracle=None is intrinsic: sketches/ANN recall
+# paths whose estimates a hash compare cannot adjudicate).
+_ROWS_ONLY_LAST = [
     "q_sketch_union", "q_approx_distinct", "q_agg_approx_quantile",
     "q_sim_search_lsh", "q_sim_search_ivf",
 ]
+
+# A query whose latest green driver row is this many rounds old is
+# STALE: the ordering guarantees it precedes every younger query.
+_STALE_ROUNDS = 4
+
+
+def _attestation_history() -> dict[int, dict]:
+    """round -> parsed CORRECTNESS_r{N}.json, from the repo root the
+    package lives in. Missing/corrupt files are skipped — the order
+    degrades to registration order, never to an import error."""
+    import glob
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out: dict[int, dict] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        mt = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not mt:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict):
+            out[int(mt.group(1))] = data
+    return out
+
+
+def _vintages(history: dict[int, dict]) -> dict[str, int]:
+    """query -> round of its LATEST green driver row (rows + schema +
+    hash all matched). Errors/red rows never advance a vintage."""
+    v: dict[str, int] = {}
+    for rnd in sorted(history):
+        for name, row in history[rnd].items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                v[name] = rnd
+    return v
+
+
+def priority_order(
+    names: Iterable[str],
+    history: dict[int, dict],
+    changed: Sequence[str] = (),
+    rows_only: Sequence[str] = (),
+) -> list[str]:
+    """The mechanical sample order described above, exposed as a pure
+    function of the attestation history so tests can drive it with
+    synthetic histories. Ties inside a tier break alphabetically —
+    deterministic, never flattering."""
+    names = list(names)
+    vintage = _vintages(history)
+    changed_set = {n for n in changed if n in names}
+    rows_only_set = {n for n in rows_only if n in names}
+    head = [n for n in changed if n in changed_set]
+    new = sorted(
+        n
+        for n in names
+        if n not in vintage
+        and n not in changed_set
+        and n not in rows_only_set
+    )
+    rest = sorted(
+        (
+            n
+            for n in names
+            if n in vintage
+            and n not in changed_set
+            and n not in rows_only_set
+        ),
+        key=lambda n: (vintage[n], n),
+    )
+    tail = [n for n in names if n in rows_only_set]
+    return head + new + rest + tail
+
+
+def stale_queries(
+    names: Iterable[str],
+    history: dict[int, dict],
+    rows_only: Sequence[str] = (),
+    stale_rounds: int = _STALE_ROUNDS,
+) -> list[str]:
+    """Oracle-backed queries whose latest green row is ``stale_rounds``
+    or more rounds behind the newest attestation round — the set the
+    ordering must place ahead of everything but changed/new."""
+    if not history:
+        return []
+    vintage = _vintages(history)
+    current = max(history) + 1  # the round about to be sampled
+    return sorted(
+        n
+        for n in names
+        if n not in set(rows_only)
+        and n in vintage
+        and current - vintage[n] >= stale_rounds
+    )
+
+
+
 
 
 def all_queries() -> dict[str, Query]:
@@ -182,6 +229,7 @@ def all_queries() -> dict[str, Query]:
     from . import layout  # noqa: F401
     from . import takedown  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
-    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
-    return ordered
+    order = priority_order(
+        REGISTRY, _attestation_history(), _CHANGED, _ROWS_ONLY_LAST
+    )
+    return {n: REGISTRY[n] for n in order}

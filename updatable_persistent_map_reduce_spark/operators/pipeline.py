@@ -1321,12 +1321,16 @@ _MLM_RATE_BP = 1500  # 15% of positions, the published BERT rate
 # span-length tail 1:6500/2:1199/3:315 — BERT-scattered with a T5-like
 # short-span tail). pos^2 is reduced mod 2^32 BEFORE the multiply so
 # the term is bounded by 2^32 * MIX ~ 4.3e15 and the hash stays inside
-# int64 for ANY document length — the unreduced form overflowed past
-# ~3e6 tokens, where ANSI DuckDB raises but non-ANSI Spark silently
-# wraps, so the engines diverged instead of failing together (r10
-# advice). For every position below 65536 (pos^2 < 2^32) the reduction
-# is the identity, so mask decisions — and the measured scatter stats
-# above — are unchanged on any real-page-sized document.
+# int64 up to pos ~ 3.04e9 (where pos*pos ITSELF, computed before the
+# mod, exits int64 — r11 advice: the bound is the squaring, not the
+# product; ~3e9 tokens in one document is ~12 GB of text, far past any
+# row Spark or DuckDB can hold, so the divergence class is practically
+# closed, not formally). The unreduced form overflowed past ~3e6
+# tokens, where ANSI DuckDB raises but non-ANSI Spark silently wraps,
+# so the engines diverged instead of failing together (r10 advice).
+# For every position below 65536 (pos^2 < 2^32) the reduction is the
+# identity, so mask decisions — and the measured scatter stats above —
+# are unchanged on any real-page-sized document.
 _MLM_POS_MIX = 1000003
 
 

@@ -21,6 +21,8 @@ manifest-pruned span set plus a broadcast-sized tombstone anti-join.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,6 +150,11 @@ def q_takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.text_index import InvertedIndex
     from ..plans.view import MapReduceView
 
+    # all four persisted artifacts live under ONE temp root removed in
+    # the finally below (r11 advice: mkdtemp per artifact leaked four
+    # index trees per run — including every driver attestation round)
+    root = tempfile.mkdtemp(prefix="upmr_takedown_")
+
     cat = Catalog(spark, sf_dir)
     d = cat.documents.select("doc_id", "text", "lang")
     e = cat.embeddings.select("vec_id", "embedding")
@@ -176,85 +183,90 @@ def q_takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     metrics: list[tuple[str, int]] = [("victim_doc", victim)]
 
-    # ---- (2) persisted BM25 index ------------------------------------
-    # span counts sized for the gate corpora (hundreds-of-docs scale);
-    # they are pure physical-placement knobs — results are span-layout
-    # invariant (q_store_rescale attests exactly that) and a 100 TB
-    # deployment raises them with the corpus
-    ti = InvertedIndex(
-        spark,
-        tempfile.mkdtemp(prefix="upmr_td_text_"),
-        n_spans=16,
-        n_doc_spans=8,
-    )
-    ti.build(d.select("doc_id", "text"))
-    pre = ti.bm25(QUERY_TERMS, k=TOP_DOCS).collect()
-    metrics.append(
-        ("text_victim_hits_before", sum(r.doc_id == victim for r in pre))
-    )
-    ti.delete(vic_df)
-    post = ti.bm25(QUERY_TERMS, k=TOP_DOCS).collect()
-    metrics.append(("text_n_docs_after", int(ti.stats()["n_docs"])))
-    metrics.append(("text_top1_after", int(post[0].doc_id)))
-    metrics.append(
-        ("text_victim_hits_after", sum(r.doc_id == victim for r in post))
-    )
-
-    # ---- (4) ANN index ----------------------------------------------
-    ann = IvfIndex(spark, tempfile.mkdtemp(prefix="upmr_td_ann_"))
-    ann.build(e)
-    probe_q = [(-1, [float(x) for x in vemb])]
-    pre_a = ann.search(probe_q, k=1, nprobe=ann.n_cells).collect()
-    metrics.append(("ann_top1_before", int(pre_a[0].vec_id)))
-    ann.delete(
-        spark.createDataFrame(
-            [(victim, list(vemb))], "vec_id long, embedding array<float>"
+    try:
+        # ---- (2) persisted BM25 index --------------------------------
+        # span counts sized for the gate corpora (hundreds-of-docs
+        # scale); they are pure physical-placement knobs — results are
+        # span-layout invariant (q_store_rescale attests exactly that)
+        # and a 100 TB deployment raises them with the corpus
+        ti = InvertedIndex(
+            spark,
+            os.path.join(root, "text"),
+            n_spans=16,
+            n_doc_spans=8,
         )
-    )
-    post_a = ann.search(probe_q, k=1, nprobe=ann.n_cells).collect()
-    metrics.append(("ann_top1_after", int(post_a[0].vec_id)))
+        ti.build(d.select("doc_id", "text"))
+        pre = ti.bm25(QUERY_TERMS, k=TOP_DOCS).collect()
+        metrics.append(
+            ("text_victim_hits_before", sum(r.doc_id == victim for r in pre))
+        )
+        ti.delete(vic_df)
+        post = ti.bm25(QUERY_TERMS, k=TOP_DOCS).collect()
+        metrics.append(("text_n_docs_after", int(ti.stats()["n_docs"])))
+        metrics.append(("text_top1_after", int(post[0].doc_id)))
+        metrics.append(
+            ("text_victim_hits_after", sum(r.doc_id == victim for r in post))
+        )
 
-    # ---- (3) near-dup band index ------------------------------------
-    nd = NearDupIndex(
-        spark,
-        tempfile.mkdtemp(prefix="upmr_td_nd_"),
-        n_spans=16,
-        n_doc_spans=8,
-    )
-    nd.build(d.select("doc_id", "text"))
-    probe_b = spark.createDataFrame(
-        [(-1, victim_text)], "doc_id long, text string"
-    )
-    p1 = nd.probe(probe_b).collect()
-    metrics.append(
-        ("neardup_victim_pairs_before", sum(r.doc_b == victim for r in p1))
-    )
-    nd.delete(vic_docs)
-    p2 = nd.probe(probe_b).collect()
-    metrics.append(
-        ("neardup_victim_pairs_after", sum(r.doc_b == victim for r in p2))
-    )
-    metrics.append(("neardup_pairs_after", len(p2)))
+        # ---- (4) ANN index --------------------------------------------
+        ann = IvfIndex(spark, os.path.join(root, "ann"))
+        ann.build(e)
+        probe_q = [(-1, [float(x) for x in vemb])]
+        pre_a = ann.search(probe_q, k=1, nprobe=ann.n_cells).collect()
+        metrics.append(("ann_top1_before", int(pre_a[0].vec_id)))
+        ann.delete(
+            spark.createDataFrame(
+                [(victim, list(vemb))], "vec_id long, embedding array<float>"
+            )
+        )
+        post_a = ann.search(probe_q, k=1, nprobe=ann.n_cells).collect()
+        metrics.append(("ann_top1_after", int(post_a[0].vec_id)))
 
-    # ---- (1) the materialized view ----------------------------------
-    view = MapReduceView(
-        spark,
-        tempfile.mkdtemp(prefix="upmr_td_view_"),
-        id_col="doc_id",
-        group_cols=["lang"],
-        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
-        n_key_spans=4,
-        n_doc_spans=8,
-    )
-    view.execute(
-        d.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
-    )
-    view.delete_docs([str(victim)])
-    finals = view.final_df().select("lang", "cnt").collect()
-    metrics.extend(
-        (f"view_docs_{r.lang if r.lang is not None else '?'}", int(r.cnt))
-        for r in finals
-    )
+        # ---- (3) near-dup band index ----------------------------------
+        nd = NearDupIndex(
+            spark,
+            os.path.join(root, "neardup"),
+            n_spans=16,
+            n_doc_spans=8,
+        )
+        nd.build(d.select("doc_id", "text"))
+        probe_b = spark.createDataFrame(
+            [(-1, victim_text)], "doc_id long, text string"
+        )
+        p1 = nd.probe(probe_b).collect()
+        metrics.append(
+            ("neardup_victim_pairs_before", sum(r.doc_b == victim for r in p1))
+        )
+        nd.delete(vic_docs)
+        p2 = nd.probe(probe_b).collect()
+        metrics.append(
+            ("neardup_victim_pairs_after", sum(r.doc_b == victim for r in p2))
+        )
+        metrics.append(("neardup_pairs_after", len(p2)))
+
+        # ---- (1) the materialized view --------------------------------
+        view = MapReduceView(
+            spark,
+            os.path.join(root, "view"),
+            id_col="doc_id",
+            group_cols=["lang"],
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+            n_key_spans=4,
+            n_doc_spans=8,
+        )
+        view.execute(
+            d.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+        )
+        view.delete_docs([str(victim)])
+        finals = view.final_df().select("lang", "cnt").collect()
+        metrics.extend(
+            (f"view_docs_{r.lang if r.lang is not None else '?'}", int(r.cnt))
+            for r in finals
+        )
+    finally:
+        # metrics are plain Python ints by here — the artifacts are
+        # pure scratch, never part of the result
+        shutil.rmtree(root, ignore_errors=True)
 
     return spark.createDataFrame(
         [(m, int(v)) for m, v in metrics], "metric string, value long"

@@ -928,25 +928,47 @@ class ManifestTable:
         The common ingest path (no tombstones anywhere) costs one
         manifest read beyond a plain commit; the post-takedown append
         pays one bounded span-subset rewrite, after which the deletes
-        are materialized and gone. Returns the append commit's
-        version."""
-        tombed = self.tombstoned_spans()
-        spans_to_fix: list[int] = sorted(set(mapping) & set(tombed))
-        if tombed and keys is not None:
-            tomb_keys = self.tombstoned_keys(spark)
-            if tomb_keys is not None:
-                on = list(self._load()["delete_on"])
-                hit = (
-                    keys.select(*on)
-                    .join(tomb_keys, on, "left_semi")
-                    .limit(1)
-                    .collect()
+        are materialized and gone. Rule 2's span set is NARROW (r11
+        advice): only spans whose OWN tombstone key sets intersect the
+        batch keys are materialized — one tombstone-file read + semi-
+        join, tagged by span, never "all pending deletes because one
+        key matched". Both rules evaluate against ONE manifest
+        snapshot, and that snapshot's lineage is carried as
+        ``base_version`` into the append commit — a tombstone commit
+        racing into the appended spans between the rule checks and the
+        append now raises :class:`ConcurrentCommitError` instead of
+        silently key-hiding the new rows (a racing tombstone in a
+        DISJOINT span remains the span-level OCC's documented residual
+        window, covered by the single-writer assumption). Returns the
+        append commit's version."""
+        m = self._load()  # ONE snapshot: both rules + commit lineage
+        deletes = m.get("deletes", {})
+        spans_to_fix: set[int] = {int(s) for s in deletes} & set(mapping)
+        if deletes and keys is not None:
+            on = list(m["delete_on"])
+            tomb = None
+            for s, fs in deletes.items():
+                part = (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in fs]
+                    )
+                    .select(*on)
+                    .withColumn("_tspan", F.lit(int(s)))
                 )
-                if hit:
-                    spans_to_fix = tombed
+                tomb = part if tomb is None else tomb.unionByName(part)
+            hit = (
+                tomb.join(keys.select(*on).distinct(), on, "left_semi")
+                .select("_tspan")
+                .distinct()
+                .collect()
+            )
+            spans_to_fix |= {int(r[0]) for r in hit}
+        base = m["version"]
         if spans_to_fix:
-            self.compact(spark, min_files=1, spans=spans_to_fix)
-        return self.commit(append=mapping)
+            base = self.compact(
+                spark, min_files=1, spans=sorted(spans_to_fix)
+            )["version"]
+        return self.commit(append=mapping, base_version=base)
 
     def tombstoned_keys(
         self, spark: SparkSession, spans: Iterable[int] | None = None
