@@ -170,3 +170,282 @@ def test_live_order_clears_the_r6_tier_within_a_50_slot_sample():
     prefix = set(order[:50])
     missing = must_sample - prefix
     assert not missing, f"not in the 50-slot prefix: {sorted(missing)}"
+
+
+# ---------------------------------------------------------------------------
+# takedown kill matrix (r11 verdict item 6): InvertedIndex.delete's
+# sentinel -> doc_index -> stats commit chain killed at every stage,
+# asserting BM25 serving correctness at each intermediate state and
+# exact healing — the crash-at-every-stage treatment
+# tests/test_recovery.py gives the view's commit protocol.
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from updatable_persistent_map_reduce_spark.operators.search import (  # noqa: E402
+    QUERY_TERMS,
+)
+from updatable_persistent_map_reduce_spark.plans.text_index import (  # noqa: E402
+    InvertedIndex,
+)
+
+_MINI_DOCS = [
+    (1, "hash join window functions in the engine"),
+    (2, "the hash table spills to disk"),
+    (3, "window aggregation over a sliding hash join window"),
+    (4, "broadcast join beats shuffle join for small tables"),
+    (5, "sort merge join and window ranking"),
+    (6, "a plain document about parquet footers"),
+    (7, "hash partitioning and bucketed joins with window frames"),
+    (8, "statistics pruning skips files"),
+    (9, "watermarks bound state in streaming windows"),
+    (10, "the join reorders under cost based optimization"),
+]
+_VICTIM = 3  # scores on all three query terms
+
+
+def _mini_docs(spark):
+    return spark.createDataFrame(_MINI_DOCS, "doc_id long, text string")
+
+
+def _vic_df(spark):
+    return spark.createDataFrame([(_VICTIM,)], "doc_id long")
+
+
+def _bm25_list(ti):
+    return [
+        (r.doc_id, r.score) for r in ti.bm25(QUERY_TERMS, k=20).collect()
+    ]
+
+
+def _ti(spark, path, docs=None):
+    ti = InvertedIndex(spark, str(path), n_spans=4, n_doc_spans=2)
+    if docs is not None:
+        ti.build(docs)
+    return ti
+
+
+def _expected_after_delete(spark, tmp_path):
+    ref = _ti(
+        spark,
+        tmp_path / "ref",
+        _mini_docs(spark).filter(F.col("doc_id") != _VICTIM),
+    )
+    return _bm25_list(ref), ref.stats()
+
+
+def _raise(*a, **kw):
+    raise RuntimeError("injected crash")
+
+
+def test_takedown_kill_before_sentinel_leaves_index_intact(spark, tmp_path):
+    """Crash at the sentinel commit (stage 1): no commit landed, so a
+    fresh handle serves the PRE-delete state exactly, and re-running
+    the delete completes to the exact post-delete index."""
+    ti = _ti(spark, tmp_path / "a", _mini_docs(spark))
+    pre = _bm25_list(ti)
+    pre_stats = ti.stats()
+    ti._repl.commit = _raise
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ti.delete(_vic_df(spark))
+
+    ti2 = _ti(spark, tmp_path / "a")
+    assert _bm25_list(ti2) == pre
+    assert ti2.stats() == pre_stats
+
+    ti2.delete(_vic_df(spark))
+    exp, exp_stats = _expected_after_delete(spark, tmp_path)
+    assert _bm25_list(ti2) == exp
+    assert ti2.stats() == exp_stats
+
+
+def test_takedown_kill_after_sentinel_hides_victim_then_heals(
+    spark, tmp_path
+):
+    """Crash at the doc_index commit (stage 2): the sentinel landed,
+    so the victim is ALREADY out of every result (the delete's
+    serving-correctness guarantee); the doc_index and stats are stale
+    (n_docs still counts the victim — the documented bounded drift).
+    Re-running the delete heals everything exactly."""
+    ti = _ti(spark, tmp_path / "b", _mini_docs(spark))
+    n_before = ti.stats()["n_docs"]
+    ti._docs.commit = _raise
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ti.delete(_vic_df(spark))
+
+    ti2 = _ti(spark, tmp_path / "b")
+    assert all(d != _VICTIM for d, _ in _bm25_list(ti2))  # victim gone NOW
+    assert ti2.stats()["n_docs"] == n_before  # bounded drift, not healed yet
+
+    ti2.delete(_vic_df(spark))  # the retry sees the victim and finishes
+    exp, exp_stats = _expected_after_delete(spark, tmp_path)
+    assert _bm25_list(ti2) == exp
+    assert ti2.stats() == exp_stats
+
+
+def test_takedown_kill_before_stats_write_refresh_heals_exactly(
+    spark, tmp_path
+):
+    """Crash between the doc_index commit and the stats write (stage
+    3 — the window the r11 verdict asked to kill-test): the victim is
+    out of results AND out of the doc_index; only (n_docs, total_dl)
+    drift, and refresh_stats() squares them away exactly, restoring
+    the bit-exact post-delete BM25 scores."""
+    ti = _ti(spark, tmp_path / "c", _mini_docs(spark))
+    n_before = ti.stats()["n_docs"]
+    ti.stats = _raise  # delete reads stats() right before the write
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ti.delete(_vic_df(spark))
+
+    ti2 = _ti(spark, tmp_path / "c")
+    assert all(d != _VICTIM for d, _ in _bm25_list(ti2))
+    assert ti2.stats()["n_docs"] == n_before  # stale scalars, bounded
+    idx = ti2._docs.read(spark)
+    assert idx.filter(F.col("doc_id") == _VICTIM).count() == 0  # docs healed
+
+    healed = ti2.refresh_stats()
+    exp, exp_stats = _expected_after_delete(spark, tmp_path)
+    assert healed == exp_stats
+    assert _bm25_list(ti2) == exp
+
+    # idempotence: a replayed takedown after healing changes nothing
+    ti2.delete(_vic_df(spark))
+    assert _bm25_list(ti2) == exp
+    assert ti2.stats() == exp_stats
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure lifecycle (r11 verdict item 3): independent of the
+# registered q_takedown_erasure, walk EVERY version of EVERY table of
+# all four artifacts after delete + compact + vacuum and assert each
+# is pruned or victim-free, then raw-scan every parquet byte left on
+# disk for the victim's key.
+
+
+def test_erasure_every_surviving_version_is_pruned_or_victim_free(
+    spark, tmp_path
+):
+    from updatable_persistent_map_reduce_spark.plans.ann_index import (
+        IvfIndex,
+    )
+    from updatable_persistent_map_reduce_spark.plans.neardup_index import (
+        NearDupIndex,
+    )
+    from updatable_persistent_map_reduce_spark.plans.view import (
+        MapReduceView,
+    )
+    import os
+
+    docs = _mini_docs(spark)
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5 * i, 2.0]) for i, _ in _MINI_DOCS],
+        "vec_id long, embedding array<float>",
+    )
+    victim_text = dict(_MINI_DOCS)[_VICTIM]
+
+    ti = _ti(spark, tmp_path / "text", docs)
+    ann = IvfIndex(spark, str(tmp_path / "ann"), n_cells=4)
+    ann.build(embs)
+    nd = NearDupIndex(
+        spark, str(tmp_path / "nd"), n_perm=16, n_bands=16,
+        n_spans=8, n_doc_spans=2,
+    )
+    nd.build(docs)
+    view = MapReduceView(
+        spark,
+        str(tmp_path / "view"),
+        id_col="doc_id",
+        group_cols=["parity"],
+        agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+        n_key_spans=2,
+        n_doc_spans=2,
+    )
+    view.execute(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.col("doc_id") % 2).alias("parity"),
+        )
+    )
+
+    vic_uid = str(_VICTIM).upper()
+    tables = [
+        ("text_post", ti._post, "doc_id", _VICTIM),
+        ("text_docs", ti._docs, "doc_id", _VICTIM),
+        ("text_repl", ti._repl, "doc_id", _VICTIM),
+        ("ann_listed", ann._listed, "vec_id", _VICTIM),
+        ("nd_shingles", nd._sh, "doc_id", _VICTIM),
+        ("nd_bands", nd._bands, "doc_id", _VICTIM),
+        ("view_map", view._map_t, "uid", vic_uid),
+        ("view_idx", view._idx_t, "uid", vic_uid),
+        ("view_l1", view._l1_t, "uid", vic_uid),
+        ("view_fin", view._fin_t, "uid", vic_uid),
+    ]
+    pre_v = {n: t.version for n, t, _, _ in tables}
+
+    # the hole exists before erasure: pre-delete postings time-travel
+    # back with the victim in them
+    ti.delete(_vic_df(spark))
+    old = ti._post.read(spark, version=pre_v["text_post"])
+    assert old.filter(F.col("doc_id") == _VICTIM).count() > 0
+
+    ann.delete(
+        spark.createDataFrame(
+            [(_VICTIM, [float(_VICTIM), 1.0, 0.5 * _VICTIM, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    nd.delete(
+        spark.createDataFrame(
+            [(_VICTIM, victim_text)], "doc_id long, text string"
+        )
+    )
+    view.delete_docs([str(_VICTIM)])
+
+    ti.compact()
+    ann.compact()
+    nd.compact()
+    view.compact_index()
+
+    ti.compact()  # one more post-delete version for the retained branch
+    ti._post.vacuum(keep_versions=2)
+    ti._docs.vacuum(keep_versions=0)
+    ti._repl.vacuum(keep_versions=0)
+    ann.vacuum(keep_versions=0)
+    nd.vacuum(keep_versions=0)
+    view.vacuum(keep_versions=0)
+
+    retained_postdelete = 0
+    for name, t, col, val in tables:
+        cur = t.version
+        for v in range(1, cur + 1):
+            try:
+                df = t.read(spark, version=v) if v < cur else t.read(spark)
+            except ValueError:
+                continue  # pruned — not time-travelable
+            assert v > pre_v[name], (
+                f"{name} v{v}: a pre-delete version is still travelable"
+            )
+            if df is not None and col in df.columns:
+                assert df.filter(F.col(col) == val).count() == 0, (
+                    f"{name} v{v} reproduces the victim"
+                )
+            if name == "text_post" and pre_v[name] < v < cur:
+                retained_postdelete += 1
+    # the retained-but-victim-free branch was actually exercised
+    assert retained_postdelete >= 1
+
+    # physical erasure: no parquet byte on disk carries the victim key
+    for name, t, col, val in tables:
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(t.path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        raw = spark.read.option("mergeSchema", "true").parquet(*files)
+        if col in raw.columns:
+            assert raw.filter(F.col(col) == val).count() == 0, (
+                f"{name}: victim bytes remain on disk"
+            )

@@ -388,6 +388,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # q_sim_index_persisted, q_upsert_delete) and the r11 lifecycle
     # pytests (tests/test_r11_ops.py) with probe-cost pins
     "q_takedown_cascade": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # erasure: same bounded metric-table shape as the cascade — the
+    # real plans ran inside the artifact legs plus the version walk
+    # (each a manifest-pruned read), all asserted by their own entries
+    # and tests/test_r12_ops.py's per-version enumeration pytest
+    "q_takedown_erasure": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # calibration anchor: deliberately engine-free — two codegen
+    # aggregates and a parquet roundtrip, never Python or a join
+    "q_bench_anchor": ([], ["BatchEvalPython", "CartesianProduct"]),
     # unpivot: one map-side Expand, single pass, no join/Python
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path

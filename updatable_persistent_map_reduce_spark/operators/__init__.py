@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Query]:
     from . import stream_attested  # noqa: F401
     from . import layout  # noqa: F401
     from . import takedown  # noqa: F401
+    from . import anchor  # noqa: F401
 
     order = priority_order(
         REGISTRY, _attestation_history(), _CHANGED, _ROWS_ONLY_LAST

@@ -51,6 +51,32 @@ sh AS (
 """
 
 
+def _pick_victim(spark: SparkSession, cat: Catalog):
+    """The deterministic takedown victim shared by the cascade and the
+    erasure queries: the top BM25 doc that carries an embedding
+    (rounded score DESC, doc_id — identical order in both engines).
+    Returns (documents, embeddings, victim_id, victim_text, victim_emb);
+    three bounded 1-row collects."""
+    d = cat.documents.select("doc_id", "text", "lang")
+    e = cat.embeddings.select("vec_id", "embedding")
+    cand = (
+        bm25_score_frame(cat.documents)
+        .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(1)
+        .collect()
+    )
+    if not cand:
+        raise ValueError(
+            "takedown: no document matching the query terms carries "
+            "an embedding — no deterministic victim"
+        )
+    victim = int(cand[0]["doc_id"])
+    victim_text = d.filter(F.col("doc_id") == victim).collect()[0]["text"]
+    vemb = e.filter(F.col("vec_id") == victim).collect()[0]["embedding"]
+    return d, e, victim, victim_text, vemb
+
+
 def _takedown_oracle() -> str:
     # the BM25 chain runs twice — victim selection + pre-delete top-k
     # over the full corpus, then the post-delete serving state over
@@ -156,26 +182,7 @@ def q_takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="upmr_takedown_")
 
     cat = Catalog(spark, sf_dir)
-    d = cat.documents.select("doc_id", "text", "lang")
-    e = cat.embeddings.select("vec_id", "embedding")
-
-    # victim: top BM25 doc that carries an embedding (rounded score
-    # DESC, doc_id — deterministic in both engines). 1-row collect.
-    cand = (
-        bm25_score_frame(cat.documents)
-        .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi")
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(1)
-        .collect()
-    )
-    if not cand:
-        raise ValueError(
-            "takedown cascade: no document matching the query terms "
-            "carries an embedding — no deterministic victim"
-        )
-    victim = int(cand[0]["doc_id"])
-    victim_text = d.filter(F.col("doc_id") == victim).collect()[0]["text"]
-    vemb = e.filter(F.col("vec_id") == victim).collect()[0]["embedding"]
+    d, e, victim, victim_text, vemb = _pick_victim(spark, cat)
     vic_df = spark.createDataFrame([(victim,)], "doc_id long")
     vic_docs = spark.createDataFrame(
         [(victim, victim_text)], "doc_id long, text string"
@@ -266,6 +273,286 @@ def q_takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # metrics are plain Python ints by here — the artifacts are
         # pure scratch, never part of the result
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(m, int(v)) for m, v in metrics], "metric string, value long"
+    )
+
+
+def _erasure_oracle() -> str:
+    """DuckDB twin for q_takedown_erasure: the data-derived serving
+    metrics (post-erasure BM25 top-1, n_docs, ANN nearest survivor,
+    per-lang view counts) are recomputed over corpus-minus-victim with
+    the same shared bm25_chain_sql; the erasure INVARIANTS (pre-delete
+    versions reproduce the victim before vacuum = 1, afterwards zero
+    pre-delete versions travel, zero surviving versions reproduce the
+    victim, zero victim rows on any parquet byte on disk, exactly one
+    retained post-delete archived version on the retention-bounded
+    table) are exact constants the Spark side must REACH by enumerating
+    real store state — the before/after presence-pair pattern
+    q_takedown_cascade uses, extended to the version dimension."""
+    vic = "(SELECT doc_id FROM vic)"
+    cos = (
+        "round(list_cosine_similarity("
+        "list_transform(q.qe, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6)"
+    )
+    return (
+        "WITH "
+        + bm25_chain_sql()
+        + ", vic AS MATERIALIZED (SELECT doc_id FROM sc "
+        "WHERE doc_id IN (SELECT vec_id FROM embeddings) "
+        "ORDER BY score DESC, doc_id LIMIT 1), "
+        + bm25_chain_sql("2", f" WHERE doc_id <> {vic}")
+        + ", post20 AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rn FROM sc2 "
+        f"ORDER BY score DESC, doc_id LIMIT {TOP_DOCS}), "
+        "q AS (SELECT embedding AS qe FROM embeddings "
+        f"WHERE vec_id = {vic}) "
+        "SELECT metric, value FROM ("
+        f"SELECT 'victim_doc' AS metric, CAST({vic} AS BIGINT) AS value "
+        "UNION ALL SELECT 'text_pre_delete_reproduces_victim', 1 "
+        "UNION ALL SELECT 'ann_pre_delete_reproduces_victim', 1 "
+        "UNION ALL SELECT 'neardup_pre_delete_reproduces_victim', 1 "
+        "UNION ALL SELECT 'view_pre_delete_reproduces_victim', 1 "
+        "UNION ALL SELECT 'pre_delete_versions_travelable_after', 0 "
+        "UNION ALL SELECT 'surviving_versions_reproducing_victim', 0 "
+        "UNION ALL SELECT 'text_retained_postdelete_versions', 1 "
+        "UNION ALL SELECT 'victim_rows_on_disk', 0 "
+        "UNION ALL SELECT 'text_n_docs_after', "
+        "(SELECT count(*) - 1 FROM documents) "
+        "UNION ALL SELECT 'text_top1_after', "
+        "(SELECT doc_id FROM post20 WHERE rn = 1) "
+        "UNION ALL SELECT 'ann_top1_after', "
+        f"(SELECT e.vec_id FROM embeddings e CROSS JOIN q "
+        f"WHERE e.vec_id <> {vic} "
+        f"ORDER BY {cos} DESC, e.vec_id LIMIT 1) "
+        "UNION ALL SELECT 'view_docs_' || COALESCE(lang, '?'), "
+        "CAST(count(*) AS BIGINT) FROM documents "
+        f"WHERE doc_id <> {vic} GROUP BY lang"
+        ") m"
+    )
+
+
+@register(
+    "q_takedown_erasure",
+    oracle=_erasure_oracle(),
+    doc="RIGHT-TO-ERASURE vs TIME TRAVEL (r12; closes the one "
+    "composition hole the r11 verdict found): q_takedown_cascade "
+    "removes a document from every CURRENT serving surface, but the "
+    "engine also grew snapshot time travel — archived manifests kept "
+    "reproducing the victim under final_df(version=...) / index "
+    "read(version=...) until vacuum. This operator attests the FULL "
+    "erasure lifecycle across all four persisted artifacts (view, "
+    "BM25 postings, near-dup band index, IVF ANN index): (1) build, "
+    "(2) PROVE THE HOLE — after the MoR/CoW deletes land, time travel "
+    "to each artifact's pre-delete version still reproduces the "
+    "victim (the *_pre_delete_reproduces_victim = 1 metrics), (3) "
+    "MATERIALIZE — compact folds the dead rows/tombstones out of the "
+    "data files (and compact_index drops the view's stale doc-index "
+    "entries), (4) ERASE — a retention-bounded vacuum prunes every "
+    "archived manifest that could reproduce the victim while the "
+    "text postings table deliberately RETAINS one post-delete "
+    "archived version (keep_versions=2 after a second compact) to "
+    "attest the other branch of the contract: every surviving "
+    "version either cannot be time-traveled to or is victim-free. "
+    "(5) ATTEST by enumeration, not assumption: every version of "
+    "every table is walked (pre_delete_versions_travelable_after = "
+    "0, surviving_versions_reproducing_victim = 0 across ALL reads "
+    "including current), and every parquet file still on disk under "
+    "all four artifact roots is raw-scanned for the victim's key "
+    "(victim_rows_on_disk = 0 — physical erasure, not just logical). "
+    "Serving state stays exact throughout: post-erasure BM25 top-1, "
+    "n_docs, ANN nearest-survivor and per-lang view finals all match "
+    "the oracle recomputed over corpus-minus-victim. This completes "
+    "the reference's delete-and-reschedule contract (Executer.cs:"
+    "240-261) against the engine's own extra feature (the reference "
+    "has no time travel, so no analog exists to port). Cost shape at "
+    "100 TB: each delete leg is O(victim rows), each compact is "
+    "span-bounded maintenance, vacuum is manifest-metadata plus "
+    "unreferenced-file deletion — never an artifact scan beyond the "
+    "spans being rewritten anyway.",
+)
+def q_takedown_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_index import IvfIndex
+    from ..plans.neardup_index import NearDupIndex
+    from ..plans.text_index import InvertedIndex
+    from ..plans.view import MapReduceView
+
+    root = tempfile.mkdtemp(prefix="upmr_erasure_")
+    cat = Catalog(spark, sf_dir)
+    d, e, victim, victim_text, vemb = _pick_victim(spark, cat)
+    vic_df = spark.createDataFrame([(victim,)], "doc_id long")
+    vic_docs = spark.createDataFrame(
+        [(victim, victim_text)], "doc_id long, text string"
+    )
+    vic_uid = str(victim).upper()
+
+    metrics: list[tuple[str, int]] = [("victim_doc", victim)]
+
+    def _has_victim(df, col, val) -> bool:
+        return (
+            df is not None
+            and col in df.columns
+            and bool(df.filter(F.col(col) == val).limit(1).collect())
+        )
+
+    try:
+        # ---- build all four artifacts (the operators' own attested
+        # build paths; same layout knobs as q_takedown_cascade) ------
+        ti = InvertedIndex(
+            spark, os.path.join(root, "text"), n_spans=16, n_doc_spans=8
+        )
+        ti.build(d.select("doc_id", "text"))
+        ann = IvfIndex(spark, os.path.join(root, "ann"))
+        ann.build(e)
+        nd = NearDupIndex(
+            spark, os.path.join(root, "neardup"), n_spans=16, n_doc_spans=8
+        )
+        nd.build(d.select("doc_id", "text"))
+        view = MapReduceView(
+            spark,
+            os.path.join(root, "view"),
+            id_col="doc_id",
+            group_cols=["lang"],
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+            n_key_spans=4,
+            n_doc_spans=8,
+        )
+        view.execute(
+            d.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+        )
+
+        # every (table, victim-key column, victim value) the erasure
+        # must scrub; pre-delete versions recorded BEFORE any delete
+        tables = [
+            ("text_post", ti._post, "doc_id", victim),
+            ("text_docs", ti._docs, "doc_id", victim),
+            ("text_repl", ti._repl, "doc_id", victim),
+            ("ann_listed", ann._listed, "vec_id", victim),
+            ("nd_shingles", nd._sh, "doc_id", victim),
+            ("nd_bands", nd._bands, "doc_id", victim),
+            ("view_map", view._map_t, "uid", vic_uid),
+            ("view_idx", view._idx_t, "uid", vic_uid),
+            ("view_l1", view._l1_t, "uid", vic_uid),
+            ("view_fin", view._fin_t, "uid", vic_uid),
+        ]
+        pre_v = {name: t.version for name, t, _, _ in tables}
+
+        # ---- delete the victim from every artifact ------------------
+        ti.delete(vic_df)
+        ann.delete(
+            spark.createDataFrame(
+                [(victim, list(vemb))], "vec_id long, embedding array<float>"
+            )
+        )
+        nd.delete(vic_docs)
+        view.delete_docs([str(victim)])
+
+        # ---- (2) prove the hole: pre-delete versions still reproduce
+        # the victim under time travel (one binary metric per artifact)
+        for mname, tname, col, val in (
+            ("text_pre_delete_reproduces_victim", "text_post", "doc_id",
+             victim),
+            ("ann_pre_delete_reproduces_victim", "ann_listed", "vec_id",
+             victim),
+            ("neardup_pre_delete_reproduces_victim", "nd_shingles",
+             "doc_id", victim),
+            ("view_pre_delete_reproduces_victim", "view_map", "uid",
+             vic_uid),
+        ):
+            t = next(t for n, t, _, _ in tables if n == tname)
+            old = t.read(spark, version=pre_v[tname])
+            metrics.append((mname, int(_has_victim(old, col, val))))
+
+        # ---- (3) materialize: fold dead rows out of the data files --
+        ti.compact()
+        ann.compact()
+        nd.compact()
+        view.compact_index()  # delete_docs leaves stale index entries
+
+        # ---- (4) erase: retention-bounded vacuum. The text POSTINGS
+        # table demonstrates the retained-but-victim-free branch: a
+        # second compact creates one more post-delete version, then
+        # keep_versions=2 retains exactly one genuine archived
+        # post-delete snapshot (plus the current version's record)
+        # while pruning the victim-bearing build version. Every other
+        # table prunes its whole archive (keep_versions=0) — its
+        # delete landed as the newest commits, so any retained archive
+        # would be the pre-delete state.
+        ti.compact()
+        ti._post.vacuum(keep_versions=2)
+        ti._docs.vacuum(keep_versions=0)
+        ti._repl.vacuum(keep_versions=0)
+        ann.vacuum(keep_versions=0)
+        nd.vacuum(keep_versions=0)
+        view.vacuum(keep_versions=0)
+
+        # ---- (5a) attest by version enumeration ----------------------
+        pre_travelable = 0
+        surviving_with_victim = 0
+        text_retained_postdelete = 0
+        for name, t, col, val in tables:
+            cur = t.version
+            for v in range(1, cur + 1):
+                try:
+                    df = t.read(spark, version=v) if v < cur else t.read(
+                        spark
+                    )
+                except ValueError:
+                    continue  # pruned — cannot be time-traveled to
+                if v <= pre_v[name]:
+                    pre_travelable += 1
+                if _has_victim(df, col, val):
+                    surviving_with_victim += 1
+                if name == "text_post" and pre_v[name] < v < cur:
+                    text_retained_postdelete += 1
+        metrics.append(
+            ("pre_delete_versions_travelable_after", pre_travelable)
+        )
+        metrics.append(
+            ("surviving_versions_reproducing_victim", surviving_with_victim)
+        )
+        metrics.append(
+            ("text_retained_postdelete_versions", text_retained_postdelete)
+        )
+
+        # ---- (5b) attest physically: raw-scan every parquet file left
+        # on disk under all four artifact roots for the victim's key —
+        # manifests are not trusted here, the BYTES are enumerated
+        on_disk = 0
+        for name, t, col, val in tables:
+            files = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(t.path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                continue
+            raw = (
+                spark.read.option("mergeSchema", "true").parquet(*files)
+            )
+            if col in raw.columns:
+                on_disk += raw.filter(F.col(col) == val).count()
+        metrics.append(("victim_rows_on_disk", on_disk))
+
+        # ---- serving state after erasure (data-derived, oracle-
+        # recomputed over corpus-minus-victim) ------------------------
+        post = ti.bm25(QUERY_TERMS, k=TOP_DOCS).collect()
+        metrics.append(("text_n_docs_after", int(ti.stats()["n_docs"])))
+        metrics.append(("text_top1_after", int(post[0].doc_id)))
+        probe_q = [(-1, [float(x) for x in vemb])]
+        post_a = ann.search(probe_q, k=1, nprobe=ann.n_cells).collect()
+        metrics.append(("ann_top1_after", int(post_a[0].vec_id)))
+        finals = view.final_df().select("lang", "cnt").collect()
+        metrics.extend(
+            (f"view_docs_{r.lang if r.lang is not None else '?'}",
+             int(r.cnt))
+            for r in finals
+        )
+    finally:
         shutil.rmtree(root, ignore_errors=True)
 
     return spark.createDataFrame(

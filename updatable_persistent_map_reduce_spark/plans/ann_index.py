@@ -134,6 +134,11 @@ class IvfIndex:
         tier — the store's normal maintenance, exposed on the index."""
         return self._listed.compact(self.spark, min_files=min_files)
 
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Reclaim unreferenced files and bound the manifest archive —
+        erasure's final step (see text_index.vacuum)."""
+        return self._listed.vacuum(keep_versions=keep_versions)
+
     def rebuild(self, kmeans_iters: int = 2) -> dict:
         """Refit centroids on the CURRENT corpus and re-span the listed
         table under them — the maintenance step for centroid drift.
@@ -486,6 +491,12 @@ class IvfPqIndex(IvfIndex):
         codes = self._codes.compact(self.spark, min_files=min_files)
         listed = self._listed.compact(self.spark, min_files=min_files)
         return {"codes": codes, "listed": listed}
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Both tiers — see IvfIndex.vacuum."""
+        return self._codes.vacuum(
+            keep_versions=keep_versions
+        ) + self._listed.vacuum(keep_versions=keep_versions)
 
     def _load_pq(self) -> tuple[int, list]:
         if self._pq is None:

@@ -294,6 +294,14 @@ class NearDupIndex:
             "bands": self._bands.compact(self.spark, min_files=min_files),
         }
 
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Reclaim unreferenced files and bound the manifest archive in
+        both tiers — erasure's final step (see text_index.vacuum)."""
+        return sum(
+            t.vacuum(keep_versions=keep_versions)
+            for t in (self._sh, self._bands)
+        )
+
     # ----- probe --------------------------------------------------------------
 
     def probe(self, batch: DataFrame) -> DataFrame:

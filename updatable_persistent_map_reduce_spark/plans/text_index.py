@@ -431,6 +431,18 @@ class InvertedIndex:
         self._post.commit(replace_all=self._post.write_data(live))
         self._repl.commit(replace_all={})
 
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Reclaim unreferenced data files and bound the manifest
+        archive across all three tables (the store's vacuum applied to
+        the index — right-to-erasure's final step: after a delete() +
+        compact(), pre-delete snapshots still reproduce the victim
+        under time travel until this prunes them; q_takedown_erasure
+        attests exactly that). Returns files removed."""
+        return sum(
+            t.vacuum(keep_versions=keep_versions)
+            for t in (self._post, self._docs, self._repl)
+        )
+
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)
