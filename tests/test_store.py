@@ -823,3 +823,61 @@ def test_reader_snapshot_survives_compaction_and_vacuum(spark, table):
     table.vacuum(keep_versions=1)
     with pytest.raises(ValueError, match="no archived manifest"):
         table.read(spark, version=v_n)
+
+
+def test_append_materializing_narrows_to_intersecting_spans(
+    spark, tmp_path
+):
+    """r11 advice: rule 2 must materialize ONLY the spans whose own
+    tombstone key sets intersect the batch keys — one matched key must
+    no longer force a rewrite of every span with pending deletes."""
+    t = ManifestTable(str(tmp_path / "n"), "kspan")
+    t.commit(
+        replace=t.write_data(
+            mk_df(spark, [(0, "k1"), (1, "k2"), (2, "k3")])
+        )
+    )
+    # tombstone k1 in span 0 and k2 in span 1 (two separate spans)
+    t.delete_keys(mk_df(spark, [(0, "k1")]), on=["v"])
+    t.delete_keys(mk_df(spark, [(1, "k2")]), on=["v"])
+    assert t.tombstoned_spans() == [0, 1]
+
+    # re-append k1 into span 2 (disjoint from both tombstoned spans):
+    # span 0's tombstone intersects the batch key and MUST materialize;
+    # span 1's (k2) does not and MUST survive as a pending tombstone
+    mapping = t.write_data(mk_df(spark, [(2, "k1")]))
+    v = t.append_materializing(
+        spark, mapping, keys=mk_df(spark, [(2, "k1")]).select("v")
+    )
+    assert v == t.version
+    assert t.tombstoned_spans() == [1], (
+        "narrowing failed: span 1's non-intersecting tombstone was "
+        "materialized (or span 0's intersecting one survived)"
+    )
+    # the re-appended k1 row is live; k2 is still deleted; k3 untouched
+    assert read_vals(table=t, spark=spark) == [(2, "k1"), (2, "k3")]
+
+
+def test_append_materializing_pins_base_version(spark, tmp_path):
+    """r11 advice: the append commit carries the snapshot's lineage, so
+    a tombstone racing into the appended spans between the rule checks
+    and the commit fails loudly instead of silently key-hiding the new
+    rows."""
+    t = ManifestTable(str(tmp_path / "p"), "kspan")
+    t.commit(replace=t.write_data(mk_df(spark, [(0, "a"), (1, "b")])))
+
+    orig_commit = t.commit
+
+    def racing_commit(*a, **kw):
+        # a delete_keys lands on span 0 AFTER append_materializing took
+        # its snapshot but BEFORE its append commit
+        t.commit = orig_commit
+        t.delete_keys(mk_df(spark, [(0, "a")]), on=["v"])
+        return orig_commit(*a, **kw)
+
+    mapping = t.write_data(mk_df(spark, [(0, "a2")]))
+    t.commit = racing_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.append_materializing(
+            spark, mapping, keys=mk_df(spark, [(0, "a2")]).select("v")
+        )
