@@ -365,6 +365,9 @@ def main() -> None:
             "noise_sec": noise,
             "anchor_sec": anchor,
             "anchor_median_sec": anchor_median,
+            # headline normalized by the box-health anchor: the
+            # round-over-round number to compare when anchor_sec moved
+            "headline_per_anchor": round(total / anchor, 2),
             "reps": N_REPS,
         }
     )

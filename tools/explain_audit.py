@@ -396,6 +396,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # calibration anchor: deliberately engine-free — two codegen
     # aggregates and a parquet roundtrip, never Python or a join
     "q_bench_anchor": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # streaming takedown: result read back from the persisted view
+    # finals (same shape as q_stream_view_upsert)
+    "q_stream_takedown": ([], ["BatchEvalPython", "CartesianProduct"]),
     # unpivot: one map-side Expand, single pass, no join/Python
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path

@@ -91,7 +91,9 @@ def register(
 # each round). r12: the two exercisers of the narrowed
 # store.append_materializing (single-snapshot + intersecting-span
 # rule 2 + base_version-pinned append) and the takedown cascade
-# (scratch-dir lifecycle rewrite).
+# (scratch-dir lifecycle rewrite). q_stream_view_upsert shares
+# StreamingMapReduceView with the new takedown routing but its own
+# path (op_col=None) is byte-identical — not re-listed.
 _CHANGED = [
     "q_neardup_index_persisted",
     "q_stream_neardup_gate",

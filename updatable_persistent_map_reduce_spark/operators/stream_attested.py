@@ -1150,3 +1150,98 @@ def q_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "dim_i", "dim_j", "sum_prod", "sum_i", "sum_j", "n"
     )
+
+
+@register(
+    "q_stream_takedown",
+    oracle=(
+        "WITH latest AS (SELECT user_id, event_type, value FROM "
+        "(SELECT user_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events WHERE user_id % 7 <> 0) WHERE rn = 1) "
+        "SELECT event_type AS group_key, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(CAST(sum(value) AS DOUBLE), 2) AS value_sum "
+        "FROM latest GROUP BY event_type"
+    ),
+    doc="TAKEDOWNS ARRIVING ON THE STREAM (r12) — the reference's "
+    "delete-and-reschedule contract (Executer.cs:240-261) as a CDC "
+    "feed: each micro-batch carries upsert rows AND op='delete' "
+    "takedown events, and StreamingMapReduceView routes them through "
+    "the same persistent view q_stream_view_upsert maintains — "
+    "execute() for the upserts, then delete_docs() for the batch's "
+    "takedown ids, so a delete wins over any co-batched upsert of the "
+    "same doc (CDC delete-after-image ordering). Users with "
+    "user_id % 7 == 0 are taken down IN THE SAME micro-batch their "
+    "events arrive in (producers partition users by user_id % 3, so "
+    "each doc's whole lifecycle — upsert then takedown — replays "
+    "inside one micro-batch and the attested result is independent "
+    "of micro-batch replay order, the same determinism argument as "
+    "the upsert twin). The oracle is latest-wins SQL over events "
+    "excluding the taken-down users: a green row attests that a "
+    "streaming pipeline's takedowns converge to exactly the batch "
+    "engine's delete semantics, with checkpointed exactly-once per "
+    "micro-batch and both legs idempotent under foreachBatch's "
+    "at-least-once replay.",
+)
+def q_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import StreamingMapReduceView
+    from .incremental import _latest_event_rereducible
+
+    ev = Catalog(spark, sf_dir).events
+    base = tempfile.mkdtemp(prefix="upmr_stakedown_")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    for b in range(3):
+        part = ev.filter(F.col("user_id") % 3 == b)
+        upserts = part.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.lit("upsert").alias("op"),
+        )
+        takedowns = (
+            part.filter(F.col("user_id") % 7 == 0)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.lit(None).cast("bigint").alias("event_id"),
+                "user_id",
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        upserts.unionByName(takedowns).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+    sv = StreamingMapReduceView(
+        spark,
+        os.path.join(base, "store"),
+        input_path=inbox,
+        input_schema=(
+            "doc_id string, event_id bigint, user_id bigint, "
+            "event_type string, value double, op string"
+        ),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        id_col="doc_id",
+        seq_col="event_id",
+        map_fn=_latest_event_rereducible,
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_sum").alias("value_sum"),
+        ],
+        n_key_spans=8,
+        n_doc_spans=8,
+        max_files_per_trigger=1,
+        op_col="op",
+    )
+    sv.run_available_now()
+    return sv.final_df().select(
+        F.col("event_type").alias("group_key"),
+        "cnt",
+        F.round("value_sum", 2).alias("value_sum"),
+    )

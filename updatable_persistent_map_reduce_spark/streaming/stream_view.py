@@ -67,6 +67,8 @@ class StreamingMapReduceView:
         max_files_per_trigger: int | None = None,
         maintenance_every: int | None = None,
         migrate_span_hash: bool = False,
+        op_col: str | None = None,
+        delete_op: str = "delete",
     ):
         self.spark = spark
         self.input_path = input_path
@@ -75,6 +77,17 @@ class StreamingMapReduceView:
         self.seq_col = seq_col
         self.id_col = id_col
         self.max_files_per_trigger = max_files_per_trigger
+        # Takedown routing (the reference's delete-and-reschedule,
+        # Executer.cs:240-261, arriving ON THE STREAM): when ``op_col``
+        # is set, rows whose op equals ``delete_op`` are takedown
+        # events — their doc ids are removed from the view via
+        # delete_docs AFTER the micro-batch's upserts apply, so a
+        # delete wins over any co-batched upsert of the same doc
+        # (a CDC feed's delete-after-image ordering). Both legs are
+        # idempotent (latest-wins execute / no-op re-delete), so the
+        # checkpoint's at-least-once foreachBatch replay converges.
+        self.op_col = op_col
+        self.delete_op = delete_op
         # Continuous ingest accumulates appended map files and replaced
         # spans' dead bytes; every N micro-batches fold small files,
         # drop stale index entries, and reclaim unreferenced data —
@@ -121,7 +134,25 @@ class StreamingMapReduceView:
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.view.execute(batch_df)
+        if self.op_col is not None:
+            deletes = batch_df.filter(
+                F.col(self.op_col) == self.delete_op
+            )
+            upserts = batch_df.filter(
+                F.col(self.op_col) != self.delete_op
+            ).drop(self.op_col)
+            if not upserts.isEmpty():
+                self.view.execute(upserts)
+            # deletes LAST: within one micro-batch a takedown wins over
+            # any upsert of the same doc (see __init__)
+            dead = [
+                r[0]
+                for r in deletes.select(self.id_col).distinct().collect()
+            ]
+            if dead:
+                self.view.delete_docs(dead)
+        else:
+            self.view.execute(batch_df)
         if self.maintenance_every:
             self._batches_since_maintenance += 1
             if self._batches_since_maintenance >= self.maintenance_every:
