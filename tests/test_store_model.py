@@ -39,6 +39,20 @@ step = st.one_of(
         st.lists(op, min_size=1, max_size=4),
         st.lists(st.integers(1, 12), min_size=1, max_size=3),
     ),
+    # append via append_materializing — THE append path for a table
+    # that also takes MoR deletes: keys currently live are dropped at
+    # run time (append is not latest-wins; re-appending a live key
+    # would duplicate it), so the interesting draws are brand-new keys
+    # and RE-APPENDS OF DELETED keys, which must materialize exactly
+    # the intersecting tombstoned spans (the r12 narrowed rule 2)
+    st.tuples(
+        st.just("app"),
+        st.lists(
+            st.tuples(st.integers(1, 12), st.integers(51, 99)),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
 )
 merges = st.lists(step, min_size=1, max_size=5)
 
@@ -66,6 +80,18 @@ def test_merge_and_cdc_match_model(spark):
         seq=[
             [("put", 2, 3), ("put", 5, 7)],
             ("race", [("put", 5, 9), ("del", 2)], [5, 11]),
+            "compact",
+        ]
+    )
+    # guaranteed append_materializing coverage: delete keys in two
+    # different spans, then re-append one of them plus a brand-new key
+    # — the intersecting span materializes, the other span's tombstone
+    # must survive the append (r12 narrowed rule 2) until the compact
+    @example(
+        seq=[
+            [("put", 2, 3), ("put", 5, 7)],
+            ("mor", [2, 5]),
+            ("app", [(5, 60), (9, 61)]),
             "compact",
         ]
     )
@@ -105,6 +131,52 @@ def test_merge_and_cdc_match_model(spark):
                 physical = live()
                 tombs = set()
                 t.compact(spark, min_files=2)
+            elif isinstance(stp, tuple) and stp[0] == "app":
+                cur_live = live()
+                per_key = {}
+                for k, v in stp[1]:
+                    if k not in cur_live:
+                        per_key[k] = v
+                if not per_key:
+                    continue  # nothing appendable: no state change
+                mapping = t.write_data(
+                    spark.createDataFrame(
+                        [
+                            (k % N_SPANS, k, v)
+                            for k, v in sorted(per_key.items())
+                        ],
+                        "span int, k int, v int",
+                    )
+                )
+                t.append_materializing(
+                    spark,
+                    mapping,
+                    keys=spark.createDataFrame(
+                        [(k,) for k in sorted(per_key)], "k int"
+                    ),
+                )
+                # model: rule 1 — appended spans with pending
+                # tombstones materialize; rule 2 — spans whose
+                # tombstone keys intersect the batch keys materialize
+                # (and ONLY those: the narrowed r12 contract)
+                tomb_spans = {tk % N_SPANS for tk in tombs}
+                fix = ({k % N_SPANS for k in per_key} & tomb_spans) | {
+                    tk % N_SPANS for tk in tombs if tk in per_key
+                }
+                if fix:
+                    physical = {
+                        k: v
+                        for k, v in physical.items()
+                        if not (k % N_SPANS in fix and k in tombs)
+                    }
+                    tombs = {tk for tk in tombs if tk % N_SPANS not in fix}
+                physical.update(per_key)
+                # every materialized span's tombstones are gone (the
+                # exact survive-vs-materialize split is pinned by
+                # test_store.py's narrowing unit test; the model's
+                # `tombs` may include keys delete_keys skipped as
+                # no-ops, so only the subset direction is assertable)
+                assert not (set(t.tombstoned_spans()) & fix)
             elif isinstance(stp, tuple) and stp[0] == "mor":
                 keys = sorted(set(stp[1]))
                 t.delete_keys(
