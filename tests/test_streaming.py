@@ -457,3 +457,70 @@ def test_transform_with_state_v2_surface(spark, tmp_path):
         ).collect()
     }
     assert rows == {1: 37.0, 2: 5.0}
+
+
+def test_streaming_takedown_restart_applies_deletes(spark, tmp_path):
+    """Takedowns on the stream survive a RESTART: a first session
+    ingests upserts; a fresh StreamingMapReduceView over the same
+    store + checkpoint then receives a producer batch mixing upserts
+    and op='delete' rows — the checkpoint skips the already-applied
+    file, the new batch's upserts apply first and its takedowns win
+    over a co-batched upsert of the same doc (CDC delete-after-image
+    ordering), and re-running with no new input is a no-op."""
+    inp = str(tmp_path / "inbox_td")
+    os.makedirs(inp)
+    schema = "doc_id string, seq long, state string, op string"
+
+    def mk(**kw):
+        return StreamingMapReduceView(
+            spark,
+            str(tmp_path / "store_td"),
+            input_path=inp,
+            input_schema=schema,
+            checkpoint_path=str(tmp_path / "ckpt_td"),
+            id_col="doc_id",
+            seq_col="seq",
+            group_cols=["state"],
+            agg_exprs=[F.count(F.lit(1)).alias("cnt")],
+            n_key_spans=8,
+            n_doc_spans=8,
+            op_col="op",
+            **kw,
+        )
+
+    _write_batch(
+        spark,
+        inp,
+        [(f"u{i}", 1, "CA", "upsert") for i in range(10)]
+        + [(f"u{i}", 1, "TX", "upsert") for i in range(10, 16)],
+        schema,
+    )
+    sv = mk()
+    sv.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv.final_df().collect()}
+    assert counts == {"CA": 10, "TX": 6}
+
+    # restart: NEW view instance, same store/checkpoint; the batch
+    # mixes an upsert of u20, a delete of existing u3, and an
+    # upsert+delete of the SAME doc u10 (delete must win)
+    _write_batch(
+        spark,
+        inp,
+        [
+            ("u20", 2, "CA", "upsert"),
+            ("u3", 2, "", "delete"),
+            ("u10", 2, "CA", "upsert"),
+            ("u10", 3, "", "delete"),
+        ],
+        schema,
+    )
+    sv2 = mk()
+    sv2.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv2.final_df().collect()}
+    # CA: 10 - u3 + u20 = 10; TX: 6 - u10 = 5
+    assert counts == {"CA": 10, "TX": 5}
+
+    # idempotent catch-up: nothing new -> nothing changes
+    sv2.run_available_now()
+    counts = {r["state"]: r["cnt"] for r in sv2.final_df().collect()}
+    assert counts == {"CA": 10, "TX": 5}
