@@ -144,12 +144,11 @@ class StreamingMapReduceView:
             if not upserts.isEmpty():
                 self.view.execute(upserts)
             # deletes LAST: within one micro-batch a takedown wins over
-            # any upsert of the same doc (see __init__)
-            dead = [
-                r[0]
-                for r in deletes.select(self.id_col).distinct().collect()
-            ]
-            if dead:
+            # any upsert of the same doc (see __init__). Passed as a
+            # DataFrame — a mass-takedown batch never collects ids to
+            # the driver.
+            dead = deletes.select(self.id_col)
+            if not dead.isEmpty():
                 self.view.delete_docs(dead)
         else:
             self.view.execute(batch_df)
