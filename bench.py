@@ -140,10 +140,29 @@ def main() -> None:
     anchor_reps = sorted(_anchor_once() for _ in range(5))
     anchor = round(anchor_reps[0], 3)
     anchor_median = round(anchor_reps[len(anchor_reps) // 2], 3)
+
+    # Third leg: JOB-CHAIN latency — 20 sequential trivial jobs. The
+    # store-lifecycle queries are chains of 10-20 small jobs + commits,
+    # so they amplify per-job scheduler/dispatch latency 15x while the
+    # single-job legs above amortize it; a round where chain_anchor
+    # moved but anchor didn't explains a store-suite drift with no
+    # code change (first seen adjudicating r10's 6.4s vs r11's 15.1s
+    # q_store_compaction on byte-identical code).
+    def _chain_once() -> float:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            spark.range(1000).selectExpr("count(1)").collect()
+        return time.perf_counter() - t0
+
+    chain_reps = sorted(_chain_once() for _ in range(5))
+    chain_anchor = round(chain_reps[0], 3)
     print(
         f"# anchor: {anchor}s (median {anchor_median}s, "
         f"max {round(anchor_reps[-1], 3)}s; best of 5; fixed workload — "
-        "moves only when the box does)",
+        "moves only when the box does)"
+        f"\n# chain_anchor: {chain_anchor}s (20 sequential trivial jobs;"
+        f" median {round(chain_reps[len(chain_reps) // 2], 3)}s —"
+        " the store-lifecycle suite's noise mode)",
         file=sys.stderr,
     )
 
@@ -365,6 +384,7 @@ def main() -> None:
             "noise_sec": noise,
             "anchor_sec": anchor,
             "anchor_median_sec": anchor_median,
+            "chain_anchor_sec": chain_anchor,
             # headline normalized by the box-health anchor: the
             # round-over-round number to compare when anchor_sec moved
             "headline_per_anchor": round(total / anchor, 2),
