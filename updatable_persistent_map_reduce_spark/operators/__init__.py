@@ -91,13 +91,14 @@ def register(
 # each round). r12: the two exercisers of the narrowed
 # store.append_materializing (single-snapshot + intersecting-span
 # rule 2 + base_version-pinned append) and the takedown cascade
-# (scratch-dir lifecycle rewrite). q_stream_view_upsert shares
-# StreamingMapReduceView with the new takedown routing but its own
-# path (op_col=None) is byte-identical — not re-listed.
+# (scratch-dir lifecycle rewrite). q_stream_view_upsert is re-listed
+# because StreamingMapReduceView._apply_batch grew the takedown
+# routing branch (a no-op at op_col=None, but it IS on the path).
 _CHANGED = [
     "q_neardup_index_persisted",
     "q_stream_neardup_gate",
     "q_takedown_cascade",
+    "q_stream_view_upsert",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall
