@@ -449,3 +449,75 @@ def test_erasure_every_surviving_version_is_pruned_or_victim_free(
             assert raw.filter(F.col(col) == val).count() == 0, (
                 f"{name}: victim bytes remain on disk"
             )
+
+
+def test_erasure_pq_index_codes_tier_pruned_or_victim_free(
+    spark, tmp_path
+):
+    """The PQ variant's erasure parity: IvfPqIndex.delete tombstones
+    BOTH tiers (codes + listed); after compact + vacuum every
+    surviving version of both tables is pruned or victim-free and no
+    parquet byte under the index root carries the victim's vec_id."""
+    from updatable_persistent_map_reduce_spark.plans.ann_index import (
+        IvfPqIndex,
+    )
+    import os
+
+    embs = spark.createDataFrame(
+        [
+            (i, [float(i % 5), 1.0 + i, 0.25 * i, 2.0, float(i % 3), 0.5])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    victim = 7
+    vemb = [float(victim % 5), 1.0 + victim, 0.25 * victim, 2.0,
+            float(victim % 3), 0.5]
+
+    idx = IvfPqIndex(spark, str(tmp_path / "pq"), n_cells=4, m=2)
+    idx.build(embs)
+    tables = [("codes", idx._codes), ("listed", idx._listed)]
+    pre_v = {n: t.version for n, t in tables}
+
+    idx.delete(
+        spark.createDataFrame(
+            [(victim, vemb)], "vec_id long, embedding array<float>"
+        )
+    )
+    # the hole: the pre-delete codes snapshot still carries the victim
+    old = idx._codes.read(spark, version=pre_v["codes"])
+    assert old.filter(F.col("vec_id") == victim).count() == 1
+
+    idx.compact()
+    idx.vacuum(keep_versions=0)
+
+    for name, t in tables:
+        cur = t.version
+        for v in range(1, cur + 1):
+            try:
+                df = t.read(spark, version=v) if v < cur else t.read(spark)
+            except ValueError:
+                continue
+            assert v > pre_v[name], (
+                f"pq {name} v{v}: pre-delete version still travelable"
+            )
+            if df is not None:
+                assert (
+                    df.filter(F.col("vec_id") == victim).count() == 0
+                ), f"pq {name} v{v} reproduces the victim"
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(t.path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if files:
+            raw = spark.read.option("mergeSchema", "true").parquet(*files)
+            assert raw.filter(F.col("vec_id") == victim).count() == 0, (
+                f"pq {name}: victim bytes remain on disk"
+            )
+
+    # the survivors still serve: exact full-probe search with the
+    # victim's embedding returns a SURVIVOR
+    got = idx.search_pq([(-1, vemb)], k=1, nprobe=idx.n_cells).collect()
+    assert got and got[0].vec_id != victim
