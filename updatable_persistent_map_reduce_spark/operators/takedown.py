@@ -425,7 +425,14 @@ def q_takedown_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         # every (table, victim-key column, victim value) the erasure
-        # must scrub; pre-delete versions recorded BEFORE any delete
+        # must scrub; pre-delete versions recorded BEFORE any delete.
+        # view_l1/view_fin hold AGGREGATES, not doc keys — their "uid"
+        # column never exists, so the victim-presence checks are
+        # vacuously false for them BY DESIGN (aggregates derived from
+        # the victim are not the victim); they are listed so their
+        # archived versions still join the travelability walk (a
+        # pre-delete finals snapshot must stop being time-travelable
+        # too — it reproduces the victim's CONTRIBUTION).
         tables = [
             ("text_post", ti._post, "doc_id", victim),
             ("text_docs", ti._docs, "doc_id", victim),
