@@ -17,6 +17,16 @@ text index lands one dead sentinel + rewrites the victim's doc-index
 span, the band index writes O(bands) tombstone rows, and the ANN index
 one (cell, vec_id) tombstone; every probe afterwards reads its normal
 manifest-pruned span set plus a broadcast-sized tombstone anti-join.
+
+Erasure scope boundary (stated, not hidden): the erasure contract
+covers ONE store tree and its archived versions. A ``clone_to`` copy
+taken before the takedown is an independent table holding independent
+bytes — GDPR-wise each replica must receive its own cascade (exactly
+as object-store replicas or downstream lakes must). Downstream CDC
+consumers learn about the erasure through the change feed itself: a
+MoR delete surfaces as delete events when compaction materializes it
+(store.changes — the deferred-visibility contract), which is the
+signal a subscribed derived system uses to run its own deletion.
 """
 
 from __future__ import annotations
