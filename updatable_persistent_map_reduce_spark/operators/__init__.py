@@ -99,6 +99,10 @@ _CHANGED = [
     "q_stream_neardup_gate",
     "q_takedown_cascade",
     "q_stream_view_upsert",
+    # r12 differential sweep fix: rank statistics emitted as exact ppm
+    # integers instead of round(double, 6) (cross-engine half-ulp trap)
+    "q_window_ntile",
+    "q_window_distribution",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

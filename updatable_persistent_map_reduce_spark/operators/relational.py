@@ -1098,28 +1098,56 @@ register(
 @register(
     "q_window_ntile",
     oracle=(
-        "SELECT c_custkey, c_nationkey, "
+        "SELECT c_custkey, c_nationkey, quartile, "
+        "CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1) "
+        "ELSE 0 END AS BIGINT) AS pct_rank_ppm, "
+        "CAST((rn * 1000000) // n AS BIGINT) AS cum_dist_ppm "
+        "FROM (SELECT c_custkey, c_nationkey, "
         "CAST(ntile(4) OVER w AS INTEGER) AS quartile, "
-        "round(percent_rank() OVER w, 6) AS pct_rank, "
-        "round(cume_dist() OVER w, 6) AS cum_dist "
+        "row_number() OVER w AS rn, "
+        "count(*) OVER (PARTITION BY c_nationkey) AS n "
         "FROM customer WINDOW w AS "
-        "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)) t"
     ),
     doc="Distribution analytics per partition: ntile quartiles, "
     "percent_rank, cume_dist over account balance within each nation "
-    "— one shuffle on the partition key serves all three functions.",
+    "— one shuffle on the partition key serves all the window frames. "
+    "The rank statistics are emitted as EXACT parts-per-million "
+    "integers derived from (row_number, partition count) — the window "
+    "order is unique (custkey tiebreak), so percent_rank == (rn-1)/"
+    "(n-1) and cume_dist == rn/n, and integer floor-division is "
+    "bit-identical in both engines. The r9-r11 form rounded the "
+    "DOUBLE ratios to 6 places, which diverged at sf0.1 on a value "
+    "half an ulp from a .xxxxx5 boundary (Spark's BigDecimal HALF_UP "
+    "on the shortest decimal repr vs DuckDB rounding the binary "
+    "double — the known cross-engine round() trap, found by the r12 "
+    "differential sweep).",
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     c = Catalog(spark, sf_dir).customer
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # partition size from the SAME ordered spec with an unbounded
+    # frame — all four expressions share one physical Window node
+    wn = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "quartile",
+        F.expr(
+            "CASE WHEN n > 1 THEN ((CAST(rn AS BIGINT) - 1) * 1000000) "
+            "DIV (CAST(n AS BIGINT) - 1) ELSE 0 END"
+        ).alias("pct_rank_ppm"),
+        F.expr(
+            "(CAST(rn AS BIGINT) * 1000000) DIV CAST(n AS BIGINT)"
+        ).alias("cum_dist_ppm"),
     )
 
 
@@ -3411,32 +3439,52 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_distribution",
     oracle=(
         "SELECT o_orderkey, o_orderstatus, "
-        "round(percent_rank() OVER w, 6) AS pr, "
-        "round(cume_dist() OVER w, 6) AS cd "
+        "CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1) "
+        "ELSE 0 END AS BIGINT) AS pr_ppm, "
+        "CAST((rn * 1000000) // n AS BIGINT) AS cd_ppm "
+        "FROM (SELECT o_orderkey, o_orderstatus, "
+        "row_number() OVER w AS rn, "
+        "count(*) OVER (PARTITION BY o_orderstatus) AS n "
         "FROM orders "
         "WINDOW w AS (PARTITION BY o_orderstatus "
-        "ORDER BY o_totalprice, o_orderkey)"
+        "ORDER BY o_totalprice, o_orderkey)) t"
     ),
     doc="Relative-position window functions: percent_rank ( (rank-1)/"
-    "(n-1) ) and cume_dist ( rank_from_end/n ) of each order's price "
-    "within its status group — the normalized-score shape quantile "
-    "feature engineering uses (a model wants 'this order is at the "
-    "97th percentile of its segment', not the raw price). The order "
-    "key carries o_orderkey as a tiebreak so ranks are total and the "
-    "float ratios are IDENTICAL small-integer divisions in both "
-    "engines (rounded 6dp only as belt-and-braces). One shuffle on "
-    "the partition key; both functions share a single Window node.",
+    "(n-1) ) and cume_dist ( rank/n under the total order ) of each "
+    "order's price within its status group — the normalized-score "
+    "shape quantile feature engineering uses (a model wants 'this "
+    "order is at the 97th percentile of its segment', not the raw "
+    "price). The order key carries o_orderkey as a tiebreak so ranks "
+    "are total, and the statistics are emitted as EXACT parts-per-"
+    "million integers from (row_number, partition count) — the r12 "
+    "sweep caught the previous round(double, 6) form diverging "
+    "cross-engine on a half-ulp-from-boundary value in the sibling "
+    "q_window_ntile; integer floor-division cannot. One shuffle on "
+    "the partition key; the frames share a single exchange.",
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = Catalog(spark, sf_dir).orders
     w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    # partition size from the SAME ordered spec with an unbounded
+    # frame — both expressions share one physical Window node
+    wn = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CASE WHEN n > 1 THEN ((CAST(rn AS BIGINT) - 1) * 1000000) "
+            "DIV (CAST(n AS BIGINT) - 1) ELSE 0 END"
+        ).alias("pr_ppm"),
+        F.expr(
+            "(CAST(rn AS BIGINT) * 1000000) DIV CAST(n AS BIGINT)"
+        ).alias("cd_ppm"),
     )
 
 
