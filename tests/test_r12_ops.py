@@ -521,3 +521,186 @@ def test_erasure_pq_index_codes_tier_pruned_or_victim_free(
     # victim's embedding returns a SURVIVOR
     got = idx.search_pq([(-1, vemb)], k=1, nprobe=idx.n_cells).collect()
     assert got and got[0].vec_id != victim
+
+
+# ---------------------------------------------------------------------------
+# Late-r12 operators: Kleene-plus pattern matching, spatial grid
+# join, curriculum pacing.
+
+import datetime as _dt  # noqa: E402
+import os as _os  # noqa: E402
+
+from updatable_persistent_map_reduce_spark.operators import (  # noqa: E402
+    all_queries as _all_queries,
+)
+
+_Q = _all_queries()
+
+
+def _write_events(spark, td, rows):
+    """rows: (event_id, seconds, user_id, event_type)."""
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + _dt.timedelta(seconds=s), uid, et, 1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(_os.path.join(td, "events.parquet"))
+
+
+def test_pattern_match_kleene_plus_variable_burst(spark, tmp_path):
+    """PATTERN (view click+ purchase): a 3-click burst matches once
+    (no fixed lead/lag arity), interleaved second matches count, and
+    missing view / missing purchase / empty click runs never match."""
+    td = str(tmp_path)
+    rows = [
+        # user 1: view click click click purchase -> 1 match, burst 3
+        (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 30, 1, "click"),
+        (4, 40, 1, "click"), (5, 50, 1, "purchase"),
+        # user 2: two matches, bursts 1 then 2 -> n=2, max=2
+        (6, 10, 2, "view"), (7, 20, 2, "click"), (8, 30, 2, "purchase"),
+        (9, 40, 2, "view"), (10, 50, 2, "click"), (11, 60, 2, "click"),
+        (12, 70, 2, "purchase"),
+        # user 3: click purchase (no leading view) -> 0
+        (13, 10, 3, "click"), (14, 20, 3, "purchase"),
+        # user 4: view purchase (empty click run must NOT match) -> 0
+        (15, 10, 4, "view"), (16, 20, 4, "purchase"),
+        # user 5: view click click (no purchase after) -> 0
+        (17, 10, 5, "view"), (18, 20, 5, "click"), (19, 30, 5, "click"),
+    ]
+    _write_events(spark, td, rows)
+    got = {
+        r.user_id: (r.n_matches, r.max_click_run)
+        for r in _Q["q_pattern_match"].fn(spark, td).collect()
+    }
+    assert got[1] == (1, 3)
+    assert got[2] == (2, 2)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+    assert got[5] == (0, 0)
+
+
+def test_pattern_match_run_compression_ties_by_event_id(spark, tmp_path):
+    """Equal timestamps fall to the event_id tie-break: the same
+    events in a different insertion order produce identical output."""
+    td1, td2 = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [
+        (1, 10, 7, "view"), (2, 10, 7, "click"),
+        (3, 10, 7, "click"), (4, 10, 7, "purchase"),
+    ]
+    _write_events(spark, td1, rows)
+    _write_events(spark, td2, list(reversed(rows)))
+    a = sorted(map(tuple, _Q["q_pattern_match"].fn(spark, td1).collect()))
+    b = sorted(map(tuple, _Q["q_pattern_match"].fn(spark, td2).collect()))
+    assert a == b == [(7, 1, 2)]
+
+
+def test_spatial_grid_join_equals_brute_force(spark, tmp_path):
+    """The 9-cell grid equi-join is LOSSLESS: its output equals the
+    O(n*m) distance product filter, row for row, on a synthetic pair
+    dense enough (400 x 60 points) that matches genuinely occur —
+    sf0.001's 10 suppliers expect < 1 within-radius pair, which would
+    leave the residual filter untested."""
+    from updatable_persistent_map_reduce_spark.operators.relational import (
+        _SPG_AX, _SPG_AY, _SPG_BX, _SPG_BY, _SPG_MOD, _SPG_R,
+    )
+    from updatable_persistent_map_reduce_spark.sources.tables import Catalog
+
+    td = str(tmp_path)
+    spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(1, 401)],
+        "c_custkey long, c_acctbal double",
+    ).coalesce(1).write.parquet(_os.path.join(td, "customer.parquet"))
+    spark.createDataFrame(
+        [(i,) for i in range(1, 61)], "s_suppkey long"
+    ).coalesce(1).write.parquet(_os.path.join(td, "supplier.parquet"))
+
+    cat = Catalog(spark, td)
+    c = cat.customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * _SPG_AX) % _SPG_MOD).alias("x"),
+        ((F.col("c_custkey") * _SPG_AY) % _SPG_MOD).alias("y"),
+        "c_acctbal",
+    )
+    s = cat.supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * _SPG_AX + _SPG_BX) % _SPG_MOD).alias("sx"),
+        ((F.col("s_suppkey") * _SPG_AY + _SPG_BY) % _SPG_MOD).alias("sy"),
+    )
+    dx, dy = F.col("x") - F.col("sx"), F.col("y") - F.col("sy")
+    brute = (
+        s.crossJoin(c)
+        .filter(dx * dx + dy * dy <= _SPG_R * _SPG_R)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near"),
+            F.floor(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")) * 100
+            ).cast("bigint").alias("bal_cents"),
+        )
+    )
+    expected = {
+        r.s_suppkey: (r.n_near, r.bal_cents) for r in brute.collect()
+    }
+    got = {
+        r.s_suppkey: (r.n_near, r.bal_cents)
+        for r in _Q["q_join_spatial_grid"].fn(spark, td).collect()
+    }
+    # unmatched suppliers appear as (0, 0) in the operator output
+    for k, v in got.items():
+        assert expected.get(k, (0, 0)) == v, (k, v, expected.get(k))
+    assert set(expected) <= set(got)
+    assert any(v[0] > 0 for v in got.values())  # join genuinely fires
+
+
+def test_curriculum_pacing_schedule_invariants(spark, sf_dir):
+    """sqrt-competence schedule invariants: pr/unlock monotone in
+    difficulty order, unlock == ceil(T*pr^2/1e12) exactly, quartile
+    tiers balanced to +/-1, endpoints pinned."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _CUR_STEPS, _CUR_TIERS,
+    )
+
+    rows = _Q["q_curriculum_pacing"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 10
+    by_rank = sorted(rows, key=lambda r: (r.difficulty_ppm, r.doc_id))
+    prs = [r.pr_ppm for r in by_rank]
+    assert prs == sorted(prs)
+    assert prs[0] == 0 and prs[-1] == 1_000_000
+    # exact percentile + unlock arithmetic, recomputed in Python ints
+    for i, r in enumerate(by_rank):
+        pr = (i * 1_000_000) // max(n - 1, 1)
+        assert r.pr_ppm == pr, (i, r)
+        assert (
+            r.unlock_step
+            == (pr * pr * _CUR_STEPS + 10**12 - 1) // 10**12
+        ), r
+        assert r.tier == (i * _CUR_TIERS) // n + 1
+    assert by_rank[0].unlock_step == 0
+    assert by_rank[-1].unlock_step == _CUR_STEPS
+    from collections import Counter
+
+    tiers = Counter(r.tier for r in rows)
+    assert set(tiers) == set(range(1, _CUR_TIERS + 1))
+    assert max(tiers.values()) - min(tiers.values()) <= 1
+
+
+def test_curriculum_pack_width_guard_raises(spark, tmp_path):
+    """A doc_id at the pack width must fail loudly, never silently
+    misorder the packed (difficulty, doc_id) rank key."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _CUR_PACK,
+    )
+
+    td = str(tmp_path)
+    spark.createDataFrame(
+        [(_CUR_PACK, "a b c", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(_os.path.join(td, "documents.parquet"))
+    with pytest.raises(RuntimeError, match="pack width"):
+        _Q["q_curriculum_pacing"].fn(spark, td)

@@ -399,6 +399,28 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # streaming takedown: result read back from the persisted view
     # finals (same shape as q_stream_view_upsert)
     "q_stream_takedown": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # Kleene-plus pattern matching: both row_numbers, the run
+    # aggregate and the run window all share user-keyed exchanges —
+    # no join, no Python, no single-task stage
+    "q_pattern_match": (
+        ["Window", "HashAggregate", r"re:hashpartitioning\(user_id"],
+        ["Python", "Join", "CartesianProduct",
+         "Exchange SinglePartition"],
+    ),
+    # spatial grid join: the 9-cell neighborhood explode stays on the
+    # broadcast (dimension) side; candidates meet in a cell equi-join
+    # with the squared-distance residual — never a nested-loop theta
+    "q_join_spatial_grid": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["Python", "CartesianProduct", "BroadcastNestedLoop"],
+    ),
+    # curriculum pacing: the corpus-wide difficulty rank is the
+    # range-bucketed two-pass prefix count — local windows per
+    # bucket, never a partition-less (single-task) window
+    "q_curriculum_pacing": (
+        ["Window"],
+        ["Python", "Join", "Exchange SinglePartition"],
+    ),
     # unpivot: one map-side Expand, single pass, no join/Python
     "q_unpivot": (["Expand"], ["Python", "Join"]),
     # UDTF runs Arrow-batched, never the pickled row path

@@ -1821,3 +1821,106 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(folded["inp"], " ").alias("corrupted_text"),
         F.array_join(folded["tgt"], " ").alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# competence-based curriculum pacing (r12).
+
+# Order key packing: difficulty_ppm * _CUR_PACK + doc_id must be
+# unique and exact. _CUR_PACK bounds doc_id; the packed key stays
+# under 2^53 (difficulty_ppm is mean-chars-per-token in ppm, ~1e7 at
+# the extreme), so range-bucket boundaries (doubles) order it
+# deterministically. At a 100 TB doc count the pack widens to the
+# corpus's id width — same plan, wider bigint.
+_CUR_PACK = 10_000_000
+_CUR_TIERS = 4
+_CUR_STEPS = 1_000  # training-schedule horizon T
+
+_CUR_NTOK_SQL = (
+    "greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x <> '')), 1)"
+)
+
+
+@register(
+    "q_curriculum_pacing",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"(CAST(n_chars AS BIGINT) * 1000000) // {_CUR_NTOK_SQL} "
+        "AS difficulty_ppm FROM documents), "
+        "r AS (SELECT doc_id, difficulty_ppm, "
+        "row_number() OVER (ORDER BY difficulty_ppm, doc_id) - 1 AS r0, "
+        "count(*) OVER () AS n FROM t), "
+        "p AS (SELECT doc_id, difficulty_ppm, "
+        f"CAST((r0 * {_CUR_TIERS}) // n + 1 AS INTEGER) AS tier, "
+        "(r0 * 1000000) // greatest(n - 1, 1) AS pr_ppm FROM r) "
+        "SELECT doc_id, CAST(difficulty_ppm AS BIGINT) AS difficulty_ppm, "
+        "tier, CAST(pr_ppm AS BIGINT) AS pr_ppm, "
+        f"CAST((pr_ppm * pr_ppm * {_CUR_STEPS} + 999999999999) "
+        "// 1000000000000 AS BIGINT) AS unlock_step FROM p"
+    ),
+    doc="COMPETENCE-BASED CURRICULUM PACING (Platanios et al. 2019, "
+    "sqrt-competence schedule, integer-exact): each document gets a "
+    "difficulty (mean chars per whitespace token, in ppm so both "
+    "engines stay in exact bigint arithmetic), a corpus-wide "
+    "difficulty percentile pr (ppm), a rank-quartile tier, and the "
+    "earliest training step at which the sqrt schedule admits it — "
+    "competence c(s) = sqrt(s/T) admits percentile pr when s >= "
+    "T*pr^2, so unlock_step = ceil(T * pr_ppm^2 / 1e12) computed "
+    "entirely in int64 (max 1e15 + 1e12, no doubles: the r11 sweep's "
+    "round()-half-ulp trap class cannot occur). The corpus-wide rank "
+    "is NOT a partition-less window (single-task at scale): it is "
+    "functions/prefix.py's two-pass distributed prefix count over a "
+    "packed (difficulty, doc_id) key — range-bucketed scan, per-"
+    "bucket offsets, parallel local windows. Downstream, a trainer "
+    "filters batches by unlock_step <= current_step: the curriculum "
+    "IS a pushed-down scan predicate on this table's parquet, no "
+    "reorder/shuffle of the corpus ever happens. Complements "
+    "q_data_mix (source proportions) and q_sample_priority "
+    "(quality-weighted inclusion): this is WHEN a doc enters "
+    "training, not whether.",
+)
+def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens_expr(F.col("text"))
+    t = d.select(
+        "doc_id",
+        (F.col("n_chars").cast("bigint") * F.lit(1_000_000)).alias("nc"),
+        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("ntok"),
+    ).select("doc_id", F.expr("nc div ntok").alias("difficulty_ppm"))
+    # guard the pack width (bounded 1-row scalar, never corpus rows)
+    mx = t.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= _CUR_PACK:
+        raise RuntimeError(
+            f"doc_id {mx} overflows the curriculum pack width "
+            f"{_CUR_PACK}; widen _CUR_PACK for this corpus"
+        )
+    packed = t.withColumn(
+        "okey",
+        F.col("difficulty_ppm") * F.lit(_CUR_PACK) + F.col("doc_id"),
+    )
+    ranked = distributed_prefix_sum(
+        packed, "okey", F.lit(1), out_col="r0"
+    )
+    n = t.count()  # bounded driver scalar (the schedule needs |corpus|)
+    return (
+        ranked.withColumn(
+            "pr_ppm", F.expr(f"(r0 * 1000000) div {max(n - 1, 1)}")
+        )
+        .withColumn(
+            "unlock_step",
+            F.expr(
+                f"(pr_ppm * pr_ppm * {_CUR_STEPS} + 999999999999) "
+                "div 1000000000000"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("difficulty_ppm").cast("bigint").alias("difficulty_ppm"),
+            (F.expr(f"(r0 * {_CUR_TIERS}) div {n}") + 1)
+            .cast("int")
+            .alias("tier"),
+            F.col("pr_ppm").cast("bigint").alias("pr_ppm"),
+            F.col("unlock_step").cast("bigint").alias("unlock_step"),
+        )
+    )

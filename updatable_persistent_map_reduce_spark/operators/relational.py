@@ -4088,3 +4088,110 @@ def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionAll(prof)
     return out
+
+
+# ---------------------------------------------------------------------------
+# spatial distance join — grid-cell bucketing (r12).
+
+# Deterministic planar coordinates derived from the TPC-H keys with
+# distinct per-axis LCG multipliers (and supplier-side offsets so the
+# two point sets are not collinear images of each other). Integer
+# arithmetic end-to-end: both engines compute the same points, cells
+# and squared distances exactly — no floating-point geometry anywhere.
+_SPG_MOD = 100_000          # coordinate space: [0, 100000)^2
+_SPG_R = 4_000              # radius; ALSO the grid cell edge length
+_SPG_AX, _SPG_AY = 48_271, 69_621          # per-axis multipliers
+_SPG_BX, _SPG_BY = 7_919, 104_729          # supplier-side offsets
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle=(
+        "WITH c AS (SELECT c_custkey, "
+        f"CAST((c_custkey * {_SPG_AX}) % {_SPG_MOD} AS BIGINT) AS x, "
+        f"CAST((c_custkey * {_SPG_AY}) % {_SPG_MOD} AS BIGINT) AS y, "
+        "c_acctbal FROM customer), "
+        "s AS (SELECT s_suppkey, "
+        f"CAST((s_suppkey * {_SPG_AX} + {_SPG_BX}) % {_SPG_MOD} AS BIGINT) AS sx, "
+        f"CAST((s_suppkey * {_SPG_AY} + {_SPG_BY}) % {_SPG_MOD} AS BIGINT) AS sy "
+        "FROM supplier), "
+        "m AS (SELECT s.s_suppkey, count(*) AS n, "
+        "sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS bal "
+        "FROM s JOIN c ON (c.x - s.sx) * (c.x - s.sx) "
+        "+ (c.y - s.sy) * (c.y - s.sy) "
+        f"<= CAST({_SPG_R} AS BIGINT) * {_SPG_R} GROUP BY 1) "
+        "SELECT s.s_suppkey, CAST(coalesce(m.n, 0) AS BIGINT) AS n_near, "
+        "CAST(coalesce(floor(m.bal * 100), 0) AS BIGINT) AS bal_cents "
+        "FROM s LEFT JOIN m USING (s_suppkey)"
+    ),
+    doc="SPATIAL DISTANCE JOIN via grid-cell bucketing — the "
+    "distributed spatial-join pattern (the oracle is the O(n*m) "
+    "distance product; the operator never builds it): every point "
+    "lands in a grid cell of edge length == the query radius, the "
+    "small (query) side explodes to its 3x3 cell neighborhood — "
+    "radius <= cell edge guarantees any within-radius pair differs "
+    "by at most one cell per axis, so the 9-cell explode is LOSSLESS "
+    "— and candidates meet in a plain (cell_x, cell_y) equi-join "
+    "with the exact squared-distance predicate as a residual filter. "
+    "Coordinates, cells and distances are all integer (BIGINT "
+    "squares), so Spark and DuckDB agree bit-for-bit. At 100 TB both "
+    "point sets hash-partition by cell (spatial locality == shuffle "
+    "locality), the 9x explode happens on the dimension-sized side "
+    "only, and skewed cells (urban hot spots) fall to AQE skew "
+    "splitting exactly like any other hot join key; the pattern is "
+    "the equi-join reduction of ST_DWithin, never a cartesian.",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    r = F.lit(_SPG_R).cast("bigint")
+    c = cat.customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * _SPG_AX) % _SPG_MOD).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * _SPG_AY) % _SPG_MOD).cast("bigint").alias("y"),
+        "c_acctbal",
+    ).withColumns(
+        {
+            "cell_x": F.floor(F.col("x") / _SPG_R),
+            "cell_y": F.floor(F.col("y") / _SPG_R),
+        }
+    )
+    s = cat.supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * _SPG_AX + _SPG_BX) % _SPG_MOD)
+        .cast("bigint")
+        .alias("sx"),
+        ((F.col("s_suppkey") * _SPG_AY + _SPG_BY) % _SPG_MOD)
+        .cast("bigint")
+        .alias("sy"),
+    )
+    # 9-cell neighborhood explode on the SMALL side only (9x |supplier|
+    # rows, still dimension-sized -> broadcast): the big side keeps
+    # exactly one row per point.
+    probe = (
+        s.withColumn("ddx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("ddy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumns(
+            {
+                "cell_x": F.floor(F.col("sx") / _SPG_R) + F.col("ddx"),
+                "cell_y": F.floor(F.col("sy") / _SPG_R) + F.col("ddy"),
+            }
+        )
+    )
+    dx = F.col("x") - F.col("sx")
+    dy = F.col("y") - F.col("sy")
+    matched = (
+        c.join(F.broadcast(probe), ["cell_x", "cell_y"])
+        .filter(dx * dx + dy * dy <= r * r)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("bal"),
+        )
+    )
+    return s.join(matched, "s_suppkey", "left").select(
+        "s_suppkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near"),
+        F.coalesce(F.floor(F.col("bal") * 100), F.lit(0))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )

@@ -637,3 +637,89 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc_nulls_last())
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style pattern matching with a Kleene plus (r12).
+
+
+@register(
+    "q_pattern_match",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn, "
+        "row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS rnt FROM events), "
+        "r AS (SELECT user_id, event_type, min(rn) AS srn, "
+        "CAST(count(*) AS BIGINT) AS run_len FROM o "
+        "GROUP BY user_id, event_type, rn - rnt), "
+        "seq AS (SELECT user_id, event_type, run_len, "
+        "lag(event_type) OVER w AS prev_t, "
+        "lead(event_type) OVER w AS next_t FROM r "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY srn)) "
+        "SELECT user_id, CAST(count(*) FILTER (WHERE event_type = 'click' "
+        "AND prev_t = 'view' AND next_t = 'purchase') AS BIGINT) "
+        "AS n_matches, "
+        "CAST(coalesce(max(run_len) FILTER (WHERE event_type = 'click' "
+        "AND prev_t = 'view' AND next_t = 'purchase'), 0) AS BIGINT) "
+        "AS max_click_run FROM seq GROUP BY user_id"
+    ),
+    doc="EVENT PATTERN MATCHING with a Kleene plus — SQL:2016 "
+    "MATCH_RECOGNIZE's PATTERN (view click+ purchase) over each "
+    "user's timeline, which no fixed-arity lead()/lag() stack can "
+    "express (q_path_analysis's trigrams see exactly 3 events; a "
+    "5-click burst between the view and the purchase must still "
+    "match here). Plan: the classic gaps-and-islands reduction — "
+    "two row_numbers over the SAME user-keyed exchange compress "
+    "consecutive equal event types into maximal runs (rn - rn_by_type "
+    "is constant within a run), one aggregate materializes the "
+    "run-level sequence (|runs| rows, never |events| state), and a "
+    "single lag/lead window over runs matches the variable-length "
+    "pattern exactly. Output per user: match count and the longest "
+    "click burst inside any match. At 100 TB everything partitions "
+    "by user_id — one exchange feeds both row_numbers, the run "
+    "aggregate and the run window; state is bounded by a user's "
+    "run count, never the corpus. Ties pinned by (ts, event_id). "
+    "Reference analog: the map phase's per-key ordered fold "
+    "(Executer.cs:63-99) generalized to sequence predicates.",
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_user = W.partitionBy("user_id").orderBy(*order)
+    w_type = W.partitionBy("user_id", "event_type").orderBy(*order)
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w_user).alias("rn"),
+            F.row_number().over(w_type).alias("rnt"),
+        )
+        .groupBy("user_id", "event_type", (F.col("rn") - F.col("rnt")).alias("grp"))
+        .agg(
+            F.min("rn").alias("srn"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        )
+    )
+    w_runs = W.partitionBy("user_id").orderBy("srn")
+    seq = runs.select(
+        "user_id",
+        "event_type",
+        "run_len",
+        F.lag("event_type").over(w_runs).alias("prev_t"),
+        F.lead("event_type").over(w_runs).alias("next_t"),
+    )
+    hit = (
+        (F.col("event_type") == "click")
+        & (F.col("prev_t") == "view")
+        & (F.col("next_t") == "purchase")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_matches"),
+        F.coalesce(F.max(F.when(hit, F.col("run_len"))), F.lit(0))
+        .cast("bigint")
+        .alias("max_click_run"),
+    )
