@@ -524,3 +524,60 @@ def test_streaming_takedown_restart_applies_deletes(spark, tmp_path):
     sv2.run_available_now()
     counts = {r["state"]: r["cnt"] for r in sv2.final_df().collect()}
     assert counts == {"CA": 10, "TX": 5}
+
+
+def test_streaming_pattern_match_spans_micro_batches(spark, tmp_path):
+    """Streaming CEP continuation: a click run SPLIT ACROSS
+    micro-batches (maxFilesPerTrigger=1) still matches exactly once
+    with the full burst length — the four-scalar automaton state is
+    what carries it; and a noise run between view and click kills the
+    match exactly as in the batch twin."""
+    from datetime import datetime, timedelta
+
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_pattern_match,
+    )
+
+    inp = str(tmp_path / "pat_inbox")
+    os.makedirs(inp)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    t0 = datetime(2024, 1, 1)
+    s = lambda sec: t0 + timedelta(seconds=sec)  # noqa: E731
+    # batch 1: user 1 view + 2 clicks; user 2 view, then error noise
+    _write_batch(
+        spark,
+        inp,
+        [
+            (1, s(0), 1, "view"),
+            (1, s(10), 2, "click"),
+            (1, s(20), 3, "click"),
+            (2, s(0), 4, "view"),
+            (2, s(10), 5, "error"),
+        ],
+        schema,
+    )
+    # batch 2: user 1's run CONTINUES (click) then closes (purchase);
+    # user 2's clicks follow noise -> prev run is error, no match
+    _write_batch(
+        spark,
+        inp,
+        [
+            (1, s(30), 6, "click"),
+            (1, s(40), 7, "purchase"),
+            (2, s(20), 8, "click"),
+            (2, s(30), 9, "purchase"),
+        ],
+        schema,
+    )
+    streaming_pattern_match(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "pat_ckpt"),
+        sink_table="pattern_t",
+        max_files_per_trigger=1,
+    )
+    rows = [tuple(r) for r in spark.table("pattern_t").collect()]
+    # ONE match, burst length 3 (2 clicks from batch 1 + 1 from
+    # batch 2); user 2 never matches
+    assert rows == [(1, 1, 3)]

@@ -454,6 +454,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # batch, no pickled-row Python, no cartesian anywhere
     "q_stream_quality_gate": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_sessionize": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # streaming CEP: result read from the drained memory sink; the
+    # automaton ran inside the streaming query (Arrow state path)
+    "q_stream_pattern": ([], ["CartesianProduct", "BatchEvalPython"]),
     "q_stream_enrich": ([], ["CartesianProduct", "BatchEvalPython"]),
     # persisted-index probe: broadcast cell equi-join over the listed
     # table's manifest-resolved files — never a cartesian/NLJ scan

@@ -1245,3 +1245,61 @@ def q_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+@register(
+    "q_stream_pattern",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn, "
+        "row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS rnt FROM events), "
+        "r AS (SELECT user_id, event_type, min(rn) AS srn, "
+        "count(*) AS run_len FROM o "
+        "GROUP BY user_id, event_type, rn - rnt), "
+        "seq AS (SELECT user_id, event_type, run_len, srn, "
+        "lag(event_type) OVER w AS prev_t, "
+        "lead(event_type) OVER w AS next_t FROM r "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY srn)) "
+        "SELECT user_id, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY srn) AS BIGINT) AS match_no, "
+        "CAST(run_len AS BIGINT) AS click_run FROM seq "
+        "WHERE event_type = 'click' AND prev_t = 'view' "
+        "AND next_t = 'purchase'"
+    ),
+    doc="Streaming CEP on the ACTUAL streaming path: the Kleene-plus "
+    "pattern (view click+ purchase) detected INCREMENTALLY — events "
+    "staged to parquet, readStream -> groupBy(user)."
+    "applyInPandasWithState carrying a four-scalar automaton "
+    "(prev_run_type, cur_run_type, run_len, n_matches) per user -> "
+    "availableNow -> memory sink. Each match row (user_id, match_no, "
+    "click_run) is emitted the moment its closing purchase arrives — "
+    "the alert/trigger deployment shape — and the oracle is the batch "
+    "q_pattern_match's run-compression SQL enumerating every match "
+    "per user in timeline order. State is four scalars per user "
+    "(bounded by key cardinality, never stream length); matches are "
+    "tie-pinned by (ts, event_id) so the replay is deterministic. "
+    "Streaming twin of operators/windows.py q_pattern_match "
+    "(Executer.cs:192-203's persisted partials riding across "
+    "Execute calls, generalized to sequence-predicate state).",
+)
+def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_view import streaming_pattern_match
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    inp, ckpt = _stage(ev, "upmr_stream_pat_")
+    sink = f"pat_sink_{uuid.uuid4().hex[:8]}"
+    streaming_pattern_match(
+        spark,
+        input_path=inp,
+        input_schema=(
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string"
+        ),
+        checkpoint_path=ckpt,
+        sink_table=sink,
+    )
+    return spark.table(sink)

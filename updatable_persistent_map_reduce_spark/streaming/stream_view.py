@@ -632,3 +632,105 @@ def streaming_interval_join(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_pattern_match(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    sink_table: str = "pattern_matches",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming CEP: MATCH_RECOGNIZE's PATTERN (view click+ purchase)
+    detected INCREMENTALLY with O(1) state per user — the streaming
+    twin of the batch ``q_pattern_match`` (operators/windows.py),
+    which materializes the whole run sequence; here a match row is
+    emitted the moment its closing purchase event arrives (the alert/
+    trigger deployment shape), and the automaton carries only
+    (prev_run_type, current_run_type, current_run_len, n_matches)
+    across micro-batches — four scalars per user, NEVER the user's
+    event history, so state size is bounded by key cardinality alone.
+
+    Per event, in (ts, event_id) order: an event equal to the current
+    run's type extends the run; a different type closes the run at a
+    boundary, and the boundary IS the match test — a closing 'click'
+    run whose predecessor run was 'view', closed by an arriving
+    'purchase', emits (user_id, match_no, click_run). Noise types
+    ('signup', 'error') close runs without matching, exactly like the
+    batch form's run-level lag/lead. The open run never matches until
+    a later event closes it — matching the batch form's NULL next_t
+    on each user's final run.
+
+    The reference analog is the repeated-``Execute`` micro-batch loop
+    (MapReduce/Program.cs:31,35) with the automaton state riding the
+    state store across calls as its persisted partial aggregates do
+    (Executer.cs:192-203).
+    """
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, match_no bigint, click_run bigint"
+    state_schema = (
+        "prev_t string, cur_t string, run_len long, n_matches long"
+    )
+
+    def advance(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            prev_t, cur_t, run_len, n_matches = state.get
+        else:
+            prev_t, cur_t, run_len, n_matches = None, None, 0, 0
+        hits: list[tuple] = []
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for t in ev["event_type"]:
+            if t == cur_t:
+                run_len += 1
+                continue
+            # run boundary: the arriving type closes the current run,
+            # and the boundary is the match test
+            if cur_t == "click" and prev_t == "view" and t == "purchase":
+                n_matches += 1
+                hits.append((user_id, n_matches, run_len))
+            prev_t, cur_t, run_len = cur_t, t, 1
+        state.update((prev_t, cur_t, run_len, n_matches))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([h[0] for h in hits], dtype="int64"),
+                "match_no": pd.Series([h[1] for h in hits], dtype="int64"),
+                "click_run": pd.Series(
+                    [h[2] for h in hits], dtype="int64"
+                ),
+            }
+        )
+
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        # test/backfill knob: cap files per micro-batch so a run can
+        # genuinely SPAN batches — the cross-batch continuation the
+        # four-scalar automaton state exists to carry
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    matches = stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        matches.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
