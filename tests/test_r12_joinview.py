@@ -1,0 +1,206 @@
+"""JoinView (plans/join_view.py) — the delta-join maintenance
+contracts the q_join_view_incremental oracle can't see from the final
+state alone: interleaving-equivalence against a from-scratch rebuild,
+span-pruned delta economics, unmatched-fact revival on late dim
+arrival, and crash-window healing via refresh_partials().
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from updatable_persistent_map_reduce_spark.plans.join_view import JoinView
+
+
+def _mk(spark, path, n_spans=4):
+    return JoinView(
+        spark,
+        path,
+        fact_id="okey",
+        join_col="ckey",
+        dim_id="ckey",
+        group_cols=["segment"],
+        agg_exprs=[
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ],
+        rereduce_exprs=[
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sv").cast("bigint").alias("sv"),
+        ],
+        n_spans=n_spans,
+    )
+
+
+def _facts_df(spark, rows):
+    return spark.createDataFrame(rows, "okey bigint, ckey bigint, v bigint")
+
+
+def _dims_df(spark, rows):
+    return spark.createDataFrame(rows, "ckey bigint, segment string")
+
+
+def _final(jv):
+    return {
+        r["segment"]: (r["n"], r["sv"]) for r in jv.final_df().collect()
+    }
+
+
+def _expected(facts, dims):
+    """Driver-side recompute of the inner-join aggregate from the
+    latest-wins state dicts."""
+    out: dict[str, list[int]] = {}
+    for okey, (ckey, v) in facts.items():
+        if ckey in dims:
+            seg = dims[ckey]
+            cur = out.setdefault(seg, [0, 0])
+            cur[0] += 1
+            cur[1] += v
+    return {k: (a, b) for k, (a, b) in out.items()}
+
+
+def test_joinview_random_interleaving_equals_model(spark, tmp_path):
+    """Property: ANY interleaving of fact upserts / dim upserts / fact
+    deletes leaves final_df() equal to the model computed from the
+    latest-wins state — including join-key migration and dim
+    re-attribution mid-stream."""
+    rng = random.Random(12012)
+    jv = _mk(spark, str(tmp_path / "jv"))
+    facts: dict[int, tuple[int, int]] = {}
+    dims: dict[int, str] = {}
+    segs = ["a", "b", "c"]
+    for step in range(12):
+        op = rng.choice(["facts", "facts", "dims", "delete"])
+        if op == "facts":
+            batch = {
+                rng.randrange(30): (rng.randrange(8), rng.randrange(100))
+                for _ in range(rng.randrange(1, 6))
+            }
+            facts.update(batch)
+            jv.upsert_facts(
+                _facts_df(
+                    spark, [(k, c, v) for k, (c, v) in batch.items()]
+                )
+            )
+        elif op == "dims":
+            batch = {
+                rng.randrange(8): rng.choice(segs)
+                for _ in range(rng.randrange(1, 4))
+            }
+            dims.update(batch)
+            jv.upsert_dims(
+                _dims_df(spark, [(k, s) for k, s in batch.items()])
+            )
+        else:
+            victims = [k for k in list(facts) if rng.random() < 0.3]
+            for k in victims:
+                facts.pop(k)
+            if victims:
+                jv.delete_facts(
+                    spark.createDataFrame(
+                        [(k,) for k in victims], "okey bigint"
+                    )
+                )
+        assert _final(jv) == _expected(facts, dims), f"diverged at step {step}"
+
+
+def test_joinview_dim_update_retro_propagates(spark, tmp_path):
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_dims(_dims_df(spark, [(1, "old"), (2, "x")]))
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5), (11, 1, 7), (12, 2, 1)]))
+    assert _final(jv) == {"old": (2, 12), "x": (1, 1)}
+    # re-attribute customer 1: BOTH its already-joined facts must move
+    jv.upsert_dims(_dims_df(spark, [(1, "new")]))
+    assert _final(jv) == {"new": (2, 12), "x": (1, 1)}
+
+
+def test_joinview_late_dim_revives_unmatched_facts(spark, tmp_path):
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_facts(_facts_df(spark, [(10, 9, 5)]))  # no dim 9 yet
+    assert _final(jv) == {}
+    jv.upsert_dims(_dims_df(spark, [(9, "late")]))
+    assert _final(jv) == {"late": (1, 5)}
+
+
+def test_joinview_fact_migration_retracts_old_span(spark, tmp_path):
+    jv = _mk(spark, str(tmp_path / "jv"), n_spans=8)
+    jv.upsert_dims(_dims_df(spark, [(1, "a"), (2, "b")]))
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
+    assert _final(jv) == {"a": (1, 5)}
+    # the same fact id re-lands under a DIFFERENT join key: the old
+    # partner's span must retract it, the new partner's span gain it
+    res = jv.upsert_facts(_facts_df(spark, [(10, 2, 5)]))
+    assert _final(jv) == {"b": (1, 5)}
+    # the delta report names the vacated span when the keys hash apart
+    old_span = [
+        r[0]
+        for r in _facts_df(spark, [(10, 1, 5)])
+        .select(F.pmod(F.xxhash64("ckey"), F.lit(8)).cast("int"))
+        .collect()
+    ][0]
+    new_span = [
+        r[0]
+        for r in _facts_df(spark, [(10, 2, 5)])
+        .select(F.pmod(F.xxhash64("ckey"), F.lit(8)).cast("int"))
+        .collect()
+    ][0]
+    if old_span != new_span:
+        assert res["migrated_from"] == [old_span]
+
+
+def test_joinview_delta_touches_only_dirty_spans(spark, tmp_path):
+    """The economics pin: after a bulk load, a single-fact upsert's
+    partials commit records touched spans ⊆ {old span, new span} —
+    the manifest's own conflict-class bookkeeping is the witness."""
+    jv = _mk(spark, str(tmp_path / "jv"), n_spans=8)
+    jv.upsert_dims(_dims_df(spark, [(c, "s%d" % (c % 3)) for c in range(8)]))
+    jv.upsert_facts(
+        _facts_df(spark, [(k, k % 8, k) for k in range(64)])
+    )
+    res = jv.upsert_facts(_facts_df(spark, [(3, 5, 99)]))
+    # fact 3 moved from ckey 3's span to ckey 5's span
+    assert 1 <= len(res["dirty_spans"]) <= 2
+    last = jv._part_t._load()  # current manifest records its commit's
+    assert last["touched"] != "*"  # conflict class: the touched spans
+    assert set(last["touched"]) <= set(res["dirty_spans"])
+    # and the answer is still exact
+    expected = _expected(
+        {**{k: (k % 8, k) for k in range(64)}, 3: (5, 99)},
+        {c: "s%d" % (c % 3) for c in range(8)},
+    )
+    assert _final(jv) == expected
+
+
+def test_joinview_crash_before_partials_heals_exactly(spark, tmp_path):
+    """Kill-window contract: side tables committed, partials not yet —
+    reads serve the stale-but-consistent pre-batch answer, and
+    refresh_partials() heals to the true state."""
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_dims(_dims_df(spark, [(1, "a")]))
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
+    before = _final(jv)
+
+    # simulate the crash: land a fact batch through the side-table
+    # path only (monkeypatch the partials step to a no-op)
+    orig = JoinView._recompute_partials
+    try:
+        JoinView._recompute_partials = lambda self, spans: None
+        jv.upsert_facts(_facts_df(spark, [(11, 1, 2)]))
+    finally:
+        JoinView._recompute_partials = orig
+    assert _final(jv) == before  # stale but consistent
+    jv.refresh_partials()
+    assert _final(jv) == {"a": (2, 7)}
+
+
+def test_joinview_empty_group_drops_span_partials(spark, tmp_path):
+    """Deleting a span's last fact drops its partial rows rather than
+    leaving zombie groups behind."""
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_dims(_dims_df(spark, [(1, "only")]))
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
+    jv.delete_facts(spark.createDataFrame([(10,)], "okey bigint"))
+    assert _final(jv) == {}

@@ -388,6 +388,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # q_sim_index_persisted, q_upsert_delete) and the r11 lifecycle
     # pytests (tests/test_r11_ops.py) with probe-cost pins
     "q_takedown_cascade": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # join view: bounded metric-table result (one row per segment);
+    # the real plans run inside the maintenance legs — span-pruned
+    # co-partitioned joins per dirty span — pinned by
+    # tests/test_r12_joinview.py's touched-span manifest assertions
+    "q_join_view_incremental": ([], ["BatchEvalPython", "CartesianProduct"]),
     # erasure: same bounded metric-table shape as the cascade — the
     # real plans ran inside the artifact legs plus the version walk
     # (each a manifest-pruned read), all asserted by their own entries

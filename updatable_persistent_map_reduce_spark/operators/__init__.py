@@ -103,6 +103,8 @@ _CHANGED = [
     # integers instead of round(double, 6) (cross-engine half-ulp trap)
     "q_window_ntile",
     "q_window_distribution",
+    # late-r12 addition: delta-join view maintenance (plans/join_view.py)
+    "q_join_view_incremental",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

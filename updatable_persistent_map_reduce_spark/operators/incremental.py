@@ -1631,3 +1631,128 @@ def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("bal_before") != F.col("bal_after"))
         | (F.col("seg_before") != F.col("seg_after"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental JOIN-VIEW maintenance — fact ⋈ dim aggregate kept fresh
+# under upserts to EITHER side (plans/join_view.py). The reference's
+# single-collection update contract (Executer.cs:240-261) in delta-join
+# form: dim-attribute changes retro-propagate, fact join keys migrate,
+# deletes retract — each at O(dirty join spans), never a recompute.
+
+_JV_MIGRATE_MOD = 150  # migrated custkeys land in 1..150 (valid at every sf)
+
+
+def _jv_fact_rows(orders: DataFrame) -> DataFrame:
+    """Project orders to the join view's fact payload: integer cents
+    (the engine's exact cross-engine money form, floor(decimal*100))."""
+    return orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+@register(
+    "q_join_view_incremental",
+    oracle=(
+        "WITH f AS (SELECT o_orderkey AS okey, "
+        f"CASE WHEN o_orderkey % 11 = 0 THEN (o_orderkey % {_JV_MIGRATE_MOD}) + 1 "
+        "ELSE o_custkey END AS ckey, "
+        "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "* CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS cents "
+        "FROM orders WHERE o_orderkey % 13 <> 0), "
+        "d AS (SELECT c_custkey AS ckey, "
+        "CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED' ELSE c_mktsegment END "
+        "AS segment FROM customer) "
+        "SELECT segment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM f JOIN d USING (ckey) GROUP BY segment"
+    ),
+    doc="INCREMENTAL JOIN-VIEW maintenance (plans/join_view.py): "
+    "revenue per customer segment = orders ⋈ customer, maintained "
+    "through five delta batches — initial load in two fact halves, a "
+    "dim UPDATE that re-segments every tenth customer (and must "
+    "retro-propagate through their already-joined orders), a fact "
+    "upsert that doubles every 7th order's price and MIGRATES every "
+    "11th order to a different customer (join-key migration: the old "
+    "span retracts, the new span gains), and a delete of every 13th "
+    "order. Both side tables are span-partitioned by the SAME hash of "
+    "the join key, so each batch's maintenance join is span-local "
+    "(co-partitioned, no global shuffle) and touches only the dirty "
+    "spans; a fact index locates migrated rows' old spans the way the "
+    "view's doc index does (view.py). Finals re-reduce per-span "
+    "partials — the engine's two-level tree over a JOIN. The oracle "
+    "is the closed-form final state; the interleaving/migration/"
+    "revival properties are pinned by tests/test_r12_joinview.py.",
+)
+def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    cat = Catalog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="upmr_joinview_")
+    try:
+        from ..plans.join_view import JoinView
+
+        jv = JoinView(
+            spark,
+            os.path.join(root, "view"),
+            fact_id="okey",
+            join_col="ckey",
+            dim_id="ckey",
+            group_cols=["segment"],
+            agg_exprs=[
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            ],
+            rereduce_exprs=[
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            ],
+            n_spans=8,
+        )
+        dims = cat.customer.select(
+            F.col("c_custkey").alias("ckey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        facts = _jv_fact_rows(cat.orders)
+        jv.upsert_dims(dims)
+        jv.upsert_facts(facts.filter(F.col("okey") % 2 == 0))
+        jv.upsert_facts(facts.filter(F.col("okey") % 2 == 1))
+        # dim update: retro-propagates through already-joined facts
+        jv.upsert_dims(
+            dims.filter(F.col("ckey") % 10 == 3).withColumn(
+                "segment", F.lit("MIGRATED")
+            )
+        )
+        # fact upsert: price doubling + join-key migration
+        touched = facts.filter(
+            (F.col("okey") % 7 == 0) | (F.col("okey") % 11 == 0)
+        )
+        jv.upsert_facts(
+            touched.select(
+                "okey",
+                F.when(
+                    F.col("okey") % 11 == 0,
+                    (F.col("okey") % _JV_MIGRATE_MOD) + 1,
+                )
+                .otherwise(F.col("ckey"))
+                .cast("bigint")
+                .alias("ckey"),
+                F.when(F.col("okey") % 7 == 0, F.col("cents") * 2)
+                .otherwise(F.col("cents"))
+                .alias("cents"),
+            )
+        )
+        jv.delete_facts(facts.filter(F.col("okey") % 13 == 0).select("okey"))
+        rows = [
+            (r["segment"], r["n_orders"], r["sum_cents"])
+            for r in jv.final_df().collect()  # bounded: one row per segment
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "segment string, n_orders bigint, sum_cents bigint"
+    )

@@ -1,0 +1,267 @@
+"""JoinView — incremental maintenance of a two-table JOIN + aggregate.
+
+The reference's update contract (Executer.cs:240-261: a re-Executed
+document retracts its old contribution and lands its new one) applies
+to ONE input collection; this class extends it to the classic
+warehouse shape ``fact ⋈ dim GROUP BY dims`` so that an upsert to
+EITHER side — including a dim-attribute change that must
+retro-propagate through every previously-joined fact row, and a fact
+whose join key migrates between dim partners — updates the persisted
+aggregate at delta cost, never a full recompute.
+
+Design (delta view maintenance, DBToaster/Materialize-style, expressed
+as span-local Spark jobs over :class:`ManifestTable` snapshots):
+
+- Both side tables are span-partitioned by the SAME pure hash of the
+  join key (``pmod(xxhash64(join_key), n_spans)``), so a join key's
+  fact rows and its dim row always share a span: the maintenance join
+  is span-local by construction — each dirty span joins its own files
+  on both sides, co-partitioned, no global shuffle, no other span
+  read. At 100 TB, ``n_spans`` scales with the table so one span is a
+  bounded rewrite/join unit; cost per batch is O(dirty-span bytes).
+- A ``fact_index`` table (fact id -> current join span, spanned by a
+  hash of the fact id) answers "where does this fact's OLD row live"
+  with a span-pruned lookup — the same trick MapReduceView's doc
+  index uses for key migration (view.py) — so a fact whose join key
+  changed dirties exactly its old span and its new span.
+- A ``partials`` table holds per-(span, group) partial aggregates.
+  A batch recomputes partials ONLY for dirty spans (span-local join +
+  re-aggregate of those spans' rows), and :meth:`final_df` re-reduces
+  partials across spans — the engine's two-level reduce-tree shape
+  (view.py two_level), so reads cost O(groups × spans), never a fact
+  scan.
+
+Aggregate contract: ``agg_exprs`` (per-span, over joined columns) and
+``rereduce_exprs`` (across spans, over the aliased partial columns)
+must compose to the true aggregate — the same closure the reference
+demands of Reduce (MapReduceTask.cs:10), e.g. count via sum-of-counts.
+
+Join semantics are INNER: a fact whose join key has no dim row yet
+contributes nothing, but its row persists in its span, so the dim
+row's later arrival revives it via the span recompute — no
+"lost fact" race, attested by the operator's interleaving test.
+
+Multi-table commit chain (facts -> index -> dims -> partials, partials
+LAST): a crash between commits leaves side tables newer than
+partials; results are then stale-but-consistent (the pre-batch
+answer) and :meth:`refresh_partials` heals exactly — the same
+bounded-staleness contract the text index's stats window documents.
+Single writer per view, as everywhere in the engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .store import ManifestTable
+
+
+class JoinView:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        fact_id: str,
+        join_col: str,
+        dim_id: str,
+        group_cols: Sequence[str],
+        agg_exprs: Sequence[Column],
+        rereduce_exprs: Sequence[Column],
+        n_spans: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.fact_id = fact_id
+        self.join_col = join_col
+        self.dim_id = dim_id
+        self.group_cols = list(group_cols)
+        self.agg_exprs = list(agg_exprs)
+        self.rereduce_exprs = list(rereduce_exprs)
+        self.n_spans = int(n_spans)
+        self._fact_t = ManifestTable(os.path.join(path, "facts"), "__jspan")
+        self._dim_t = ManifestTable(os.path.join(path, "dims"), "__jspan")
+        self._idx_t = ManifestTable(
+            os.path.join(path, "fact_index"), "__ispan"
+        )
+        self._part_t = ManifestTable(
+            os.path.join(path, "partials"), "__jspan"
+        )
+
+    # ----- span assignment -------------------------------------------------
+
+    def _jspan(self, col) -> Column:
+        return F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col),
+                      F.lit(self.n_spans)).cast("int")
+
+    def _ispan(self, col) -> Column:
+        # A DIFFERENT derivation than _jspan on purpose: the index is
+        # keyed by fact id, and reusing the join-key hash would
+        # correlate index spans with join spans for integer ids.
+        return F.pmod(
+            F.xxhash64(F.lit("fidx"), F.col(col) if isinstance(col, str) else col),
+            F.lit(self.n_spans),
+        ).cast("int")
+
+    # ----- writes ----------------------------------------------------------
+
+    def upsert_facts(self, batch: DataFrame) -> dict:
+        """Latest-wins upsert of fact rows (unique, non-null
+        ``fact_id``; must carry ``join_col`` + every payload column).
+        Dirty spans = the batch rows' NEW join spans ∪ the replaced
+        ids' OLD spans (from the fact index, span-pruned lookup);
+        only those spans are rewritten and re-aggregated."""
+        spark = self.spark
+        b = batch.withColumn("__jspan", self._jspan(self.join_col))
+        b = b.localCheckpoint(eager=True)  # one evaluation: spans+write
+        new_spans = {int(r[0]) for r in b.select("__jspan").distinct().collect()}
+
+        ids = b.select(F.col(self.fact_id)).withColumn(
+            "__ispan", self._ispan(self.fact_id)
+        )
+        idx_spans = {int(r[0]) for r in ids.select("__ispan").distinct().collect()}
+        old = None
+        idx = self._idx_t.read(spark, spans=sorted(idx_spans))
+        if idx is not None:
+            old = idx.join(
+                ids.select(self.fact_id), on=self.fact_id, how="left_semi"
+            )
+        old_spans = (
+            {int(r[0]) for r in old.select("__jspan").distinct().collect()}
+            if old is not None
+            else set()
+        )
+        dirty = sorted(new_spans | old_spans)
+
+        # Rewrite the dirty fact spans: survivors (anti-join on id —
+        # a replaced id's old row can only live in a dirty span, the
+        # index said so) + the batch rows.
+        cur = self._fact_t.read(spark, spans=dirty)
+        out = b
+        if cur is not None:
+            out = cur.join(
+                b.select(self.fact_id), on=self.fact_id, how="left_anti"
+            ).unionByName(b)
+        mapping = self._fact_t.write_data(out)
+        self._fact_t.commit(
+            replace={s: mapping[s] for s in mapping},
+            drop=[s for s in dirty if s not in mapping],
+        )
+
+        # Index upsert: fact id -> its new join span (merge is legal:
+        # keyed by fact id, __ispan a pure function of it). __jspan is
+        # taken straight off the checkpointed batch row, never
+        # recomputed from the bare id.
+        src = b.select(self.fact_id, "__jspan").withColumn(
+            "__ispan", self._ispan(self.fact_id)
+        )
+        self._idx_t.merge(src, on=[self.fact_id])
+
+        self._recompute_partials(dirty)
+        return {"dirty_spans": dirty, "migrated_from": sorted(old_spans - new_spans)}
+
+    def upsert_dims(self, batch: DataFrame) -> dict:
+        """Latest-wins upsert of dim rows (unique, non-null
+        ``dim_id`` == the join key, so a dim row's span never moves).
+        Dirty spans = the batch's spans; every previously-joined fact
+        row in them re-joins against the NEW dim attributes — the
+        retro-propagation a map-side enrichment join cannot do."""
+        b = batch.withColumn("__jspan", self._jspan(self.dim_id))
+        b = b.localCheckpoint(eager=True)
+        self._dim_t.merge(b, on=[self.dim_id])
+        dirty = sorted(
+            int(r[0]) for r in b.select("__jspan").distinct().collect()
+        )
+        self._recompute_partials(dirty)
+        return {"dirty_spans": dirty}
+
+    def delete_facts(self, ids: DataFrame) -> dict:
+        """Remove fact rows by id (retracting their contribution).
+        Cost: O(the victims' spans), located via the fact index."""
+        spark = self.spark
+        ids = ids.select(F.col(self.fact_id)).withColumn(
+            "__ispan", self._ispan(self.fact_id)
+        )
+        ids = ids.localCheckpoint(eager=True)
+        idx_spans = {int(r[0]) for r in ids.select("__ispan").distinct().collect()}
+        idx = self._idx_t.read(spark, spans=sorted(idx_spans))
+        if idx is None:
+            return {"dirty_spans": []}
+        hit = idx.join(ids.select(self.fact_id), on=self.fact_id, how="left_semi")
+        dirty = sorted(int(r[0]) for r in hit.select("__jspan").distinct().collect())
+        if not dirty:
+            return {"dirty_spans": []}
+        cur = self._fact_t.read(spark, spans=dirty)
+        out = cur.join(ids.select(self.fact_id), on=self.fact_id, how="left_anti")
+        mapping = self._fact_t.write_data(out)
+        self._fact_t.commit(
+            replace={s: mapping[s] for s in mapping},
+            drop=[s for s in dirty if s not in mapping],
+        )
+        self._idx_t.delete_keys(
+            hit.select("__ispan", self.fact_id), on=[self.fact_id]
+        )
+        self._recompute_partials(dirty)
+        return {"dirty_spans": dirty}
+
+    # ----- maintenance -----------------------------------------------------
+
+    def _recompute_partials(self, spans) -> None:
+        """Span-local join + aggregate for exactly ``spans``; replace
+        those partial spans (drop the ones that emptied). Both reads
+        are manifest-span-pruned; the join keys are co-partitioned by
+        construction, so Spark's equi-join here never touches another
+        span's files."""
+        spans = sorted(set(int(s) for s in spans))
+        if not spans:
+            return
+        f = self._fact_t.read(self.spark, spans=spans)
+        d = self._dim_t.read(self.spark, spans=spans)
+        mapping: dict[int, list[str]] = {}
+        if f is not None and d is not None:
+            joined = f.drop("__jspan").join(
+                d.withColumnRenamed(self.dim_id, self.join_col)
+                if self.dim_id != self.join_col
+                else d,
+                on=self.join_col,
+                how="inner",
+            )
+            part = joined.groupBy("__jspan", *self.group_cols).agg(
+                *self.agg_exprs
+            )
+            mapping = self._part_t.write_data(part)
+        self._part_t.commit(
+            replace={s: mapping[s] for s in mapping},
+            drop=[s for s in spans if s not in mapping],
+        )
+
+    def refresh_partials(self) -> None:
+        """Heal after a crash inside the commit chain: recompute every
+        span present on either side (full maintenance pass, still
+        span-local per span)."""
+        spans = set(self._fact_t.spans()) | set(self._dim_t.spans())
+        self._recompute_partials(spans)
+
+    # ----- reads -----------------------------------------------------------
+
+    def final_df(self) -> DataFrame:
+        """Re-reduce the persisted partials across spans — O(groups ×
+        spans) rows read, never a fact/dim scan."""
+        p = self._part_t.read(self.spark)
+        if p is None:
+            return self.spark.createDataFrame(
+                [], schema=", ".join(f"{c} string" for c in self.group_cols)
+            )
+        return p.groupBy(*self.group_cols).agg(*self.rereduce_exprs)
+
+    def stats(self) -> dict:
+        return {
+            "fact_version": self._fact_t.version,
+            "dim_version": self._dim_t.version,
+            "partials_version": self._part_t.version,
+            "n_spans": self.n_spans,
+        }
