@@ -704,3 +704,70 @@ def test_curriculum_pack_width_guard_raises(spark, tmp_path):
     ).coalesce(1).write.parquet(_os.path.join(td, "documents.parquet"))
     with pytest.raises(RuntimeError, match="pack width"):
         _Q["q_curriculum_pacing"].fn(spark, td)
+
+
+# ---------------------------------------------------------------------------
+# q_dataloader_resume — resume == slice-of-full, lockstep truncation
+
+
+def test_dataloader_resume_is_slice_of_full_schedule(spark, sf_dir):
+    """The resume window must be byte-identical to the same steps cut
+    from the FULL schedule enumerated from step 0 — the property that
+    makes a mid-epoch checkpoint restart exact without a position
+    log."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _DL_BATCH,
+        _DL_SHARDS,
+        _DL_WINDOW,
+        epoch_hash_frame,
+        q_dataloader_resume,
+    )
+    from updatable_persistent_map_reduce_spark.sources import Catalog
+
+    got = {
+        tuple(r)
+        for r in q_dataloader_resume(spark, sf_dir).collect()
+    }
+
+    # full schedule, enumerated driver-side from the same hash stream
+    h = epoch_hash_frame(
+        Catalog(spark, sf_dir).documents, n_epochs=2, shards=_DL_SHARDS
+    ).collect()
+    by_es: dict[tuple[int, int], list] = {}
+    for r in h:
+        by_es.setdefault((r["epoch"], r["shard"]), []).append(
+            (r["hv"], r["doc_id"])
+        )
+    full = []
+    steps_per_epoch: dict[int, int] = {}
+    for (ep, sh), rows in by_es.items():
+        rows.sort()
+        n_full = len(rows) // _DL_BATCH
+        steps_per_epoch[ep] = min(
+            steps_per_epoch.get(ep, n_full), n_full
+        )
+    for (ep, sh), rows in by_es.items():
+        for i, (_, doc) in enumerate(rows[: (len(rows) // _DL_BATCH) * _DL_BATCH]):
+            full.append((ep, i // _DL_BATCH, sh, i % _DL_BATCH, doc))
+    want = set()
+    for ep, n_steps in steps_per_epoch.items():
+        s0 = n_steps // 2
+        want |= {
+            t
+            for t in full
+            if t[0] == ep and s0 <= t[1] < min(s0 + _DL_WINDOW, n_steps)
+        }
+    assert got == want
+    # lockstep sanity: every emitted step exists on EVERY shard
+    for ep in steps_per_epoch:
+        steps = {t[1] for t in got if t[0] == ep}
+        for st in steps:
+            shards = {t[2] for t in got if t[0] == ep and t[1] == st}
+            assert shards == set(range(_DL_SHARDS))
+            slots = [
+                t[3] for t in got if t[0] == ep and t[1] == st
+            ]
+            assert len(slots) == _DL_SHARDS * _DL_BATCH

@@ -997,6 +997,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["Python", "CartesianProduct", "Exchange SinglePartition"],
     ),
+    # resume schedule: shard-local windows + a BROADCAST of the tiny
+    # per-epoch lockstep-length frame — never a global sort, never a
+    # shuffled join against the 2-row side
+    "q_dataloader_resume": (
+        ["Window", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct", "SortMergeJoin"],
+    ),
     # edit-distance ER: blocked pair generation is a HASH join on the
     # block key — never corpus x corpus
     "q_dedup_edit": (

@@ -105,6 +105,8 @@ _CHANGED = [
     "q_window_distribution",
     # late-r12 addition: delta-join view maintenance (plans/join_view.py)
     "q_join_view_incremental",
+    # late-r12 addition: checkpoint-resume dataloader schedule
+    "q_dataloader_resume",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

@@ -1924,3 +1924,101 @@ def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unlock_step").cast("bigint").alias("unlock_step"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resume dataloader schedule — reconstruct a training run's
+# exact continuation from (epoch, optimizer step) with zero replay.
+
+_DL_SHARDS = 4    # DDP world size: one shard per rank, lockstep steps
+_DL_BATCH = 8     # per-rank micro-batch (drop_last=True)
+_DL_WINDOW = 2    # steps emitted from the resume point
+
+
+@register(
+    "q_dataloader_resume",
+    oracle=(
+        "WITH e AS (SELECT i AS epoch FROM range(2) t(i)), "
+        "h AS (SELECT epoch, doc_id, "
+        f"((doc_id + epoch * {_EPOCH_STRIDE}) * {_KNUTH}) % {_M32} AS hv "
+        "FROM documents CROSS JOIN e), "
+        f"s AS (SELECT epoch, doc_id, hv, CAST(hv % {_DL_SHARDS} AS BIGINT) AS shard "
+        "FROM h), "
+        "p AS (SELECT epoch, shard, doc_id, "
+        "row_number() OVER (PARTITION BY epoch, shard ORDER BY hv, doc_id) "
+        "AS pos, count(*) OVER (PARTITION BY epoch, shard) AS n FROM s), "
+        "b AS (SELECT epoch, shard, doc_id, "
+        f"CAST(floor((pos - 1) / {_DL_BATCH}.0) AS BIGINT) AS opt_step, "
+        f"CAST((pos - 1) % {_DL_BATCH} AS BIGINT) AS slot, "
+        f"CAST(floor(n / {_DL_BATCH}.0) AS BIGINT) AS shard_steps FROM p "
+        f"WHERE pos <= n - (n % {_DL_BATCH})), "
+        "m AS (SELECT epoch, min(shard_steps) AS n_steps FROM "
+        "(SELECT DISTINCT epoch, shard, shard_steps FROM b) GROUP BY epoch) "
+        "SELECT b.epoch, opt_step, shard, slot, doc_id FROM b JOIN m "
+        "ON b.epoch = m.epoch "
+        "WHERE opt_step >= CAST(floor(n_steps / 2.0) AS BIGINT) "
+        f"AND opt_step < CAST(floor(n_steps / 2.0) AS BIGINT) + {_DL_WINDOW} "
+        "AND opt_step < n_steps"
+    ),
+    doc="CHECKPOINT-RESUME dataloader determinism: the exact "
+    f"(epoch, optimizer step, rank, slot) -> doc assignment of a "
+    f"{_DL_SHARDS}-rank lockstep (DDP-style) training run, "
+    "reconstructed directly at the resume step — no replay of prior "
+    "steps, no position log. Each epoch's order is the deterministic "
+    "multiplicative-hash shuffle (q_epoch_shuffle's stream), sharded "
+    "by hash to ranks; each rank batches its shard in hash order "
+    f"(micro-batch {_DL_BATCH}, drop_last) and a global step consumes "
+    "one batch per rank, so the epoch's step count is the MIN over "
+    "shards of their full-batch counts — the lockstep length every "
+    "DDP sampler truncates to. The query emits the _DL_WINDOW steps "
+    "from each epoch's midpoint — precisely what a job restarted from "
+    "a mid-epoch checkpoint must feed next — and the oracle "
+    "recomputes the same slice from the full schedule, attesting "
+    "resume == slice-of-full. Per-(epoch, shard) windows only: the "
+    "sort is shard-local (the partitioned exchange a 1000-rank "
+    "corpus shards anyway), never a global sort.",
+)
+def q_dataloader_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = epoch_hash_frame(
+        Catalog(spark, sf_dir).documents, n_epochs=2, shards=_DL_SHARDS
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    p = h.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("epoch", "shard"))
+        .alias("n"),
+    )
+    b = p.filter(
+        F.col("pos") <= F.col("n") - (F.col("n") % _DL_BATCH)
+    ).select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.floor((F.col("pos") - 1) / _DL_BATCH)
+        .cast("bigint")
+        .alias("opt_step"),
+        ((F.col("pos") - 1) % _DL_BATCH).cast("bigint").alias("slot"),
+        F.floor(F.col("n") / _DL_BATCH).cast("bigint").alias("shard_steps"),
+    )
+    m = (
+        b.select("epoch", "shard", "shard_steps")
+        .distinct()
+        .groupBy("epoch")
+        .agg(F.min("shard_steps").alias("n_steps"))
+    )
+    return (
+        b.join(F.broadcast(m), "epoch")
+        .filter(
+            (F.col("opt_step") >= F.floor(F.col("n_steps") / 2))
+            & (
+                F.col("opt_step")
+                < F.floor(F.col("n_steps") / 2) + _DL_WINDOW
+            )
+            & (F.col("opt_step") < F.col("n_steps"))
+        )
+        .select("epoch", "opt_step", "shard", "slot", "doc_id")
+    )
