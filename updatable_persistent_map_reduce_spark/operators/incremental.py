@@ -1680,9 +1680,9 @@ def _jv_fact_rows(orders: DataFrame) -> DataFrame:
     "11th order to a different customer (join-key migration: the old "
     "span retracts, the new span gains), and a delete of every 13th "
     "order. Both side tables are span-partitioned by the SAME hash of "
-    "the join key, so each batch's maintenance join is span-local "
-    "(co-partitioned, no global shuffle) and touches only the dirty "
-    "spans; a fact index locates migrated rows' old spans the way the "
+    "the join key, so each batch's maintenance join reads only the "
+    "dirty spans on both sides — its exchange carries dirty-span "
+    "rows, never the table; a fact index locates migrated rows' old spans the way the "
     "view's doc index does (view.py). Finals re-reduce per-span "
     "partials — the engine's two-level tree over a JOIN. The oracle "
     "is the closed-form final state; the interleaving/migration/"

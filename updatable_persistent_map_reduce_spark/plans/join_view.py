@@ -10,23 +10,24 @@ whose join key migrates between dim partners — updates the persisted
 aggregate at delta cost, never a full recompute.
 
 Design (delta view maintenance, DBToaster/Materialize-style, expressed
-as span-local Spark jobs over :class:`ManifestTable` snapshots):
+as dirty-span-bounded Spark jobs over :class:`ManifestTable`
+snapshots):
 
 - Both side tables are span-partitioned by the SAME pure hash of the
   join key (``pmod(xxhash64(join_key), n_spans)``), so a join key's
   fact rows and its dim row always share a span: the maintenance join
-  is span-local by construction — each dirty span joins its own files
-  on both sides, co-partitioned, no global shuffle, no other span
-  read. At 100 TB, ``n_spans`` scales with the table so one span is a
-  bounded rewrite/join unit; cost per batch is O(dirty-span bytes).
+  reads ONLY the dirty spans' files on both sides (manifest-pruned),
+  and its exchange therefore carries dirty-span rows, never the
+  table. At 100 TB, ``n_spans`` scales with the table so one span is
+  a bounded rewrite/join unit; cost per batch is O(dirty-span bytes).
 - A ``fact_index`` table (fact id -> current join span, spanned by a
   hash of the fact id) answers "where does this fact's OLD row live"
   with a span-pruned lookup — the same trick MapReduceView's doc
   index uses for key migration (view.py) — so a fact whose join key
   changed dirties exactly its old span and its new span.
 - A ``partials`` table holds per-(span, group) partial aggregates.
-  A batch recomputes partials ONLY for dirty spans (span-local join +
-  re-aggregate of those spans' rows), and :meth:`final_df` re-reduces
+  A batch recomputes partials ONLY for dirty spans (a join +
+  re-aggregate whose input is those spans' rows), and :meth:`final_df` re-reduces
   partials across spans — the engine's two-level reduce-tree shape
   (view.py two_level), so reads cost O(groups × spans), never a fact
   scan.
@@ -211,11 +212,11 @@ class JoinView:
     # ----- maintenance -----------------------------------------------------
 
     def _recompute_partials(self, spans) -> None:
-        """Span-local join + aggregate for exactly ``spans``; replace
-        those partial spans (drop the ones that emptied). Both reads
-        are manifest-span-pruned; the join keys are co-partitioned by
-        construction, so Spark's equi-join here never touches another
-        span's files."""
+        """Join + aggregate over exactly ``spans``; replace those
+        partial spans (drop the ones that emptied). Both reads are
+        manifest-span-pruned, so the equi-join's input — and hence
+        its exchange — is bounded by the dirty spans' bytes; no other
+        span's files are touched."""
         spans = sorted(set(int(s) for s in spans))
         if not spans:
             return
@@ -242,7 +243,7 @@ class JoinView:
     def refresh_partials(self) -> None:
         """Heal after a crash inside the commit chain: recompute every
         span present on either side (full maintenance pass, still
-        span-local per span)."""
+        still dirty-span-bounded per span)."""
         spans = set(self._fact_t.spans()) | set(self._dim_t.spans())
         self._recompute_partials(spans)
 
