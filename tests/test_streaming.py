@@ -581,3 +581,69 @@ def test_streaming_pattern_match_spans_micro_batches(spark, tmp_path):
     # ONE match, burst length 3 (2 clicks from batch 1 + 1 from
     # batch 2); user 2 never matches
     assert rows == [(1, 1, 3)]
+
+
+def test_streaming_join_view_out_of_order_and_migration(spark, tmp_path):
+    """streaming_join_view converges to the same answer regardless of
+    micro-batch arrival order (latest-wins by seq), carries state
+    across batches, and handles the changelog migration contract
+    (retraction at old key + insert at new key)."""
+    import uuid as _uuid
+
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_join_view,
+    )
+
+    schema = (
+        "seq bigint, side string, ckey bigint, okey bigint, "
+        "cents bigint, segment string"
+    )
+    dim = lambda seq, ckey, seg: (seq, "dim", ckey, None, None, seg)  # noqa: E731
+    fact = lambda seq, ckey, okey, c: (seq, "fact", ckey, okey, c, None)  # noqa: E731
+
+    # final intent: k1='a' holds fact 10 (v 5); fact 11 migrated
+    # k1 -> k2 with value 9; k2='b' re-attributed to 'c'; fact 12
+    # deleted. Batches arrive OUT OF ORDER (deletes and migration
+    # before the facts they modify).
+    batches = [
+        [fact(60, 2, 12, None)],                      # delete, early
+        [fact(50, 1, 11, None), fact(51, 2, 11, 9)],  # migration, early
+        [dim(40, 2, "c")],                            # re-attribution
+        [fact(20, 1, 10, 5), fact(20, 1, 11, 7)],
+        [fact(21, 2, 12, 4)],
+        [dim(10, 1, "a"), dim(10, 2, "b")],           # dims LAST
+    ]
+    inp = str(tmp_path / "in")
+    for rows in batches:
+        _write_batch(spark, inp, rows, schema)
+    sink = f"sjv_test_{_uuid.uuid4().hex[:8]}"
+    streaming_join_view(
+        spark,
+        input_path=inp,
+        input_schema=schema,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_table=sink,
+        max_files_per_trigger=1,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ckey").orderBy(F.col("ver").desc())
+    latest = (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("segment").isNotNull())
+    )
+    got = {
+        r["segment"]: (r["cnt"], r["sv"])
+        for r in latest.collect()
+        if r["cnt"] > 0
+    }
+    # k1: fact 10 only (11 migrated away)  -> 'a': (1, 5)
+    # k2: fact 11 (migrated, v 9); 12 deleted; segment 'c' (seq 40)
+    assert got == {"a": (1, 5), "c": (1, 9)}
+    # every key emitted once per micro-batch it appeared in — state
+    # genuinely carried across batches (k1 appears in 3 batches)
+    per_batch = spark.table(sink).groupBy("ckey").count().collect()
+    counts = {r["ckey"]: r["count"] for r in per_batch}
+    assert counts[1] == 3 and counts[2] == 5

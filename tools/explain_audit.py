@@ -1137,6 +1137,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # streaming join view: the registered plan reads the drained sink
+    # (latest emission per key -> re-aggregate); the stateful work ran
+    # inside the stream (applyInPandasWithState — Python by design,
+    # Arrow-batched, audited by the streaming tests, not this plan)
+    "q_stream_join_view": (
+        ["Window"],
+        ["CartesianProduct"],
+    ),
     # snapshot diff: full outer join of two manifest-pruned snapshot
     # reads on the key — an equi-join, never a product; no Python
     "q_store_diff": (

@@ -107,6 +107,8 @@ _CHANGED = [
     "q_join_view_incremental",
     # late-r12 addition: checkpoint-resume dataloader schedule
     "q_dataloader_resume",
+    # late-r12 addition: streaming twin of the delta-join view
+    "q_stream_join_view",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

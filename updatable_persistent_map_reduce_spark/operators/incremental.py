@@ -1640,7 +1640,7 @@ def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form: dim-attribute changes retro-propagate, fact join keys migrate,
 # deletes retract — each at O(dirty join spans), never a recompute.
 
-_JV_MIGRATE_MOD = 150  # migrated custkeys land in 1..150 (valid at every sf)
+_JV_MIGRATE_MOD = 150  # migrated custkeys land in 0..149 (valid at every sf)
 
 
 def _jv_fact_rows(orders: DataFrame) -> DataFrame:
@@ -1655,22 +1655,29 @@ def _jv_fact_rows(orders: DataFrame) -> DataFrame:
     )
 
 
+# Shared by the batch view and its streaming twin
+# (q_stream_join_view, operators/stream_attested.py): both maintain
+# the same five-delta scenario, so one oracle string attests both —
+# any drift between the twins breaks one of the two hashes.
+_JV_ORACLE = (
+    "WITH f AS (SELECT o_orderkey AS okey, "
+    f"CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey % {_JV_MIGRATE_MOD} "
+    "ELSE o_custkey END AS ckey, "
+    "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) "
+    "* CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS cents "
+    "FROM orders WHERE o_orderkey % 13 <> 0), "
+    "d AS (SELECT c_custkey AS ckey, "
+    "CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED' ELSE c_mktsegment END "
+    "AS segment FROM customer) "
+    "SELECT segment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(cents) AS BIGINT) AS sum_cents "
+    "FROM f JOIN d USING (ckey) GROUP BY segment"
+)
+
+
 @register(
     "q_join_view_incremental",
-    oracle=(
-        "WITH f AS (SELECT o_orderkey AS okey, "
-        f"CASE WHEN o_orderkey % 11 = 0 THEN (o_orderkey % {_JV_MIGRATE_MOD}) + 1 "
-        "ELSE o_custkey END AS ckey, "
-        "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) "
-        "* CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS cents "
-        "FROM orders WHERE o_orderkey % 13 <> 0), "
-        "d AS (SELECT c_custkey AS ckey, "
-        "CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED' ELSE c_mktsegment END "
-        "AS segment FROM customer) "
-        "SELECT segment, CAST(count(*) AS BIGINT) AS n_orders, "
-        "CAST(sum(cents) AS BIGINT) AS sum_cents "
-        "FROM f JOIN d USING (ckey) GROUP BY segment"
-    ),
+    oracle=_JV_ORACLE,
     doc="INCREMENTAL JOIN-VIEW maintenance (plans/join_view.py): "
     "revenue per customer segment = orders ⋈ customer, maintained "
     "through five delta batches — initial load in two fact halves, a "
@@ -1736,7 +1743,7 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "okey",
                 F.when(
                     F.col("okey") % 11 == 0,
-                    (F.col("okey") % _JV_MIGRATE_MOD) + 1,
+                    F.col("okey") % _JV_MIGRATE_MOD,
                 )
                 .otherwise(F.col("ckey"))
                 .cast("bigint")

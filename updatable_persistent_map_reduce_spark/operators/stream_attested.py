@@ -1303,3 +1303,147 @@ def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_table=sink,
     )
     return spark.table(sink)
+
+
+from .incremental import _JV_ORACLE as _SHARED_JV_ORACLE  # noqa: E402
+
+
+@register(
+    "q_stream_join_view",
+    # the BATCH twin's oracle, verbatim — both engines maintain the
+    # same five-delta scenario, so one closed-form final state attests
+    # both and any semantic drift between the twins breaks a hash
+    oracle=_SHARED_JV_ORACLE,
+    doc="STREAMING twin of q_join_view_incremental: the same "
+    "orders ⋈ customer revenue-per-segment view, maintained over ONE "
+    "interleaved CDC stream (streaming/stream_view.py "
+    "streaming_join_view). The changelog carries the "
+    "Debezium/Flink contract — a key-changing fact update arrives as "
+    "retraction-at-old-key + insert-at-new-key, deletes as NULL-image "
+    "retractions — which is what makes cross-key migration "
+    "expressible with per-join-key applyInPandasWithState state. "
+    "Each key's state holds its live fact set + current dim "
+    "attributes + a seq high-water mark per entity (latest-wins BY "
+    "SEQ, so micro-batch arrival order never changes the converged "
+    "answer); a dim update re-emits the key's contribution the same "
+    "micro-batch, retro-propagating through already-joined facts "
+    "without fact re-delivery. Six micro-batches via "
+    "maxFilesPerTrigger=1 force genuine cross-batch state "
+    "continuation; the reader takes each key's newest emission and "
+    "re-aggregates, and the BATCH view's oracle attests the final "
+    "state.",
+)
+def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.stream_view import streaming_join_view
+    from .incremental import _JV_MIGRATE_MOD, _jv_fact_rows
+
+    cat = Catalog(spark, sf_dir)
+    dims = cat.customer.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    facts = _jv_fact_rows(cat.orders)
+
+    def dim_rows(df, seq):
+        return df.select(
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit("dim").alias("side"),
+            "ckey",
+            F.lit(None).cast("bigint").alias("okey"),
+            F.lit(None).cast("bigint").alias("cents"),
+            "segment",
+        )
+
+    def fact_rows(df, seq):
+        return df.select(
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit("fact").alias("side"),
+            "ckey",
+            "okey",
+            "cents",
+            F.lit(None).cast("string").alias("segment"),
+        )
+
+    new_ckey = F.col("okey") % _JV_MIGRATE_MOD
+    cur_ckey = F.when(F.col("okey") % 11 == 0, new_ckey).otherwise(
+        F.col("ckey")
+    )
+    batches = [
+        dim_rows(dims, 10),
+        fact_rows(facts.filter(F.col("okey") % 2 == 0), 20),
+        fact_rows(facts.filter(F.col("okey") % 2 == 1), 30),
+        dim_rows(
+            dims.filter(F.col("ckey") % 10 == 3).withColumn(
+                "segment", F.lit("MIGRATED")
+            ),
+            40,
+        ),
+        # the key-migrating update, in changelog form: retraction at
+        # the old key (seq 50) + insert at the new key (seq 51); the
+        # price-only (%7) update is a plain same-key insert
+        fact_rows(
+            facts.filter(F.col("okey") % 11 == 0).withColumn(
+                "cents", F.lit(None).cast("bigint")
+            ),
+            50,
+        ).unionByName(
+            fact_rows(
+                facts.filter(
+                    (F.col("okey") % 7 == 0) | (F.col("okey") % 11 == 0)
+                ).select(
+                    "okey",
+                    cur_ckey.cast("bigint").alias("ckey"),
+                    F.when(F.col("okey") % 7 == 0, F.col("cents") * 2)
+                    .otherwise(F.col("cents"))
+                    .alias("cents"),
+                ),
+                51,
+            )
+        ),
+        # deletes arrive as retractions at the fact's CURRENT key —
+        # the changelog producer knows the current image
+        fact_rows(
+            facts.filter(F.col("okey") % 13 == 0)
+            .select("okey", cur_ckey.cast("bigint").alias("ckey"))
+            .withColumn("cents", F.lit(None).cast("bigint")),
+            60,
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="upmr_sjoinview_")
+    inbox = os.path.join(base, "in")
+    os.makedirs(inbox)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(inbox)
+    sink = f"sjv_sink_{uuid.uuid4().hex[:8]}"
+    streaming_join_view(
+        spark,
+        input_path=inbox,
+        input_schema=(
+            "seq bigint, side string, ckey bigint, okey bigint, "
+            "cents bigint, segment string"
+        ),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        sink_table=sink,
+        max_files_per_trigger=1,
+    )
+    w = W.partitionBy("ckey").orderBy(F.col("ver").desc())
+    latest = (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # inner-join semantics: a key with no dim row contributes
+        # nothing (cannot arise in this scenario — every stream ckey
+        # has a batch-1 dim image — but the reader enforces it)
+        .filter(F.col("segment").isNotNull())
+    )
+    return (
+        latest.groupBy("segment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            F.sum("sv").cast("bigint").alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+

@@ -734,3 +734,136 @@ def streaming_pattern_match(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_join_view(
+    spark,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    sink_table: str = "join_view_stream",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming twin of the batch delta-join view (plans/join_view.py):
+    a fact ⋈ dim aggregate maintained over ONE interleaved CDC stream
+    of fact and dim images, keyed by the join key, with per-key state
+    in ``applyInPandasWithState``.
+
+    CDC contract (the Debezium/Flink changelog shape): every row is
+    ``(seq, side, ckey, okey, cents, segment)`` — ``side='fact'``
+    carries a fact image for join key ``ckey`` (``cents`` NULL = the
+    fact's retraction), ``side='dim'`` carries the key's new dim
+    attributes. An update that MOVES a fact between join keys arrives
+    as two rows: a retraction at the old key and an insert at the new
+    key — exactly what a changelog producer emits for a key-changing
+    update, and what makes cross-key migration expressible with
+    per-key state (the old key's state cannot otherwise learn the
+    fact left). ``seq`` totally orders images of the same entity;
+    state applies latest-wins BY SEQ, so micro-batch arrival order
+    never changes the converged answer — the same out-of-order
+    tolerance StreamingMapReduceView's seq_col gives doc upserts.
+
+    State per join key: the key's live fact set as parallel arrays
+    (okeys, seqs, cents — a retraction keeps a NULL-cents tombstone so
+    an older straggler image cannot resurrect the fact), the current
+    dim attributes, and an emission counter. Each micro-batch the key
+    appears in emits one UPDATED contribution row ``(ckey, ver,
+    segment, cnt, sv)``; the reader takes each key's newest row (max
+    ver) and re-aggregates by segment — retro-propagation of a dim
+    change therefore reaches the sink the micro-batch the change
+    arrives, no fact re-delivery needed. State size is O(live facts
+    per key), bounded by key cardinality × fanout, never stream
+    length; at deployment scale the per-key fact set is the same
+    payload a shuffled batch join would co-locate anyway.
+
+    Reference analog: the repeated-``Execute`` loop
+    (MapReduce/Program.cs:31,35) with the view's persisted partials
+    (Executer.cs:192-203) riding the state store — here extended
+    across a two-table join the way plans/join_view.py extends the
+    batch engine.
+    """
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "ckey bigint, ver bigint, segment string, cnt bigint, sv bigint"
+    )
+    state_schema = (
+        "okeys array<long>, seqs array<long>, cents array<long>, "
+        "dead array<boolean>, segment string, seg_seq long, ver long"
+    )
+
+    def advance(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (ckey,) = key
+        if state.exists:
+            okeys, seqs, cents, dead, segment, seg_seq, ver = state.get
+            facts = {
+                o: (s, c, d)
+                for o, s, c, d in zip(okeys, seqs, cents, dead)
+            }
+        else:
+            facts, segment, seg_seq, ver = {}, None, -1, 0
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        for _, r in rows.iterrows():
+            seq = int(r["seq"])
+            if r["side"] == "dim":
+                if seq > seg_seq:
+                    segment, seg_seq = r["segment"], seq
+                continue
+            okey = int(r["okey"])
+            prev = facts.get(okey)
+            if prev is not None and prev[0] >= seq:
+                continue  # stale straggler image
+            if pd.isna(r["cents"]):
+                facts[okey] = (seq, 0, True)  # retraction tombstone
+            else:
+                facts[okey] = (seq, int(r["cents"]), False)
+        ver += 1
+        state.update(
+            (
+                list(facts.keys()),
+                [v[0] for v in facts.values()],
+                [v[1] for v in facts.values()],
+                [v[2] for v in facts.values()],
+                segment,
+                seg_seq,
+                ver,
+            )
+        )
+        live = [v[1] for v in facts.values() if not v[2]]
+        yield pd.DataFrame(
+            {
+                "ckey": pd.Series([ckey], dtype="int64"),
+                "ver": pd.Series([ver], dtype="int64"),
+                "segment": pd.Series([segment], dtype="object"),
+                "cnt": pd.Series([len(live)], dtype="int64"),
+                "sv": pd.Series([sum(live)], dtype="int64"),
+            }
+        )
+
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    contrib = stream.groupBy("ckey").applyInPandasWithState(
+        advance,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        contrib.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
