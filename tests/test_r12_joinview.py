@@ -2,7 +2,9 @@
 contracts the q_join_view_incremental oracle can't see from the final
 state alone: interleaving-equivalence against a from-scratch rebuild,
 span-pruned delta economics, unmatched-fact revival on late dim
-arrival, and crash-window healing via refresh_partials().
+arrival, and the journaled kill matrix: a crash at any stage of the
+commit chain reopens as batch-applied or batch-not-applied, healed
+at O(dirty spans).
 """
 
 from __future__ import annotations
@@ -174,26 +176,64 @@ def test_joinview_delta_touches_only_dirty_spans(spark, tmp_path):
     assert _final(jv) == expected
 
 
-def test_joinview_crash_before_partials_heals_exactly(spark, tmp_path):
-    """Kill-window contract: side tables committed, partials not yet —
-    reads serve the stale-but-consistent pre-batch answer, and
-    refresh_partials() heals to the true state."""
-    jv = _mk(spark, str(tmp_path / "jv"))
-    jv.upsert_dims(_dims_df(spark, [(1, "a")]))
-    jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
-    before = _final(jv)
+def _kill(jv, attr, tbl=None):
+    """Patch one commit-chain stage to raise — the kill matrix's
+    crash injector. ``attr`` on ``tbl`` (a ManifestTable) or on the
+    view itself."""
+    target = tbl if tbl is not None else jv
 
-    # simulate the crash: land a fact batch through the side-table
-    # path only (monkeypatch the partials step to a no-op)
-    orig = JoinView._recompute_partials
-    try:
-        JoinView._recompute_partials = lambda self, spans: None
-        jv.upsert_facts(_facts_df(spark, [(11, 1, 2)]))
-    finally:
-        JoinView._recompute_partials = orig
-    assert _final(jv) == before  # stale but consistent
-    jv.refresh_partials()
-    assert _final(jv) == {"a": (2, 7)}
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    setattr(target, attr, boom)
+
+
+@pytest.mark.parametrize(
+    "stage",
+    ["before_fact_commit", "before_idx_merge", "before_partials"],
+)
+def test_joinview_kill_matrix_reopen_heals(spark, tmp_path, stage):
+    """The journal contract at every stage of upsert_facts' commit
+    chain (journal -> fact commit -> index merge -> partials):
+    a reopened view is 'batch fully applied' or 'batch not applied',
+    never a torn mix — in particular a crash between the fact commit
+    and the index merge may NOT leave a stale-span index entry that
+    would double-count the fact on its next upsert."""
+    path = str(tmp_path / "jv")
+    jv = _mk(spark, path)
+    jv.upsert_dims(_dims_df(spark, [(1, "a"), (2, "b")]))
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
+    pre = {"a": (1, 5)}
+    assert _final(jv) == pre
+
+    # the batch: fact 10 MIGRATES key 1 -> 2 (the case where a stale
+    # index entry is dangerous) plus a new fact
+    batch = _facts_df(spark, [(10, 2, 5), (11, 1, 2)])
+    if stage == "before_fact_commit":
+        _kill(jv, "commit", jv._fact_t)
+    elif stage == "before_idx_merge":
+        _kill(jv, "merge", jv._idx_t)
+    else:
+        _kill(jv, "_recompute_partials")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        jv.upsert_facts(batch)
+
+    # reopen: __init__ finds the journal and heals at O(dirty spans)
+    jv2 = _mk(spark, path)
+    got = _final(jv2)
+    post = {"a": (1, 2), "b": (1, 5)}
+    assert got in (pre, post), f"torn state at {stage}: {got}"
+    if stage != "before_fact_commit":
+        assert got == post  # fact table committed => batch applied
+    # and the healed view keeps answering correctly under new writes:
+    # re-upsert the migrated fact — a stale index entry would now
+    # leave a duplicate in the old span
+    jv2.upsert_facts(_facts_df(spark, [(10, 2, 9)]))
+    if got == post:
+        expect = {"a": (1, 2), "b": (1, 9)}
+    else:  # batch never applied: fact 11 does not exist
+        expect = {"b": (1, 9)}
+    assert _final(jv2) == expect
 
 
 def test_joinview_empty_group_drops_span_partials(spark, tmp_path):

@@ -42,12 +42,18 @@ contributes nothing, but its row persists in its span, so the dim
 row's later arrival revives it via the span recompute — no
 "lost fact" race, attested by the operator's interleaving test.
 
-Multi-table commit chain (facts -> index -> dims -> partials, partials
-LAST): a crash between commits leaves side tables newer than
-partials; results are then stale-but-consistent (the pre-batch
-answer) and :meth:`refresh_partials` heals exactly — the same
-bounded-staleness contract the text index's stats window documents.
-Single writer per view, as everywhere in the engine.
+Crash safety: each write journals its dirty span set BEFORE the
+first commit and clears it after the last (facts -> index ->
+partials). Reopening a view with a live journal HEALS at O(dirty
+spans): index entries are re-derived from the fact table's dirty
+spans (every row the torn batch moved lives there — dirty = old
+spans ∪ new spans — so a wrong-span entry cannot hide a live row;
+stale entries for rows a torn delete removed are benign extra
+lookups, never wrong answers) and partials are recomputed for the
+same spans. The invariant matches the view store's journal
+(view.py / tests/test_recovery.py): a reopened view is "batch fully
+applied" or "batch not applied", never a torn mix. Single writer
+per view, as everywhere in the engine.
 """
 
 from __future__ import annotations
@@ -92,6 +98,8 @@ class JoinView:
         self._part_t = ManifestTable(
             os.path.join(path, "partials"), "__jspan"
         )
+        self._journal_path = os.path.join(path, "journal.json")
+        self._recover()
 
     # ----- span assignment -------------------------------------------------
 
@@ -137,6 +145,7 @@ class JoinView:
             else set()
         )
         dirty = sorted(new_spans | old_spans)
+        self._journal_begin(dirty)
 
         # Rewrite the dirty fact spans: survivors (anti-join on id —
         # a replaced id's old row can only live in a dirty span, the
@@ -163,6 +172,7 @@ class JoinView:
         self._idx_t.merge(src, on=[self.fact_id])
 
         self._recompute_partials(dirty)
+        self._journal_clear()
         return {"dirty_spans": dirty, "migrated_from": sorted(old_spans - new_spans)}
 
     def upsert_dims(self, batch: DataFrame) -> dict:
@@ -173,11 +183,13 @@ class JoinView:
         retro-propagation a map-side enrichment join cannot do."""
         b = batch.withColumn("__jspan", self._jspan(self.dim_id))
         b = b.localCheckpoint(eager=True)
-        self._dim_t.merge(b, on=[self.dim_id])
         dirty = sorted(
             int(r[0]) for r in b.select("__jspan").distinct().collect()
         )
+        self._journal_begin(dirty)
+        self._dim_t.merge(b, on=[self.dim_id])
         self._recompute_partials(dirty)
+        self._journal_clear()
         return {"dirty_spans": dirty}
 
     def delete_facts(self, ids: DataFrame) -> dict:
@@ -196,6 +208,7 @@ class JoinView:
         dirty = sorted(int(r[0]) for r in hit.select("__jspan").distinct().collect())
         if not dirty:
             return {"dirty_spans": []}
+        self._journal_begin(dirty)
         cur = self._fact_t.read(spark, spans=dirty)
         out = cur.join(ids.select(self.fact_id), on=self.fact_id, how="left_anti")
         mapping = self._fact_t.write_data(out)
@@ -207,7 +220,48 @@ class JoinView:
             hit.select("__ispan", self.fact_id), on=[self.fact_id]
         )
         self._recompute_partials(dirty)
+        self._journal_clear()
         return {"dirty_spans": dirty}
+
+    # ----- crash journal ---------------------------------------------------
+
+    def _journal_begin(self, dirty) -> None:
+        """Record the batch's dirty span set before its first commit
+        (atomic tmp+rename, same as the manifest pointer)."""
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dirty": sorted(int(s) for s in dirty)}, f)
+        os.replace(tmp, self._journal_path)
+
+    def _journal_clear(self) -> None:
+        try:
+            os.remove(self._journal_path)
+        except FileNotFoundError:
+            pass
+
+    def _recover(self) -> None:
+        """Heal a torn batch on reopen: re-derive index entries from
+        the fact table's dirty spans and recompute their partials —
+        O(dirty spans), idempotent (safe for a crash at ANY stage,
+        including before the first commit, where it degrades to a
+        no-op refresh of unchanged spans)."""
+        import json
+
+        if not os.path.exists(self._journal_path):
+            return
+        with open(self._journal_path) as f:
+            dirty = [int(s) for s in json.load(f)["dirty"]]
+        facts = self._fact_t.read(self.spark, spans=dirty)
+        if facts is not None:
+            src = facts.select(self.fact_id, "__jspan").withColumn(
+                "__ispan", self._ispan(self.fact_id)
+            )
+            self._idx_t.merge(src, on=[self.fact_id])
+        self._recompute_partials(dirty)
+        self._journal_clear()
 
     # ----- maintenance -----------------------------------------------------
 
