@@ -244,3 +244,26 @@ def test_joinview_empty_group_drops_span_partials(spark, tmp_path):
     jv.upsert_facts(_facts_df(spark, [(10, 1, 5)]))
     jv.delete_facts(spark.createDataFrame([(10,)], "okey bigint"))
     assert _final(jv) == {}
+
+
+def test_joinview_time_travel_reads_archived_partials(spark, tmp_path):
+    """Every write commits the partials exactly once, so
+    final_df(version=N) is the view after its N-th delta batch —
+    including versions whose cause was a dim change."""
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_dims(_dims_df(spark, [(1, "a"), (2, "b")]))    # v1
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5), (11, 2, 3)]))  # v2
+    jv.upsert_dims(_dims_df(spark, [(1, "moved")]))          # v3
+    jv.delete_facts(spark.createDataFrame([(11,)], "okey bigint"))  # v4
+    assert _final(jv) == {"moved": (1, 5)}
+
+    def at(v):
+        return {
+            r["segment"]: (r["n"], r["sv"])
+            for r in jv.final_df(version=v).collect()
+        }
+
+    assert at(1) == {}                          # dims only, no facts
+    assert at(2) == {"a": (1, 5), "b": (1, 3)}  # pre-migration
+    assert at(3) == {"moved": (1, 5), "b": (1, 3)}  # dim cause
+    assert at(4) == {"moved": (1, 5)}           # delete cause

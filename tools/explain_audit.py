@@ -393,6 +393,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # co-partitioned joins per dirty span — pinned by
     # tests/test_r12_joinview.py's touched-span manifest assertions
     "q_join_view_incremental": ([], ["BatchEvalPython", "CartesianProduct"]),
+    "q_join_view_time_travel": ([], ["BatchEvalPython", "CartesianProduct"]),
     # erasure: same bounded metric-table shape as the cascade — the
     # real plans ran inside the artifact legs plus the version walk
     # (each a manifest-pruned read), all asserted by their own entries

@@ -109,6 +109,8 @@ _CHANGED = [
     "q_dataloader_resume",
     # late-r12 addition: streaming twin of the delta-join view
     "q_stream_join_view",
+    # late-r12 addition: time travel on the delta-join view
+    "q_join_view_time_travel",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

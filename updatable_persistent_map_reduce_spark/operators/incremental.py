@@ -1655,6 +1655,81 @@ def _jv_fact_rows(orders: DataFrame) -> DataFrame:
     )
 
 
+def _jv_build_scenario(spark: SparkSession, sf_dir: str):
+    """Build the five-delta join-view scenario in a temp store and
+    return (view, temp_root) — shared by q_join_view_incremental
+    (final state) and q_join_view_time_travel (archived snapshot), so
+    the two can never drift apart. Caller removes temp_root."""
+    from ..plans.join_view import JoinView
+
+    cat = Catalog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="upmr_joinview_")
+    jv = JoinView(
+        spark,
+        os.path.join(root, "view"),
+        fact_id="okey",
+        join_col="ckey",
+        dim_id="ckey",
+        group_cols=["segment"],
+        agg_exprs=[
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ],
+        rereduce_exprs=[
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        ],
+        n_spans=8,
+    )
+    dims = cat.customer.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    facts = _jv_fact_rows(cat.orders)
+    jv.upsert_dims(dims)                                     # partials v1
+    jv.upsert_facts(facts.filter(F.col("okey") % 2 == 0))    # v2
+    jv.upsert_facts(facts.filter(F.col("okey") % 2 == 1))    # v3
+    # dim update: retro-propagates through already-joined facts
+    jv.upsert_dims(                                          # v4
+        dims.filter(F.col("ckey") % 10 == 3).withColumn(
+            "segment", F.lit("MIGRATED")
+        )
+    )
+    # fact upsert: price doubling + join-key migration
+    touched = facts.filter(
+        (F.col("okey") % 7 == 0) | (F.col("okey") % 11 == 0)
+    )
+    jv.upsert_facts(                                         # v5
+        touched.select(
+            "okey",
+            F.when(
+                F.col("okey") % 11 == 0,
+                F.col("okey") % _JV_MIGRATE_MOD,
+            )
+            .otherwise(F.col("ckey"))
+            .cast("bigint")
+            .alias("ckey"),
+            F.when(F.col("okey") % 7 == 0, F.col("cents") * 2)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    jv.delete_facts(                                         # v6
+        facts.filter(F.col("okey") % 13 == 0).select("okey")
+    )
+    return jv, root
+
+
+def _jv_collect(spark, jv, version=None):
+    rows = [
+        (r["segment"], r["n_orders"], r["sum_cents"])
+        for r in jv.final_df(version=version).collect()  # one row/segment
+    ]
+    return spark.createDataFrame(
+        rows, "segment string, n_orders bigint, sum_cents bigint"
+    )
+
+
 # Shared by the batch view and its streaming twin
 # (q_stream_join_view, operators/stream_attested.py): both maintain
 # the same five-delta scenario, so one oracle string attests both —
@@ -1698,68 +1773,48 @@ _JV_ORACLE = (
 def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    cat = Catalog(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="upmr_joinview_")
+    jv, root = _jv_build_scenario(spark, sf_dir)
     try:
-        from ..plans.join_view import JoinView
-
-        jv = JoinView(
-            spark,
-            os.path.join(root, "view"),
-            fact_id="okey",
-            join_col="ckey",
-            dim_id="ckey",
-            group_cols=["segment"],
-            agg_exprs=[
-                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.sum("cents").cast("bigint").alias("sum_cents"),
-            ],
-            rereduce_exprs=[
-                F.sum("n_orders").cast("bigint").alias("n_orders"),
-                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-            ],
-            n_spans=8,
-        )
-        dims = cat.customer.select(
-            F.col("c_custkey").alias("ckey"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-        facts = _jv_fact_rows(cat.orders)
-        jv.upsert_dims(dims)
-        jv.upsert_facts(facts.filter(F.col("okey") % 2 == 0))
-        jv.upsert_facts(facts.filter(F.col("okey") % 2 == 1))
-        # dim update: retro-propagates through already-joined facts
-        jv.upsert_dims(
-            dims.filter(F.col("ckey") % 10 == 3).withColumn(
-                "segment", F.lit("MIGRATED")
-            )
-        )
-        # fact upsert: price doubling + join-key migration
-        touched = facts.filter(
-            (F.col("okey") % 7 == 0) | (F.col("okey") % 11 == 0)
-        )
-        jv.upsert_facts(
-            touched.select(
-                "okey",
-                F.when(
-                    F.col("okey") % 11 == 0,
-                    F.col("okey") % _JV_MIGRATE_MOD,
-                )
-                .otherwise(F.col("ckey"))
-                .cast("bigint")
-                .alias("ckey"),
-                F.when(F.col("okey") % 7 == 0, F.col("cents") * 2)
-                .otherwise(F.col("cents"))
-                .alias("cents"),
-            )
-        )
-        jv.delete_facts(facts.filter(F.col("okey") % 13 == 0).select("okey"))
-        rows = [
-            (r["segment"], r["n_orders"], r["sum_cents"])
-            for r in jv.final_df().collect()  # bounded: one row per segment
-        ]
+        return _jv_collect(spark, jv)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "segment string, n_orders bigint, sum_cents bigint"
-    )
+
+
+@register(
+    "q_join_view_time_travel",
+    # the view AS OF partials v4: the dim migration has landed, the
+    # fact-side deltas (price doubling, key migration, deletes) have
+    # NOT — orders are pristine, customers re-segmented
+    oracle=(
+        "WITH f AS (SELECT o_orderkey AS okey, o_custkey AS ckey, "
+        "CAST(floor(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) "
+        "AS cents FROM orders), "
+        "d AS (SELECT c_custkey AS ckey, "
+        "CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED' ELSE c_mktsegment END "
+        "AS segment FROM customer) "
+        "SELECT segment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM f JOIN d USING (ckey) GROUP BY segment"
+    ),
+    doc="TIME TRAVEL on the delta-join view: after all six delta "
+    "batches of the q_join_view_incremental scenario, read the view "
+    "AS OF partials version 4 — the snapshot where the dim migration "
+    "has retro-propagated but the fact-side deltas (price doubling, "
+    "key migration, deletes) have not happened yet. Every JoinView "
+    "write commits the partials table exactly once, so version N IS "
+    "the view after its N-th delta batch; the archived manifest "
+    "resolves to that snapshot's partial files (O(groups × spans) "
+    "read, zero data movement — the store's time-travel contract, "
+    "q_time_travel, extended to a derived JOINED artifact whose "
+    "history interleaves fact and dim causes). The oracle is the "
+    "closed-form mid-scenario state: pristine orders ⋈ re-segmented "
+    "customers.",
+)
+def q_join_view_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    jv, root = _jv_build_scenario(spark, sf_dir)
+    try:
+        return _jv_collect(spark, jv, version=4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

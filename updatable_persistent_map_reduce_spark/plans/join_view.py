@@ -303,10 +303,14 @@ class JoinView:
 
     # ----- reads -----------------------------------------------------------
 
-    def final_df(self) -> DataFrame:
+    def final_df(self, version: int | None = None) -> DataFrame:
         """Re-reduce the persisted partials across spans — O(groups ×
-        spans) rows read, never a fact/dim scan."""
-        p = self._part_t.read(self.spark)
+        spans) rows read, never a fact/dim scan. ``version`` time-
+        travels to an archived partials snapshot (every write commits
+        the partials exactly once, so version N is the view AS OF its
+        N-th delta batch — the store's time-travel contract extended
+        to a derived JOINED artifact)."""
+        p = self._part_t.read(self.spark, version=version)
         if p is None:
             return self.spark.createDataFrame(
                 [], schema=", ".join(f"{c} string" for c in self.group_cols)
