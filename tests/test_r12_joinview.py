@@ -267,3 +267,45 @@ def test_joinview_time_travel_reads_archived_partials(spark, tmp_path):
     assert at(2) == {"a": (1, 5), "b": (1, 3)}  # pre-migration
     assert at(3) == {"moved": (1, 5), "b": (1, 3)}  # dim cause
     assert at(4) == {"moved": (1, 5)}           # delete cause
+
+
+def test_joinview_vacuum_makes_erasure_stick_across_time_travel(
+    spark, tmp_path
+):
+    """The erasure composition on the join view: delete_facts removes
+    the victim from the CURRENT surface, but an archived partials
+    version still reproduces it under final_df(version=...) until
+    vacuum prunes the history — after which every surviving version
+    either raises (pruned) or is victim-free, the q_takedown_erasure
+    contract extended to this artifact."""
+    jv = _mk(spark, str(tmp_path / "jv"))
+    jv.upsert_dims(_dims_df(spark, [(1, "a")]))          # v1
+    jv.upsert_facts(_facts_df(spark, [(10, 1, 5), (11, 1, 2)]))  # v2
+    jv.delete_facts(spark.createDataFrame([(10,)], "okey bigint"))  # v3
+    # pre-vacuum: time travel REPRODUCES the victim (the hole)
+    pre = {
+        r["segment"]: (r["n"], r["sv"])
+        for r in jv.final_df(version=2).collect()
+    }
+    assert pre == {"a": (2, 7)}
+    removed = jv.vacuum(keep_versions=0)
+    assert removed > 0
+    # post-vacuum: every surviving version is pruned or victim-free
+    cur_v = jv._part_t.version
+    for v in range(1, cur_v + 1):
+        try:
+            rows = jv.final_df(version=v).collect()
+        except ValueError:
+            continue  # pruned — acceptable erasure outcome
+        assert {r["segment"]: (r["n"], r["sv"]) for r in rows} == {
+            "a": (1, 2)
+        }, f"version {v} still reproduces the victim"
+    # and the victim's bytes are gone from the fact table's files
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for f in _glob.glob(str(tmp_path / "jv" / "facts" / "**" / "*.parquet"),
+                        recursive=True):
+        t = _pq.read_table(f)
+        assert 10 not in t.column("okey").to_pylist(), f

@@ -317,6 +317,21 @@ class JoinView:
             )
         return p.groupBy(*self.group_cols).agg(*self.rereduce_exprs)
 
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Retention-bounded GC across all four tables (facts, dims,
+        fact index, partials): unreferenced data files and archived
+        manifests past ``keep_versions`` are removed. The erasure
+        composition (q_takedown_erasure's contract, extended to this
+        artifact): :meth:`delete_facts` removes a victim from every
+        CURRENT surface, but archived fact/partials versions still
+        reproduce it under ``final_df(version=...)`` until this
+        vacuum prunes them — run it to make a takedown stick across
+        time travel. Returns total files removed."""
+        return sum(
+            t.vacuum(keep_versions=keep_versions)
+            for t in (self._fact_t, self._dim_t, self._idx_t, self._part_t)
+        )
+
     def stats(self) -> dict:
         return {
             "fact_version": self._fact_t.version,
