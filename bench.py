@@ -320,6 +320,22 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Secondary: the delta-join view lifecycle (new in late r12) —
+    # the five-delta q_join_view_incremental scenario end-to-end
+    # (build + dim retro-propagation + key migration + delete),
+    # best-of-3, standalone key so no existing series changes.
+    jv_reps = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        len(qs["q_join_view_incremental"].fn(spark, sf_dir).collect())
+        jv_reps.append(time.perf_counter() - t0)
+    join_view_sec = round(min(jv_reps), 3)
+    print(
+        f"# join_view_lifecycle: {join_view_sec}s (best of 3)",
+        file=sys.stderr,
+    )
+
     total = round(sum(times.values()), 3)
     median_total = round(sum(s["median"] for s in spread.values()), 3)
     # Aggregate noise band: how far the per-query max strays from the
@@ -353,6 +369,7 @@ def main() -> None:
                     " item 2)"
                 ),
                 "near_dup_exact_attestation_sec": near_dup_exact,
+                "join_view_lifecycle_sec": join_view_sec,
                 "near_dup_note": (
                     "r11 swap: the headline's q_dedup_near_production "
                     "row now measures the production 8x2 banding "
