@@ -210,12 +210,18 @@ class JoinView:
             return {"dirty_spans": []}
         self._journal_begin(dirty)
         cur = self._fact_t.read(spark, spans=dirty)
-        out = cur.join(ids.select(self.fact_id), on=self.fact_id, how="left_anti")
-        mapping = self._fact_t.write_data(out)
-        self._fact_t.commit(
-            replace={s: mapping[s] for s in mapping},
-            drop=[s for s in dirty if s not in mapping],
-        )
+        if cur is not None:
+            # cur is None only when every dirty span is already empty —
+            # possible when the index holds only stale (healed-over)
+            # entries for rows a torn delete removed; nothing to rewrite
+            out = cur.join(
+                ids.select(self.fact_id), on=self.fact_id, how="left_anti"
+            )
+            mapping = self._fact_t.write_data(out)
+            self._fact_t.commit(
+                replace={s: mapping[s] for s in mapping},
+                drop=[s for s in dirty if s not in mapping],
+            )
         self._idx_t.delete_keys(
             hit.select("__ispan", self.fact_id), on=[self.fact_id]
         )
@@ -295,9 +301,8 @@ class JoinView:
         )
 
     def refresh_partials(self) -> None:
-        """Heal after a crash inside the commit chain: recompute every
-        span present on either side (full maintenance pass, still
-        still dirty-span-bounded per span)."""
+        """Full maintenance pass: recompute every span present on
+        either side (each span's recompute is still span-bounded)."""
         spans = set(self._fact_t.spans()) | set(self._dim_t.spans())
         self._recompute_partials(spans)
 
