@@ -771,10 +771,14 @@ def streaming_join_view(
     segment, cnt, sv)``; the reader takes each key's newest row (max
     ver) and re-aggregates by segment — retro-propagation of a dim
     change therefore reaches the sink the micro-batch the change
-    arrives, no fact re-delivery needed. State size is O(live facts
-    per key), bounded by key cardinality × fanout, never stream
-    length; at deployment scale the per-key fact set is the same
-    payload a shuffled batch join would co-locate anyway.
+    arrives, no fact re-delivery needed. State size is O(fact images
+    ever seen per key) — live rows plus retraction tombstones (a
+    tombstone must outlive any straggler image it guards against; a
+    deployment would expire tombstones past a seq watermark, which
+    the bounded availableNow replay here does not need) — bounded by
+    key cardinality × fanout, never stream length; at deployment
+    scale the per-key fact set is the same payload a shuffled batch
+    join would co-locate anyway.
 
     Reference analog: the repeated-``Execute`` loop
     (MapReduce/Program.cs:31,35) with the view's persisted partials
