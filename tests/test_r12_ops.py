@@ -771,3 +771,31 @@ def test_dataloader_resume_is_slice_of_full_schedule(spark, sf_dir):
                 t[3] for t in got if t[0] == ep and t[1] == st
             ]
             assert len(slots) == _DL_SHARDS * _DL_BATCH
+
+
+def test_pack_boundary_attention_consistent_with_pack_tokens(spark, sf_dir):
+    """The boundary metadata must describe exactly the packs
+    q_pack_tokens emits: same (shard, seq_id) key set, n_segments ==
+    its n_docs, boundaries ascending from 0 with one offset per
+    segment, every offset < the pack budget, and n_new_docs ==
+    n_segments minus (1 if the pack starts with a continuation)."""
+    from updatable_persistent_map_reduce_spark.operators.pipeline import (
+        _PACK_BUDGET,
+        q_pack_boundary_attention,
+        q_pack_tokens,
+    )
+
+    packs = {
+        (r["shard"], r["seq_id"]): r["n_docs"]
+        for r in q_pack_tokens(spark, sf_dir).collect()
+    }
+    got = q_pack_boundary_attention(spark, sf_dir).collect()
+    assert {(r["shard"], r["seq_id"]) for r in got} == set(packs)
+    for r in got:
+        offs = [int(x) for x in r["boundaries"].split(",")]
+        assert r["n_segments"] == packs[(r["shard"], r["seq_id"])]
+        assert len(offs) == r["n_segments"]
+        assert offs == sorted(offs) and offs[0] == 0
+        assert all(0 <= o < _PACK_BUDGET for o in offs)
+        assert len(set(offs)) == len(offs)
+        assert r["n_new_docs"] in (r["n_segments"], r["n_segments"] - 1)

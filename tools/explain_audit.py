@@ -947,6 +947,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "Generate", "HashAggregate"],
         ["Python", "Join", "CartesianProduct"],
     ),
+    # boundary metadata rides the SAME packing plan — window + bounded
+    # explode + aggregate; no extra pass, no join, no Python
+    "q_pack_boundary_attention": (
+        ["Window", "Generate", "HashAggregate"],
+        ["Python", "Join", "CartesianProduct"],
+    ),
     # restored snapshot read: plain pruned scan + aggregate
     "q_store_restore": (
         ["Scan parquet", "HashAggregate"],

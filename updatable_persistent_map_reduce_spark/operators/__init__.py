@@ -111,6 +111,8 @@ _CHANGED = [
     "q_stream_join_view",
     # late-r12 addition: time travel on the delta-join view
     "q_join_view_time_travel",
+    # late-r12 addition: packing with attention-boundary metadata
+    "q_pack_boundary_attention",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

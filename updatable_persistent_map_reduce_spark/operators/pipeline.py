@@ -2022,3 +2022,103 @@ def q_dataloader_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("epoch", "opt_step", "shard", "slot", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# packing with attention-boundary metadata — the mask a block-diagonal
+# attention kernel needs, derived in the same pass as the packing.
+
+
+@register(
+    "q_pack_boundary_attention",
+    oracle=(
+        "WITH d AS (SELECT doc_id, doc_id % 16 AS shard, "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t <> '')) AS dl FROM documents), "
+        "r AS (SELECT shard, dl, sum(dl) OVER (PARTITION BY shard "
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin "
+        "FROM d WHERE dl > 0), "
+        "e AS (SELECT shard, dl, fin, "
+        f"unnest(range(CAST((fin - dl) // {_PACK_BUDGET} AS BIGINT), "
+        f"CAST((fin - 1) // {_PACK_BUDGET} + 1 AS BIGINT))) AS seq_id "
+        "FROM r), "
+        "s AS (SELECT shard, seq_id, "
+        f"greatest(fin - dl, seq_id * {_PACK_BUDGET}) "
+        f"- seq_id * {_PACK_BUDGET} AS off, "
+        f"(fin - dl) >= seq_id * {_PACK_BUDGET} AS is_new_doc FROM e) "
+        "SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_segments, "
+        "CAST(sum(CASE WHEN is_new_doc THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_new_docs, "
+        "string_agg(CAST(off AS VARCHAR), ',' ORDER BY off) AS boundaries "
+        "FROM s GROUP BY shard, seq_id"
+    ),
+    doc="SEQUENCE PACKING WITH ATTENTION BOUNDARIES: the same "
+    "concat-and-chunk packing as q_pack_tokens, additionally emitting "
+    "per pack the ascending intra-pack offsets where attention must "
+    "reset — one boundary per segment, INCLUDING a split document's "
+    "continuation at offset 0 (each pack is an independent training "
+    "sequence, so every segment is its own attention block; "
+    "cross-pack attention into a document's earlier half would leak "
+    "tokens the sequence does not contain). n_new_docs counts the "
+    "segments that are true document starts — packs where it is less "
+    "than n_segments begin with a continuation. Boundaries are "
+    "emitted as a canonical comma-joined ascending string (offsets "
+    "within a pack are distinct by construction), the exact payload a "
+    "block-diagonal flash-attention kernel's cu_seqlens wants. Same "
+    "plan as the packing itself: one window shuffle keyed by shard + "
+    "a bounded explode — the boundary metadata is free at 100 TB, no "
+    "extra pass over the corpus.",
+)
+def q_pack_boundary_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.size(tokens_expr(F.col("text"))).alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = d.select("shard", "dl", F.sum("dl").over(w).alias("fin"))
+    start = F.col("fin") - F.col("dl")
+    e = r.select(
+        "shard",
+        "dl",
+        "fin",
+        F.explode(
+            F.sequence(
+                F.floor(start / _PACK_BUDGET),
+                F.floor((F.col("fin") - 1) / _PACK_BUDGET),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(
+        F.col("fin") - F.col("dl"), F.col("seq_id") * _PACK_BUDGET
+    )
+    s = e.select(
+        "shard",
+        "seq_id",
+        (seg_start - F.col("seq_id") * _PACK_BUDGET).alias("off"),
+        (
+            (F.col("fin") - F.col("dl"))
+            >= F.col("seq_id") * _PACK_BUDGET
+        ).alias("is_new_doc"),
+    )
+    return s.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("is_new_doc").cast("bigint"))
+        .cast("bigint")
+        .alias("n_new_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("off")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("boundaries"),
+    )
