@@ -309,3 +309,35 @@ def test_joinview_vacuum_makes_erasure_stick_across_time_travel(
                         recursive=True):
         t = _pq.read_table(f)
         assert 10 not in t.column("okey").to_pylist(), f
+
+
+def test_joinview_racing_writer_raises_not_overwrites(spark, tmp_path):
+    """OCC contract: a second writer committing between this writer's
+    read and its commit must surface as ConcurrentCommitError on an
+    overlapping span — never a silent lost update."""
+    from updatable_persistent_map_reduce_spark.plans.store import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "jv")
+    a = _mk(spark, path, n_spans=2)
+    a.upsert_dims(_dims_df(spark, [(1, "x"), (2, "y")]))
+    a.upsert_facts(_facts_df(spark, [(10, 1, 5), (11, 2, 3)]))
+
+    # interleave: while A's upsert is between its fact-table read and
+    # its commit, B lands a commit touching the same spans
+    b = _mk(spark, path, n_spans=2)
+    orig_write = a._fact_t.write_data
+
+    def write_then_race(df, **kw):
+        mapping = orig_write(df, **kw)
+        b.upsert_facts(_facts_df(spark, [(12, 1, 7)]))  # racing commit
+        return mapping
+
+    a._fact_t.write_data = write_then_race
+    with pytest.raises(ConcurrentCommitError):
+        a.upsert_facts(_facts_df(spark, [(10, 1, 9)]))
+    # the loser's journal is live; reopening heals to a consistent
+    # state that includes the WINNER's batch
+    c = _mk(spark, path, n_spans=2)
+    assert _final(c) == {"x": (2, 12), "y": (1, 3)}

@@ -53,7 +53,11 @@ lookups, never wrong answers) and partials are recomputed for the
 same spans. The invariant matches the view store's journal
 (view.py / tests/test_recovery.py): a reopened view is "batch fully
 applied" or "batch not applied", never a torn mix. Single writer
-per view, as everywhere in the engine.
+per view is the deployment rule, but not the safety mechanism: every
+fact/partials commit pins the snapshot it was derived from
+(``base_version``), so a racing writer's overlapping commit raises
+:class:`ConcurrentCommitError` loudly instead of silently losing an
+update — the OCC posture merge/delete_keys already hold.
 """
 
 from __future__ import annotations
@@ -149,7 +153,14 @@ class JoinView:
 
         # Rewrite the dirty fact spans: survivors (anti-join on id —
         # a replaced id's old row can only live in a dirty span, the
-        # index said so) + the batch rows.
+        # index said so) + the batch rows. The commit pins the
+        # snapshot the rewrite was derived from (base_version), so a
+        # racing writer's overlapping commit raises
+        # ConcurrentCommitError instead of being silently overwritten
+        # — the same OCC posture merge/delete_keys already hold; the
+        # documented single-writer assumption is a deployment rule,
+        # not the safety mechanism.
+        base_v = self._fact_t.version
         cur = self._fact_t.read(spark, spans=dirty)
         out = b
         if cur is not None:
@@ -160,6 +171,7 @@ class JoinView:
         self._fact_t.commit(
             replace={s: mapping[s] for s in mapping},
             drop=[s for s in dirty if s not in mapping],
+            base_version=base_v,
         )
 
         # Index upsert: fact id -> its new join span (merge is legal:
@@ -209,6 +221,7 @@ class JoinView:
         if not dirty:
             return {"dirty_spans": []}
         self._journal_begin(dirty)
+        base_v = self._fact_t.version
         cur = self._fact_t.read(spark, spans=dirty)
         if cur is not None:
             # cur is None only when every dirty span is already empty —
@@ -221,6 +234,7 @@ class JoinView:
             self._fact_t.commit(
                 replace={s: mapping[s] for s in mapping},
                 drop=[s for s in dirty if s not in mapping],
+                base_version=base_v,
             )
         self._idx_t.delete_keys(
             hit.select("__ispan", self.fact_id), on=[self.fact_id]
@@ -280,6 +294,7 @@ class JoinView:
         spans = sorted(set(int(s) for s in spans))
         if not spans:
             return
+        base_v = self._part_t.version  # OCC pin, same as the fact commit
         f = self._fact_t.read(self.spark, spans=spans)
         d = self._dim_t.read(self.spark, spans=spans)
         mapping: dict[int, list[str]] = {}
@@ -298,6 +313,7 @@ class JoinView:
         self._part_t.commit(
             replace={s: mapping[s] for s in mapping},
             drop=[s for s in spans if s not in mapping],
+            base_version=base_v,
         )
 
     def refresh_partials(self) -> None:
