@@ -647,3 +647,62 @@ def test_streaming_join_view_out_of_order_and_migration(spark, tmp_path):
     per_batch = spark.table(sink).groupBy("ckey").count().collect()
     counts = {r["ckey"]: r["count"] for r in per_batch}
     assert counts[1] == 3 and counts[2] == 5
+
+
+def test_streaming_join_view_restart_resumes_state(spark, tmp_path):
+    """Per-key state survives a query RESTART on the same checkpoint:
+    a first availableNow run ingests the dims and half the facts; a
+    SECOND run (fresh query, same checkpoint + sink lineage) feeds a
+    dim re-attribution and a fact retraction — their emissions must
+    reflect the FIRST run's state (facts it never saw re-attributed,
+    a fact it never saw retracted), proving the state store, not the
+    replayed input, carried the view."""
+    import uuid as _uuid
+
+    from updatable_persistent_map_reduce_spark.streaming.stream_view import (
+        streaming_join_view,
+    )
+
+    schema = (
+        "seq bigint, side string, ckey bigint, okey bigint, "
+        "cents bigint, segment string"
+    )
+    dim = lambda seq, ckey, seg: (seq, "dim", ckey, None, None, seg)  # noqa: E731
+    fact = lambda seq, ckey, okey, c: (seq, "fact", ckey, okey, c, None)  # noqa: E731
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: dims + two facts under key 1
+    _write_batch(spark, inp, [dim(10, 1, "a")], schema)
+    _write_batch(
+        spark, inp, [fact(20, 1, 100, 5), fact(20, 1, 101, 7)], schema
+    )
+    streaming_join_view(
+        spark, input_path=inp, input_schema=schema,
+        checkpoint_path=ckpt, out_path=out, max_files_per_trigger=1,
+    )
+    # run 2 (restart): re-attribute key 1 and retract fact 100 only —
+    # the checkpoint skips run 1's files; only the state store can
+    # supply the facts these deltas modify
+    _write_batch(
+        spark, inp, [dim(30, 1, "b"), fact(40, 1, 100, None)], schema
+    )
+    streaming_join_view(
+        spark, input_path=inp, input_schema=schema,
+        checkpoint_path=ckpt, out_path=out, max_files_per_trigger=1,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ckey").orderBy(F.col("ver").desc())
+    latest = (
+        spark.read.parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {
+        r["segment"]: (r["cnt"], r["sv"]) for r in latest.collect()
+    }
+    # fact 101 (seen only by run 1) must survive under the NEW segment
+    # (seen only by run 2) with fact 100 retracted
+    assert got == {"b": (1, 7)}

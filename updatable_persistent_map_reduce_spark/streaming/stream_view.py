@@ -743,6 +743,7 @@ def streaming_join_view(
     checkpoint_path: str,
     sink_table: str = "join_view_stream",
     max_files_per_trigger: int | None = None,
+    out_path: str | None = None,
 ) -> None:
     """Streaming twin of the batch delta-join view (plans/join_view.py):
     a fact ⋈ dim aggregate maintained over ONE interleaved CDC stream
@@ -862,6 +863,24 @@ def streaming_join_view(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+    if out_path is not None:
+        # restart-capable sink: Spark refuses to recover a memory-sink
+        # query from a checkpoint, so restart tests append each
+        # trigger's emissions to parquet via foreachBatch (the same
+        # trade streaming_windowed_counts_two_runs documents); the
+        # live view stays latest-emission-wins per key (max ver).
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_path)
+
+        q = (
+            contrib.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return
     q = (
         contrib.writeStream.outputMode("update")
         .format("memory")
