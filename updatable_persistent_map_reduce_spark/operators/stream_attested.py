@@ -1411,23 +1411,31 @@ def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             60,
         ),
     ]
+    import shutil
+
     base = tempfile.mkdtemp(prefix="upmr_sjoinview_")
-    inbox = os.path.join(base, "in")
-    os.makedirs(inbox)
-    for b in batches:
-        b.coalesce(1).write.mode("append").parquet(inbox)
-    sink = f"sjv_sink_{uuid.uuid4().hex[:8]}"
-    streaming_join_view(
-        spark,
-        input_path=inbox,
-        input_schema=(
-            "seq bigint, side string, ckey bigint, okey bigint, "
-            "cents bigint, segment string"
-        ),
-        checkpoint_path=os.path.join(base, "ckpt"),
-        sink_table=sink,
-        max_files_per_trigger=1,
-    )
+    try:
+        inbox = os.path.join(base, "in")
+        os.makedirs(inbox)
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(inbox)
+        sink = f"sjv_sink_{uuid.uuid4().hex[:8]}"
+        streaming_join_view(
+            spark,
+            input_path=inbox,
+            input_schema=(
+                "seq bigint, side string, ckey bigint, okey bigint, "
+                "cents bigint, segment string"
+            ),
+            checkpoint_path=os.path.join(base, "ckpt"),
+            sink_table=sink,
+            max_files_per_trigger=1,
+        )
+    finally:
+        # the returned plan reads the MEMORY sink, not these files —
+        # safe to reclaim (the tmpdir-leak class the r11 advice
+        # flagged on the takedown operator)
+        shutil.rmtree(base, ignore_errors=True)
     w = W.partitionBy("ckey").orderBy(F.col("ver").desc())
     latest = (
         spark.table(sink)
