@@ -341,3 +341,70 @@ def test_joinview_racing_writer_raises_not_overwrites(spark, tmp_path):
     # state that includes the WINNER's batch
     c = _mk(spark, path, n_spans=2)
     assert _final(c) == {"x": (2, 12), "y": (1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# hypothesis model-based property: random write sequences vs the dict
+# model (shrinking finds MINIMAL divergent sequences, which the fixed-
+# seed interleaving test above cannot)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_jv_step = st.one_of(
+    # fact batch: {okey: (ckey, v)} — latest-wins, may migrate keys
+    st.dictionaries(
+        st.integers(0, 14),
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),
+        min_size=1,
+        max_size=4,
+    ).map(lambda d: ("facts", d)),
+    # dim batch: {ckey: segment}
+    st.dictionaries(
+        st.integers(0, 5), st.sampled_from(["a", "b", "c"]),
+        min_size=1, max_size=3,
+    ).map(lambda d: ("dims", d)),
+    # delete: set of okeys (no-ops for unknown ids)
+    st.sets(st.integers(0, 14), min_size=1, max_size=3).map(
+        lambda s: ("delete", s)
+    ),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_jv_step, min_size=1, max_size=6))
+def test_joinview_model_based_random_sequences(spark, tmp_path_factory, steps):
+    """ANY write sequence leaves final_df() equal to the dict model —
+    hypothesis shrinks failures to minimal sequences (e.g. the exact
+    migrate-then-delete pair that would expose an index bug)."""
+    import tempfile as _tf
+
+    jv = _mk(spark, _tf.mkdtemp(prefix="jv_hyp_"), n_spans=4)
+    facts: dict[int, tuple[int, int]] = {}
+    dims: dict[int, str] = {}
+    for kind, payload in steps:
+        if kind == "facts":
+            facts.update(payload)
+            jv.upsert_facts(
+                _facts_df(
+                    spark, [(k, c, v) for k, (c, v) in payload.items()]
+                )
+            )
+        elif kind == "dims":
+            dims.update(payload)
+            jv.upsert_dims(
+                _dims_df(spark, list(payload.items()))
+            )
+        else:
+            for k in payload:
+                facts.pop(k, None)
+            jv.delete_facts(
+                spark.createDataFrame(
+                    [(k,) for k in sorted(payload)], "okey bigint"
+                )
+            )
+    assert _final(jv) == _expected(facts, dims)
