@@ -80,9 +80,9 @@ def test_explicit_partitions_pin_all_phases(spark, tmp_path):
     seen: list[str] = []
     orig_apply = view._apply_inner
 
-    def probe_conf(ids, mapped, cache):
+    def probe_conf(ids, mapped, cache, src_width=None):
         seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
-        return orig_apply(ids, mapped, cache)
+        return orig_apply(ids, mapped, cache, src_width)
 
     view._apply_inner = probe_conf
     view.execute(_batch(spark, 50))

@@ -69,7 +69,14 @@ def shingle_strings_udf(k: int = 3, distinct: bool = False):
 
         return texts.map(f)
 
-    return sh
+    # asNondeterministic: q_minhash_containment filters on
+    # size(ws) > 0 above a spread() repartition, and the optimizer
+    # pushed that filter below the exchange by DUPLICATING this UDF —
+    # every doc paid the shingler twice (two stacked ArrowEvalPython
+    # nodes over the same input). The marker blocks the duplication
+    # (optimization guide §4.4); the function is genuinely
+    # deterministic.
+    return sh.asNondeterministic()
 
 
 def fingerprint_expr(col: Column) -> Column:

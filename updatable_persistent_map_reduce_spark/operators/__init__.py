@@ -113,6 +113,19 @@ _CHANGED = [
     "q_join_view_time_travel",
     # late-r12 addition: packing with attention-boundary metadata
     "q_pack_boundary_attention",
+    # r12 optimization round: single-eval UDFs (asNondeterministic,
+    # guide §4.4) on the shinglers / IVF assigner, footer-stats batch
+    # bounds + scoped bootstrap count on the events view, and the
+    # JoinView maintenance-scope/job-count work
+    "q_dedup_near",
+    "q_dedup_near_clusters",
+    "q_minhash_containment",
+    "q_upsert_recount",
+    "q_key_migration",
+    "q_store_compaction",
+    "q_dedup_semantic",
+    "q_dedup_embed",
+    "q_dedup_cluster",
 ]
 
 # Rows-only by design (oracle=None is intrinsic: sketches/ANN recall

@@ -147,7 +147,15 @@ def _shingle_minhash_udf(n_perm: int):
         )
         return pd.DataFrame({"shingles": shingles, "mh": mins})
 
-    return shingle_minhash
+    # asNondeterministic: stops the optimizer pushing the downstream
+    # size(shingles) > 0 filter below the spread() repartition, which
+    # duplicated this UDF — the plan carried TWO stacked
+    # ArrowEvalPython nodes, one feeding the pushed filter (result
+    # discarded) and one recomputing above the exchange, so every doc
+    # paid the shingle+minhash kernel twice (optimization guide §4.4;
+    # the function is genuinely deterministic, the marker only blocks
+    # re-ordering/duplication).
+    return shingle_minhash.asNondeterministic()
 
 
 def _near_dup_scored(

@@ -43,6 +43,36 @@ def _latest_event_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+def _parquet_col_max(path: str, col: str):
+    """Exact column max from parquet row-group statistics — a driver-
+    side footer read, no Spark job. Returns None (caller falls back to
+    an aggregate job) when the file/column lacks min-max stats."""
+    import pyarrow.parquet as pq
+
+    files = (
+        [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    mx = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if col not in names:
+            return None
+        ci = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 _VIEW_CACHE: dict[tuple[int, str, int], MapReduceView] = {}
 
 
@@ -93,11 +123,19 @@ def _events_view(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> MapRed
         two_level=False,  # measured: see docstring
     )
     try:
-        bounds = [
-            r[0]
-            for r in ev.selectExpr("max(event_id)").collect()
-        ]
-        hi = bounds[0] + 1
+        # Batch boundary = max(event_id) + 1. The parquet footers carry
+        # an EXACT int64 max for every row group, so read it driver-side
+        # (metadata only, zero Spark jobs) instead of paying a 3-job AQE
+        # aggregate before the build even starts (optimization guide
+        # §1.2: don't compute things a metadata read already knows).
+        # Identical value => identical batch slicing => identical
+        # results; files without stats fall back to the Spark job.
+        hi_stat = _parquet_col_max(
+            os.path.join(sf_dir, "events.parquet"), "event_id"
+        )
+        if hi_stat is None:
+            hi_stat = ev.selectExpr("max(event_id)").collect()[0][0]
+        hi = hi_stat + 1
         step = max(1, hi // n_batches + 1)
         for b in range(n_batches):
             lo_b, hi_b = b * step, (b + 1) * step

@@ -111,7 +111,13 @@ def make_assign_udf(spark: SparkSession, cmat: np.ndarray):
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
 
-    return assign
+    # asNondeterministic: the IVF probe equi-join on the UDF-derived
+    # ``cell`` column made Catalyst push an isnotnull(cell) filter
+    # below the projection, DUPLICATING the centroid matmul for every
+    # corpus vector (two stacked ArrowEvalPython nodes over the same
+    # input). The marker blocks the duplication (guide §4.4); the
+    # assignment is genuinely deterministic.
+    return assign.asNondeterministic()
 
 
 def fit_kmeans(

@@ -69,6 +69,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .store import ManifestTable
+from .view import maintenance_scope
 
 
 class JoinView:
@@ -120,6 +121,39 @@ class JoinView:
             F.lit(self.n_spans),
         ).cast("int")
 
+    # ----- maintenance sizing ----------------------------------------------
+
+    # The probe collects are distincts over span ids: map-side partial
+    # aggregation reduces ANY batch to <= n_spans (or n_spans²) rows
+    # before the shuffle, so a small fixed reducer count is safe at
+    # every scale (the same argument as view.py's _hint_partitions).
+    _PROBE_PARTITIONS = 8
+    _BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+    def _heavy_n(self, spans) -> int:
+        """Partition count for a batch's heavy phase (survivor rewrite,
+        merge, span re-join/re-aggregate): the dirty spans' on-disk
+        bytes across fact+dim tables — driver-side manifest metadata,
+        no job. maintenance_scope only ever SHRINKS below the session
+        default, so a large dirty slice keeps full parallelism + AQE
+        (the 100 TB path); a bench-scale batch stops paying 32-wide
+        AQE stage-materialization jobs per action."""
+        total = 0
+        for t in (self._fact_t, self._dim_t):
+            mapping = t.spans()
+            total += sum(
+                os.path.getsize(os.path.join(t.path, f))
+                for s in spans
+                for f in mapping.get(s, [])
+                if os.path.exists(os.path.join(t.path, f))
+            )
+        import math
+
+        return max(
+            self._PROBE_PARTITIONS,
+            math.ceil(total / self._BYTES_PER_PARTITION),
+        )
+
     # ----- writes ----------------------------------------------------------
 
     def upsert_facts(self, batch: DataFrame) -> dict:
@@ -131,23 +165,38 @@ class JoinView:
         spark = self.spark
         b = batch.withColumn("__jspan", self._jspan(self.join_col))
         b = b.localCheckpoint(eager=True)  # one evaluation: spans+write
-        new_spans = {int(r[0]) for r in b.select("__jspan").distinct().collect()}
+        # ONE probe job discovers both span footprints (new join spans
+        # AND the ids' index spans): a distinct over (jspan, ispan)
+        # pairs is <= n_spans² rows after map-side partials, so it runs
+        # under the fixed probe sizing (AQE off, no stage-job cascade)
+        # — previously two separate full-width AQE collects.
+        with maintenance_scope(spark, self._PROBE_PARTITIONS):
+            pair_rows = (
+                b.select(
+                    "__jspan",
+                    self._ispan(self.fact_id).alias("__ispan"),
+                )
+                .distinct()
+                .collect()
+            )
+        new_spans = {int(r[0]) for r in pair_rows}
+        idx_spans = {int(r[1]) for r in pair_rows}
 
         ids = b.select(F.col(self.fact_id)).withColumn(
             "__ispan", self._ispan(self.fact_id)
         )
-        idx_spans = {int(r[0]) for r in ids.select("__ispan").distinct().collect()}
         old = None
         idx = self._idx_t.read(spark, spans=sorted(idx_spans))
         if idx is not None:
             old = idx.join(
                 ids.select(self.fact_id), on=self.fact_id, how="left_semi"
             )
-        old_spans = (
-            {int(r[0]) for r in old.select("__jspan").distinct().collect()}
-            if old is not None
-            else set()
-        )
+        with maintenance_scope(spark, self._PROBE_PARTITIONS):
+            old_spans = (
+                {int(r[0]) for r in old.select("__jspan").distinct().collect()}
+                if old is not None
+                else set()
+            )
         dirty = sorted(new_spans | old_spans)
         self._journal_begin(dirty)
 
@@ -160,30 +209,39 @@ class JoinView:
         # — the same OCC posture merge/delete_keys already hold; the
         # documented single-writer assumption is a deployment rule,
         # not the safety mechanism.
-        base_v = self._fact_t.version
-        cur = self._fact_t.read(spark, spans=dirty)
-        out = b
-        if cur is not None:
-            out = cur.join(
-                b.select(self.fact_id), on=self.fact_id, how="left_anti"
-            ).unionByName(b)
-        mapping = self._fact_t.write_data(out)
-        self._fact_t.commit(
-            replace={s: mapping[s] for s in mapping},
-            drop=[s for s in dirty if s not in mapping],
-            base_version=base_v,
-        )
+        with maintenance_scope(spark, self._heavy_n(dirty)):
+            base_v = self._fact_t.version
+            cur = self._fact_t.read(spark, spans=dirty)
+            out = b
+            if cur is not None:
+                out = cur.join(
+                    b.select(self.fact_id), on=self.fact_id, how="left_anti"
+                ).unionByName(b)
+            mapping = self._fact_t.write_data(out)
+            self._fact_t.commit(
+                replace={s: mapping[s] for s in mapping},
+                drop=[s for s in dirty if s not in mapping],
+                base_version=base_v,
+            )
 
-        # Index upsert: fact id -> its new join span (merge is legal:
-        # keyed by fact id, __ispan a pure function of it). __jspan is
-        # taken straight off the checkpointed batch row, never
-        # recomputed from the bare id.
-        src = b.select(self.fact_id, "__jspan").withColumn(
-            "__ispan", self._ispan(self.fact_id)
-        )
-        self._idx_t.merge(src, on=[self.fact_id])
+            # Index upsert: fact id -> its new join span (merge is
+            # legal: keyed by fact id, __ispan a pure function of it).
+            # __jspan is taken straight off the checkpointed batch row,
+            # never recomputed from the bare id.
+            src = b.select(self.fact_id, "__jspan").withColumn(
+                "__ispan", self._ispan(self.fact_id)
+            )
+            # touched = the probe's idx_spans (exactly src's distinct
+            # __ispan set — same rows, same pure hash) and the stats
+            # are unused: skip merge's two bookkeeping jobs.
+            self._idx_t.merge(
+                src,
+                on=[self.fact_id],
+                touched=sorted(idx_spans),
+                want_counts=False,
+            )
 
-        self._recompute_partials(dirty)
+            self._recompute_partials(dirty)
         self._journal_clear()
         return {"dirty_spans": dirty, "migrated_from": sorted(old_spans - new_spans)}
 
@@ -195,12 +253,18 @@ class JoinView:
         retro-propagation a map-side enrichment join cannot do."""
         b = batch.withColumn("__jspan", self._jspan(self.dim_id))
         b = b.localCheckpoint(eager=True)
-        dirty = sorted(
-            int(r[0]) for r in b.select("__jspan").distinct().collect()
-        )
+        with maintenance_scope(self.spark, self._PROBE_PARTITIONS):
+            dirty = sorted(
+                int(r[0]) for r in b.select("__jspan").distinct().collect()
+            )
         self._journal_begin(dirty)
-        self._dim_t.merge(b, on=[self.dim_id])
-        self._recompute_partials(dirty)
+        with maintenance_scope(self.spark, self._heavy_n(dirty)):
+            # touched = the probe's dirty set (exactly b's distinct
+            # __jspan set); stats unused — skip both bookkeeping jobs.
+            self._dim_t.merge(
+                b, on=[self.dim_id], touched=dirty, want_counts=False
+            )
+            self._recompute_partials(dirty)
         self._journal_clear()
         return {"dirty_spans": dirty}
 
@@ -212,34 +276,42 @@ class JoinView:
             "__ispan", self._ispan(self.fact_id)
         )
         ids = ids.localCheckpoint(eager=True)
-        idx_spans = {int(r[0]) for r in ids.select("__ispan").distinct().collect()}
+        with maintenance_scope(spark, self._PROBE_PARTITIONS):
+            idx_spans = {
+                int(r[0]) for r in ids.select("__ispan").distinct().collect()
+            }
         idx = self._idx_t.read(spark, spans=sorted(idx_spans))
         if idx is None:
             return {"dirty_spans": []}
         hit = idx.join(ids.select(self.fact_id), on=self.fact_id, how="left_semi")
-        dirty = sorted(int(r[0]) for r in hit.select("__jspan").distinct().collect())
+        with maintenance_scope(spark, self._PROBE_PARTITIONS):
+            dirty = sorted(
+                int(r[0]) for r in hit.select("__jspan").distinct().collect()
+            )
         if not dirty:
             return {"dirty_spans": []}
         self._journal_begin(dirty)
-        base_v = self._fact_t.version
-        cur = self._fact_t.read(spark, spans=dirty)
-        if cur is not None:
-            # cur is None only when every dirty span is already empty —
-            # possible when the index holds only stale (healed-over)
-            # entries for rows a torn delete removed; nothing to rewrite
-            out = cur.join(
-                ids.select(self.fact_id), on=self.fact_id, how="left_anti"
+        with maintenance_scope(spark, self._heavy_n(dirty)):
+            base_v = self._fact_t.version
+            cur = self._fact_t.read(spark, spans=dirty)
+            if cur is not None:
+                # cur is None only when every dirty span is already
+                # empty — possible when the index holds only stale
+                # (healed-over) entries for rows a torn delete removed;
+                # nothing to rewrite
+                out = cur.join(
+                    ids.select(self.fact_id), on=self.fact_id, how="left_anti"
+                )
+                mapping = self._fact_t.write_data(out)
+                self._fact_t.commit(
+                    replace={s: mapping[s] for s in mapping},
+                    drop=[s for s in dirty if s not in mapping],
+                    base_version=base_v,
+                )
+            self._idx_t.delete_keys(
+                hit.select("__ispan", self.fact_id), on=[self.fact_id]
             )
-            mapping = self._fact_t.write_data(out)
-            self._fact_t.commit(
-                replace={s: mapping[s] for s in mapping},
-                drop=[s for s in dirty if s not in mapping],
-                base_version=base_v,
-            )
-        self._idx_t.delete_keys(
-            hit.select("__ispan", self.fact_id), on=[self.fact_id]
-        )
-        self._recompute_partials(dirty)
+            self._recompute_partials(dirty)
         self._journal_clear()
         return {"dirty_spans": dirty}
 
@@ -274,13 +346,14 @@ class JoinView:
             return
         with open(self._journal_path) as f:
             dirty = [int(s) for s in json.load(f)["dirty"]]
-        facts = self._fact_t.read(self.spark, spans=dirty)
-        if facts is not None:
-            src = facts.select(self.fact_id, "__jspan").withColumn(
-                "__ispan", self._ispan(self.fact_id)
-            )
-            self._idx_t.merge(src, on=[self.fact_id])
-        self._recompute_partials(dirty)
+        with maintenance_scope(self.spark, self._heavy_n(dirty)):
+            facts = self._fact_t.read(self.spark, spans=dirty)
+            if facts is not None:
+                src = facts.select(self.fact_id, "__jspan").withColumn(
+                    "__ispan", self._ispan(self.fact_id)
+                )
+                self._idx_t.merge(src, on=[self.fact_id], want_counts=False)
+            self._recompute_partials(dirty)
         self._journal_clear()
 
     # ----- maintenance -----------------------------------------------------
@@ -320,7 +393,8 @@ class JoinView:
         """Full maintenance pass: recompute every span present on
         either side (each span's recompute is still span-bounded)."""
         spans = set(self._fact_t.spans()) | set(self._dim_t.spans())
-        self._recompute_partials(spans)
+        with maintenance_scope(self.spark, self._heavy_n(spans)):
+            self._recompute_partials(spans)
 
     # ----- reads -----------------------------------------------------------
 

@@ -643,6 +643,8 @@ class ManifestTable:
         on: Sequence[str],
         *,
         delete_where: str | None = None,
+        touched: Sequence[int] | None = None,
+        want_counts: bool = True,
     ) -> dict:
         """MERGE INTO for the store (Delta semantics, span-granular
         copy-on-write): matched target rows are REPLACED by their
@@ -674,13 +676,27 @@ class ManifestTable:
         Every engine source is a pure projection of committed data,
         which satisfies both clauses. Returns ``{updated, inserted,
         deleted, spans_touched, version}``.
+
+        Job-count opt-outs (optimization guide §1.2 — a maintenance
+        batch is a chain of small jobs, so every skipped action is
+        wall time): ``touched`` lets a caller that ALREADY collected
+        the source's span footprint (e.g. JoinView's probe) skip this
+        method's distinct-collect — it must be EXACTLY the source's
+        distinct span set: a superset would replace untouched spans
+        with nothing (the commit drops them), a subset raises via the
+        stray-span check below. ``want_counts=False`` skips the
+        updated/inserted/deleted counting job for callers that ignore
+        the stats (the returned counts are then None).
         """
         spark = source.sparkSession
         base_v = self.version
-        touched = sorted(
-            r[0]
-            for r in source.select(self.span_col).distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r[0]
+                for r in source.select(self.span_col).distinct().collect()
+            )
+        else:
+            touched = sorted(int(s) for s in touched)
         tgt = self.read(spark, spans=touched)
         cols = list(self._schema.names) if self._schema is not None else None
         if cols is None:
@@ -720,11 +736,15 @@ class ManifestTable:
         tp = F.coalesce(F.col("__t_present"), F.lit(False))
         sp = F.coalesce(F.col("__s_present"), F.lit(False))
         dl = F.coalesce(F.col("__del"), F.lit(False))
-        counts = joined.select(
-            F.sum((tp & sp & ~dl).cast("bigint")).alias("updated"),
-            F.sum(((~tp) & sp & ~dl).cast("bigint")).alias("inserted"),
-            F.sum((tp & sp & dl).cast("bigint")).alias("deleted"),
-        ).collect()[0]
+        counts = (
+            joined.select(
+                F.sum((tp & sp & ~dl).cast("bigint")).alias("updated"),
+                F.sum(((~tp) & sp & ~dl).cast("bigint")).alias("inserted"),
+                F.sum((tp & sp & dl).cast("bigint")).alias("deleted"),
+            ).collect()[0]
+            if want_counts
+            else None
+        )
         merged = joined.filter(~sp | ~dl).select(
             *[
                 F.when(sp, F.col(c))
@@ -758,9 +778,9 @@ class ManifestTable:
             base_version=base_v,
         )
         return {
-            "updated": int(counts["updated"] or 0),
-            "inserted": int(counts["inserted"] or 0),
-            "deleted": int(counts["deleted"] or 0),
+            "updated": int(counts["updated"] or 0) if counts is not None else None,
+            "inserted": int(counts["inserted"] or 0) if counts is not None else None,
+            "deleted": int(counts["deleted"] or 0) if counts is not None else None,
             "spans_touched": len(touched),
             "version": version,
         }

@@ -195,8 +195,92 @@ MapFn = Callable[[DataFrame], DataFrame]
 # spark.conf is session-global: serialize modifying maintenance scopes
 # across all views/threads sharing a session (see _conf_scope). The
 # re-entrancy/nesting guard is per-thread.
+def _plan_width(df: DataFrame) -> int | None:
+    """Partition count of ``df``'s plan before any new shuffle —
+    driver-side plan inspection, no job. For a batch that is narrow
+    ops over a scan (the upsert contract) this is the scan width:
+    1-ish for a bench-scale file, thousands at 100 TB — a cheap,
+    scale-proportional stand-in for input size."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — exotic plans: keep defaults
+        return None
+
+
 _CONF_SCOPE_LOCK = threading.RLock()
 _CONF_SCOPE_TLS = threading.local()
+
+
+@contextlib.contextmanager
+def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
+    """Scope the session to right-sized maintenance jobs.
+
+    The store's internal jobs (dirty-set collects, survivor
+    rewrites, span re-aggregation, manifest writes) run over ONE
+    batch + its dirty slice — usually orders of magnitude smaller
+    than the analytics queries the session is configured for. A
+    32-partition AQE plan on a 1500-row batch spends its wall time
+    on stage materialization and empty tasks, ~4x the query cost at
+    bench scale. So: when the right-sized partition count ``n`` is
+    below the session default — i.e. the batch is small and the
+    partition count is already right-sized, which is AQE
+    coalescing's whole job locally — run the maintenance with a
+    static ``n``-partition plan (AQE off). Big batches (``n`` >=
+    session default) leave the session untouched: full parallelism,
+    AQE skew-splitting, the 100 TB path.
+
+    Nested scopes are no-ops while one is active (tracked
+    per-thread). ``pin=True`` (the user's explicit
+    ``maintenance_shuffle_partitions``) always applies ``n`` as the
+    maintenance partition count — raising as well as lowering —
+    and stays marked active so inner derived scopes cannot
+    override the explicit setting.
+
+    The session conf is SESSION-global state, so a module-level
+    lock serializes modifying scopes across views/threads sharing
+    one SparkSession: two concurrently maintained views can no
+    longer interleave set/restore and leave the maintenance value
+    pinned. Analytics queries issued on the same session DURING a
+    maintenance window still see the maintenance conf — run them
+    on ``spark.newSession()`` (shares the cluster, isolates conf)
+    if that matters."""
+    conf = spark.conf
+    if n is None or getattr(_CONF_SCOPE_TLS, "active", False):
+        yield
+        return
+    _CONF_SCOPE_LOCK.acquire()
+    held = True
+    try:
+        try:
+            default = int(conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001 — unusual session config
+            default = None
+        modify = default is not None and (n < default if not pin else True)
+        if not modify and not pin:
+            _CONF_SCOPE_LOCK.release()
+            held = False
+            yield
+            return
+        old_aqe = None
+        if modify:
+            old_aqe = conf.get("spark.sql.adaptive.enabled")
+            conf.set("spark.sql.shuffle.partitions", str(n))
+            if default is not None and n < default:
+                conf.set("spark.sql.adaptive.enabled", "false")
+        _CONF_SCOPE_TLS.active = True
+        try:
+            yield
+        finally:
+            _CONF_SCOPE_TLS.active = False
+            if modify:
+                conf.set("spark.sql.shuffle.partitions", str(default))
+                if old_aqe is not None:
+                    conf.set("spark.sql.adaptive.enabled", old_aqe)
+    finally:
+        if held:
+            _CONF_SCOPE_LOCK.release()
+
+
 
 # Engine bookkeeping columns stamped onto every map output; user map
 # outputs may not use these names (execute() raises on a clash).
@@ -517,74 +601,10 @@ class MapReduceView:
             if os.path.exists(os.path.join(table.path, f))
         )
 
-    @contextlib.contextmanager
     def _conf_scope(self, n: int | None, pin: bool = False):
-        """Scope the session to right-sized maintenance jobs.
-
-        The store's internal jobs (dirty-set collects, survivor
-        rewrites, span re-aggregation, manifest writes) run over ONE
-        batch + its dirty slice — usually orders of magnitude smaller
-        than the analytics queries the session is configured for. A
-        32-partition AQE plan on a 1500-row batch spends its wall time
-        on stage materialization and empty tasks, ~4x the query cost at
-        bench scale. So: when the right-sized partition count ``n`` is
-        below the session default — i.e. the batch is small and the
-        partition count is already right-sized, which is AQE
-        coalescing's whole job locally — run the maintenance with a
-        static ``n``-partition plan (AQE off). Big batches (``n`` >=
-        session default) leave the session untouched: full parallelism,
-        AQE skew-splitting, the 100 TB path.
-
-        Nested scopes are no-ops while one is active (tracked
-        per-thread). ``pin=True`` (the user's explicit
-        ``maintenance_shuffle_partitions``) always applies ``n`` as the
-        maintenance partition count — raising as well as lowering —
-        and stays marked active so inner derived scopes cannot
-        override the explicit setting.
-
-        The session conf is SESSION-global state, so a module-level
-        lock serializes modifying scopes across views/threads sharing
-        one SparkSession: two concurrently maintained views can no
-        longer interleave set/restore and leave the maintenance value
-        pinned. Analytics queries issued on the same session DURING a
-        maintenance window still see the maintenance conf — run them
-        on ``spark.newSession()`` (shares the cluster, isolates conf)
-        if that matters."""
-        conf = self.spark.conf
-        if n is None or getattr(_CONF_SCOPE_TLS, "active", False):
-            yield
-            return
-        _CONF_SCOPE_LOCK.acquire()
-        held = True
-        try:
-            try:
-                default = int(conf.get("spark.sql.shuffle.partitions"))
-            except Exception:  # noqa: BLE001 — unusual session config
-                default = None
-            modify = default is not None and (n < default if not pin else True)
-            if not modify and not pin:
-                _CONF_SCOPE_LOCK.release()
-                held = False
-                yield
-                return
-            old_aqe = None
-            if modify:
-                old_aqe = conf.get("spark.sql.adaptive.enabled")
-                conf.set("spark.sql.shuffle.partitions", str(n))
-                if default is not None and n < default:
-                    conf.set("spark.sql.adaptive.enabled", "false")
-            _CONF_SCOPE_TLS.active = True
-            try:
-                yield
-            finally:
-                _CONF_SCOPE_TLS.active = False
-                if modify:
-                    conf.set("spark.sql.shuffle.partitions", str(default))
-                    if old_aqe is not None:
-                        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        finally:
-            if held:
-                _CONF_SCOPE_LOCK.release()
+        """Delegates to :func:`maintenance_scope` (module-level so the
+        JoinView shares the same lock/TLS and shrink-only semantics)."""
+        return maintenance_scope(self.spark, n, pin)
 
     # ----- journal / meta --------------------------------------------------
 
@@ -716,7 +736,7 @@ class MapReduceView:
             "pspan",
             F.col("kspan") * F.lit(self.n_sub_buckets) + F.col("bucket"),
         )
-        self._apply(ids, mapped)
+        self._apply(ids, mapped, src_width=_plan_width(batch_df))
         self._maybe_auto_compact()
 
     def _maybe_auto_compact(self) -> None:
@@ -761,7 +781,12 @@ class MapReduceView:
         empty_mapped = self.spark.createDataFrame([], schema=existing.schema)
         self._apply(ids_df, empty_mapped)
 
-    def _apply(self, ids: DataFrame, mapped: DataFrame) -> None:
+    def _apply(
+        self,
+        ids: DataFrame,
+        mapped: DataFrame,
+        src_width: int | None = None,
+    ) -> None:
         """Shared core of execute/delete_docs: ``ids`` = upper-cased
         distinct doc ids of the batch, ``mapped`` = the batch's new map
         output (already uid/kspan[/bucket]-stamped; empty = deletion).
@@ -779,7 +804,7 @@ class MapReduceView:
             with self._conf_scope(
                 self.maintenance_shuffle_partitions, pin=True
             ):
-                self._apply_inner(ids, mapped, cache)
+                self._apply_inner(ids, mapped, cache, src_width)
         finally:
             for df in cached:
                 df.unpersist()
@@ -789,6 +814,7 @@ class MapReduceView:
         ids: DataFrame,
         mapped: DataFrame,
         cache: Callable[[DataFrame], DataFrame],
+        src_width: int | None = None,
     ) -> None:
         cache(ids)
         # The mapped batch feeds several downstream plans (span
@@ -802,7 +828,19 @@ class MapReduceView:
         # provably a no-op — write everything, derive the dirty spans
         # from the write mappings themselves.
         if not self._map_t.spans() and not self._idx_t.spans():
-            n_mapped = mapped.count()
+            # Size the bootstrap COUNT itself (it materializes the
+            # mapped cache, shuffle included) from the batch plan's
+            # scan width — driver-side plan metadata, no job. A
+            # bench-scale batch otherwise pays a full-width AQE plan
+            # (4-5 stage jobs at session width) for a few thousand
+            # rows; a 100 TB bootstrap's wide scan keeps the session's
+            # full-parallelism AQE plan (guide §2.2: size partitions
+            # from the data, not a constant).
+            with self._conf_scope(
+                None if src_width is None
+                else max(self._MIN_PARTITIONS, src_width)
+            ):
+                n_mapped = mapped.count()
             with self._conf_scope(self._size_partitions(n_mapped)):
                 self._bootstrap(mapped, cache, n_mapped)
             return
