@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr
 from .store import ManifestTable
+from .view import _plan_width, maintained, maintenance_n
 
 
 class IvfIndex:
@@ -56,6 +57,18 @@ class IvfIndex:
 
     # ----- build / maintain ------------------------------------------------
 
+    def _maint_n(self, batch: DataFrame | None = None) -> int:
+        """Partition sizing for @maintained entry points: batch scan
+        width + this index's table bytes (driver-side metadata).
+        IvfPqIndex inherits and adds its codes table."""
+        tables = [self._listed] + (
+            [self._codes] if hasattr(self, "_codes") else []
+        )
+        return maintenance_n(
+            _plan_width(batch) if batch is not None else None, *tables
+        )
+
+    @maintained
     def build(self, e: DataFrame, kmeans_iters: int = 2) -> None:
         """Fit centroids on ``e`` (vec_id, embedding) and write the
         cell-listed table in one job; atomic manifest publish."""
@@ -76,6 +89,7 @@ class IvfIndex:
         mapping = self._listed.write_data(listed)
         self._listed.commit(replace_all=mapping)
 
+    @maintained
     def upsert(self, new_vectors: DataFrame) -> None:
         """Assign new (vec_id, embedding) rows to their nearest
         existing cells and APPEND — an incremental index update with
@@ -103,6 +117,7 @@ class IvfIndex:
             self.spark, mapping, keys=assigned.select("vec_id")
         )
 
+    @maintained
     def delete(self, vectors: DataFrame) -> None:
         """MERGE-ON-READ delete of vectors from the index — the store's
         tombstone pattern (q_store_delete_vectors, incremental.py)
@@ -129,6 +144,7 @@ class IvfIndex:
         )
         self._listed.delete_keys(keys, on=["vec_id"])
 
+    @maintained
     def compact(self, min_files: int = 1) -> dict:
         """Materialize tombstones / fold small files in the listed
         tier — the store's normal maintenance, exposed on the index."""
@@ -323,6 +339,7 @@ class IvfPqIndex(IvfIndex):
 
     # ----- build -----------------------------------------------------------
 
+    @maintained
     def build(self, e: DataFrame, kmeans_iters: int = 2) -> None:
         """Coarse build (centroids + full-vector cells) plus the PQ
         payload: fit the global scale and codebooks, encode every
@@ -451,6 +468,7 @@ class IvfPqIndex(IvfIndex):
             pq_code.alias("pq_code"),
         )
 
+    @maintained
     def upsert(self, new_vectors: DataFrame) -> None:
         """Incremental append to BOTH tiers — the inherited listed-only
         append would leave the new vectors invisible to ADC probes
@@ -468,6 +486,7 @@ class IvfPqIndex(IvfIndex):
             keys=new_vectors.select("vec_id"),
         )
 
+    @maintained
     def delete(self, vectors: DataFrame) -> None:
         """Tombstone the vec_ids in BOTH tiers. Codes first: ADC
         candidates come from the codes table, so a crash between the
@@ -486,6 +505,7 @@ class IvfPqIndex(IvfIndex):
         self._codes.delete_keys(keys, on=["vec_id"])
         self._listed.delete_keys(keys, on=["vec_id"])
 
+    @maintained
     def compact(self, min_files: int = 1) -> dict:
         """Materialize tombstones in both tiers (codes then listed)."""
         codes = self._codes.compact(self.spark, min_files=min_files)

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .store import ManifestTable
+from .view import _plan_width, maintained, maintenance_n
 
 
 class NearDupIndex:
@@ -153,6 +154,15 @@ class NearDupIndex:
 
     # ----- build / append ---------------------------------------------------
 
+    def _maint_n(self, batch: DataFrame | None = None) -> int:
+        """Partition sizing for @maintained entry points: batch scan
+        width + this index's table bytes (driver-side metadata)."""
+        return maintenance_n(
+            _plan_width(batch) if batch is not None else None,
+            self._bands, self._sh,
+        )
+
+    @maintained
     def build(self, docs: DataFrame) -> None:
         """Signature ``docs`` (doc_id, text) once; land band postings
         bucketed by (band, sig)-hash span and shingle payloads by
@@ -168,6 +178,7 @@ class NearDupIndex:
         finally:
             sigs.unpersist()
 
+    @maintained
     def append(self, docs: DataFrame) -> None:
         """Append NEW documents: signatures land under atomic manifest
         snapshots (shingles first — see module docstring for the
@@ -219,6 +230,7 @@ class NearDupIndex:
         finally:
             sigs.unpersist()
 
+    @maintained
     def delete(self, docs: DataFrame) -> None:
         """TAKEDOWN: remove documents (doc_id, text) from the band
         index — the ANN index's MoR tombstone pattern (plans/
@@ -285,6 +297,7 @@ class NearDupIndex:
         finally:
             sigs.unpersist()
 
+    @maintained
     def compact(self, min_files: int = 1) -> dict:
         """Materialize pending takedown tombstones / fold small files
         in both tiers — the store's normal maintenance, exposed on the

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
 from .store import ManifestTable
+from .view import _plan_width, maintained, maintenance_n
 
 K1 = 1.2
 B = 0.75
@@ -170,6 +171,15 @@ class InvertedIndex:
             )
         return docs
 
+    def _maint_n(self, batch: DataFrame | None = None) -> int:
+        """Partition sizing for @maintained entry points: batch scan
+        width + this index's table bytes (driver-side metadata)."""
+        return maintenance_n(
+            _plan_width(batch) if batch is not None else None,
+            self._post, self._docs, self._repl,
+        )
+
+    @maintained
     def build(self, docs: DataFrame, seq_col: str | None = None) -> None:
         """Tokenize ``docs`` (doc_id, text) into term-hash-bucketed
         postings + the doc index; one write job each, atomic publish."""
@@ -187,6 +197,7 @@ class InvertedIndex:
         self._repl.commit(replace_all={})
         self.refresh_stats()
 
+    @maintained
     def upsert(self, new_docs: DataFrame, seq_col: str | None = None) -> None:
         """Latest-wins document upsert: brand-new ids append; ids that
         already exist are REPLACED — their old postings stop scoring
@@ -311,6 +322,7 @@ class InvertedIndex:
             )
         self._maybe_auto_compact()
 
+    @maintained
     def delete(self, doc_ids: DataFrame) -> None:
         """TAKEDOWN: remove documents from the serving index — the
         reference's delete-and-reschedule contract (Executer.cs:
@@ -417,6 +429,7 @@ class InvertedIndex:
         if n_spans and n_files >= k * n_spans:
             self.compact()
 
+    @maintained
     def compact(self) -> None:
         """Fold the delete vectors into the postings files: one
         distributed filter-rewrite job dropping every dead generation,
@@ -447,6 +460,7 @@ class InvertedIndex:
         with open(self._stats_path) as f:
             return json.load(f)
 
+    @maintained
     def refresh_stats(self) -> dict:
         """Recompute (n_docs, total_dl) exactly from the doc_index —
         one columnar count+sum. The incremental per-upsert update is

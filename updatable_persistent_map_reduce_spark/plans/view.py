@@ -150,6 +150,55 @@ from .store import ManifestTable
 _CLOSED_AGG_RE = None  # compiled lazily; see _rereduce_closed
 
 
+def maintenance_n(width: int | None, *tables) -> int:
+    """Right-size a maintenance phase (guide §2.2: derive partitioning
+    from the data, never a constant): max of the input plan's scan
+    width and the involved ManifestTables' on-disk bytes / 64 MB —
+    all driver-side metadata, no job. Floored at 8; values at or above
+    the session default leave the session untouched (maintenance_scope
+    only ever shrinks), which is the 100 TB path."""
+    total = 0
+    for t in tables:
+        try:
+            total += t.stats()["bytes"]
+        except Exception:  # noqa: BLE001 — missing table: contributes 0
+            pass
+    return max(8, width or 0, math.ceil(total / (64 * 1024 * 1024)))
+
+
+def maintained(fn):
+    """Decorator for index maintenance entry points (build/upsert/
+    delete/compact): runs the method under a maintenance_scope sized
+    by the instance's ``_maint_n(batch)``, where ``batch`` is the
+    first positional DataFrame argument (None for argless
+    maintenance). Nested scopes no-op, so decorated methods freely
+    call each other; serving/query paths stay undecorated and keep
+    the session's full AQE configuration."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        batch = next((x for x in a if isinstance(x, DataFrame)), None)
+        with maintenance_scope(self.spark, self._maint_n(batch)):
+            return fn(self, *a, **k)
+
+    return wrapper
+
+
+def scope_is_small() -> bool:
+    """True while the CURRENT thread is inside a maintenance_scope that
+    shrank the session (AQE off, auto-broadcast off): plan maintenance
+    joins as shuffle-hash there — one job, no broadcast-build dispatch
+    — and as broadcast otherwise (the at-scale strategy)."""
+    return bool(getattr(_CONF_SCOPE_TLS, "small", False))
+
+
+def maint_small_side(df: DataFrame) -> DataFrame:
+    """Hint the bounded side of a maintenance join: broadcast at scale,
+    shuffle-hash inside a shrunken maintenance scope (where the
+    broadcast build's separate job is pure dispatch overhead)."""
+    return df.hint("shuffle_hash") if scope_is_small() else F.broadcast(df)
+
+
 def _rereduce_closed(agg_exprs: Sequence[Column] | None) -> bool:
     """True iff every aggregate is *syntactically provably* closed
     under re-application to its own aliased output — ``sum/min/max`` of
@@ -262,20 +311,37 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
             yield
             return
         old_aqe = None
+        old_bcast = None
+        shrank = modify and default is not None and n < default
         if modify:
             old_aqe = conf.get("spark.sql.adaptive.enabled")
             conf.set("spark.sql.shuffle.partitions", str(n))
-            if default is not None and n < default:
+            if shrank:
                 conf.set("spark.sql.adaptive.enabled", "false")
+                # Inside a shrunken scope every join side is bounded
+                # (one batch + its dirty slice): a broadcast build is a
+                # SEPARATE job whose dispatch costs more than shuffling
+                # those rows within the action's own job, so turn
+                # auto-broadcast off; maintenance joins consult
+                # scope_is_small() and hint shuffle-hash instead
+                # (guide §3.1 — pick the strategy deliberately).
+                old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+                conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         _CONF_SCOPE_TLS.active = True
+        _CONF_SCOPE_TLS.small = shrank
         try:
             yield
         finally:
             _CONF_SCOPE_TLS.active = False
+            _CONF_SCOPE_TLS.small = False
             if modify:
                 conf.set("spark.sql.shuffle.partitions", str(default))
                 if old_aqe is not None:
                     conf.set("spark.sql.adaptive.enabled", old_aqe)
+                if old_bcast is not None:
+                    conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", old_bcast
+                    )
     finally:
         if held:
             _CONF_SCOPE_LOCK.release()
@@ -816,11 +882,25 @@ class MapReduceView:
         cache: Callable[[DataFrame], DataFrame],
         src_width: int | None = None,
     ) -> None:
-        cache(ids)
-        # The mapped batch feeds several downstream plans (span
-        # discovery, map_results content, doc_index content); batches
-        # are bounded, so caching beats recomputing the user map.
-        cache(mapped)
+        # Size the batch's CACHED PLANS from its scan width —
+        # driver-side plan metadata, no job. A cache() captures its
+        # physical plan at REGISTRATION conf, so registering under the
+        # session's full-width AQE conf makes every later scoped
+        # action that materializes the cache replay a 3-job AQE stage
+        # cascade for a few thousand rows. A 100 TB batch's wide scan
+        # keeps the session's full-parallelism AQE plan (guide §2.2:
+        # size partitions from the data, not a constant).
+        batch_n = (
+            None if src_width is None
+            else max(self._MIN_PARTITIONS, src_width)
+        )
+        with self._conf_scope(batch_n):
+            cache(ids)
+            # The mapped batch feeds several downstream plans (span
+            # discovery, map_results content, doc_index content);
+            # batches are bounded, so caching beats recomputing the
+            # user map.
+            cache(mapped)
 
         # --- bootstrap fast path: a completely fresh store cannot hold
         # prior versions of any incoming doc, so the whole invalidation
@@ -828,18 +908,7 @@ class MapReduceView:
         # provably a no-op — write everything, derive the dirty spans
         # from the write mappings themselves.
         if not self._map_t.spans() and not self._idx_t.spans():
-            # Size the bootstrap COUNT itself (it materializes the
-            # mapped cache, shuffle included) from the batch plan's
-            # scan width — driver-side plan metadata, no job. A
-            # bench-scale batch otherwise pays a full-width AQE plan
-            # (4-5 stage jobs at session width) for a few thousand
-            # rows; a 100 TB bootstrap's wide scan keeps the session's
-            # full-parallelism AQE plan (guide §2.2: size partitions
-            # from the data, not a constant).
-            with self._conf_scope(
-                None if src_width is None
-                else max(self._MIN_PARTITIONS, src_width)
-            ):
+            with self._conf_scope(batch_n):
                 n_mapped = mapped.count()
             with self._conf_scope(self._size_partitions(n_mapped)):
                 self._bootstrap(mapped, cache, n_mapped)
@@ -867,7 +936,7 @@ class MapReduceView:
         idx_all = self._idx_t.read(self.spark) if small_idx else None
         if idx_all is not None:
             probe = probe.unionByName(
-                idx_all.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
+                idx_all.join(maint_small_side(ids_d), ["dspan", "uid"], "inner")
                 .select(
                     F.lit("o").alias("t"),
                     F.col("kspan").alias("v"),
@@ -1055,7 +1124,7 @@ class MapReduceView:
             else self._idx_t.read(self.spark, spans=batch_dspans)
         )
         if idx is not None:
-            old_locs = idx.join(F.broadcast(ids_d), ["dspan", "uid"], "inner")
+            old_locs = idx.join(maint_small_side(ids_d), ["dspan", "uid"], "inner")
             # Distinct-over-span-ids like the probe: safe under the
             # previous batch's sizing hint at any batch size.
             with self._conf_scope(self._hint_partitions()):
@@ -1122,7 +1191,7 @@ class MapReduceView:
             if existing_dirty is not None:
                 survivors = existing_dirty
                 if rewrite_pspans:
-                    survivors = survivors.join(F.broadcast(ids), "uid", "left_anti")
+                    survivors = survivors.join(maint_small_side(ids), "uid", "left_anti")
                 pair_rows = survivors.select(new_rows.columns).unionByName(new_rows)
             else:
                 pair_rows = new_rows
@@ -1493,9 +1562,17 @@ class MapReduceView:
         unreferenced (reclaim via ``vacuum()``). Returns the number of
         pairs compacted. At 100 TB scale this is the maintenance job a
         table service would schedule off-peak."""
-        return self._map_t.compact(self.spark, min_files=min_files)[
-            "spans_compacted"
-        ]
+        # Scoped like every other maintenance job: sized from the map
+        # table's on-disk bytes (manifest metadata — an upper bound on
+        # the rewrite's input), so a bench-scale compaction is one
+        # static small plan instead of an AQE stage cascade, and a big
+        # table keeps full parallelism.
+        with self._conf_scope(
+            self._size_partitions(0, file_bytes=self._map_t.stats()["bytes"])
+        ):
+            return self._map_t.compact(self.spark, min_files=min_files)[
+                "spans_compacted"
+            ]
 
     def compact_index(self) -> None:
         """Rewrite doc_index from the map_results source of truth,
@@ -1505,8 +1582,15 @@ class MapReduceView:
         live = self._map_t.read(self.spark)
         if live is None:
             return
-        fresh = live.select("uid", "kspan", "dspan").distinct()
-        mapping = self._idx_t.write_data(fresh)
+        with self._conf_scope(
+            self._size_partitions(
+                0,
+                file_bytes=self._map_t.stats()["bytes"]
+                + self._idx_t.stats()["bytes"],
+            )
+        ):
+            fresh = live.select("uid", "kspan", "dspan").distinct()
+            mapping = self._idx_t.write_data(fresh)
         self._idx_t.commit(replace_all=mapping)
         self._idx_t.vacuum()
 

@@ -54,9 +54,31 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session-level plan cache: (session id, sf_dir, table) -> DataFrame.
+# ``spark.read.parquet`` pays a schema-inference/listing job per call,
+# and every operator builds a fresh Catalog — so a 22-query SQL suite
+# re-ran ~10 such jobs (1-3 s) per query just to re-learn schemas that
+# cannot change mid-session. The cached object is a LAZY PLAN (schema +
+# file listing), never data: every query still scans the parquet
+# fresh, exactly like Spark's own per-session file-index cache
+# (optimization guide §6 — avoid repeated listings). Keyed by session
+# id so a new session (driver run) re-infers from disk.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as long nanoseconds and truncate to a
