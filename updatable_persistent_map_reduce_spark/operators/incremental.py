@@ -18,9 +18,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import MapReduceView
+from ..plans.view import maintenance_scope
 from ..plans.store import ManifestTable
 from ..sources import Catalog
 from . import register
+
+
+def _store_scoped(table: str = "customer"):
+    """Decorator for the store-lifecycle attestation operators: run
+    the operator's BUILD phase (temp-store writes, merges, compacts —
+    chains of small jobs) under a maintenance scope sized from the
+    source table's parquet bytes (driver-side; ~4x decompression
+    allowance). Bench-scale scenarios stop paying full-width AQE
+    stage cascades per action; a large source keeps the session conf
+    (maintenance_scope shrinks only). The RETURNED DataFrame is
+    evaluated by the caller outside the scope, so serving reads keep
+    the session's full configuration."""
+    import functools
+    import math
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                sz = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+                n = max(8, math.ceil(sz * 4 / (64 * 1024 * 1024)))
+            except OSError:
+                n = None
+            with maintenance_scope(spark, n):
+                return fn(spark, sf_dir)
+
+        return wrapper
+
+    return deco
+
 
 
 def _latest_event_per_user(df: DataFrame) -> DataFrame:
@@ -196,6 +227,7 @@ def q_upsert_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is re-submitted with a new nation; old group shrinks, new grows, grand "
     "total conserved.",
 )
+@_store_scoped()
 def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir).customer
     store = tempfile.mkdtemp(prefix="upmr_migrate_")
@@ -238,6 +270,7 @@ def q_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the file layout and nothing else, including the dirty-span "
     "bookkeeping the next Execute depends on (Executer.cs:305-367).",
 )
+@_store_scoped()
 def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir).customer
     store = tempfile.mkdtemp(prefix="upmr_compact_")
@@ -310,6 +343,7 @@ _DAY_1998_LO = 2922  # (1998-01-01 - 1990-01-01).days
     "set, never the answer. This is the second pruning axis next to "
     "span membership: span = WHICH key, stats = WHICH range.",
 )
+@_store_scoped()
 def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_statsprune_")
@@ -433,6 +467,7 @@ def _merge_scenario(
     "All balance math in integer cents (floor(decimal*100)) so both "
     "engines agree exactly.",
 )
+@_store_scoped()
 def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_merge_")
     untouched_before = {
@@ -500,6 +535,7 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inserts = surviving updates' new image plus the shifted-key "
     "inserts. Integer-cents math both sides.",
 )
+@_store_scoped()
 def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_cdc_")
     v1 = t.version
@@ -571,6 +607,7 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized-view maintenance loop a 100 TB deployment runs "
     "instead of nightly full rebuilds.",
 )
+@_store_scoped()
 def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_cdcroll_")
     v1 = t.version
@@ -652,6 +689,7 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unlinks only its own name) is what makes hardlink sharing safe. "
     "Oracle = base aggregate UNION merged aggregate.",
 )
+@_store_scoped()
 def q_store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_clone_")
     c = t.clone_to(t.path + "_branch")
@@ -707,6 +745,7 @@ def q_store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-in: the engine's recompute-from-durable-state contract "
     "(Executer.cs:165-203) extended to point-in-time recovery.",
 )
+@_store_scoped()
 def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_restore_")
     v1 = t.version
@@ -761,6 +800,7 @@ def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "now, restore zero read-time overhead later. Oracle = the plain "
     "filtered aggregate; integer cents both sides.",
 )
+@_store_scoped()
 def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_dv_")
@@ -823,6 +863,7 @@ def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fails the gate. The NULL priority group in the result IS the "
     "legacy half — the oracle derives the same split from parity.",
 )
+@_store_scoped()
 def q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_evolve_")
@@ -1155,6 +1196,7 @@ def _time_travel_view(spark: SparkSession, sf_dir: str):
     "no data copies, the same mechanism as Delta/Iceberg VERSION AS "
     "OF; vacuum(keep_versions=N) bounds the archive.",
 )
+@_store_scoped()
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, v1 = _time_travel_view(spark, sf_dir)
     return view.final_df(version=v1).select(
@@ -1224,6 +1266,7 @@ def q_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rewrite unit, so they must track corpus growth; upgrading from "
     "pytest-only to an externally-attested behavior.",
 )
+@_store_scoped()
 def q_store_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir).customer
     store = tempfile.mkdtemp(prefix="upmr_rescale_")
@@ -1274,6 +1317,7 @@ def q_store_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "therefore attests that map rows carried the value column all "
     "along and the recompute used them.",
 )
+@_store_scoped()
 def q_alter_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     store = tempfile.mkdtemp(prefix="upmr_alter_")
@@ -1382,6 +1426,7 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forever; a real deployment must reclaim) — the exact trade "
     "Delta's VACUUM/retention makes.",
 )
+@_store_scoped()
 def q_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, tgt, src = _merge_scenario(spark, sf_dir, "upmr_vacuum_")
     v1 = t.version
@@ -1621,6 +1666,7 @@ def q_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Executer.cs:165-203); versioned diff is the capability its "
     "persistence layer lacks that Delta/Iceberg deployments rely on.",
 )
+@_store_scoped()
 def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _tgt, src = _merge_scenario(spark, sf_dir, "upmr_diff_")
     v1 = t.version
