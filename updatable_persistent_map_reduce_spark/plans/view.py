@@ -283,7 +283,12 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
     ``maintenance_shuffle_partitions``) always applies ``n`` as the
     maintenance partition count — raising as well as lowering —
     and stays marked active so inner derived scopes cannot
-    override the explicit setting.
+    override the explicit setting. A pin=True scope additionally
+    takes precedence over an active *derived* (non-pin) scope — a
+    view's explicit maintenance_shuffle_partitions applies even when
+    its execute() runs under an outer @_store_scoped /
+    @maintained scope (r12 advice) — and restores the outer scope's
+    conf on exit; only a pin under a pin no-ops.
 
     The session conf is SESSION-global state, so a module-level
     lock serializes modifying scopes across views/threads sharing
@@ -294,7 +299,13 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
     on ``spark.newSession()`` (shares the cluster, isolates conf)
     if that matters."""
     conf = spark.conf
-    if n is None or getattr(_CONF_SCOPE_TLS, "active", False):
+    prev_active = getattr(_CONF_SCOPE_TLS, "active", False)
+    prev_pinned = getattr(_CONF_SCOPE_TLS, "pinned", False)
+    prev_small = getattr(_CONF_SCOPE_TLS, "small", False)
+    # A nested scope no-ops while one is active — EXCEPT a pin=True
+    # scope under a derived (non-pin) scope: the explicit view-level
+    # setting wins over the outer heuristic and restores it on exit.
+    if n is None or (prev_active and not (pin and not prev_pinned)):
         yield
         return
     _CONF_SCOPE_LOCK.acquire()
@@ -312,6 +323,7 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
             return
         old_aqe = None
         old_bcast = None
+        old_disc = None
         shrank = modify and default is not None and n < default
         if modify:
             old_aqe = conf.get("spark.sql.adaptive.enabled")
@@ -327,13 +339,29 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
                 # (guide §3.1 — pick the strategy deliberately).
                 old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
                 conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                # Maintenance reads hand Spark explicit manifest-resolved
+                # FILE paths; above 32 of them the reader launches a
+                # parallel listing JOB (parallelPartitionDiscovery) whose
+                # dispatch (~120 ms) dwarfs the driver stat()ing a
+                # shrunken scope's bounded file list. Unscoped (at-scale)
+                # reads keep the session default — a 100 TB table's
+                # listing still parallelizes.
+                old_disc = conf.get(
+                    "spark.sql.sources.parallelPartitionDiscovery.threshold"
+                )
+                conf.set(
+                    "spark.sql.sources.parallelPartitionDiscovery.threshold",
+                    "10000",
+                )
         _CONF_SCOPE_TLS.active = True
+        _CONF_SCOPE_TLS.pinned = pin
         _CONF_SCOPE_TLS.small = shrank
         try:
             yield
         finally:
-            _CONF_SCOPE_TLS.active = False
-            _CONF_SCOPE_TLS.small = False
+            _CONF_SCOPE_TLS.active = prev_active
+            _CONF_SCOPE_TLS.pinned = prev_pinned
+            _CONF_SCOPE_TLS.small = prev_small
             if modify:
                 conf.set("spark.sql.shuffle.partitions", str(default))
                 if old_aqe is not None:
@@ -341,6 +369,12 @@ def maintenance_scope(spark: SparkSession, n: int | None, pin: bool = False):
                 if old_bcast is not None:
                     conf.set(
                         "spark.sql.autoBroadcastJoinThreshold", old_bcast
+                    )
+                if old_disc is not None:
+                    conf.set(
+                        "spark.sql.sources.parallelPartitionDiscovery"
+                        ".threshold",
+                        old_disc,
                     )
     finally:
         if held:
@@ -656,6 +690,22 @@ class MapReduceView:
             return self._size_partitions(last)
         return None
 
+    @staticmethod
+    def _mapping_rows(table: ManifestTable, mapping: dict) -> int:
+        """Exact row count of a write_data mapping's files from their
+        parquet footers — driver-side metadata, no Spark job (the
+        counting job this replaces was ~120 ms of pure dispatch per
+        batch at bench scale)."""
+        import pyarrow.parquet as pq
+
+        return int(
+            sum(
+                pq.ParquetFile(os.path.join(table.path, f)).metadata.num_rows
+                for fs in mapping.values()
+                for f in fs
+            )
+        )
+
     def _span_file_bytes(self, table: ManifestTable, spans) -> int:
         """On-disk bytes of ``spans``' files per the current manifest —
         driver-side metadata only, no Spark job."""
@@ -909,9 +959,7 @@ class MapReduceView:
         # from the write mappings themselves.
         if not self._map_t.spans() and not self._idx_t.spans():
             with self._conf_scope(batch_n):
-                n_mapped = mapped.count()
-            with self._conf_scope(self._size_partitions(n_mapped)):
-                self._bootstrap(mapped, cache, n_mapped)
+                self._bootstrap(mapped, cache)
             return
 
         # --- dirty sets (reference: ScheduleReduction, Executer.cs:115-151)
@@ -925,36 +973,9 @@ class MapReduceView:
         # whole doc_index is small (manifest byte stats, no job), the
         # lookup is folded INTO the probe — one collect instead of two;
         # the two-phase pruned path remains the at-scale plan.
-        ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
         bucket_of = self._bucket(F.col("uid"))
-        probe = mapped.select(
-            F.lit("k").alias("t"),
-            F.col("kspan").alias("v"),
-            F.col("bucket").alias("b"),
-        )
         small_idx = self._idx_t.stats()["bytes"] < self._SMALL_INDEX_BYTES
         idx_all = self._idx_t.read(self.spark) if small_idx else None
-        if idx_all is not None:
-            probe = probe.unionByName(
-                idx_all.join(maint_small_side(ids_d), ["dspan", "uid"], "inner")
-                .select(
-                    F.lit("o").alias("t"),
-                    F.col("kspan").alias("v"),
-                    bucket_of.alias("b"),
-                )
-            )
-        else:
-            # Two-phase path only: the ids' doc-spans drive the pruned
-            # doc_index read in _apply_rest. With the lookup folded
-            # above, batch_dspans is never consulted — skip the branch
-            # (one fewer probe input scan).
-            probe = probe.unionByName(
-                ids_d.select(
-                    F.lit("d").alias("t"),
-                    F.col("dspan").alias("v"),
-                    F.lit(0).alias("b"),
-                )
-            )
         new_kspans: set[int] = set()
         old_kspans: set[int] = set()
         new_pspans: set[int] = set()
@@ -970,7 +991,40 @@ class MapReduceView:
         # (map-side partial aggregation over a few thousand distinct
         # tuples), but the counts measure the batch for free — the 'k'
         # rows sum to the mapped row count, so no separate count job.
+        # The probe plan is CONSTRUCTED inside the scope so
+        # maint_small_side sees the shrunken-scope TLS and plans the
+        # folded index lookup as a shuffle-hash join — construction
+        # outside picked the at-scale broadcast hint, whose build is a
+        # separate dispatch-only job per batch (r12 advice item 3).
         with self._conf_scope(self._hint_partitions()):
+            ids_d = ids.withColumn("dspan", self._dspan(F.col("uid")))
+            probe = mapped.select(
+                F.lit("k").alias("t"),
+                F.col("kspan").alias("v"),
+                F.col("bucket").alias("b"),
+            )
+            if idx_all is not None:
+                probe = probe.unionByName(
+                    idx_all.join(
+                        maint_small_side(ids_d), ["dspan", "uid"], "inner"
+                    ).select(
+                        F.lit("o").alias("t"),
+                        F.col("kspan").alias("v"),
+                        bucket_of.alias("b"),
+                    )
+                )
+            else:
+                # Two-phase path only: the ids' doc-spans drive the
+                # pruned doc_index read in _apply_rest. With the lookup
+                # folded above, batch_dspans is never consulted — skip
+                # the branch (one fewer probe input scan).
+                probe = probe.unionByName(
+                    ids_d.select(
+                        F.lit("d").alias("t"),
+                        F.col("dspan").alias("v"),
+                        F.lit(0).alias("b"),
+                    )
+                )
             probe_rows = probe.groupBy("t", "v", "b").agg(
                 F.count(F.lit(1)).alias("c")
             ).collect()
@@ -1025,19 +1079,24 @@ class MapReduceView:
         self,
         mapped: DataFrame,
         cache: Callable[[DataFrame], DataFrame],
-        n_mapped: int,
     ) -> None:
-        """First batch into an empty store: concurrent writes of map
-        output, index, (L1,) and finals straight from the mapped batch;
+        """First batch into an empty store: the map write runs first
+        (one job — it materializes the cached batch for the index/
+        finals consumers, and its footer metadata says whether the
+        batch mapped to anything, replacing the r12 up-front count
+        job), then the index and finals/L1 writes run concurrently;
         the journal (derived from the write mappings) precedes the
         first commit, so crash recovery converges exactly as in the
         general path."""
         meta = self._meta()
+        data_cols = [c for c in mapped.columns if c != "pspan"]
+        new_rows = mapped.select(*data_cols, F.col("pspan"))
+        results: dict[str, dict[int, list[str]]] = {}
+        results["map"] = self._map_t.write_data(new_rows)
+        n_mapped = self._mapping_rows(self._map_t, results["map"])
         if n_mapped == 0:
             self._write_meta({**meta, "batch_seq": meta["batch_seq"] + 1})
             return
-        data_cols = [c for c in mapped.columns if c != "pspan"]
-        new_rows = mapped.select(*data_cols, F.col("pspan"))
         l1_content = None
         finals = None
         if self.two_level:
@@ -1046,16 +1105,29 @@ class MapReduceView:
             l1_content = mapped.groupBy(
                 "kspan", "bucket", *self.group_cols
             ).agg(*self.agg_exprs)
-        elif self.agg_exprs is not None:
-            finals = mapped.groupBy("kspan", *self.group_cols).agg(
-                *self.agg_exprs
-            )
         else:
-            finals = mapped.groupBy("kspan", *self.group_cols).applyInPandas(
-                self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+            # Finals re-reduce the just-written map files (tiny,
+            # page-cache-warm, columnar) — same shape as the two-level
+            # finals' L1 re-read; no dependency on the batch cache.
+            files = [
+                os.path.join(self._map_t.path, f)
+                for fs in results["map"].values()
+                for f in fs
+            ]
+            content = self.spark.read.schema(self._map_t._schema).parquet(
+                *files
             )
+            if self.agg_exprs is not None:
+                finals = content.groupBy("kspan", *self.group_cols).agg(
+                    *self.agg_exprs
+                )
+            else:
+                finals = content.groupBy(
+                    "kspan", *self.group_cols
+                ).applyInPandas(
+                    self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
+                )
         new_idx = mapped.select("uid", "kspan", "dspan").distinct()
-        results: dict[str, dict[int, list[str]]] = {}
         errors: dict[str, BaseException] = {}
 
         def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
@@ -1066,7 +1138,6 @@ class MapReduceView:
 
         jobs = [
             ("idx", lambda: self._idx_t.write_data(new_idx)),
-            ("map", lambda: self._map_t.write_data(new_rows)),
         ]
         if finals is not None:
             jobs.append(("fin", lambda: self._fin_t.write_data(finals)))
@@ -1124,10 +1195,14 @@ class MapReduceView:
             else self._idx_t.read(self.spark, spans=batch_dspans)
         )
         if idx is not None:
-            old_locs = idx.join(maint_small_side(ids_d), ["dspan", "uid"], "inner")
             # Distinct-over-span-ids like the probe: safe under the
-            # previous batch's sizing hint at any batch size.
+            # previous batch's sizing hint at any batch size. Plan
+            # construction inside the scope so maint_small_side plans
+            # for the scope that executes it (r12 advice item 3).
             with self._conf_scope(self._hint_partitions()):
+                old_locs = idx.join(
+                    maint_small_side(ids_d), ["dspan", "uid"], "inner"
+                )
                 old_rows = (
                     old_locs.select(
                         F.col("kspan").alias("v"), bucket_of.alias("b")
@@ -1195,15 +1270,15 @@ class MapReduceView:
                 pair_rows = survivors.select(new_rows.columns).unionByName(new_rows)
             else:
                 pair_rows = new_rows
-            # ``pair_rows`` is exactly what the dirty pairs hold after
-            # commit, so the rewrite write and the re-aggregation read it
-            # from cache instead of re-reading just-written parquet. Every
-            # write job below runs on a concurrent driver thread (Spark
-            # schedules jobs from separate threads in parallel): readers
-            # hold manifest-resolved file lists and appends only create
-            # unreferenced files, so no ordering applies until the commits
-            # — the critical path is the slowest write, not the sum.
-            cache(pair_rows)
+            # Two-level mode consumes ``pair_rows`` twice (the map write
+            # and the L1 partial recompute) — cache it so the second
+            # consumer reads columnar cache, populated by whichever job
+            # scans it first. Single-level consumes it exactly ONCE (the
+            # map write; finals re-reduce the just-written files below),
+            # so there is no cache and no materializing count job —
+            # the r12 ``pair_rows.count()`` is gone (guide §1.2).
+            if self.two_level:
+                cache(pair_rows)
 
             # --- re-aggregate only dirty state
             # (reference: ExecuteReduce over scheduled spans,
@@ -1215,9 +1290,12 @@ class MapReduceView:
             # grouping, Executer.cs:62, with strictly finer dirty
             # granularity). Single-level: Catalyst's partial+final
             # HashAggregate is the reduce tree, re-run over the dirty
-            # key-spans' rows = dirty pairs + their spans' untouched pairs.
+            # key-spans' FILES — the just-written replacement/append files
+            # plus the spans' retained committed files — exactly like the
+            # two-level finals re-reduce the just-written L1 files
+            # (_write_finals_from_l1): reading tiny page-cache-warm
+            # columnar state back beats a cache + materializing count.
             l1_content = None
-            finals = None
             if self.two_level:
                 pairs_by_span: dict[int, list[int]] = {}
                 for p in sorted(dirty_pspans):
@@ -1236,63 +1314,18 @@ class MapReduceView:
                     )
                 else:
                     l1_content = recomputed
-                # finals are computed AFTER the concurrent jobs by
-                # reading back the L1 files the l1 write just landed —
-                # no cache, no materialization job, no writers racing
-                # to populate a cache: the L1 parquet (page-cache-warm,
-                # columnar, tiny relative to map rows) IS the
-                # materialized partial state finals re-reduce.
-            else:
-                untouched_pspans = {
-                    p
-                    for p in all_pspans
-                    if p // self.n_sub_buckets in dirty_kspans
-                } - dirty_pspans
-                untouched = self._map_t.read(self.spark, spans=untouched_pspans)
-                content = (
-                    pair_rows
-                    if untouched is None
-                    else untouched.select(pair_rows.columns).unionByName(pair_rows)
-                )
-                if self.agg_exprs is not None:
-                    finals = content.groupBy("kspan", *self.group_cols).agg(
-                        *self.agg_exprs
-                    )
-                else:
-                    finals = content.groupBy(
-                        "kspan", *self.group_cols
-                    ).applyInPandas(
-                        self.reduce_fn, schema=f"kspan int, {self.reduce_schema}"
-                    )
 
-            # --- write all data files concurrently (invisible until commit)
-            #
-            # ``pair_rows`` feeds two of the concurrent jobs below (map +
-            # fin single-level, map + l1 two-level); Spark's cache does
-            # not deduplicate in-flight partition computation across jobs
-            # racing to populate it, so materialize it once up front —
-            # the concurrent writers then read columnar cache instead of
-            # each re-running the survivor-filter union.
-            n_pair_rows = pair_rows.count()
-            new_idx = mapped.select("uid", "kspan", "dspan").distinct()
-            results: dict[str, dict[int, list[str]]] = {}
-            errors: dict[str, BaseException] = {}
-
-            def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
-                try:
-                    results[name] = fn()
-                except BaseException as e:  # noqa: BLE001 — re-raised below
-                    errors[name] = e
-
-            # One write job covers the whole map table: append pairs land
-            # only the batch's new rows, rewrite pairs land their full
-            # replacement content (survivors + batch). The two slices are
-            # disjoint by pspan, so a single job writes both file sets and
-            # the commit splits the resulting span->files mapping by pair
-            # class — halving the map-table job count per batch. (NB
-            # ``pair_rows`` also holds existing rows of append-class pairs
-            # — read for the re-aggregation — which must NOT be rewritten,
-            # hence the slice-and-union rather than writing ``pair_rows``.)
+            # --- write the map table FIRST (one job covers the whole
+            # table: append pairs land only the batch's new rows,
+            # rewrite pairs land their full replacement content —
+            # survivors + batch; the two slices are disjoint by pspan,
+            # and the commit splits the mapping by pair class). Running
+            # it before the finals lets the finals re-reduce the
+            # written files; in two-level mode it also materializes the
+            # pair_rows cache for the L1 recompute. (NB ``pair_rows``
+            # also holds existing rows of append-class pairs — read for
+            # the re-aggregation — which must NOT be rewritten, hence
+            # the slice-and-union rather than writing ``pair_rows``.)
             map_write_pspans = append_pspans | rewrite_pspans
             slices = []
             if rewrite_pspans:
@@ -1306,13 +1339,72 @@ class MapReduceView:
             map_rows = slices[0] if len(slices) == 1 else (
                 slices[0].unionByName(slices[1]) if slices else None
             )
+            results: dict[str, dict[int, list[str]]] = {}
+            results["map"] = (
+                self._map_t.write_data(map_rows) if map_write_pspans else {}
+            )
+
+            # Single-level finals: re-reduce the dirty key-spans' map
+            # FILES — the files the write above just landed plus the
+            # spans' retained (non-rewritten) committed files.
+            finals = None
+            if not self.two_level:
+                retained_pspans = {
+                    p
+                    for p in all_pspans
+                    if p // self.n_sub_buckets in dirty_kspans
+                } - rewrite_pspans
+                pieces = []
+                new_files = [
+                    os.path.join(self._map_t.path, f)
+                    for fs in results["map"].values()
+                    for f in fs
+                ]
+                if new_files:
+                    pieces.append(
+                        self.spark.read.schema(self._map_t._schema)
+                        .parquet(*new_files)
+                        .select(new_rows.columns)
+                    )
+                retained = self._map_t.read(self.spark, spans=retained_pspans)
+                if retained is not None:
+                    pieces.append(retained.select(new_rows.columns))
+                if pieces:
+                    content = (
+                        pieces[0]
+                        if len(pieces) == 1
+                        else pieces[0].unionByName(pieces[1])
+                    )
+                    if self.agg_exprs is not None:
+                        finals = content.groupBy(
+                            "kspan", *self.group_cols
+                        ).agg(*self.agg_exprs)
+                    else:
+                        finals = content.groupBy(
+                            "kspan", *self.group_cols
+                        ).applyInPandas(
+                            self.reduce_fn,
+                            schema=f"kspan int, {self.reduce_schema}",
+                        )
+
+            # --- remaining data-file writes run concurrently
+            # (invisible until commit): the doc-index write and the
+            # finals (single-level) or L1 partials (two-level) write
+            # are independent jobs on concurrent driver threads.
+            new_idx = mapped.select("uid", "kspan", "dspan").distinct()
+            errors: dict[str, BaseException] = {}
+
+            def _run(name: str, fn: Callable[[], dict[int, list[str]]]) -> None:
+                try:
+                    results[name] = fn()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors[name] = e
+
             jobs: list[tuple[str, Callable[[], dict[int, list[str]]]]] = [
                 ("idx", lambda: self._idx_t.write_data(new_idx)),
             ]
             if finals is not None:
                 jobs.append(("fin", lambda: self._fin_t.write_data(finals)))
-            if map_write_pspans:
-                jobs.append(("map", lambda: self._map_t.write_data(map_rows)))
             if l1_content is not None:
                 jobs.append(("l1", lambda: self._l1_t.write_data(l1_content)))
             threads = [
@@ -1327,6 +1419,7 @@ class MapReduceView:
                 raise next(iter(errors.values()))
             if self.two_level:
                 results["fin"] = self._write_finals_from_l1(results["l1"])
+            results.setdefault("fin", {})
 
         # --- commit (atomic manifest swaps, dependency order; see
         # module docstring for why the index leads)
@@ -1354,9 +1447,13 @@ class MapReduceView:
                 **meta,
                 "batch_seq": meta["batch_seq"] + 1,
                 # Sizes the next batch's maintenance jobs (see
-                # _hint_partitions); the dirty slice is the best
-                # available predictor of the next one.
-                "last_batch_rows": int(n_pair_rows),
+                # _hint_partitions); the rows the map write landed —
+                # exact from the written files' parquet footers,
+                # driver-side, no job — are the best available
+                # predictor of the next dirty slice.
+                "last_batch_rows": self._mapping_rows(
+                    self._map_t, results["map"]
+                ),
             }
         )
 
