@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr
 from .store import ManifestTable
-from .view import _plan_width, maintained, maintenance_n
+from .view import (
+    _plan_width,
+    maint_small_side,
+    maintained,
+    maintenance_n,
+    maintenance_scope,
+)
 
 
 class IvfIndex:
@@ -229,7 +235,23 @@ class IvfIndex:
         selection is numpy over KB driver state; the scan is manifest-
         pruned to the probed cells' files; scoring is the same codegen
         cosine + per-query window as the brute-force baseline.
-        ``nprobe >= n_cells`` probes everything — exact search."""
+        ``nprobe >= n_cells`` probes everything — exact search.
+
+        Runs under a derived maintenance scope sized from the index's
+        table bytes and materializes the (bounded: k x queries) top-k
+        inside it: unscoped, the caller's collect fanned into 4-7 AQE
+        stage jobs for a bench-scale probe; a big index leaves the
+        session untouched (shrink-only), the 100 TB path. Identical
+        rows either way."""
+        with maintenance_scope(self.spark, maintenance_n(None, self._listed)):
+            return self._search_inner(queries, k, nprobe)
+
+    def _search_inner(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int,
+        nprobe: int,
+    ) -> DataFrame:
         cents = self.centroids()
         qmat = np.array([v for _, v in queries], dtype=np.float64)
         qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -250,7 +272,7 @@ class IvfIndex:
             "query_id long, qe array<float>, cell int",
         )
         scored = (
-            listed.join(F.broadcast(probes), "cell")
+            listed.join(maint_small_side(probes), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .dropDuplicates(["query_id", "vec_id"])
             .select(
@@ -264,11 +286,13 @@ class IvfIndex:
         w = W.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("vec_id")
         )
-        return (
+        out = (
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cos_sim", "rnk")
         )
+        # materialize inside the scope (see search docstring)
+        return out.localCheckpoint()
 
 
 _PQ_QSCALE = 1024  # fixed-point scale for normalized-domain PQ codes
@@ -539,7 +563,20 @@ class IvfPqIndex(IvfIndex):
         optionally keep the ADC-top-``rerank`` per query, then read
         only the survivors' cells from the full-vector table for the
         exact cosine top-k. ``last_probe`` records the span pruning
-        both reads achieved."""
+        both reads achieved. Scoped + checkpointed like
+        :meth:`IvfIndex.search` (same job-count rationale)."""
+        with maintenance_scope(
+            self.spark, maintenance_n(None, self._codes, self._listed)
+        ):
+            return self._search_pq_inner(queries, k, nprobe, rerank)
+
+    def _search_pq_inner(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int,
+        nprobe: int,
+        rerank: int | None,
+    ) -> DataFrame:
         qscale, books = self._load_pq()
         cents = self.centroids()
         qmat = np.array([v for _, v in queries], dtype=np.float64)
@@ -592,7 +629,7 @@ class IvfPqIndex(IvfIndex):
                 "lut", sub_code + F.lit(mi * self.ksub + 1)
             )
         cand = (
-            codes.join(F.broadcast(probes), "cell")
+            codes.join(maint_small_side(probes), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .dropDuplicates(["query_id", "vec_id"])
             .select("query_id", "qe", "vec_id", "cell", adc.alias("adc"))
@@ -626,8 +663,9 @@ class IvfPqIndex(IvfIndex):
         w = W.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("vec_id")
         )
-        return (
+        out = (
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cos_sim", "rnk")
         )
+        return out.localCheckpoint()

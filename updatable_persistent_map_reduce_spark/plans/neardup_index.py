@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .store import ManifestTable
-from .view import _plan_width, maintained, maintenance_n
+from .view import _plan_width, maintained, maintenance_n, maintenance_scope
 
 
 class NearDupIndex:
@@ -320,9 +320,23 @@ class NearDupIndex:
     def probe(self, batch: DataFrame) -> DataFrame:
         """Near-dup pairs (doc_a = batch, doc_b = corpus, jaccard_bp)
         at exact integer Jaccard >= 1/2, reading ONLY the batch's band
-        signatures' spans plus the candidates' shingle spans. The
-        returned plan holds fixed file lists (ManifestTable.read), so
-        concurrent appends never shift what a probe sees."""
+        signatures' spans plus the candidates' shingle spans.
+
+        The whole probe — span discovery AND the verify join — runs
+        under a derived maintenance scope sized from the batch width +
+        the index's table bytes, and the (bounded: near-dup pairs of
+        one batch) result materializes INSIDE it via localCheckpoint:
+        unscoped, the two discovery collects and the caller's collect
+        each fanned into 3-6 AQE stage-materialization jobs for a
+        bounded probe (20 jobs/probe measured in q_takedown_cascade —
+        guide §1.2). A big batch over a big index leaves the session
+        untouched (maintenance_n is shrink-only), which is the 100 TB
+        path. The returned data is identical either way; it is now a
+        materialized snapshot rather than a lazy plan."""
+        with maintenance_scope(self.spark, self._maint_n(batch)):
+            return self._probe_inner(batch)
+
+    def _probe_inner(self, batch: DataFrame) -> DataFrame:
         sigs = self._sig_frame(batch).persist()
         bands_b = self._band_rows(sigs).persist()
         empty = self.spark.createDataFrame(
@@ -403,18 +417,15 @@ class NearDupIndex:
                     .alias("uni"),
                 )
             )
-            return scored.filter(2 * F.col("inter") >= F.col("uni")).select(
+            out = scored.filter(2 * F.col("inter") >= F.col("uni")).select(
                 "doc_a",
                 "doc_b",
                 F.expr("inter * 10000L DIV uni").alias("jaccard_bp"),
             )
+            # Materialize inside the scope (see probe docstring): one
+            # right-sized job instead of an at-conf AQE cascade at the
+            # caller's collect, and the signature pass never re-runs.
+            return out.localCheckpoint()
         finally:
-            # The persist covered probe's own driver-side span
-            # discovery (two distinct-collects over the batch
-            # signatures). Unpersisting does NOT invalidate the
-            # returned lazy plan — executing it recomputes the
-            # batch-sized signature pass once, which beats pinning
-            # executor memory per probe or collecting the result
-            # through the driver.
             bands_b.unpersist()
             sigs.unpersist()

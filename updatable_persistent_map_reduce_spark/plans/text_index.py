@@ -60,7 +60,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
 from .store import ManifestTable
-from .view import _plan_width, maintained, maintenance_n
+from .view import (
+    _plan_width,
+    maint_small_side,
+    maintained,
+    maintenance_n,
+    maintenance_scope,
+)
 
 K1 = 1.2
 B = 0.75
@@ -490,7 +496,7 @@ class InvertedIndex:
             return post
         tomb = tomb.select("doc_id", "live_gen")
         return (
-            post.join(F.broadcast(tomb), "doc_id", "left")
+            post.join(maint_small_side(tomb), "doc_id", "left")
             .filter(
                 F.col("live_gen").isNull()
                 | (F.col("gen") == F.col("live_gen"))
@@ -513,7 +519,21 @@ class InvertedIndex:
         Identical scoring to operators/search.q_bm25 (fixed-order
         per-term sum, rounded before ranking); df comes from the
         probed postings after the latest-wins filter, (n_docs, avgdl)
-        from the maintained stats."""
+        from the maintained stats.
+
+        Runs under a derived maintenance scope sized from the index's
+        table bytes and materializes the (bounded: top-k) result
+        inside it — unscoped, the term-span collect and the caller's
+        collect each fanned into 2-4 AQE stage jobs per query; a big
+        index leaves the session untouched (shrink-only). Identical
+        rows either way."""
+        with maintenance_scope(
+            self.spark,
+            maintenance_n(None, self._post, self._docs, self._repl),
+        ):
+            return self._bm25_inner(terms, k)
+
+    def _bm25_inner(self, terms: list[str], k: int) -> DataFrame:
         s = self.stats()
         n_docs = int(s["n_docs"])
         spans = self._term_spans(terms)
@@ -528,7 +548,7 @@ class InvertedIndex:
         avgdl = float(s["total_dl"]) / n_docs
         tf = self._live_filter(post).filter(F.col("token").isin(terms))
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        scored = tf.join(F.broadcast(dfreq), "token").select(
+        scored = tf.join(maint_small_side(dfreq), "token").select(
             "doc_id",
             "token",
             (
@@ -573,4 +593,5 @@ class InvertedIndex:
         ranked = p.select(
             "doc_id", F.round(total, 4).alias("score")
         ).orderBy(F.desc("score"), "doc_id")
-        return ranked.limit(k)
+        # materialize inside the scope (see bm25 docstring)
+        return ranked.limit(k).localCheckpoint()

@@ -249,8 +249,24 @@ def _plan_width(df: DataFrame) -> int | None:
     driver-side plan inspection, no job. For a batch that is narrow
     ops over a scan (the upsert contract) this is the scan width:
     1-ish for a bench-scale file, thousands at 100 TB — a cheap,
-    scale-proportional stand-in for input size."""
+    scale-proportional stand-in for input size. A LOCAL relation
+    (createDataFrame — takedown id lists, probe batches) reports
+    width 1: its RDD partition count is just defaultParallelism, a
+    parallelism artifact that made maintenance_n think a one-row
+    batch was cluster-wide and kept the scope from shrinking (every
+    small maintenance action then ran 2-5 AQE stage-materialization
+    jobs instead of one). Detected from the analyzed plan's leaves
+    (LocalRelation / LogicalRDD / OneRowRelation — driver-provided
+    data, never a storage scan); any file-backed leaf keeps the real
+    scan width."""
     try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if all(
+            leaves.apply(i).nodeName()
+            in ("LocalRelation", "LogicalRDD", "OneRowRelation")
+            for i in range(leaves.size())
+        ):
+            return 1
         return df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — exotic plans: keep defaults
         return None
