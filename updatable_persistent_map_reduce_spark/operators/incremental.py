@@ -24,12 +24,14 @@ from ..sources import Catalog
 from . import register
 
 
-def _store_scoped(table: str = "customer"):
+def _store_scoped(*tables: str):
     """Decorator for the store-lifecycle attestation operators: run
     the operator's BUILD phase (temp-store writes, merges, compacts —
     chains of small jobs) under a maintenance scope sized from the
-    source table's parquet bytes (driver-side; ~4x decompression
-    allowance). Bench-scale scenarios stop paying full-width AQE
+    operator's ACTUAL source tables' parquet bytes (driver-side; ~4x
+    decompression allowance; max over the tables — r12 advice: sizing
+    orders-based operators from customer pinned a larger build to a
+    small scope). Bench-scale scenarios stop paying full-width AQE
     stage cascades per action; a large source keeps the session conf
     (maintenance_scope shrinks only). The RETURNED DataFrame is
     evaluated by the caller outside the scope, so serving reads keep
@@ -37,11 +39,16 @@ def _store_scoped(table: str = "customer"):
     import functools
     import math
 
+    tables = tables or ("customer",)
+
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
-                sz = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+                sz = max(
+                    os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+                    for t in tables
+                )
                 n = max(8, math.ceil(sz * 4 / (64 * 1024 * 1024)))
             except OSError:
                 n = None
@@ -343,7 +350,7 @@ _DAY_1998_LO = 2922  # (1998-01-01 - 1990-01-01).days
     "set, never the answer. This is the second pruning axis next to "
     "span membership: span = WHICH key, stats = WHICH range.",
 )
-@_store_scoped()
+@_store_scoped("orders")
 def q_store_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_statsprune_")
@@ -800,7 +807,7 @@ def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "now, restore zero read-time overhead later. Oracle = the plain "
     "filtered aggregate; integer cents both sides.",
 )
-@_store_scoped()
+@_store_scoped("orders")
 def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_dv_")
@@ -863,7 +870,7 @@ def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fails the gate. The NULL priority group in the result IS the "
     "legacy half — the oracle derives the same split from parity.",
 )
-@_store_scoped()
+@_store_scoped("orders")
 def q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = tempfile.mkdtemp(prefix="upmr_evolve_")
@@ -1196,7 +1203,7 @@ def _time_travel_view(spark: SparkSession, sf_dir: str):
     "no data copies, the same mechanism as Delta/Iceberg VERSION AS "
     "OF; vacuum(keep_versions=N) bounds the archive.",
 )
-@_store_scoped()
+@_store_scoped("events")
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, v1 = _time_travel_view(spark, sf_dir)
     return view.final_df(version=v1).select(
@@ -1317,7 +1324,7 @@ def q_store_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "therefore attests that map rows carried the value column all "
     "along and the recompute used them.",
 )
-@_store_scoped()
+@_store_scoped("orders")
 def q_alter_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     store = tempfile.mkdtemp(prefix="upmr_alter_")

@@ -682,14 +682,18 @@ class ManifestTable:
         wall time): ``touched`` lets a caller that ALREADY collected
         the source's span footprint (e.g. JoinView's probe) skip this
         method's distinct-collect — it must be EXACTLY the source's
-        distinct span set: a superset would replace untouched spans
-        with nothing (the commit drops them), a subset raises via the
-        stray-span check below. ``want_counts=False`` skips the
-        updated/inserted/deleted counting job for callers that ignore
-        the stats (the returned counts are then None).
+        distinct span set. The contract is ENFORCED, not trusted
+        (r12 verdict item 8 — a superset hint would replace untouched
+        spans with nothing, silent data loss): an Observation on the
+        source collects its true distinct span set as a side effect
+        of the jobs the merge already runs (zero extra jobs), and any
+        mismatch raises before the commit. ``want_counts=False``
+        skips the updated/inserted/deleted counting job for callers
+        that ignore the stats (the returned counts are then None).
         """
         spark = source.sparkSession
         base_v = self.version
+        obs = None
         if touched is None:
             touched = sorted(
                 r[0]
@@ -697,6 +701,12 @@ class ManifestTable:
             )
         else:
             touched = sorted(int(s) for s in touched)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            source = source.observe(
+                obs, F.collect_set(F.col(self.span_col)).alias("spans")
+            )
         tgt = self.read(spark, spans=touched)
         cols = list(self._schema.names) if self._schema is not None else None
         if cols is None:
@@ -754,6 +764,19 @@ class ManifestTable:
             ]
         )
         mapping = self.write_data(merged)
+        if obs is not None:
+            # The write (or counts) job evaluated the observed source;
+            # compare its TRUE distinct span set against the caller's
+            # hint. A superset hint would have emptied the extra spans
+            # at commit (data loss); a subset would drop landed rows.
+            observed = sorted(int(x) for x in obs.get["spans"])
+            if observed != touched:
+                raise ValueError(
+                    f"merge into {self.path}: touched= hint {touched} != "
+                    f"the source's actual distinct span set {observed} — "
+                    "committing would silently replace the difference "
+                    "with nothing; pass the source's exact span footprint"
+                )
         # Enforce (not just document) the determinism clause above: if
         # the source changed between the touched-span collect and the
         # write job, rows can land in spans outside the pinned

@@ -16,6 +16,7 @@ reader, which parallelizes splits by ``spark.sql.files.maxPartitionBytes``.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,27 +55,39 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-# Session-level plan cache: (session id, sf_dir, table) -> DataFrame.
+# Session-level plan cache: session -> {(sf_dir, table) -> DataFrame}.
 # ``spark.read.parquet`` pays a schema-inference/listing job per call,
 # and every operator builds a fresh Catalog — so a 22-query SQL suite
 # re-ran ~10 such jobs (1-3 s) per query just to re-learn schemas that
 # cannot change mid-session. The cached object is a LAZY PLAN (schema +
 # file listing), never data: every query still scans the parquet
 # fresh, exactly like Spark's own per-session file-index cache
-# (optimization guide §6 — avoid repeated listings). Keyed by session
-# id so a new session (driver run) re-infers from disk.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (optimization guide §6 — avoid repeated listings). Keyed WEAKLY on
+# the session object (r12 advice: an id()-keyed dict could serve a new
+# session plans bound to a dead one whose id was reused, and pinned
+# JVM-backed plans forever) — a stopped/collected session's entries
+# vanish with it, and a fresh driver session always re-infers from
+# disk. The cached plan freezes the FILE LISTING at first load: files
+# added to sf_dir mid-session are not picked up (the test corpora are
+# immutable; a mutable deployment would use a real catalog).
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (id(spark), sf_dir, name)
-    cached = _PLAN_CACHE.get(key)
+    per_session = _PLAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _PLAN_CACHE[spark] = per_session
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _PLAN_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
