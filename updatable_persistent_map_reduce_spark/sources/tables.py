@@ -38,21 +38,47 @@ TABLE_NAMES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Widen a narrow scan to cluster width with a round-robin
-    repartition; no-op when the plan is already at least
-    default-parallelism wide.
+def spread(df: DataFrame, bytes_per_task: int = 64 * 1024) -> DataFrame:
+    """Widen a narrow scan for a CPU-bound kernel with a round-robin
+    repartition sized from the INPUT BYTES, capped at cluster width;
+    no-op when the plan is already at least that wide.
 
     Catalyst/codegen stages don't need this — a single small file is
     fine single-threaded — but Arrow-batched Python kernels and
     interpreted higher-order array expressions are CPU-bound per row,
     so a 1-file scan would pin them to one core. At 100 TB sources are
     many-file and already wide, making this a no-op; the test fixtures
-    are single small parquet files, which is exactly the narrow case."""
+    are single small parquet files, which is exactly the narrow case.
+
+    The width is scale-adaptive, not the core count (guide §2.2 —
+    derive partitioning from the data): ``ceil(input parquet bytes /
+    bytes_per_task)``, so a small corpus gets the handful of tasks its
+    kernel work can fill instead of one empty-ish Python worker
+    round-trip per core (r12 scaling data: q_mm_features ran 2x FASTER
+    on 8 cores than 32 because 32 near-empty Arrow tasks were pure
+    dispatch), while a large corpus saturates the cluster. 64 KB of
+    parquet ≈ a few MB decompressed ≈ tens of ms of vectorized kernel
+    per task — comfortably above task-dispatch cost. Falls back to
+    cluster width when the input isn't file-backed."""
+    import math
+
     width = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
-        return df.repartition(width)
-    return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= width:
+        return df
+    n = width
+    try:
+        files = df.inputFiles()
+        sz = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+        if files:
+            n = max(1, min(width, math.ceil(sz / bytes_per_task)))
+    except Exception:  # noqa: BLE001 — non-file plans: cluster width
+        pass
+    if cur >= n:
+        return df
+    return df.repartition(n)
 
 
 # Session-level plan cache: session -> {(sf_dir, table) -> DataFrame}.
