@@ -229,6 +229,63 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # SCALE-OUT evidence legs (r12 verdict item 7): at sf0.1 every
+    # query is dispatch-bound, so the low/high-core scaling ratios the
+    # driver measures all sit at ~1 and prove nothing about
+    # parallelism. These two legs GENERATE enough work (driver-side
+    # range(), no stored inputs — recomputed every run, nothing
+    # persisted) that core count separates:
+    #   - kernel leg: the engine's shingle+minhash Arrow kernel over a
+    #     deterministic generated 600k-doc corpus — Python-worker
+    #     CPU, the 100 TB dedup pipeline's scaling mode (measured
+    #     2.5x: 6.2s @ 32 cores vs 15.3s @ 8 cores on this box);
+    #   - shuffle leg: 25M-row sha2 content-hash dedup shape (the
+    #     q_dedup_exact plan over generated rows) into a 2M-group
+    #     hash aggregate — codegen + map-side partials + one real
+    #     shuffle (measured ~2x warm).
+    # Best-of-2 each; NOT part of the headline (new standalone keys).
+    from updatable_persistent_map_reduce_spark.operators.dedup import (
+        _shingle_minhash_udf,
+    )
+
+    _width = spark.sparkContext.defaultParallelism
+
+    def _scaleout_kernel_once(n_docs: int = 600_000, n_tok: int = 120) -> float:
+        t0 = time.perf_counter()
+        docs = spark.range(n_docs).repartition(_width * 2).selectExpr(
+            "id AS doc_id",
+            f"""concat_ws(' ',
+               transform(sequence(0, {n_tok - 1}),
+                 i -> concat('w', pmod(xxhash64(id, i), 50000)))) AS text""",
+        )
+        sm = docs.select(_shingle_minhash_udf(16)("text").alias("sm"))
+        sm.select(F.sum(F.size("sm.shingles"))).collect()
+        return time.perf_counter() - t0
+
+    def _scaleout_shuffle_once(n_rows: int = 25_000_000) -> float:
+        t0 = time.perf_counter()
+        df = spark.range(n_rows).selectExpr(
+            "sha2(cast(id as string), 256) AS h",
+            "pmod(xxhash64(id), 2000000) AS k",
+        )
+        df.groupBy("k").agg(F.max("h")).selectExpr("count(1)").collect()
+        return time.perf_counter() - t0
+
+    spark.sparkContext.setJobDescription("scaleout: kernel leg")
+    scaleout_kernel = round(min(_scaleout_kernel_once() for _ in range(2)), 3)
+    spark.sparkContext.setJobDescription("scaleout: shuffle leg")
+    scaleout_shuffle = round(
+        min(_scaleout_shuffle_once() for _ in range(2)), 3
+    )
+    spark.sparkContext.setJobDescription(None)
+    print(
+        f"# scaleout_kernel: {scaleout_kernel}s (600k generated docs, "
+        "Arrow shingle+minhash kernel; best of 2)"
+        f"\n# scaleout_shuffle: {scaleout_shuffle}s (25M-row sha2 dedup "
+        "shape, 2M-group hash agg; best of 2)",
+        file=sys.stderr,
+    )
+
     # Secondary metric: the full TPC-H suite (all 22 query shapes; Q4's
     # correlated-EXISTS shape is q_sql_exists), one cold rep each —
     # a scale-credibility number for the relational surface that does
@@ -402,6 +459,12 @@ def main() -> None:
             "anchor_sec": anchor,
             "anchor_median_sec": anchor_median,
             "chain_anchor_sec": chain_anchor,
+            # scale-out evidence (r12 verdict item 7): generated-input
+            # legs big enough that core count separates — compare this
+            # key across the driver's c32 and c8 runs (expect >= 2x on
+            # the kernel leg; the sf0.1 headline cannot show this)
+            "scaleout_kernel_sec": scaleout_kernel,
+            "scaleout_shuffle_sec": scaleout_shuffle,
             # headline normalized by the box-health anchor: the
             # round-over-round number to compare when anchor_sec moved
             "headline_per_anchor": round(total / anchor, 2),

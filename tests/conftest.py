@@ -7,6 +7,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The suite runs on sf0.001 (500-doc corpora): at that scale every
+# Spark action is dispatch-bound and local[8] is measurably FASTER
+# than local[32] (r12 driver scaling data: the full sf0.1 headline ran
+# 10.7 s at 8 cores vs 11.2 s at 32; trivially-sized test work skews
+# further). Pin the TEST session to 8 cores so the ~780-test suite
+# fits the driver's verify budget; an explicit SPARK_GRAFT_CPUS in the
+# environment still wins (setdefault).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 from updatable_persistent_map_reduce_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -33,7 +33,7 @@ def main() -> None:
     spark = get_spark("plan-dump")
     qs = all_queries()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", os.environ.get("UPMR_PLAN_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name].fn(spark, SF_DIR)

@@ -66,7 +66,8 @@ def _pick_victim(spark: SparkSession, cat: Catalog):
     erasure queries: the top BM25 doc that carries an embedding
     (rounded score DESC, doc_id — identical order in both engines).
     Returns (documents, embeddings, victim_id, victim_text, victim_emb);
-    three bounded 1-row collects."""
+    two bounded 1-row collects (the text+embedding fetch is one
+    1x1-join job, not two — guide §1.2)."""
     d = cat.documents.select("doc_id", "text", "lang")
     e = cat.embeddings.select("vec_id", "embedding")
     cand = (
@@ -82,8 +83,12 @@ def _pick_victim(spark: SparkSession, cat: Catalog):
             "an embedding — no deterministic victim"
         )
     victim = int(cand[0]["doc_id"])
-    victim_text = d.filter(F.col("doc_id") == victim).collect()[0]["text"]
-    vemb = e.filter(F.col("vec_id") == victim).collect()[0]["embedding"]
+    [[victim_text, vemb]] = (
+        d.filter(F.col("doc_id") == victim)
+        .select("text")
+        .crossJoin(e.filter(F.col("vec_id") == victim).select("embedding"))
+        .collect()
+    )
     return d, e, victim, victim_text, vemb
 
 
